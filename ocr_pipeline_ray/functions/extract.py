@@ -1,0 +1,257 @@
+"""HTML main-content extraction (the recognition stage's semantics).
+
+Plays the role of the reference's recognition + line-model steps
+(StepTesseract at ``/root/reference/lib/ocr_step.py:132-194`` feeding
+``get_lines`` at ``lib/ocr_model.py:203-245``): one opaque document in,
+an ordered list of text lines out. Input here is Common-Crawl-style
+HTML bytes; main content is separated from boilerplate with
+text-density / link-density heuristics (Boilerpipe-family, public
+technique), built from scratch on the stdlib ``html.parser``.
+
+Semantics (deterministic, the parity contract):
+
+* Lines are produced in DOM order (reading order). A line is the text
+  accumulated inside one block-level element, split further at
+  ``<br>``.
+* Content inside ``script/style/noscript/template/head/title/svg/
+  option/button`` is ignored outright.
+* A line is boilerplate — dropped — if any open ancestor is a
+  ``nav/footer/aside/header/form`` element, or an element whose
+  ``class``/``id`` matches the boilerplate pattern, or if the line's
+  link density (characters inside ``<a>`` / all characters) exceeds
+  ``max_link_density``.
+* Tokens have Unicode direction / zero-width marks stripped
+  (``lib/ocr_model.py:23-29,153-157``); a line inside a ``dir="rtl"``
+  element has its token order reversed, mirroring the reference's
+  reorder quirk (``lib/ocr_model.py:60-69``).
+* Lines shorter than ``min_len`` characters are dropped, mirroring the
+  ALTO min-length filter (``lib/ocr_model.py:217-223``).
+* Geometry is synthesized deterministically (fixed line grid) so the
+  line schema carries the reference's HPOS/VPOS/WIDTH/HEIGHT shape
+  (``lib/ocr_model.py:93-98``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+from .text import strip_marks
+
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+        "table", "tr", "td", "th", "blockquote", "pre", "article",
+        "section", "main", "aside", "nav", "header", "footer", "form",
+        "figure", "figcaption", "dl", "dt", "dd", "hr", "body",
+    }
+)
+_IGNORED_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "title", "svg",
+     "option", "button"}
+)
+_BOILER_TAGS = frozenset({"nav", "footer", "aside", "header", "form"})
+_VOID_TAGS = frozenset(
+    {"br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+DEFAULT_BOILER_CLASS_RE = r"(?:^|[\s_-])(?:ad|ads|advert\w*|banner|menu|nav|navbar|footer|header|sidebar|comment\w*|social|share|cookie|promo)(?:$|[\s_-])"
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Tunable, deterministic extraction thresholds."""
+
+    min_len: int = 2
+    max_link_density: float = 0.49
+    boiler_class_pattern: str = DEFAULT_BOILER_CLASS_RE
+    # synthesized layout grid (int32 geometry parity with ALTO shape)
+    hpos0: int = 80
+    vpos0: int = 100
+    line_height: int = 24
+    line_step: int = 28
+    char_width: int = 12
+
+
+@dataclass
+class _Frame:
+    tag: str
+    ignored: bool
+    boiler: bool
+    rtl: bool
+
+
+class _MainContentParser(HTMLParser):
+    """Single-pass streaming extractor; one instance per document."""
+
+    def __init__(self, config: ExtractConfig, boiler_re: re.Pattern):
+        super().__init__(convert_charrefs=True)
+        self.cfg = config
+        self.boiler_re = boiler_re
+        self.stack: List[_Frame] = []
+        self.link_depth = 0
+        # current line accumulation
+        self._segments: List[str] = []
+        self._link_chars = 0
+        self._total_chars = 0
+        self._line_boiler = False
+        self._line_rtl = False
+        self._line_open = False
+        self.raw_lines: List[Tuple[str, bool, int, int]] = []
+        self.n_boiler_dropped = 0
+        self.n_link_dropped = 0
+        self.n_short_dropped = 0
+
+    # -- frame helpers -------------------------------------------------
+    def _top(self) -> Optional[_Frame]:
+        return self.stack[-1] if self.stack else None
+
+    def _state(self) -> Tuple[bool, bool, bool]:
+        top = self._top()
+        if top is None:
+            return (False, False, False)
+        return (top.ignored, top.boiler, top.rtl)
+
+    # -- line accumulation ---------------------------------------------
+    def _flush_line(self) -> None:
+        if not self._line_open:
+            return
+        text = "".join(self._segments)
+        tokens = [strip_marks(t) for t in text.split()]
+        tokens = [t for t in tokens if t]
+        self._line_open = False
+        self._segments = []
+        if tokens:
+            if self._line_rtl:
+                tokens = list(reversed(tokens))
+            line_text = " ".join(tokens)
+            self.raw_lines.append(
+                (line_text, self._line_boiler, self._link_chars, self._total_chars)
+            )
+        self._link_chars = 0
+        self._total_chars = 0
+        self._line_boiler = False
+        self._line_rtl = False
+
+    # -- HTMLParser hooks ----------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag == "br":
+            self._flush_line()
+            return
+        if tag in _VOID_TAGS:
+            return
+        if tag == "a":
+            self.link_depth += 1
+            return
+        parent_ignored, parent_boiler, parent_rtl = self._state()
+        ignored = parent_ignored or tag in _IGNORED_TAGS
+        boiler = parent_boiler or tag in _BOILER_TAGS
+        rtl = parent_rtl
+        for name, value in attrs:
+            if value is None:
+                continue
+            lname = name.lower()
+            if lname in ("class", "id") and self.boiler_re.search(value.lower()):
+                boiler = True
+            elif lname == "dir":
+                rtl = value.strip().lower() == "rtl"
+        if tag in _BLOCK_TAGS:
+            self._flush_line()
+        self.stack.append(_Frame(tag, ignored, boiler, rtl))
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag == "a":
+            if self.link_depth > 0:
+                self.link_depth -= 1
+            return
+        if tag in _VOID_TAGS:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush_line()
+        # pop to the matching open frame (tolerates misnesting)
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_startendtag(self, tag, attrs):
+        if tag.lower() == "br":
+            self._flush_line()
+
+    def handle_data(self, data):
+        ignored, boiler, rtl = self._state()
+        if ignored or not data:
+            return
+        if not data.strip() and not self._line_open:
+            return
+        self._line_open = True
+        self._segments.append(data)
+        n_chars = sum(len(t) for t in data.split())
+        self._total_chars += n_chars
+        if self.link_depth > 0:
+            self._link_chars += n_chars
+        if boiler:
+            self._line_boiler = True
+        if rtl:
+            self._line_rtl = True
+
+
+def extract_lines(
+    html_bytes: bytes, config: ExtractConfig = ExtractConfig(),
+    boiler_re: Optional[re.Pattern] = None,
+) -> Tuple[List[Dict[str, object]], Dict[str, int]]:
+    """HTML bytes → ordered main-content lines + extraction stats.
+
+    Returns ``(lines, stats)`` where each line is a dict matching
+    ``schema.LINE_TYPE`` minus the span offsets (filled in after
+    normalization). Raises ``UnicodeDecodeError`` on non-UTF-8 input
+    (caller maps this to the error column / skip-row semantics).
+    """
+    cfg = config
+    if boiler_re is None:
+        boiler_re = re.compile(cfg.boiler_class_pattern)
+    text = html_bytes.decode("utf-8")
+    parser = _MainContentParser(cfg, boiler_re)
+    parser.feed(text)
+    parser.close()
+    parser._flush_line()
+
+    lines: List[Dict[str, object]] = []
+    out_index = 0
+    for line_text, boiler, link_chars, total_chars in parser.raw_lines:
+        if boiler:
+            parser.n_boiler_dropped += 1
+            continue
+        density = link_chars / total_chars if total_chars else 0.0
+        if density > cfg.max_link_density:
+            parser.n_link_dropped += 1
+            continue
+        if len(line_text) < cfg.min_len:
+            parser.n_short_dropped += 1
+            continue
+        lines.append(
+            {
+                "line_id": f"l{out_index:05d}",
+                "text": line_text,
+                "start": -1,
+                "stop": -1,
+                "hpos": cfg.hpos0,
+                "vpos": cfg.vpos0 + cfg.line_step * out_index,
+                "width": cfg.char_width * len(line_text),
+                "height": cfg.line_height,
+            }
+        )
+        out_index += 1
+    stats = {
+        "n_raw_lines": len(parser.raw_lines),
+        "n_boiler_dropped": parser.n_boiler_dropped,
+        "n_link_dropped": parser.n_link_dropped,
+        "n_short_dropped": parser.n_short_dropped,
+        "n_lines": len(lines),
+    }
+    return lines, stats

@@ -1,0 +1,164 @@
+"""Normalization stages — ordered char / regex replacement over lines.
+
+Stateless ``map_batches`` functions (closure-captured replacement
+tables, broadcast once per task by Ray — the reference parses them once
+per step instance, `/root/reference/lib/ocr_step.py:213-219,276-281`).
+Replacement statistics are emitted as a per-row ``repl_stats`` map
+column (once-per-line-per-key counts, `lib/ocr_step.py:256-262`);
+corpus-level merge is a small groupby over the exploded map.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..functions.text import replace_chars, replace_chars_regex
+from ..schema import LINES_TYPE
+
+REPL_STATS_TYPE = pa.map_(pa.string(), pa.int64())
+
+
+def _lines_texts(lines_col, i) -> Tuple[List[dict], List[str]]:
+    lines = lines_col[i].as_py() or []
+    return lines, [ln["text"] for ln in lines]
+
+
+def _rebuild(lines: List[dict], new_texts: List[str]) -> List[dict]:
+    out = []
+    for ln, txt in zip(lines, new_texts):
+        ln = dict(ln)
+        ln["text"] = txt
+        out.append(ln)
+    return out
+
+
+def _merge_stats(
+    existing: Optional[List[Tuple[str, int]]], new: Dict[str, int]
+) -> List[Tuple[str, int]]:
+    merged: Dict[str, int] = dict(existing or [])
+    for k, v in new.items():
+        merged[k] = merged.get(k, 0) + v
+    return list(merged.items())
+
+
+def make_replace_chars_fn(dict_chars: Dict[str, str]):
+    """Batch fn applying ordered literal substitution to every line."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        lines_col = batch.column("lines")
+        stats_col = (
+            batch.column("repl_stats")
+            if "repl_stats" in batch.column_names
+            else None
+        )
+        new_lines, new_stats = [], []
+        for i in range(len(lines_col)):
+            lines, texts = _lines_texts(lines_col, i)
+            replaced, stats = replace_chars(texts, dict_chars)
+            new_lines.append(_rebuild(lines, replaced))
+            prior = stats_col[i].as_py() if stats_col is not None else None
+            new_stats.append(_merge_stats(prior, stats))
+        out = batch.drop_columns(
+            ["lines"] + (["repl_stats"] if stats_col is not None else [])
+        )
+        out = out.append_column("lines", pa.array(new_lines, LINES_TYPE))
+        out = out.append_column(
+            "repl_stats", pa.array(new_stats, REPL_STATS_TYPE)
+        )
+        return out
+
+    return _fn
+
+
+def make_replace_regex_fn(pattern: str, old: str, new: str):
+    """Batch fn for first-match-per-line regex substitution."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        lines_col = batch.column("lines")
+        stats_col = (
+            batch.column("repl_stats")
+            if "repl_stats" in batch.column_names
+            else None
+        )
+        new_lines, new_stats = [], []
+        for i in range(len(lines_col)):
+            lines, texts = _lines_texts(lines_col, i)
+            replaced, stats = replace_chars_regex(texts, pattern, old, new)
+            new_lines.append(_rebuild(lines, replaced))
+            prior = stats_col[i].as_py() if stats_col is not None else None
+            new_stats.append(_merge_stats(prior, stats))
+        out = batch.drop_columns(
+            ["lines"] + (["repl_stats"] if stats_col is not None else [])
+        )
+        out = out.append_column("lines", pa.array(new_lines, LINES_TYPE))
+        out = out.append_column(
+            "repl_stats", pa.array(new_stats, REPL_STATS_TYPE)
+        )
+        return out
+
+    return _fn
+
+
+def finalize_text_fn(batch: pa.Table) -> pa.Table:
+    """Join normalized lines → ``extracted_text`` + span offsets.
+
+    ``extracted_text`` is the newline-join of the (char/regex
+    normalized) line texts — the engine's byte-identical per-url
+    deliverable; each line struct gets its ``[start, stop)`` offsets
+    into that string.
+    """
+    lines_col = batch.column("lines")
+    new_lines, texts, n_lines = [], [], []
+    for i in range(len(lines_col)):
+        lines = lines_col[i].as_py() or []
+        parts: List[str] = []
+        rebuilt: List[dict] = []
+        pos = 0
+        for ln in lines:
+            txt = ln["text"]
+            ln = dict(ln)
+            ln["start"] = pos
+            ln["stop"] = pos + len(txt)
+            pos += len(txt) + 1  # '\n' separator
+            parts.append(txt)
+            rebuilt.append(ln)
+        new_lines.append(rebuilt)
+        texts.append("\n".join(parts))
+        n_lines.append(len(rebuilt))
+    out = batch.drop_columns(["lines"])
+    out = out.append_column("lines", pa.array(new_lines, LINES_TYPE))
+    out = out.append_column("extracted_text", pa.array(texts, pa.string()))
+    out = out.append_column("n_lines", pa.array(n_lines, pa.int32()))
+    return out
+
+
+def merge_repl_stats(ds) -> Dict[str, int]:
+    """Corpus-level replacement-statistic merge (A3).
+
+    Pre-aggregates per batch (partial combine inside ``map_batches``)
+    so the driver-side merge touches one tiny dict per block — no
+    all-to-all shuffle for what is a handful of keys.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        col = batch.column("repl_stats")
+        for i in range(len(col)):
+            for key, val in (col[i].as_py() or []):
+                counts[key] = counts.get(key, 0) + val
+        return pa.table(
+            {
+                "key": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns(["repl_stats"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    merged: Dict[str, int] = {}
+    for row in partials.iter_rows():
+        merged[row["key"]] = merged.get(row["key"], 0) + row["n"]
+    return merged

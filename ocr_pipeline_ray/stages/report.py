@@ -1,0 +1,131 @@
+"""Corpus-level quality report (store_estimations / analyze parity).
+
+Reference: `/root/reference/ocr_pipeline.py:233-269` (``.wtr`` writer:
+header ``mean,b1..b5,total,invalid`` + per-doc rows sorted ascending by
+ratio) and `lib/ocr_step.py:426-446` (mean + 5-bin histogram with
+``min(bins-1, round(ratio // 15))``).
+
+Scale shape: the summary is a PARTIAL aggregate — bin counts and ratio
+sums combine inside ``map_batches`` per block, and the driver merges a
+handful of tiny partial rows. No shuffle. Only the per-doc report rows
+(a few columns, one row per doc) go through the small global ``sort``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import pyarrow as pa
+
+from ..functions.text import round3
+
+REPORT_COLUMNS = [
+    "url", "hit_ratio", "n_words", "n_errs", "n_lines_in",
+    "n_wraps", "n_shorts", "n_lines_out",
+]
+
+
+def _bin_index(ratio: float, bins: int = 5, step_bin: int = 15) -> int:
+    target = round(ratio // step_bin)
+    return bins - 1 if target >= bins else int(target)
+
+
+def quality_summary(ds, bins: int = 5, step_bin: int = 15) -> Dict[str, float]:
+    """Distributed mean/bin/valid-invalid summary (A1 + A2).
+
+    ``ds`` must carry a ``hit_ratio`` column; ``-1`` marks unscored
+    documents (reference sentinel).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ratios = batch.column("hit_ratio").to_pylist()
+        bin_counts = [0] * bins
+        total = 0.0
+        n_valid = 0
+        n_invalid = 0
+        for r in ratios:
+            if r is None or r == -1:
+                n_invalid += 1
+                continue
+            n_valid += 1
+            total += r
+            bin_counts[_bin_index(r, bins, step_bin)] += 1
+        return pa.table(
+            {
+                "sum_ratio": pa.array([total], pa.float64()),
+                "n_valid": pa.array([n_valid], pa.int64()),
+                "n_invalid": pa.array([n_invalid], pa.int64()),
+                **{
+                    f"b{i + 1}": pa.array([bin_counts[i]], pa.int64())
+                    for i in range(bins)
+                },
+            }
+        )
+
+    merged = {"sum_ratio": 0.0, "n_valid": 0, "n_invalid": 0}
+    for i in range(bins):
+        merged[f"b{i + 1}"] = 0
+    partials = ds.select_columns(["hit_ratio"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    for row in partials.iter_rows():
+        for key in merged:
+            merged[key] += row[key]
+    mean = (
+        round3(merged["sum_ratio"] / merged["n_valid"])
+        if merged["n_valid"]
+        else 0.0
+    )
+    summary = {
+        "mean": mean,
+        "total": merged["n_valid"] + merged["n_invalid"],
+        "invalid": merged["n_invalid"],
+    }
+    for i in range(bins):
+        summary[f"b{i + 1}"] = merged[f"b{i + 1}"]
+    return summary
+
+
+def sorted_report(ds):
+    """Per-doc report rows sorted ascending by ratio (O2 parity).
+
+    Valid docs only (``hit_ratio != -1``); narrow projection before the
+    global sort so only report columns shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_valid(batch.column("hit_ratio")),
+            pc.not_equal(batch.column("hit_ratio"), -1.0),
+        )
+        return batch.filter(mask)
+
+    return (
+        ds.select_columns(REPORT_COLUMNS)
+        .map_batches(_valid, batch_format="pyarrow")
+        .sort("hit_ratio")
+    )
+
+
+def write_wtr(path: str, summary: Dict, report_rows) -> str:
+    """Write the ``.wtr``-style report file (S5 parity format).
+
+    ``report_rows``: iterable of dicts in ascending-ratio order.
+    Timestamped naming is the CALLER's job (timestamps come from the
+    driver, never from inside workflow tasks).
+    """
+    with open(path, "w", encoding="UTF-8") as outfile:
+        outfile.write(
+            f"{summary['mean']},{summary['b1']},{summary['b2']},"
+            f"{summary['b3']},{summary['b4']},{summary['b5']},"
+            f"{summary['total']},{summary['invalid']}\n"
+        )
+        for row in report_rows:
+            outfile.write(
+                f"{row['url']},{row['hit_ratio']:.3f},{row['n_words']},"
+                f"{row['n_errs']},{row['n_lines_in']},{row['n_wraps']},"
+                f"{row['n_shorts']},{row['n_lines_out']}\n"
+            )
+        outfile.write("\n")
+    return path

@@ -1,0 +1,109 @@
+"""End-to-end: Ray pipeline output byte-identical to the oracle."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_pipeline_ray.functions.oracle import process_page
+from ocr_pipeline_ray.pipelines.extraction import extraction_pipeline
+from ocr_pipeline_ray.stages.normalize import merge_repl_stats
+from ocr_pipeline_ray.stages.report import (
+    quality_summary,
+    sorted_report,
+    write_wtr,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(ray_session, small_corpus):
+    ds = extraction_pipeline(small_corpus)
+    rows = ds.take_all()
+    return rows
+
+
+@pytest.fixture(scope="module")
+def source_rows(small_corpus):
+    rows = []
+    for path in small_corpus:
+        rows.extend(pq.read_table(path).to_pylist())
+    return {(r["url"], r["warc_ts"]): r for r in rows}
+
+
+class TestParity:
+    def test_row_count(self, pipeline_rows, source_rows):
+        assert len(pipeline_rows) == len(source_rows)
+
+    def test_byte_identical_text_and_quality(self, pipeline_rows, source_rows):
+        assert pipeline_rows, "pipeline produced no rows"
+        for row in pipeline_rows:
+            expected = process_page(source_rows[(row["url"], row["warc_ts"])]["html"])
+            assert row["extracted_text"] == expected["extracted_text"], row["url"]
+            for key in (
+                "hit_ratio", "n_words", "n_errs", "n_lines_in",
+                "n_wraps", "n_shorts", "n_lines_out", "n_lines",
+            ):
+                assert row[key] == expected[key], (row["url"], key)
+
+    def test_line_spans(self, pipeline_rows):
+        checked = 0
+        for row in pipeline_rows:
+            text = row["extracted_text"]
+            for ln in row["lines"] or []:
+                assert text[ln["start"]:ln["stop"]] == ln["text"]
+                checked += 1
+        assert checked > 100
+
+    def test_repl_stats_match_oracle(self, pipeline_rows, source_rows):
+        for row in pipeline_rows:
+            expected = process_page(source_rows[(row["url"], row["warc_ts"])]["html"])
+            got = dict(row["repl_stats"] or [])
+            assert got == expected["repl_stats"], row["url"]
+
+    def test_error_rows_isolated(self, pipeline_rows):
+        errs = [r for r in pipeline_rows if r["error"]]
+        assert errs, "fixture should contain invalid-utf8 rows"
+        for row in errs:
+            assert row["extracted_text"] == ""
+            assert row["hit_ratio"] == -1.0
+
+
+class TestReport:
+    def test_summary_matches_driver_side(self, ray_session, small_corpus, pipeline_rows):
+        ds = extraction_pipeline(small_corpus)
+        summary = quality_summary(ds)
+        ratios = [r["hit_ratio"] for r in pipeline_rows if r["hit_ratio"] != -1.0]
+        from ocr_pipeline_ray.functions.text import analyze
+
+        mean, bins = analyze(ratios)
+        assert summary["mean"] == mean
+        assert [summary[f"b{i+1}"] for i in range(5)] == bins
+        assert summary["total"] == len(pipeline_rows)
+        assert summary["invalid"] == len(pipeline_rows) - len(ratios)
+
+    def test_sorted_report_and_wtr(self, ray_session, small_corpus, tmp_path):
+        ds = extraction_pipeline(small_corpus)
+        summary = quality_summary(ds)
+        rows = sorted_report(extraction_pipeline(small_corpus)).take_all()
+        ratios = [r["hit_ratio"] for r in rows]
+        assert ratios == sorted(ratios)
+        assert all(r != -1.0 for r in ratios)
+        out = write_wtr(str(tmp_path / "report.wtr"), summary, rows)
+        lines = open(out, encoding="UTF-8").read().splitlines()
+        header = lines[0].split(",")
+        assert len(header) == 8  # mean,b1..b5,total,invalid
+        # header + rows + trailing blank line (reference S5 format)
+        assert len(lines) == 1 + len(rows) + 1
+        assert lines[-1] == ""
+        first_doc = lines[1].split(",")
+        assert len(first_doc) == 8
+
+
+class TestStats:
+    def test_merge_repl_stats(self, ray_session, small_corpus, pipeline_rows):
+        ds = extraction_pipeline(small_corpus)
+        merged = merge_repl_stats(ds)
+        expected = {}
+        for row in pipeline_rows:
+            for key, val in row["repl_stats"] or []:
+                expected[key] = expected.get(key, 0) + val
+        assert merged == expected
+        assert merged, "corpus should produce replacement hits"

@@ -1,0 +1,613 @@
+"""Driver-facing operator queries + their DuckDB oracle SQL twins.
+
+Each entry in :data:`QUERIES` is one operator from SURVEY.md §2 (or a
+training-data-pipeline extension: dedup / similarity / text analysis)
+expressed as a Ray Data pipeline over the driver's parquet tables
+(``documents``, ``embeddings``, ``events``); :data:`ORACLE_SQL` holds
+the exact ANSI-SQL twin DuckDB runs on the same tables.
+
+Parity rules baked in everywhere:
+
+* identical column NAMES and types (BIGINT↔int64, DOUBLE↔float64);
+* floats only through deterministic formulas shared by both sides —
+  ``floor(x*1000+0.5)/1000`` rounding (see ``functions.text.round3``),
+  single-division ratios, md5 hex (Python hashlib == DuckDB md5);
+* no wall-clock, no randomness.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from .functions.quality import VALID_TOKEN_RE
+from .functions.text import replace_chars_regex, round3
+from .stages.dedup import (
+    exact_dedup_summary,
+    fingerprint_fn,
+    minhash_dup_pairs,
+    minhash_signatures,
+    simhash_signatures,
+    jaccard_dup_pairs,
+)
+from .stages.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from .stages.textstats import (
+    doc_quality_fn,
+    lang_id_fn,
+    quality_heuristics_fn,
+    sanitize_fn,
+    token_count_fn,
+)
+
+# ordered replacement table used by the replace_chars demo queries
+REPL_KEYS = [("spark", "ray"), ("table", "tbl")]
+REGEX_PATTERN, REGEX_OLD, REGEX_NEW = "(s[a-z]*k)", "ar", "er"
+
+# SQL fragment: the M7 sanitize chain (matches functions.text.sanitize_chars
+# for single-line text: strip → bad-char removal → '..' → single-pass
+# '  '→' ' → ſ→s → drop tokens of length <= 1)
+SANITIZE_SQL = (
+    "array_to_string(list_filter(string_split("
+    "replace(replace(replace(regexp_replace(trim({col}), "
+    "'[0-9“„\"''?!*.;:=\\[\\]()|-]', '', 'g'), '..', ''), '  ', ' '), "
+    "'ſ', 's'), ' '), x -> length(x) > 1), ' ')"
+)
+
+# SQL fragment: single-line-doc quality scoring (doc_quality_fn twin)
+QUALITY_SQL = """
+WITH s AS (
+  SELECT doc_id, {sanitize} AS st FROM documents
+), w AS (
+  SELECT doc_id, CASE WHEN length(st) > 2 THEN st ELSE '' END AS ws FROM s
+), t AS (
+  SELECT doc_id,
+    CASE WHEN ws = '' THEN 0 ELSE len(string_split(ws, ' ')) END AS nw,
+    CASE WHEN ws = '' THEN 0 ELSE len(list_filter(string_split(ws, ' '),
+      x -> NOT regexp_matches(x, '^[A-Za-zÄÖÜäöüß]+$'))) END AS ne
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN nw = 0 THEN -1.0
+       WHEN nw <= ne THEN 0.0
+       ELSE floor(((nw - ne) / CAST(nw AS DOUBLE) * 100.0) * 1000.0 + 0.5) / 1000.0
+  END AS hit_ratio,
+  CAST(nw AS BIGINT) AS n_words,
+  CAST(ne AS BIGINT) AS n_errs
+FROM t
+""".format(sanitize=SANITIZE_SQL.format(col="text"))
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=columns or ["doc_id", "text"],
+    )
+
+
+# ------------------------------------------------------------ operators
+
+def q_replace_chars(sf_dir: str):
+    """M2: ordered literal substitution (all occurrences, dict order)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        for key, val in REPL_KEYS:
+            col = pc.replace_substring(col, key, val)
+        return pa.table({"doc_id": batch.column("doc_id"), "text_norm": col})
+
+    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow")
+
+
+def q_replace_chars_stats(sf_dir: str):
+    """M2 statistics: once-per-doc-per-key counts, sequential keys.
+
+    Partial counts per batch (vectorized contains), merged by a tiny
+    groupby — the A3 pattern.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        ks, ns = [], []
+        for key, val in REPL_KEYS:
+            hits = pc.sum(pc.match_substring(col, key)).as_py() or 0
+            ks.append(key)
+            ns.append(hits)
+            col = pc.replace_substring(col, key, val)
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "n_docs": pa.array(ns, pa.int64())})
+
+    partials = _docs(sf_dir).map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("k").aggregate(Sum("n_docs"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["k" if c == "k" else "n_docs" for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_replace_regex(sf_dir: str):
+    """M3: first regex match per doc, replace that literal everywhere."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out, _stats = replace_chars_regex(
+            [t or "" for t in texts], REGEX_PATTERN, REGEX_OLD, REGEX_NEW
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_regexed": pa.array(out, pa.string()),
+        })
+
+    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow")
+
+
+def q_sanitize_chars(sf_dir: str):
+    """M7: QA character sanitization projection."""
+    ds = _docs(sf_dir).map_batches(sanitize_fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_sanitized"])
+
+
+def q_token_count(sf_dir: str):
+    """Token counting (single-space split), vectorized."""
+    ds = _docs(sf_dir).map_batches(token_count_fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality_report(sf_dir: str):
+    """M8+M9: per-doc quality record (ratio/words/errs, -1 sentinel)."""
+    ds = _docs(sf_dir).map_batches(doc_quality_fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "hit_ratio", "n_words", "n_errs"])
+
+
+def q_quality_bins(sf_dir: str):
+    """A1: 5-bin histogram, bin = min(4, ratio // 15), valid docs only."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ratios = batch.column("hit_ratio").to_pylist()
+        counts: Dict[int, int] = {}
+        for r in ratios:
+            if r == -1.0:
+                continue
+            b = min(4, int(r // 15))
+            counts[b] = counts.get(b, 0) + 1
+        return pa.table({
+            "bin": pa.array(list(counts.keys()), pa.int64()),
+            "n_docs": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    ds = _docs(sf_dir).map_batches(doc_quality_fn, batch_format="pyarrow")
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("bin").aggregate(Sum("n_docs"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["bin" if c == "bin" else "n_docs" for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_corpus_quality_summary(sf_dir: str):
+    """A1+A2: corpus mean (round3) + valid/invalid counts, one row."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ratios = batch.column("hit_ratio").to_pylist()
+        valid = [r for r in ratios if r != -1.0]
+        return pa.table({
+            "sum_ratio": pa.array([sum(valid)], pa.float64()),
+            "n_valid": pa.array([len(valid)], pa.int64()),
+            "n_invalid": pa.array([len(ratios) - len(valid)], pa.int64()),
+        })
+
+    ds = _docs(sf_dir).map_batches(doc_quality_fn, batch_format="pyarrow")
+    total, n_valid, n_invalid = 0.0, 0, 0
+    for row in ds.map_batches(_partial, batch_format="pyarrow").iter_rows():
+        total += row["sum_ratio"]
+        n_valid += row["n_valid"]
+        n_invalid += row["n_invalid"]
+    mean = round3(total / n_valid) if n_valid else -1.0
+    return pa.table({
+        "n_valid": pa.array([n_valid], pa.int64()),
+        "n_invalid": pa.array([n_invalid], pa.int64()),
+        "mean_ratio": pa.array([mean], pa.float64()),
+    })
+
+
+def q_dedup_exact(sf_dir: str):
+    """D1: exact dedup summary by content hash (first doc_id wins)."""
+    return exact_dedup_summary(_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprinting: md5 content hash + 16-hex prefix."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        out = fingerprint_fn(batch)
+        fps = out.column("fp")
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "fp": fps,
+            "fp16": pc.utf8_slice_codeunits(fps, 0, 16),
+        })
+
+    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow")
+
+
+def q_lang_stats(sf_dir: str):
+    """Per-language corpus stats (groupby + partial-friendly aggs)."""
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        names = {"count()": "n_docs", "sum(n_chars)": "sum_chars"}
+        batch = batch.rename_columns(
+            [names.get(c, c) for c in batch.column_names]
+        )
+        n_docs = batch.column("n_docs").to_pylist()
+        sum_chars = batch.column("sum_chars").to_pylist()
+        avg = [s / n for s, n in zip(sum_chars, n_docs)]
+        return (
+            pa.table({
+                "lang": batch.column("lang"),
+                "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+                "sum_chars": pc.cast(batch.column("sum_chars"), pa.int64()),
+                "avg_chars": pa.array(avg, pa.float64()),
+            })
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language identification."""
+    ds = _docs(sf_dir).map_batches(lang_id_fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "s_en", "s_de", "lang_pred"])
+
+
+def q_quality_heuristics(sf_dir: str):
+    """Quality-scoring features (length/short/stopword/mean-token-len)."""
+    ds = _docs(sf_dir).map_batches(
+        quality_heuristics_fn, batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "n_chars_text", "n_tokens", "short_ratio",
+         "stop_ratio", "mean_token_len"]
+    )
+
+
+def q_minhash_signatures(sf_dir: str):
+    """MinHash band values (md5-based, 4 salts, 3-token shingles)."""
+    return minhash_signatures(_docs(sf_dir))
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    """LSH candidate pairs: docs sharing any minhash band."""
+    return minhash_dup_pairs(_docs(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (hex string)."""
+    return simhash_signatures(_docs(sf_dir))
+
+
+def q_jaccard_dup_pairs(sf_dir: str):
+    """MinHash candidates verified by exact n-gram Jaccard >= 0.8."""
+    return jaccard_dup_pairs(_docs(sf_dir))
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0):
+    rows = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id == {vec_id}")
+        .take(1)
+    )
+    return rows[0]["embedding"]
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    q = _query_vec(sf_dir, 0)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, q, k=10, exclude_id=0)
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (scale path; no SQL oracle)."""
+    q = _query_vec(sf_dir, 0)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return lsh_bucketed_topk(ds, q, k=10, exclude_id=0, probes=4)
+
+
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """All embedding pairs with cosine > threshold (v1 < v2).
+
+    Returned as a concrete Arrow table so the (v1, v2) schema survives
+    even when no pair crosses the threshold.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, threshold=NEAR_DUP_THRESHOLD)
+    schema = pa.schema([("v1", pa.int64()), ("v2", pa.int64())])
+    return pa.Table.from_pylist(pairs.take_all(), schema=schema)
+
+
+def q_extraction_flagship(sf_dir: str):
+    """FLAGSHIP: the full extraction pipeline, oracle-checked.
+
+    Wraps each document's text into a deterministic HTML page (nav +
+    footer boilerplate around one main paragraph), runs the COMPLETE
+    chain (DOM parse + boilerplate strip → ordered char/regex
+    normalization → finalize → quality scoring) and returns per-url
+    extracted text + quality. Because the embedded main content is the
+    single-spaced document text (html-escaped in, entity-decoded out)
+    and the default replacement tables don't fire on it, the oracle is
+    expressible in SQL: extracted_text == text, quality == the
+    single-line scoring formula.
+    """
+    import html as html_mod
+
+    from .pipelines.extraction import build_pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        htmls = [
+            (
+                "<html><head><title>d</title></head><body>"
+                "<nav><ul><li><a href='/x'>Start</a></li></ul></nav>"
+                f"<p>{html_mod.escape(t or '')}</p>"
+                "<footer><p>Impressum Kontakt</p></footer>"
+                "</body></html>"
+            ).encode("utf-8")
+            for t in texts
+        ]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    out = build_pipeline(pages)
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "extracted_text": batch.column("extracted_text"),
+            "hit_ratio": batch.column("hit_ratio"),
+            "n_words": pc.cast(batch.column("n_words"), pa.int64()),
+            "n_errs": pc.cast(batch.column("n_errs"), pa.int64()),
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+def q_events_hourly(sf_dir: str):
+    """Timestamp bucketing + grouped aggregate over the events table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({
+            "hour": hour,
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+
+    agg = (
+        ds.map_batches(_hour, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(), Sum("value"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sums = [
+            math.floor(s * 1000000.0 + 0.5) / 1000000.0
+            for s in batch.column("sum(value)").to_pylist()
+        ]
+        return pa.table({
+            "hour": pc.cast(batch.column("hour"), pa.timestamp("us")),
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("count()"), pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- oracles
+
+ORACLE_SQL: Dict[str, str] = {
+    "replace_chars": (
+        "SELECT doc_id, replace(replace(text, 'spark', 'ray'), "
+        "'table', 'tbl') AS text_norm FROM documents"
+    ),
+    "replace_chars_stats": (
+        "SELECT 'spark' AS k, CAST(count(*) FILTER (WHERE "
+        "contains(text, 'spark')) AS BIGINT) AS n_docs FROM documents "
+        "UNION ALL "
+        "SELECT 'table' AS k, CAST(count(*) FILTER (WHERE "
+        "contains(replace(text, 'spark', 'ray'), 'table')) AS BIGINT) "
+        "AS n_docs FROM documents"
+    ),
+    "replace_regex": (
+        "SELECT doc_id, CASE WHEN m = '' THEN text ELSE "
+        "replace(text, m, replace(m, 'ar', 'er')) END AS text_regexed "
+        "FROM (SELECT doc_id, text, "
+        "regexp_extract(text, 's[a-z]*k', 0) AS m FROM documents)"
+    ),
+    "sanitize_chars": (
+        "SELECT doc_id, "
+        + SANITIZE_SQL.format(col="text")
+        + " AS text_sanitized FROM documents"
+    ),
+    "token_count": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n_tokens FROM documents"
+    ),
+    "quality_report": QUALITY_SQL,
+    "quality_bins": (
+        "WITH q AS (" + QUALITY_SQL + ") "
+        "SELECT LEAST(4, CAST(floor(hit_ratio / 15) AS BIGINT)) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM q "
+        "WHERE hit_ratio <> -1.0 GROUP BY 1"
+    ),
+    "corpus_quality_summary": (
+        "WITH q AS (" + QUALITY_SQL + ") "
+        "SELECT CAST(count(*) FILTER (WHERE hit_ratio <> -1.0) AS BIGINT) AS n_valid, "
+        "CAST(count(*) FILTER (WHERE hit_ratio = -1.0) AS BIGINT) AS n_invalid, "
+        "floor(avg(hit_ratio) FILTER (WHERE hit_ratio <> -1.0) * 1000.0 + 0.5) / 1000.0 AS mean_ratio "
+        "FROM q"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
+    ),
+    "fingerprint": (
+        "SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp16 "
+        "FROM documents"
+    ),
+    "lang_stats": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "lang_id": (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x = 'the' OR x = 'a')) AS BIGINT) AS s_en, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS BIGINT) AS s_de, "
+        "CASE WHEN len(list_filter(string_split(text, ' '), "
+        "x -> x = 'the' OR x = 'a')) > len(list_filter(string_split(text, ' '), "
+        "x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) THEN 'en' "
+        "WHEN len(list_filter(string_split(text, ' '), "
+        "x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) > "
+        "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) "
+        "THEN 'de' ELSE 'unk' END AS lang_pred "
+        "FROM documents"
+    ),
+    "quality_heuristics": (
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "
+        "CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks) AS short_ratio, "
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks) AS stop_ratio, "
+        "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
+        "FROM t"
+    ),
+    "minhash_signatures": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+        "ELSE [] END AS shingles FROM t) "
+        "SELECT doc_id, "
+        "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
+        "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
+        "list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2, "
+        "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
+        "FROM sh"
+    ),
+    "minhash_dup_pairs": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+        "ELSE [] END AS shingles FROM t), "
+        "sig AS (SELECT doc_id, "
+        "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
+        "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
+        "list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2, "
+        "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
+        "FROM sh) "
+        "SELECT d1, d2 FROM ("
+        "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+        "ON a.h0 = b.h0 AND a.doc_id < b.doc_id "
+        "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+        "ON a.h1 = b.h1 AND a.doc_id < b.doc_id "
+        "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+        "ON a.h2 = b.h2 AND a.doc_id < b.doc_id "
+        "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+        "ON a.h3 = b.h3 AND a.doc_id < b.doc_id)"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0) "
+        "SELECT e.vec_id, "
+        "floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
+        "* 1000000.0 + 0.5) / 1000000.0 AS sim "
+        "FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
+        "DESC, e.vec_id LIMIT 10"
+    ),
+    "embedding_near_dup": (
+        "SELECT a.vec_id AS v1, b.vec_id AS v2 "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) > 0.5"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "extraction_flagship": (
+        "WITH q AS (" + QUALITY_SQL + ") "
+        "SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) AS url, "
+        "d.text AS extracted_text, q.hit_ratio, q.n_words, q.n_errs "
+        "FROM documents d JOIN q USING (doc_id)"
+    ),
+    # no oracle (non-SQL / approximate): ann_topk_lsh, simhash,
+    # jaccard_dup_pairs
+}
+
+QUERIES = {
+    "replace_chars": q_replace_chars,
+    "replace_chars_stats": q_replace_chars_stats,
+    "replace_regex": q_replace_regex,
+    "sanitize_chars": q_sanitize_chars,
+    "token_count": q_token_count,
+    "quality_report": q_quality_report,
+    "quality_bins": q_quality_bins,
+    "corpus_quality_summary": q_corpus_quality_summary,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "lang_stats": q_lang_stats,
+    "lang_id": q_lang_id,
+    "quality_heuristics": q_quality_heuristics,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash": q_simhash,
+    "jaccard_dup_pairs": q_jaccard_dup_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "events_hourly": q_events_hourly,
+    "extraction_flagship": q_extraction_flagship,
+}

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Ray AND its ``oracle_sql()``
+twin through DuckDB on the same sf dir, then compares row count,
+schema (column names + dtypes, sorted by name) and an
+order-insensitive value comparison — mirroring CORRECTNESS_r{N}.json.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray.data.Dataset
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f"rows {len(ray_df)} != {len(sql_df)}")
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        problems.append(
+            f"cols {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+        )
+    if not problems:
+        a, b = normalize(ray_df), normalize(sql_df)
+        dt_a = [str(t) for t in a.dtypes]
+        dt_b = [str(t) for t in b.dtypes]
+        if dt_a != dt_b:
+            problems.append(f"dtypes {dt_a} != {dt_b}")
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        except AssertionError as exc:
+            problems.append("values: " + str(exc).split("\n")[0:3].__repr__())
+    return "; ".join(problems)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as exc:
+            print(f"ERROR  {name}: ray side raised {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows   {name}: {len(ray_df)} rows (no oracle — rows-only)")
+            continue
+        try:
+            sql_df = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"ERROR  {name}: oracle raised {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        problem = compare(name, ray_df, sql_df)
+        if problem:
+            print(f"FAIL   {name}: {problem}")
+            failed.append(name)
+        else:
+            print(f"OK     {name}: {len(ray_df)} rows")
+    print()
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("all queries match their oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    code = main()
+    import ray
+
+    ray.shutdown()
+    sys.exit(code)

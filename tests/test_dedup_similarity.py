@@ -1,0 +1,198 @@
+"""Dedup + similarity operators on corpora with KNOWN duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_pipeline_ray.stages.dedup import (
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+
+
+class TestPrimitives:
+    def test_shingles(self):
+        assert shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
+        assert shingles(["a", "b"], 3) == []
+
+    def test_minhash_identical_docs_identical_sigs(self):
+        a = minhash_signature("der hund läuft über die alte brücke heute")
+        b = minhash_signature("der hund läuft über die alte brücke heute")
+        assert a == b and all(v is not None for v in a)
+
+    def test_minhash_near_dup_shares_bands(self):
+        base = "der hund läuft über die alte brücke " * 6
+        edited = base + "kleine änderung"
+        a = minhash_signature(base.strip())
+        b = minhash_signature(edited.strip())
+        assert sum(x == y for x, y in zip(a, b)) >= 2
+
+    def test_minhash_short_doc_null(self):
+        assert minhash_signature("nur zwei") == [None] * 4
+
+    def test_simhash_near_dup_small_hamming(self):
+        base = "viele gleiche worte " * 20
+        a = simhash64(base.strip())
+        b = simhash64((base + "extra wort").strip())
+        c = simhash64("komplett anderes thema über ganz andere dinge hier")
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+        assert ham_ab <= 8
+
+    def test_jaccard(self):
+        assert jaccard(["a b c"], ["a b c"]) == 1.0
+        assert jaccard(["a b c"], ["x y z"]) == 0.0
+
+
+@pytest.fixture(scope="module")
+def dup_docs_ds(ray_session):
+    import ray.data
+
+    base = "der alte turm steht am fluss unter dem hohen berg " * 4
+    texts = [
+        base.strip(),                                # 0
+        base.strip(),                                # 1: exact dup of 0
+        (base + "neuer satz am ende").strip(),       # 2: near dup of 0
+        "völlig anderes dokument über bücher und seiten hier drüben",  # 3
+        "noch ein ganz eigenes dokument ohne überlappung dabei jetzt",  # 4
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    return ray.data.from_arrow(tbl)
+
+
+class TestDedupDistributed:
+    def test_exact_dedup_groups(self, dup_docs_ds):
+        from ocr_pipeline_ray.stages.dedup import exact_dedup_summary
+
+        rows = exact_dedup_summary(dup_docs_ds).take_all()
+        assert len(rows) == 4  # 5 docs, one exact-dup collapses
+        by_n = sorted(r["n_dups"] for r in rows)
+        assert by_n == [1, 1, 1, 2]
+        dup_group = [r for r in rows if r["n_dups"] == 2][0]
+        assert dup_group["keep_id"] == 0  # first wins
+
+    def test_minhash_pairs_find_near_dups(self, dup_docs_ds):
+        from ocr_pipeline_ray.stages.dedup import minhash_dup_pairs
+
+        pairs = {(r["d1"], r["d2"]) for r in minhash_dup_pairs(dup_docs_ds).take_all()}
+        assert (0, 1) in pairs  # exact dup
+        assert (0, 2) in pairs  # near dup
+        assert (3, 4) not in pairs  # unrelated
+
+    def test_jaccard_verification(self, dup_docs_ds):
+        from ocr_pipeline_ray.stages.dedup import jaccard_dup_pairs
+
+        rows = jaccard_dup_pairs(dup_docs_ds, threshold=0.5).take_all()
+        verified = {(r["d1"], r["d2"]): r["jaccard"] for r in rows}
+        assert verified[(0, 1)] == 1.0
+        assert (0, 2) in verified
+
+    def test_dedup_first_by_key(self, ray_session):
+        import ray.data
+
+        tbl = pa.table({
+            "url": pa.array(["u1", "u1", "u2"], pa.string()),
+            "warc_ts": pa.array([20, 10, 5], pa.int64()),
+            "payload": pa.array(["later", "earlier", "only"], pa.string()),
+        })
+        from ocr_pipeline_ray.stages.dedup import dedup_first
+
+        rows = sorted(
+            dedup_first(ray.data.from_arrow(tbl)).take_all(),
+            key=lambda r: r["url"],
+        )
+        assert [(r["url"], r["payload"]) for r in rows] == [
+            ("u1", "earlier"), ("u2", "only"),
+        ]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(7)
+        mat = rng.standard_normal((40, 16))
+        mat[5] = mat[0] + 0.01 * rng.standard_normal(16)  # near dup of 0
+        tbl = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], pa.list_(pa.float32())
+            ),
+        })
+        return ray.data.from_arrow(tbl), mat
+
+    def test_brute_force_topk(self, emb_ds):
+        from ocr_pipeline_ray.stages.similarity import brute_force_topk
+
+        ds, mat = emb_ds
+        q = mat[0].tolist()
+        rows = brute_force_topk(ds, q, k=5, exclude_id=0).take_all()
+        assert len(rows) == 5
+        assert rows[0]["vec_id"] == 5  # the planted near-dup ranks first
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_topk_recalls_planted_neighbor(self, emb_ds):
+        from ocr_pipeline_ray.stages.similarity import lsh_bucketed_topk
+
+        ds, mat = emb_ds
+        rows = lsh_bucketed_topk(
+            ds, mat[0].tolist(), k=5, exclude_id=0, probes=3
+        ).take_all()
+        assert rows and rows[0]["vec_id"] == 5
+
+    def test_near_dup_pairs(self, emb_ds):
+        from ocr_pipeline_ray.stages.similarity import embedding_near_dup_pairs
+
+        ds, _ = emb_ds
+        pairs = {(r["v1"], r["v2"])
+                 for r in embedding_near_dup_pairs(ds, 0.95).take_all()}
+        assert pairs == {(0, 5)}
+
+
+class TestMultimodal:
+    def test_media_feature_stage(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            media_feature_stage,
+        )
+
+        tbl = pa.table({
+            "media_id": pa.array(["m0", "m1", "m2"], pa.string()),
+            "kind": pa.array(["image", "audio", "image"], pa.string()),
+            "payload": pa.array([b"\x89PNG fake", b"RIFF fake", b""], pa.binary()),
+            "mime": pa.array(["image/png", "audio/wav", "image/png"], pa.string()),
+            "width": pa.array([100, -1, 10], pa.int32()),
+            "height": pa.array([80, -1, 10], pa.int32()),
+            "duration_ms": pa.array([-1, 1200, -1], pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+        rows = media_feature_stage(
+            ray.data.from_arrow(tbl), concurrency=(1, 2), batch_size=2
+        ).take_all()
+        assert len(rows) == 3
+        by_id = {r["media_id"]: r for r in rows}
+        assert len(by_id["m0"]["features"]) == 16
+        assert by_id["m2"]["decode_error"] == "empty payload"
+        assert by_id["m0"]["payload_bytes"] == 9
+        # deterministic features
+        assert by_id["m0"]["features"] == by_id["m0"]["features"]
+
+    def test_real_decoder_not_implemented(self):
+        from ocr_pipeline_ray.stages.multimodal import (
+            DecodeConfig,
+            MediaFeatureExtractor,
+        )
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(DecodeConfig(use_fake_decoder=False))

@@ -33,6 +33,8 @@ class PipelineContext:
     batch_size: int = 64
     concurrency: object = (1, 8)
     quality_batch_size: int = 256
+    # fused chain: None → task pool (default); tuple/int → actor pool
+    fused_concurrency: object = None
 
 
 STEP_REGISTRY: Dict[str, Callable] = {}

@@ -201,6 +201,60 @@ class _MainContentParser(HTMLParser):
             self._line_rtl = True
 
 
+def extract_text_lines(
+    html_bytes: bytes, config: ExtractConfig = ExtractConfig(),
+    boiler_re: Optional[re.Pattern] = None,
+) -> Tuple[List[str], Dict[str, int]]:
+    """HTML bytes → ordered main-content line TEXTS + extraction stats.
+
+    The allocation-light core: geometry/span metadata is a pure
+    function of (line index, text length, config) and is synthesized
+    by the caller (see :func:`line_geometry` / the fused stage), so
+    the hot path builds no per-line dicts.
+    Raises ``UnicodeDecodeError`` on non-UTF-8 input.
+    """
+    cfg = config
+    if boiler_re is None:
+        boiler_re = re.compile(cfg.boiler_class_pattern)
+    text = html_bytes.decode("utf-8")
+    parser = _MainContentParser(cfg, boiler_re)
+    parser.feed(text)
+    parser.close()
+    parser._flush_line()
+
+    texts: List[str] = []
+    for line_text, boiler, link_chars, total_chars in parser.raw_lines:
+        if boiler:
+            parser.n_boiler_dropped += 1
+            continue
+        density = link_chars / total_chars if total_chars else 0.0
+        if density > cfg.max_link_density:
+            parser.n_link_dropped += 1
+            continue
+        if len(line_text) < cfg.min_len:
+            parser.n_short_dropped += 1
+            continue
+        texts.append(line_text)
+    stats = {
+        "n_raw_lines": len(parser.raw_lines),
+        "n_boiler_dropped": parser.n_boiler_dropped,
+        "n_link_dropped": parser.n_link_dropped,
+        "n_short_dropped": parser.n_short_dropped,
+        "n_lines": len(texts),
+    }
+    return texts, stats
+
+
+def line_geometry(index: int, text: str, cfg: ExtractConfig) -> Dict[str, int]:
+    """Deterministic synthesized layout for line ``index`` (int32 grid)."""
+    return {
+        "hpos": cfg.hpos0,
+        "vpos": cfg.vpos0 + cfg.line_step * index,
+        "width": cfg.char_width * len(text),
+        "height": cfg.line_height,
+    }
+
+
 def extract_lines(
     html_bytes: bytes, config: ExtractConfig = ExtractConfig(),
     boiler_re: Optional[re.Pattern] = None,
@@ -213,45 +267,15 @@ def extract_lines(
     (caller maps this to the error column / skip-row semantics).
     """
     cfg = config
-    if boiler_re is None:
-        boiler_re = re.compile(cfg.boiler_class_pattern)
-    text = html_bytes.decode("utf-8")
-    parser = _MainContentParser(cfg, boiler_re)
-    parser.feed(text)
-    parser.close()
-    parser._flush_line()
-
+    texts, stats = extract_text_lines(html_bytes, cfg, boiler_re)
     lines: List[Dict[str, object]] = []
-    out_index = 0
-    for line_text, boiler, link_chars, total_chars in parser.raw_lines:
-        if boiler:
-            parser.n_boiler_dropped += 1
-            continue
-        density = link_chars / total_chars if total_chars else 0.0
-        if density > cfg.max_link_density:
-            parser.n_link_dropped += 1
-            continue
-        if len(line_text) < cfg.min_len:
-            parser.n_short_dropped += 1
-            continue
-        lines.append(
-            {
-                "line_id": f"l{out_index:05d}",
-                "text": line_text,
-                "start": -1,
-                "stop": -1,
-                "hpos": cfg.hpos0,
-                "vpos": cfg.vpos0 + cfg.line_step * out_index,
-                "width": cfg.char_width * len(line_text),
-                "height": cfg.line_height,
-            }
-        )
-        out_index += 1
-    stats = {
-        "n_raw_lines": len(parser.raw_lines),
-        "n_boiler_dropped": parser.n_boiler_dropped,
-        "n_link_dropped": parser.n_link_dropped,
-        "n_short_dropped": parser.n_short_dropped,
-        "n_lines": len(lines),
-    }
+    for out_index, line_text in enumerate(texts):
+        line = {
+            "line_id": f"l{out_index:05d}",
+            "text": line_text,
+            "start": -1,
+            "stop": -1,
+        }
+        line.update(line_geometry(out_index, line_text, cfg))
+        lines.append(line)
     return lines, stats

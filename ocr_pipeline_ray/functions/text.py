@@ -227,6 +227,45 @@ def _strip_quotes(token: str) -> str:
     return token
 
 
+def doc_id_from_url(url: str) -> str:
+    """Document id = last path segment up to the FIRST dot.
+
+    Mirrors the reference's ``split_path`` quirk (``split('.')[0]``,
+    not splitext — lib/ocr_step.py:41-46) applied to urls, and feeds
+    the fileIdentifier/Page@ID enrichment analogue
+    (lib/ocr_step.py:539-555).
+    """
+    tail = url.rstrip("/").rsplit("/", 1)[-1]
+    return tail.split(".")[0]
+
+
+def page_id_from_url(url: str, page_prefix: str = "p") -> str:
+    """Page id = prefix + doc id (default prefix 'p',
+    lib/ocr_step.py:551-555)."""
+    return page_prefix + doc_id_from_url(url)
+
+
+def line_center(hpos: int, vpos: int, width: int, height: int,
+                vertical: bool = False) -> float:
+    """Center coordinate of a line box — x unless ``vertical``.
+
+    The engine's analogue of coords_center/to_center_coords
+    (lib/ocr_model.py:181-200) over the synthesized rectangular
+    geometry: mean of the 4 corner points.
+    """
+    return (vpos + height / 2.0) if vertical else (hpos + width / 2.0)
+
+
+def wtr_filename(dir_name: str, ts_struct) -> str:
+    """Report filename ``<dirname>_<%Y-%m-%d_%H-%M>.wtr``
+    (ocr_pipeline.py:240-244). ``ts_struct`` is a time.struct_time
+    provided by the CALLER (timestamps never originate in tasks)."""
+    import time as _time
+
+    stamp = _time.strftime("%Y-%m-%d_%H-%M", ts_struct)
+    return f"{dir_name}_{stamp}.wtr"
+
+
 def strip_raw_wrapper(pattern: str) -> str:
     """Strip a literal ``r'...'`` wrapper from an INI-stored regex.
 

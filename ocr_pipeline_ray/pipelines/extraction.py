@@ -87,10 +87,25 @@ def build_pipeline(
     ds: "ray.data.Dataset",
     steps: Optional[Sequence[StepSpec]] = None,
     ctx: Optional[PipelineContext] = None,
+    fused: bool = True,
 ) -> "ray.data.Dataset":
-    """Apply the ordered step chain to a pages Dataset (lazy)."""
+    """Apply the ordered step chain to a pages Dataset (lazy).
+
+    When the chain matches the fusable default shape, it compiles to
+    ONE actor-pool stage (single Arrow↔Python conversion per batch,
+    see stages/fused.py); custom step types fall back to one
+    ``map_batches`` per step via the registry.
+    """
+    from ..stages.fused import fused_stage, is_fusable
+
     ctx = ctx or PipelineContext()
-    for spec in steps if steps is not None else default_steps():
+    specs = list(steps) if steps is not None else default_steps()
+    if fused and is_fusable(specs):
+        return fused_stage(
+            ds, specs, batch_size=ctx.batch_size,
+            concurrency=ctx.fused_concurrency,
+        )
+    for spec in specs:
         builder = resolve_step(spec.type)
         ds = builder(ds, spec.params, ctx)
     return ds

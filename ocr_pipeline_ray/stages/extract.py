@@ -27,12 +27,11 @@ class HtmlExtractor:
         self.boiler_re = re.compile(self.cfg.boiler_class_pattern)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column("html")
+        htmls = batch.column("html").to_pylist()
         all_lines = []
         errors = []
         n_raw = []
-        for i in range(len(htmls)):
-            raw = htmls[i].as_py()
+        for raw in htmls:
             if raw is None:
                 all_lines.append([])
                 errors.append("empty html")

@@ -14,14 +14,19 @@ from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
 
-from ..functions.text import replace_chars, replace_chars_regex
+from ..functions.text import (
+    doc_id_from_url,
+    page_id_from_url,
+    replace_chars,
+    replace_chars_regex,
+)
 from ..schema import LINES_TYPE
 
 REPL_STATS_TYPE = pa.map_(pa.string(), pa.int64())
 
 
-def _lines_texts(lines_col, i) -> Tuple[List[dict], List[str]]:
-    lines = lines_col[i].as_py() or []
+def _lines_texts(lines_list, i) -> Tuple[List[dict], List[str]]:
+    lines = lines_list[i] or []
     return lines, [ln["text"] for ln in lines]
 
 
@@ -47,21 +52,21 @@ def make_replace_chars_fn(dict_chars: Dict[str, str]):
     """Batch fn applying ordered literal substitution to every line."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        lines_col = batch.column("lines")
-        stats_col = (
-            batch.column("repl_stats")
+        lines_list = batch.column("lines").to_pylist()
+        stats_list = (
+            batch.column("repl_stats").to_pylist()
             if "repl_stats" in batch.column_names
             else None
         )
         new_lines, new_stats = [], []
-        for i in range(len(lines_col)):
-            lines, texts = _lines_texts(lines_col, i)
+        for i in range(len(lines_list)):
+            lines, texts = _lines_texts(lines_list, i)
             replaced, stats = replace_chars(texts, dict_chars)
             new_lines.append(_rebuild(lines, replaced))
-            prior = stats_col[i].as_py() if stats_col is not None else None
+            prior = stats_list[i] if stats_list is not None else None
             new_stats.append(_merge_stats(prior, stats))
         out = batch.drop_columns(
-            ["lines"] + (["repl_stats"] if stats_col is not None else [])
+            ["lines"] + (["repl_stats"] if stats_list is not None else [])
         )
         out = out.append_column("lines", pa.array(new_lines, LINES_TYPE))
         out = out.append_column(
@@ -76,21 +81,21 @@ def make_replace_regex_fn(pattern: str, old: str, new: str):
     """Batch fn for first-match-per-line regex substitution."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        lines_col = batch.column("lines")
-        stats_col = (
-            batch.column("repl_stats")
+        lines_list = batch.column("lines").to_pylist()
+        stats_list = (
+            batch.column("repl_stats").to_pylist()
             if "repl_stats" in batch.column_names
             else None
         )
         new_lines, new_stats = [], []
-        for i in range(len(lines_col)):
-            lines, texts = _lines_texts(lines_col, i)
+        for i in range(len(lines_list)):
+            lines, texts = _lines_texts(lines_list, i)
             replaced, stats = replace_chars_regex(texts, pattern, old, new)
             new_lines.append(_rebuild(lines, replaced))
-            prior = stats_col[i].as_py() if stats_col is not None else None
+            prior = stats_list[i] if stats_list is not None else None
             new_stats.append(_merge_stats(prior, stats))
         out = batch.drop_columns(
-            ["lines"] + (["repl_stats"] if stats_col is not None else [])
+            ["lines"] + (["repl_stats"] if stats_list is not None else [])
         )
         out = out.append_column("lines", pa.array(new_lines, LINES_TYPE))
         out = out.append_column(
@@ -109,10 +114,10 @@ def finalize_text_fn(batch: pa.Table) -> pa.Table:
     deliverable; each line struct gets its ``[start, stop)`` offsets
     into that string.
     """
-    lines_col = batch.column("lines")
+    lines_list = batch.column("lines").to_pylist()
     new_lines, texts, n_lines = [], [], []
-    for i in range(len(lines_col)):
-        lines = lines_col[i].as_py() or []
+    for i in range(len(lines_list)):
+        lines = lines_list[i] or []
         parts: List[str] = []
         rebuilt: List[dict] = []
         pos = 0
@@ -131,6 +136,14 @@ def finalize_text_fn(batch: pa.Table) -> pa.Table:
     out = out.append_column("lines", pa.array(new_lines, LINES_TYPE))
     out = out.append_column("extracted_text", pa.array(texts, pa.string()))
     out = out.append_column("n_lines", pa.array(n_lines, pa.int32()))
+    # doc-id enrichment (fileIdentifier / Page@ID analogue, M4)
+    urls = batch.column("url").to_pylist()
+    out = out.append_column(
+        "doc_id", pa.array([doc_id_from_url(u) for u in urls], pa.string())
+    )
+    out = out.append_column(
+        "page_id", pa.array([page_id_from_url(u) for u in urls], pa.string())
+    )
     return out
 
 
@@ -144,9 +157,8 @@ def merge_repl_stats(ds) -> Dict[str, int]:
 
     def _partial(batch: pa.Table) -> pa.Table:
         counts: Dict[str, int] = {}
-        col = batch.column("repl_stats")
-        for i in range(len(col)):
-            for key, val in (col[i].as_py() or []):
+        for stats in batch.column("repl_stats").to_pylist():
+            for key, val in (stats or []):
                 counts[key] = counts.get(key, 0) + val
         return pa.table(
             {

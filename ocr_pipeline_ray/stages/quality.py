@@ -34,10 +34,10 @@ class QualityScorer:
         self.minlen = minlen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lines_col = batch.column("lines")
+        lines_list = batch.column("lines").to_pylist()
         records = {name: [] for name, _ in QUALITY_FIELDS}
-        for i in range(len(lines_col)):
-            lines = lines_col[i].as_py() or []
+        for lines in lines_list:
+            lines = lines or []
             texts = [ln["text"] for ln in lines]
             rec = estimate_quality(texts, self.lexicon, self.minlen)
             for name, _ in QUALITY_FIELDS:

@@ -202,3 +202,33 @@ class TestRound3:
         assert round3(1.0005) == 1.001  # deterministic half-up, not banker's
         assert round3(2.6665) == 2.667
         assert round3(79.2106) == 79.211
+
+
+class TestIdsAndHelpers:
+    def test_doc_id_first_dot_quirk(self):
+        from ocr_pipeline_ray.functions.text import doc_id_from_url
+
+        # split('.')[0], NOT splitext — reference lib/ocr_step.py:41-46
+        assert doc_id_from_url("http://h.example/seite-7.min.html") == "seite-7"
+        assert doc_id_from_url("http://h.example/a/b/scan0001.tif") == "scan0001"
+        assert doc_id_from_url("doc://123") == "123"
+
+    def test_page_id_prefix(self):
+        from ocr_pipeline_ray.functions.text import page_id_from_url
+
+        assert page_id_from_url("http://h/x.html") == "px"
+        assert page_id_from_url("http://h/x.html", "page_") == "page_x"
+
+    def test_line_center(self):
+        from ocr_pipeline_ray.functions.text import line_center
+
+        assert line_center(80, 100, 120, 24) == 140.0
+        assert line_center(80, 100, 120, 24, vertical=True) == 112.0
+
+    def test_wtr_filename(self):
+        import time
+
+        from ocr_pipeline_ray.functions.text import wtr_filename
+
+        ts = time.struct_time((2026, 1, 2, 13, 45, 0, 0, 0, 0))
+        assert wtr_filename("mydir", ts) == "mydir_2026-01-02_13-45.wtr"

@@ -1,0 +1,146 @@
+"""CLI entry point — the ``python ocr_pipeline.py <data_path>`` analogue.
+
+Reference lifecycle (`/root/reference/ocr_pipeline.py:445-538`,
+SURVEY.md §3.1): parse args → load config → discover inputs → lock →
+parallel per-document chain → merge estimations → ``.wtr`` report →
+mark done/fail. This engine's recast::
+
+    python -m ocr_pipeline_ray INPUT... -o OUT [-c conf.ini]
+        [--num-cpus N] [--report] [--rescore]
+
+* INPUT: parquet file(s), directory of parquet shards, or a glob.
+* resumable by default: shards with a ``done`` lineage record under
+  OUT are skipped (the marker-file open/busy/done/fail semantics).
+* ``--report`` additionally writes the ``.wtr``-style corpus quality
+  report (header mean,b1..b5,total,invalid + rows sorted ascending).
+* ``--rescore``: post-processing-only mode over already-extracted
+  output (the conf/ocr_config_post.ini analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import os
+import sys
+import time
+
+
+def _collect_inputs(inputs) -> list:
+    paths = []
+    for item in inputs:
+        for sub in item.split(","):
+            if os.path.isdir(sub):
+                paths.extend(
+                    os.path.join(sub, f)
+                    for f in os.listdir(sub)
+                    if f.endswith(".parquet")
+                )
+            elif any(ch in sub for ch in "*?["):
+                paths.extend(globmod.glob(sub))
+            else:
+                paths.append(sub)
+    # dedup + global sort — deterministic processing order
+    # (ocr_pipeline.py:335 parity)
+    return sorted(set(paths))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ocr_pipeline_ray")
+    parser.add_argument("inputs", nargs="+",
+                        help="parquet files / dirs / globs (comma lists ok)")
+    parser.add_argument("-o", "--out", required=True, help="output root")
+    parser.add_argument("-c", "--config", default=None,
+                        help="INI pipeline config (step_01..NN sections)")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    parser.add_argument("--report", action="store_true",
+                        help="also write the .wtr corpus quality report")
+    parser.add_argument("--rescore", action="store_true",
+                        help="post-only quality re-scoring of extracted output")
+    parser.add_argument("--no-resume", action="store_true",
+                        help="ignore existing lineage (reprocess everything)")
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    from ocr_pipeline_ray.config import load_steps_ini
+    from ocr_pipeline_ray.pipelines.extraction import build_pipeline
+    from ocr_pipeline_ray.state.lineage import LineageStore, run_partitioned
+
+    paths = _collect_inputs(args.inputs)
+    if not paths:
+        print("no input parquet files found", file=sys.stderr)
+        return 2
+    run_ts = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
+
+    if args.rescore:
+        from ocr_pipeline_ray.pipelines.rescore import rescore_pipeline
+
+        os.makedirs(args.out, exist_ok=True)
+        ds = rescore_pipeline(paths)
+        ds.write_parquet(os.path.join(args.out, "rescored"))
+        _write_report(args.out, paths_rescored=os.path.join(args.out, "rescored"))
+        print("rescored →", args.out)
+        return 0
+
+    steps = load_steps_ini(args.config) if args.config else None
+
+    if args.no_resume:
+        store = LineageStore(args.out)
+        for pid in store.done_partitions():
+            os.remove(os.path.join(args.out, "_lineage", f"{pid}.json"))
+
+    def _pipeline(ds):
+        return build_pipeline(ds, steps=steps)
+
+    try:
+        summary = run_partitioned(paths, args.out, _pipeline, run_ts)
+    except Exception as exc:
+        print(f"pipeline failed: {exc}", file=sys.stderr)
+        return 1
+
+    print(
+        f"partitions: {len(summary['processed_partitions'])} processed, "
+        f"{len(summary['skipped_partitions'])} skipped (resume), "
+        f"{summary['rows_written']} rows written"
+    )
+
+    if args.report:
+        _write_report(args.out)
+    return 0
+
+
+def _write_report(out_root: str, paths_rescored: str = None) -> None:
+    import ray.data
+
+    from ocr_pipeline_ray.functions.text import wtr_filename
+    from ocr_pipeline_ray.stages.report import (
+        quality_summary,
+        sorted_report,
+        write_wtr,
+    )
+
+    if paths_rescored:
+        pattern = paths_rescored
+    else:
+        pattern = sorted(
+            globmod.glob(os.path.join(out_root, "pid=*", "*.parquet"))
+        )
+    ds = ray.data.read_parquet(pattern)
+    summary = quality_summary(ds)
+    rows = sorted_report(ds).take_all()
+    name = wtr_filename(os.path.basename(os.path.normpath(out_root)),
+                        time.localtime())
+    path = write_wtr(os.path.join(out_root, name), summary, rows)
+    print(f"report → {path} (mean {summary['mean']}, "
+          f"{summary['total']} docs, {summary['invalid']} invalid)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,8 +63,9 @@ def ensure_corpus(sf_dir: str):
     # fine-grained shards: block count >> max worker count, so the
     # fused read→extract→write tasks load-balance without stragglers
     n_shards = max(64, rows // 1000)
+    # v2: corpus generator now emits ALTO/PAGE XML document kinds too
     out_dir = os.path.join(
-        BENCH_ROOT, f"pages_{sf_label(sf_dir)}_{rows}_{n_shards}"
+        BENCH_ROOT, f"pages_{sf_label(sf_dir)}_{rows}_{n_shards}_v2"
     )
     os.makedirs(out_dir, exist_ok=True)
     per_shard = [rows // n_shards] * n_shards

@@ -156,10 +156,93 @@ def _rtl_block(rng: random.Random) -> str:
     return f'<p dir="rtl">{marked} {" ".join(words[1:])}</p>'
 
 
+def _alto_doc(rng: random.Random, idx: int, vocab: List[str]) -> bytes:
+    """Synthetic ALTO v3/v4 document (real geometry, short-line filter
+    fixture)."""
+    version = rng.choice(["3", "4"])
+    ns = f"http://www.loc.gov/standards/alto/ns-v{version}#"
+    lines = []
+    n_lines = rng.randint(3, 8)
+    for li in range(n_lines):
+        words = _sentence(rng, vocab, rng.randint(4, 8))
+        strings = "".join(f'<String CONTENT="{w}"/>' for w in words)
+        hpos, vpos = 80 + rng.randint(0, 40), 100 + 30 * li
+        lines.append(
+            f'<TextLine ID="tl_{idx}_{li}" HPOS="{hpos}" VPOS="{vpos}" '
+            f'WIDTH="{12 * sum(len(w) + 1 for w in words)}" HEIGHT="24">'
+            f"{strings}</TextLine>"
+        )
+    # short line: joined CONTENT below min_len → filtered (M5 fixture)
+    lines.append('<TextLine ID="tl_short" HPOS="0" VPOS="0" WIDTH="9" '
+                 'HEIGHT="9"><String CONTENT="a"/></TextLine>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<alto xmlns="{ns}"><Layout><Page ID="p{idx}"><PrintSpace>'
+        f'<TextBlock>{"".join(lines)}</TextBlock>'
+        "</PrintSpace></Page></Layout></alto>"
+    ).encode("utf-8")
+
+
+def _page_doc(rng: random.Random, idx: int, vocab: List[str]) -> bytes:
+    """Synthetic PAGE 2013/2019 document: center-sorted words, an
+    invalid-coords line, and (rarely) the words-without-line-text
+    error fixture."""
+    year = rng.choice(["2013-07-15", "2019-07-15"])
+    ns = f"http://schema.primaresearch.org/PAGE/gts/pagecontent/{year}"
+    lines = []
+    n_lines = rng.randint(2, 5)
+    for li in range(n_lines):
+        words = _sentence(rng, vocab, rng.randint(3, 6))
+        vpos = 100 + 30 * li
+        # word elements in SHUFFLED document order; center-x encodes
+        # the true reading order (the extractor must sort by center)
+        order = list(range(len(words)))
+        rng.shuffle(order)
+        word_els = []
+        for pos in order:
+            x0 = 80 + 90 * pos
+            word_els.append(
+                f'<Word id="w{li}_{pos}"><Coords points="{x0},{vpos} '
+                f'{x0 + 80},{vpos} {x0 + 80},{vpos + 24} {x0},{vpos + 24}"/>'
+                f"<TextEquiv><Unicode>{words[pos]}</Unicode></TextEquiv></Word>"
+            )
+        text = " ".join(words)
+        x_max = 80 + 90 * len(words)
+        lines.append(
+            f'<TextLine id="ln_{idx}_{li}"><Coords points="80,{vpos} '
+            f'{x_max},{vpos} {x_max},{vpos + 24} 80,{vpos + 24}"/>'
+            f'{"".join(word_els)}'
+            f"<TextEquiv><Unicode>{text}</Unicode></TextEquiv></TextLine>"
+        )
+    # invalid-coords line without words → dropped (valid=False fixture)
+    lines.append('<TextLine id="ln_invalid"><Coords points=""/>'
+                 "<TextEquiv><Unicode>unsichtbare zeile</Unicode></TextEquiv>"
+                 "</TextLine>")
+    if rng.random() < 0.10:
+        # words-without-line-text → whole document errors (reference
+        # RuntimeError / StepException skip semantics)
+        lines.append(
+            '<TextLine id="ln_bad"><Coords points="0,0 9,9"/>'
+            '<Word id="wb"><Coords points="0,0 9,9"/>'
+            "<TextEquiv><Unicode>verwaist</Unicode></TextEquiv></Word>"
+            "<TextEquiv><Unicode></Unicode></TextEquiv></TextLine>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<PcGts xmlns="{ns}"><Page><TextRegion>'
+        f'{"".join(lines)}'
+        "</TextRegion></Page></PcGts>"
+    ).encode("utf-8")
+
+
 def build_page(rng: random.Random, idx: int, kind: str, lang: str) -> bytes:
     """Render one deterministic HTML page of the given fixture kind."""
     vocab = _EN_VOCAB if lang == "en" else _VOCAB
     noise = 0.18 if lang == "de" else 0.0
+    if kind == "alto_xml":
+        return _alto_doc(rng, idx, vocab)
+    if kind == "page_xml":
+        return _page_doc(rng, idx, vocab)
     head = (
         "<html><head><title>Seite {}</title>"
         "<script>var x = 1;</script><style>.a{{color:red}}</style>"
@@ -201,12 +284,14 @@ def build_page(rng: random.Random, idx: int, kind: str, lang: str) -> bytes:
 
 
 _KIND_WHEEL = (
-    ["normal"] * 82
+    ["normal"] * 76
     + ["empty_nodes"] * 5
     + ["degenerate"] * 3
     + ["hyphen_empty_quirk"] * 3
     + ["malformed"] * 4
     + ["big"] * 3
+    + ["alto_xml"] * 4
+    + ["page_xml"] * 2
 )
 
 

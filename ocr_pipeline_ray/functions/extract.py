@@ -245,6 +245,40 @@ def extract_text_lines(
     return texts, stats
 
 
+def extract_document(
+    html_bytes: bytes, config: ExtractConfig = ExtractConfig(),
+    boiler_re: Optional[re.Pattern] = None,
+):
+    """Format-dispatching extractor core (the S3 sniff, SURVEY §2.1).
+
+    Returns ``(texts, overrides, stats)`` where ``overrides`` is
+    ``None`` for HTML (geometry synthesized downstream) or
+    ``(ids, geoms)`` for ALTO/PAGE documents carrying REAL element ids
+    and coordinates. Raises on malformed XML / PAGE
+    words-without-line-text (error-row semantics) and on non-UTF-8
+    HTML.
+    """
+    from .xmlmodel import get_xml_lines, sniff_is_xml
+
+    if sniff_is_xml(html_bytes):
+        lines, dialect = get_xml_lines(html_bytes, min_len=config.min_len)
+        texts = [t for (_i, t, _g) in lines]
+        ids = [i for (i, _t, _g) in lines]
+        geoms = [g for (_i, _t, g) in lines]
+        stats = {
+            "n_raw_lines": len(lines),
+            "n_boiler_dropped": 0,
+            "n_link_dropped": 0,
+            "n_short_dropped": 0,
+            "n_lines": len(lines),
+            "dialect": dialect,
+        }
+        return texts, (ids, geoms), stats
+    texts, stats = extract_text_lines(html_bytes, config, boiler_re)
+    stats["dialect"] = "html"
+    return texts, None, stats
+
+
 def line_geometry(index: int, text: str, cfg: ExtractConfig) -> Dict[str, int]:
     """Deterministic synthesized layout for line ``index`` (int32 grid)."""
     return {
@@ -267,7 +301,7 @@ def extract_lines(
     (caller maps this to the error column / skip-row semantics).
     """
     cfg = config
-    texts, stats = extract_text_lines(html_bytes, cfg, boiler_re)
+    texts, overrides, stats = extract_document(html_bytes, cfg, boiler_re)
     lines: List[Dict[str, object]] = []
     for out_index, line_text in enumerate(texts):
         line = {
@@ -276,6 +310,14 @@ def extract_lines(
             "start": -1,
             "stop": -1,
         }
-        line.update(line_geometry(out_index, line_text, cfg))
+        if overrides is not None:
+            ids, geoms = overrides
+            line["line_id"] = ids[out_index]
+            hpos, vpos, width, height = geoms[out_index]
+            line.update(
+                {"hpos": hpos, "vpos": vpos, "width": width, "height": height}
+            )
+        else:
+            line.update(line_geometry(out_index, line_text, cfg))
         lines.append(line)
     return lines, stats

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Sequence
 import pyarrow as pa
 
 from ..config import StepSpec
-from ..functions.extract import ExtractConfig, extract_text_lines
+from ..functions.extract import ExtractConfig, extract_document
 from ..functions.quality import estimate_quality
 from ..functions.text import (
     doc_id_from_url,
@@ -88,16 +88,20 @@ class FusedExtractor:
         stops, quality)."""
         error = None
         texts: List[str] = []
+        overrides = None
         n_raw = 0
         if raw is None:
             error = "empty html"
         else:
             try:
-                texts, stats = extract_text_lines(raw, self.cfg, self.boiler_re)
+                texts, overrides, stats = extract_document(
+                    raw, self.cfg, self.boiler_re
+                )
                 n_raw = stats["n_raw_lines"]
             except Exception as exc:
                 error = f"{type(exc).__name__}: {exc}"
                 texts = []
+                overrides = None
         repl_stats: Dict[str, int] = {}
         extracted_text = ""
         quality = None
@@ -126,7 +130,7 @@ class FusedExtractor:
                     texts, params.get("lexicon"), params.get("minlen", 2)
                 )
         return (texts, n_raw, error, list(repl_stats.items()),
-                extracted_text, starts, stops, quality)
+                extracted_text, starts, stops, quality, overrides)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -138,14 +142,17 @@ class FusedExtractor:
         flat_starts: List[int] = []
         flat_stops: List[int] = []
         offsets = [0]
+        xml_overrides = []  # (flat_pos, ids, geoms) for ALTO/PAGE docs
         for raw in htmls:
             (texts, n_raw, error, stats, extracted, starts, stops,
-             quality) = self._process_row(raw)
+             quality, overrides) = self._process_row(raw)
             n_raw_col.append(n_raw)
             err_col.append(error)
             stats_col.append(stats)
             text_col.append(extracted)
             nl_col.append(len(texts))
+            if overrides is not None and texts:
+                xml_overrides.append((offsets[-1],) + overrides)
             flat_texts.extend(texts)
             flat_starts.extend(starts)
             flat_stops.extend(stops)
@@ -168,16 +175,28 @@ class FusedExtractor:
         )
         cfg = self.cfg
         ids = [_line_id(i) for i in idx]
+        hpos_arr = np.full(total, cfg.hpos0, dtype=np.int32)
+        vpos_arr = (cfg.vpos0 + cfg.line_step * idx).astype(np.int32)
+        width_arr = (cfg.char_width * text_lens).astype(np.int32)
+        height_arr = np.full(total, cfg.line_height, dtype=np.int32)
+        # ALTO/PAGE documents carry REAL element ids + coordinates
+        for pos, real_ids, geoms in xml_overrides:
+            for j, (rid, (h, v, w, ht)) in enumerate(zip(real_ids, geoms)):
+                ids[pos + j] = rid
+                hpos_arr[pos + j] = h
+                vpos_arr[pos + j] = v
+                width_arr[pos + j] = w
+                height_arr[pos + j] = ht
         struct = pa.StructArray.from_arrays(
             [
                 pa.array(ids, pa.string()),
                 pa.array(flat_texts, pa.string()),
                 pa.array(flat_starts, pa.int64()),
                 pa.array(flat_stops, pa.int64()),
-                pa.array(np.full(total, cfg.hpos0, dtype=np.int32)),
-                pa.array((cfg.vpos0 + cfg.line_step * idx).astype(np.int32)),
-                pa.array((cfg.char_width * text_lens).astype(np.int32)),
-                pa.array(np.full(total, cfg.line_height, dtype=np.int32)),
+                pa.array(hpos_arr),
+                pa.array(vpos_arr),
+                pa.array(width_arr),
+                pa.array(height_arr),
             ],
             fields=list(LINES_TYPE.value_type),
         )

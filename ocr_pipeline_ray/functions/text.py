@@ -29,6 +29,9 @@ from typing import Dict, List, Sequence, Tuple
 # QA-irrelevant characters (reference: lib/ocr_step.py:503)
 BAD_CHARS = '0123456789“„"\'?!*.;:-=[]()|'
 _BAD_SET = frozenset(BAD_CHARS)
+# char-class removal as a C-speed translate table (same semantics as
+# the reference's per-char filter at lib/ocr_step.py:504)
+_BAD_TABLE = str.maketrans("", "", BAD_CHARS)
 
 # Unicode direction / zero-width marks stripped from tokens
 # (reference: lib/ocr_model.py:23-29)
@@ -143,8 +146,7 @@ def sanitize_chars(lines: Sequence[str]) -> List[str]:
     """
     sanitized: List[str] = []
     for line in lines:
-        text = line.strip()
-        text = "".join(c for c in text if c not in _BAD_SET)
+        text = line.strip().translate(_BAD_TABLE)
         if ".." in text:
             text = text.replace("..", "")
         if "  " in text:

@@ -347,6 +347,84 @@ def q_embedding_near_dup(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_user_activity(sf_dir: str):
+    """Per-user event aggregate with map-side partial combining.
+
+    The skew-mitigation shape from SURVEY §7.3: each batch pre-combines
+    (user_id → count, sum) so a hot user contributes ONE row per block
+    to the shuffle instead of every event — the salted-key pattern's
+    effect without a second pass, since count/sum are commutative.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_pylist()
+        values = batch.column("value").to_pylist()
+        counts: Dict[int, int] = {}
+        sums: Dict[int, float] = {}
+        for u, v in zip(users, values):
+            counts[u] = counts.get(u, 0) + 1
+            sums[u] = sums.get(u, 0.0) + v
+        keys = list(counts.keys())
+        return pa.table({
+            "user_id": pa.array(keys, pa.int64()),
+            "n_events": pa.array([counts[k] for k in keys], pa.int64()),
+            "sum_value": pa.array([sums[k] for k in keys], pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events"), Sum("sum_value"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sums = [
+            math.floor(s * 1000000.0 + 0.5) / 1000000.0
+            for s in batch.column("sum(sum_value)").to_pylist()
+        ]
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_events": pc.cast(batch.column("sum(n_events)"), pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus top-50 vocabulary — partial Counters, tiny shuffle,
+    deterministic tie-break (count desc, token asc)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in (text or "").split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["text"])
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Sum("n"))
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": batch.column("token"),
+            "n": pc.cast(batch.column("sum(n)"), pa.int64()),
+        })
+
+    return (
+        agg.map_batches(_rename, batch_format="pyarrow")
+        .sort(key=["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
 def q_extraction_flagship(sf_dir: str):
     """FLAGSHIP: the full extraction pipeline, oracle-checked.
 
@@ -577,6 +655,16 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "user_activity": (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
+        "FROM events GROUP BY user_id"
+    ),
+    "top_tokens": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50"
+    ),
     "extraction_flagship": (
         "WITH q AS (" + QUALITY_SQL + ") "
         "SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) AS url, "
@@ -609,5 +697,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "events_hourly": q_events_hourly,
+    "user_activity": q_user_activity,
+    "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,
 }

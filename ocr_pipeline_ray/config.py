@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import configparser
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 from .functions.text import parse_dict, strip_raw_wrapper
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import random
 from datetime import datetime, timedelta
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -24,7 +24,7 @@ reference's exact semantics:
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 from .text import strip_marks
 

@@ -25,9 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Sum
 
-from .functions.quality import VALID_TOKEN_RE
 from .functions.text import replace_chars_regex, round3
 from .stages.dedup import (
     exact_dedup_summary,

@@ -17,7 +17,7 @@ Scale shape (10^12-row design notes):
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import pyarrow as pa
 

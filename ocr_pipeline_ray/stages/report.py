@@ -13,7 +13,7 @@ handful of tiny partial rows. No shuffle. Only the per-doc report rows
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import pyarrow as pa
 

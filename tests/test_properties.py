@@ -4,7 +4,6 @@ The reference tests only with golden resources; these add randomized
 invariants the golden set can't cover.
 """
 
-import math
 import string
 
 from hypothesis import given, settings

@@ -143,7 +143,6 @@ class TestDispatch:
 class TestEndToEnd:
     def test_xml_docs_flow_through_pipeline(self, ray_session, tmp_path):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         import ray.data
 
         from ocr_pipeline_ray.pipelines.extraction import build_pipeline

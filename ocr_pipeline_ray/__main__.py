@@ -100,7 +100,11 @@ def main(argv=None) -> int:
         return build_pipeline(ds, steps=steps)
 
     try:
-        summary = run_partitioned(paths, args.out, _pipeline, run_ts)
+        # prune at the read: the chain needs only these four columns
+        summary = run_partitioned(
+            paths, args.out, _pipeline, run_ts,
+            read_columns=["url", "warc_ts", "html", "lang"],
+        )
     except Exception as exc:
         print(f"pipeline failed: {exc}", file=sys.stderr)
         return 1

@@ -116,8 +116,13 @@ def run_partitioned(
         store.append_state(pid, "busy", run_ts,
                            {"input_file": pending[pid]})
 
+    # single-writer contract per out_root: clear orphaned staging dirs
+    # left by a crashed (SIGKILLed) previous run — they were never
+    # published, so removing them is always safe
+    for name in os.listdir(out_root):
+        if name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(out_root, name), ignore_errors=True)
     staging = os.path.join(out_root, f"_staging_{run_ts}".replace(" ", "_").replace(":", "-"))
-    shutil.rmtree(staging, ignore_errors=True)
 
     pid_by_path = {os.path.abspath(f): pid for pid, f in pending.items()}
 

@@ -196,3 +196,45 @@ class TestMultimodal:
 
         with _pytest.raises(NotImplementedError):
             MediaFeatureExtractor(DecodeConfig(use_fake_decoder=False))
+
+    def test_resize_plan(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.multimodal import resize_plan_fn
+
+        tbl = pa.table({
+            "media_id": pa.array(["a", "b", "c"], pa.string()),
+            "width": pa.array([1024, 256, -1], pa.int32()),
+            "height": pa.array([768, 512, -1], pa.int32()),
+        })
+        rows = (
+            ray.data.from_arrow(tbl)
+            .map_batches(resize_plan_fn, batch_format="pyarrow")
+            .take_all()
+        )
+        by_id = {r["media_id"]: r for r in rows}
+        assert (by_id["a"]["target_width"], by_id["a"]["target_height"]) == (512, 384)
+        assert (by_id["b"]["target_width"], by_id["b"]["target_height"]) == (256, 512)
+        assert by_id["c"]["target_width"] == -1
+
+    def test_frame_sample_plan(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.multimodal import frame_sample_fn
+
+        tbl = pa.table({
+            "media_id": pa.array(["v1", "v2", "img"], pa.string()),
+            "kind": pa.array(["video", "video", "image"], pa.string()),
+            "duration_ms": pa.array([5000, 500000, -1], pa.int32()),
+        })
+        rows = (
+            ray.data.from_arrow(tbl)
+            .map_batches(frame_sample_fn, batch_format="pyarrow")
+            .take_all()
+        )
+        by_id = {r["media_id"]: r for r in rows}
+        assert by_id["v1"]["frame_times_ms"] == [0, 1000, 2000, 3000, 4000, 5000]
+        assert len(by_id["v2"]["frame_times_ms"]) == 32  # cap binds, re-spaced
+        assert by_id["img"]["frame_times_ms"] == []

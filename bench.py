@@ -205,7 +205,10 @@ def scaling_run(sf_dir: str) -> dict:
     a single-host artifact a real 4N-node cluster does not share.
     """
     results = {}
-    for cpus in (2, 4, 8, 16, 32):
+    # primary pair (2, 8) measured back-to-back: the shared host's
+    # ambient speed drifts over minutes, so adjacent measurement keeps
+    # the pair comparable
+    for cpus in (2, 8, 4, 16, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env.setdefault("GRAFT_BENCH_REPEATS", "2")

@@ -76,3 +76,27 @@ class TestRescore:
         assert rc == 0
         assert glob.glob(os.path.join(out, "rescored", "*.parquet"))
         assert glob.glob(os.path.join(out, "*.wtr"))
+
+
+class TestRescoreIniConfig:
+    def test_post_only_ini_chain(self, ray_session, small_corpus, tmp_path):
+        """conf/rescore_post.ini drives a post-only chain through the
+        step registry (the reference's ocr_config_post.ini mode)."""
+        import ray.data
+
+        from ocr_pipeline_ray.config import load_steps_ini
+        from ocr_pipeline_ray.pipelines.extraction import (
+            build_pipeline,
+            extraction_pipeline,
+        )
+
+        src = str(tmp_path / "extracted")
+        extraction_pipeline(small_corpus).write_parquet(src)
+        specs = load_steps_ini(
+            os.path.join(os.path.dirname(__file__), "..",
+                         "conf", "rescore_post.ini")
+        )
+        assert [s.type for s in specs] == ["RescoreQuality"]
+        ds = ray.data.read_parquet(src)
+        rows = build_pipeline(ds, steps=specs).take_all()
+        assert rows and all("hit_ratio" in r for r in rows)

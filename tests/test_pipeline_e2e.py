@@ -107,3 +107,29 @@ class TestStats:
                 expected[key] = expected.get(key, 0) + val
         assert merged == expected
         assert merged, "corpus should produce replacement hits"
+
+
+class TestFusedUnfusedParity:
+    """The fused single-pass chain and the per-step registry path must
+    stay value- and schema-identical (regression guard)."""
+
+    def test_identical_output(self, ray_session, small_corpus):
+        from ocr_pipeline_ray.pipelines.extraction import (
+            build_pipeline,
+            read_pages,
+        )
+
+        fused = build_pipeline(read_pages(small_corpus[:2]), fused=True)
+        plain = build_pipeline(read_pages(small_corpus[:2]), fused=False)
+        a = {(r["url"], r["warc_ts"]): r for r in fused.take_all()}
+        b = {(r["url"], r["warc_ts"]): r for r in plain.take_all()}
+        assert set(a) == set(b)
+        cols = sorted(next(iter(a.values())).keys())
+        assert cols == sorted(next(iter(b.values())).keys())
+        for key, ra in a.items():
+            rb = b[key]
+            for col in cols:
+                va, vb = ra[col], rb[col]
+                if col == "repl_stats":
+                    va, vb = dict(va or []), dict(vb or [])
+                assert va == vb, (key, col)

@@ -26,16 +26,30 @@ import sys
 import time
 
 
-def _collect_inputs(inputs) -> list:
+def _collect_inputs(inputs, recursive: bool = False) -> list:
+    """Input discovery: files, dirs, comma lists, globs.
+
+    ``recursive=True`` walks nested shard trees — the reference's
+    ``input_sorted(recursive=True)`` / ``-r`` flag
+    (`/root/reference/ocr_pipeline.py:271-336,457-463`).
+    """
     paths = []
     for item in inputs:
         for sub in item.split(","):
             if os.path.isdir(sub):
-                paths.extend(
-                    os.path.join(sub, f)
-                    for f in os.listdir(sub)
-                    if f.endswith(".parquet")
-                )
+                if recursive:
+                    for root, _dirs, files in os.walk(sub):
+                        paths.extend(
+                            os.path.join(root, f)
+                            for f in files
+                            if f.endswith(".parquet")
+                        )
+                else:
+                    paths.extend(
+                        os.path.join(sub, f)
+                        for f in os.listdir(sub)
+                        if f.endswith(".parquet")
+                    )
             elif any(ch in sub for ch in "*?["):
                 paths.extend(globmod.glob(sub))
             else:
@@ -52,6 +66,13 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--out", required=True, help="output root")
     parser.add_argument("-c", "--config", default=None,
                         help="INI pipeline config (step_01..NN sections)")
+    parser.add_argument("-r", "--recursive", action="store_true",
+                        help="walk input directories recursively")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="SECTION.KEY=VALUE",
+                        help="override a step param over the config "
+                             "(e.g. --set step_01.min_len=3 or "
+                             "--set HtmlExtract.min_len=3); repeatable")
     parser.add_argument("--num-cpus", type=int, default=None)
     parser.add_argument("--report", action="store_true",
                         help="also write the .wtr corpus quality report")
@@ -69,11 +90,15 @@ def main(argv=None) -> int:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
 
-    from ocr_pipeline_ray.config import load_steps_ini
+    from ocr_pipeline_ray.config import (
+        apply_overrides,
+        default_steps,
+        load_steps_ini,
+    )
     from ocr_pipeline_ray.pipelines.extraction import build_pipeline
     from ocr_pipeline_ray.state.lineage import LineageStore, run_partitioned
 
-    paths = _collect_inputs(args.inputs)
+    paths = _collect_inputs(args.inputs, recursive=args.recursive)
     if not paths:
         print("no input parquet files found", file=sys.stderr)
         return 2
@@ -82,14 +107,33 @@ def main(argv=None) -> int:
     if args.rescore:
         from ocr_pipeline_ray.pipelines.rescore import rescore_pipeline
 
+        # -c names the post-only chain (the conf/ocr_config_post.ini
+        # analogue): pass the RescoreQuality step's params through
+        rescore_kwargs = {}
+        if args.config:
+            specs = load_steps_ini(args.config)
+            if args.overrides:
+                specs = apply_overrides(specs, args.overrides)
+            rescore_specs = [s for s in specs if s.type == "RescoreQuality"]
+            if not rescore_specs:
+                print(f"--rescore config {args.config} has no "
+                      "RescoreQuality step", file=sys.stderr)
+                return 2
+            params = rescore_specs[0].params
+            for key in ("lexicon", "minlen", "text_col"):
+                if key in params:
+                    rescore_kwargs[key] = params[key]
         os.makedirs(args.out, exist_ok=True)
-        ds = rescore_pipeline(paths)
+        ds = rescore_pipeline(paths, **rescore_kwargs)
         ds.write_parquet(os.path.join(args.out, "rescored"))
         _write_report(args.out, paths_rescored=os.path.join(args.out, "rescored"))
         print("rescored →", args.out)
         return 0
 
     steps = load_steps_ini(args.config) if args.config else None
+    if args.overrides:
+        steps = apply_overrides(steps if steps is not None else default_steps(),
+                                args.overrides)
 
     if args.no_resume:
         store = LineageStore(args.out)

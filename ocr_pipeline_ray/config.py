@@ -37,6 +37,24 @@ class PipelineContext:
     fused_concurrency: object = None
 
 
+# Typed INI params (configparser yields strings only). Explicit table —
+# NOT auto-coercion — because some string params are digits by design
+# (e.g. the ReplaceCharsRegex ``old = 3`` literal must stay '3').
+INT_PARAMS = frozenset({"min_len", "minlen", "batch_size"})
+FLOAT_PARAMS = frozenset({"max_link_density"})
+
+
+def coerce_params(params: Dict[str, object]) -> Dict[str, object]:
+    """Coerce known-numeric step params (idempotent on already-typed)."""
+    out = dict(params)
+    for key, value in params.items():
+        if key in INT_PARAMS:
+            out[key] = int(value)
+        elif key in FLOAT_PARAMS:
+            out[key] = float(value)
+    return out
+
+
 STEP_REGISTRY: Dict[str, Callable] = {}
 
 
@@ -96,9 +114,56 @@ def load_steps_ini(path: str) -> List[StepSpec]:
     specs: List[StepSpec] = []
     for section in ordered:
         params = {k: v for k, v in cfg[section].items() if k != "type"}
-        if "dict_chars" in params:
-            params["dict_chars"] = parse_dict(params["dict_chars"])
-        if "pattern" in params:
-            params["pattern"] = strip_raw_wrapper(params["pattern"])
-        specs.append(StepSpec(cfg.get(section, "type"), params))
+        specs.append(StepSpec(cfg.get(section, "type"),
+                              normalize_params(params)))
     return specs
+
+
+def normalize_params(params: Dict[str, object]) -> Dict[str, object]:
+    """String-form step params → typed params (INI and CLI share this)."""
+    params = dict(params)
+    if "dict_chars" in params:
+        params["dict_chars"] = parse_dict(params["dict_chars"])
+    if "pattern" in params and isinstance(params["pattern"], str):
+        params["pattern"] = strip_raw_wrapper(params["pattern"])
+    if "lexicon" in params and isinstance(params["lexicon"], str):
+        params["lexicon"] = frozenset(
+            w.strip() for w in params["lexicon"].split(",") if w.strip()
+        )
+    return coerce_params(params)
+
+
+def apply_overrides(specs: List[StepSpec], overrides: List[str]) -> List[StepSpec]:
+    """Merge ``section.key=value`` CLI overrides over loaded StepSpecs.
+
+    The reference's ``merge_args`` analogue
+    (`/root/reference/ocr_pipeline.py:74-93`): CLI wins over config.
+    ``section`` is ``step_NN`` (1-based position in the chain) or a
+    step TYPE name (first step of that type). Values pass through the
+    same string→typed normalization as INI params.
+    """
+    out = [StepSpec(s.type, dict(s.params)) for s in specs]
+    for item in overrides:
+        if "=" not in item or "." not in item.split("=", 1)[0]:
+            raise ValueError(
+                f"override must look like step_01.key=value, got: {item!r}"
+            )
+        target, value = item.split("=", 1)
+        section, key = target.split(".", 1)
+        if section.startswith("step_") and section[5:].isdigit():
+            index = int(section[5:]) - 1
+            if not 0 <= index < len(out):
+                raise ValueError(
+                    f"override section {section} out of range "
+                    f"(chain has {len(out)} steps)"
+                )
+        else:
+            matches = [i for i, s in enumerate(out) if s.type == section]
+            if not matches:
+                raise ValueError(
+                    f"no step of type {section!r} in the chain "
+                    f"({[s.type for s in out]})"
+                )
+            index = matches[0]
+        out[index].params.update(normalize_params({key: value}))
+    return out

@@ -41,6 +41,9 @@ from ..stages.quality import quality_stage
 
 @register_step("HtmlExtract")
 def _build_extract(ds, params, ctx: PipelineContext):
+    from ..config import coerce_params
+
+    params = coerce_params(params)
     cfg = params.get("config")
     if cfg is None:
         kwargs = {

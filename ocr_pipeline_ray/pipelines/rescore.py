@@ -54,9 +54,12 @@ def _build_rescore(ds, params, ctx: PipelineContext):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def rescore_pipeline(paths, lexicon=None, **read_kwargs) -> "ray.data.Dataset":
+def rescore_pipeline(paths, lexicon=None, minlen: int = 2,
+                     text_col: str = "extracted_text",
+                     **read_kwargs) -> "ray.data.Dataset":
     """Extracted-output parquet → fresh quality columns (streaming)."""
     ds = ray.data.read_parquet(paths, **read_kwargs)
     return ds.map_batches(
-        make_rescore_fn(lexicon), batch_format="pyarrow", zero_copy_batch=True
+        make_rescore_fn(lexicon, minlen=int(minlen), text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
     )

@@ -62,7 +62,9 @@ class FusedExtractor:
     """Actor: the whole default chain, one conversion per batch."""
 
     def __init__(self, specs: Sequence[StepSpec]):
-        extract_params = specs[0].params
+        from ..config import coerce_params
+
+        extract_params = coerce_params(specs[0].params)
         cfg = extract_params.get("config")
         if cfg is None:
             kwargs = {
@@ -73,7 +75,7 @@ class FusedExtractor:
             cfg = ExtractConfig(**kwargs) if kwargs else ExtractConfig()
         self.cfg = cfg
         self.boiler_re = re.compile(cfg.boiler_class_pattern)
-        self.tail = [(s.type, dict(s.params)) for s in specs[1:]]
+        self.tail = [(s.type, coerce_params(s.params)) for s in specs[1:]]
         for _type, params in self.tail:
             if _type == "ReplaceCharsRegex":
                 params["_compiled"] = re.compile(params["pattern"])

@@ -20,6 +20,29 @@ class TestCollectInputs:
         got = _collect_inputs([os.path.join(d, "pages-*.parquet")])
         assert got == sorted(small_corpus)
 
+    def test_recursive_walk(self, tmp_path):
+        """-r walks nested shard trees (reference input_sorted
+        recursive=True, ocr_pipeline.py:271-336 + its test)."""
+        (tmp_path / "a" / "deep").mkdir(parents=True)
+        (tmp_path / "b").mkdir()
+        expected = []
+        for rel in ("a/x-0.parquet", "a/deep/x-1.parquet", "b/y-0.parquet"):
+            p = tmp_path / rel
+            p.write_bytes(b"")
+            expected.append(str(p))
+        (tmp_path / "a" / "notes.txt").write_text("skip me")
+        # non-recursive sees only the top level of the given dir
+        assert _collect_inputs([str(tmp_path / "a")]) == [
+            str(tmp_path / "a" / "x-0.parquet")
+        ]
+        got = _collect_inputs([str(tmp_path)], recursive=True)
+        assert got == sorted(expected)
+        # dedup across overlapping roots
+        got = _collect_inputs(
+            [str(tmp_path), str(tmp_path / "a")], recursive=True
+        )
+        assert got == sorted(expected)
+
 
 class TestCli:
     def test_extract_report_resume(self, ray_session, small_corpus, tmp_path):
@@ -37,10 +60,74 @@ class TestCli:
 
     def test_config_driven_run(self, ray_session, small_corpus, tmp_path):
         out = str(tmp_path / "out")
-        rc = main([*small_corpus, "-o", out, "-c",
-                   os.path.join(os.path.dirname(__file__), "..",
-                                "conf", "extract_default.ini")])
+        ini = os.path.join(os.path.dirname(__file__), "..",
+                           "conf", "extract_default.ini")
+        rc = main([*small_corpus, "-o", out, "-c", ini])
         assert rc == 0
+        # the INI-driven run must actually EXTRACT (regression: string
+        # min_len='2' used to TypeError on every row, silently writing
+        # 100% error rows while still exiting 0)
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(out, "pid=*", "*.parquet"))
+        tbl = pq.read_table(files, columns=["error", "n_lines",
+                                            "extracted_text"])
+        errors = [e for e in tbl.column("error").to_pylist() if e]
+        # the corpus contains a few INTENTIONAL error docs (malformed
+        # PAGE XML, non-UTF8) — but none may be TypeErrors, and they
+        # must stay a small minority
+        assert not any("TypeError" in e for e in errors), errors[:3]
+        assert len(errors) < tbl.num_rows * 0.2, f"{len(errors)} error rows"
+        n_lines = tbl.column("n_lines").to_pylist()
+        assert sum(1 for n in n_lines if n > 0) > len(n_lines) * 0.8
+        assert any(t for t in tbl.column("extracted_text").to_pylist())
+
+    def test_ini_params_are_typed(self):
+        from ocr_pipeline_ray.config import load_steps_ini
+
+        specs = load_steps_ini(
+            os.path.join(os.path.dirname(__file__), "..",
+                         "conf", "extract_default.ini"))
+        extract = next(s for s in specs if s.type == "HtmlExtract")
+        assert extract.params["min_len"] == 2  # int, not '2'
+        regex = next(s for s in specs if s.type == "ReplaceCharsRegex")
+        assert regex.params["old"] == "3"  # literal '3' must STAY a string
+
+    def test_set_overrides(self, ray_session, small_corpus, tmp_path):
+        """--set merges CLI params over the INI (merge_args analogue,
+        ocr_pipeline.py:74-93): min_len=100000 drops every line."""
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "out")
+        ini = os.path.join(os.path.dirname(__file__), "..",
+                           "conf", "extract_default.ini")
+        rc = main([*small_corpus, "-o", out, "-c", ini,
+                   "--set", "step_01.min_len=100000"])
+        assert rc == 0
+        files = glob.glob(os.path.join(out, "pid=*", "*.parquet"))
+        tbl = pq.read_table(files, columns=["n_lines"])
+        assert all(n == 0 for n in tbl.column("n_lines").to_pylist())
+        # type-name addressing + defaults chain (no -c)
+        out2 = str(tmp_path / "out2")
+        rc = main([*small_corpus, "-o", out2,
+                   "--set", "HtmlExtract.min_len=100000"])
+        assert rc == 0
+        tbl2 = pq.read_table(
+            glob.glob(os.path.join(out2, "pid=*", "*.parquet")),
+            columns=["n_lines"])
+        assert all(n == 0 for n in tbl2.column("n_lines").to_pylist())
+
+    def test_set_override_errors(self):
+        import pytest
+
+        from ocr_pipeline_ray.config import apply_overrides, default_steps
+
+        with pytest.raises(ValueError, match="out of range"):
+            apply_overrides(default_steps(), ["step_99.min_len=3"])
+        with pytest.raises(ValueError, match="no step of type"):
+            apply_overrides(default_steps(), ["NopeStep.x=1"])
+        with pytest.raises(ValueError, match="must look like"):
+            apply_overrides(default_steps(), ["min_len=3"])
 
     def test_missing_inputs(self, ray_session, tmp_path):
         rc = main(["/nonexistent/dir/x.parquet".replace("x", "*"),
@@ -76,6 +163,43 @@ class TestRescore:
         assert rc == 0
         assert glob.glob(os.path.join(out, "rescored", "*.parquet"))
         assert glob.glob(os.path.join(out, "*.wtr"))
+
+
+class TestRescoreHonorsConfig:
+    def test_rescore_cli_with_ini(self, ray_session, small_corpus, tmp_path):
+        """--rescore -c passes the RescoreQuality params through
+        (regression: -c used to be silently ignored in rescore mode)."""
+        import pyarrow.parquet as pq
+
+        from ocr_pipeline_ray.pipelines.extraction import extraction_pipeline
+
+        src = str(tmp_path / "extracted")
+        extraction_pipeline(small_corpus).write_parquet(src)
+        ini = tmp_path / "rescore_strict.ini"
+        ini.write_text(
+            "[step_01]\ntype = RescoreQuality\n"
+            "text_col = extracted_text\nminlen = 100000\n"
+        )
+        out = str(tmp_path / "rescored_strict")
+        rc = main([os.path.join(src, "*.parquet"), "-o", out,
+                   "--rescore", "-c", str(ini)])
+        assert rc == 0
+        tbl = pq.read_table(
+            glob.glob(os.path.join(out, "rescored", "*.parquet")),
+            columns=["n_lines_out"])
+        # minlen=100000 means no line is ever dense
+        assert all(n == 0 for n in tbl.column("n_lines_out").to_pylist())
+
+    def test_rescore_cli_bad_ini(self, ray_session, small_corpus, tmp_path):
+        from ocr_pipeline_ray.pipelines.extraction import extraction_pipeline
+
+        src = str(tmp_path / "extracted")
+        extraction_pipeline(small_corpus).write_parquet(src)
+        ini = tmp_path / "no_rescore.ini"
+        ini.write_text("[step_01]\ntype = HtmlExtract\n")
+        rc = main([os.path.join(src, "*.parquet"),
+                   "-o", str(tmp_path / "o"), "--rescore", "-c", str(ini)])
+        assert rc == 2
 
 
 class TestRescoreIniConfig:

@@ -6,15 +6,25 @@ history, `/root/reference/ocr_pipeline.py:160-199,338-365`) and of its
 "one directory = one unit of distribution" layout:
 
 * partition unit = ONE input parquet shard file;
-* a run processes all pending shards in a single streaming Dataset
+* a run CLAIMS each pending shard with an atomic create-or-fail lock
+  file before touching it — the analogue of the reference's
+  ``open → busy`` marker rename, which is its cross-host lease
+  (`ocr_pipeline.py:338-365`): two concurrent drivers over the same
+  ``out_root`` split the pending set instead of double-processing;
+* the run processes all claimed shards in a single streaming Dataset
   (pid column derived from the input path), writes Hive-partitioned
-  output into a staging dir, then atomically renames each finished
-  ``pid=<shard>`` dir into place and writes the shard's lineage JSON
-  (history of state transitions + row metrics);
+  output into a staging dir OWNED by this run id, then atomically
+  renames each finished ``pid=<shard>`` dir into place and writes the
+  shard's lineage JSON (history of state transitions + row metrics +
+  per-stage wall/rows from ``Dataset.stats()`` — the per-step
+  ``profile()`` analogue, `ocr_pipeline.py:368-376`);
 * a re-run skips shards whose lineage says ``done`` (driver-side set
   arithmetic — the checkpoint-resume anti-join of SURVEY.md §2.4);
-* a failed run leaves no partial final partitions (staging is
-  discarded) and records ``fail`` markers.
+* a failed run leaves no partial final partitions (its staging is
+  discarded), records ``fail`` markers, and releases its claims;
+* orphaned staging dirs are swept only when their owning run is dead
+  (run-marker absent or stale) — a live concurrent run's staging is
+  never touched.
 
 Timestamps are provided by the CALLER (driver) — nothing inside the
 distributed tasks reads the clock.
@@ -22,13 +32,20 @@ distributed tasks reads the clock.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
+import time as _time
 from typing import Callable, Dict, List, Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# a claim/run marker older than this is considered dead (stale lease
+# takeover — the analogue of manually clearing a crashed host's busy
+# marker in the reference's NFS layout)
+DEFAULT_STALE_SEC = 3600.0
 
 
 def partition_id(input_file: str) -> str:
@@ -36,16 +53,46 @@ def partition_id(input_file: str) -> str:
     return base[:-8] if base.endswith(".parquet") else base
 
 
+def partition_ids(input_files: Sequence[str]) -> Dict[str, str]:
+    """Collision-free ``pid -> file`` map for a set of input shards.
+
+    pid = basename sans ``.parquet``; when two files in different
+    directories share a basename, each colliding pid gets a stable
+    8-hex path-hash suffix so no shard is silently dropped (previously
+    one of them would vanish from the dict and never be processed).
+    Deterministic per absolute path, so resume keeps working.
+    """
+    files = sorted(set(input_files))
+    by_base: Dict[str, List[str]] = {}
+    for f in files:
+        by_base.setdefault(partition_id(f), []).append(f)
+    out: Dict[str, str] = {}
+    for base, group in by_base.items():
+        if len(group) == 1:
+            out[base] = group[0]
+        else:
+            for f in group:
+                suffix = hashlib.md5(
+                    os.path.abspath(f).encode("utf-8")
+                ).hexdigest()[:8]
+                out[f"{base}-{suffix}"] = f
+    return out
+
+
 class LineageStore:
-    """JSON lineage records under ``<out_root>/_lineage/``."""
+    """JSON lineage records + claim locks under ``<out_root>/_lineage/``."""
 
     def __init__(self, out_root: str):
         self.out_root = out_root
         self.dir = os.path.join(out_root, "_lineage")
-        os.makedirs(self.dir, exist_ok=True)
+        self.runs_dir = os.path.join(self.dir, "_runs")
+        os.makedirs(self.runs_dir, exist_ok=True)
 
     def _path(self, pid: str) -> str:
         return os.path.join(self.dir, f"{pid}.json")
+
+    def _lock_path(self, pid: str) -> str:
+        return os.path.join(self.dir, f"{pid}.lock")
 
     def read(self, pid: str) -> Optional[Dict]:
         try:
@@ -83,6 +130,135 @@ class LineageStore:
                 done.add(rec["partition"])
         return done
 
+    # ---- multi-driver lease ------------------------------------------
+
+    def try_claim(self, pid: str, run_id: str,
+                  stale_sec: float = DEFAULT_STALE_SEC) -> bool:
+        """Atomically claim ``pid`` for ``run_id``.
+
+        ``O_CREAT|O_EXCL`` — exactly one concurrent driver wins (the
+        open→busy rename analogue). A lock whose mtime is older than
+        ``stale_sec`` belongs to a dead run and is taken over.
+        """
+        lock = self._lock_path(pid)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock, encoding="UTF-8") as fh:
+                    owner = fh.read().strip()
+                age = _time.time() - os.path.getmtime(lock)
+            except OSError:
+                return False  # lock vanished mid-check → other run won
+            if owner == run_id:
+                return True  # already ours (idempotent re-claim)
+            if age <= stale_sec:
+                return False  # live concurrent run owns it
+            # stale takeover: rewrite atomically (narrow race between
+            # two stealers is the same one the reference's NFS rename
+            # takeover has; the loser's staging is never published
+            # because publish re-checks ownership)
+            tmp = f"{lock}.{run_id}"
+            with open(tmp, "w", encoding="UTF-8") as fh:
+                fh.write(run_id)
+            os.replace(tmp, lock)
+            return self.lock_owner(pid) == run_id
+        with os.fdopen(fd, "w", encoding="UTF-8") as fh:
+            fh.write(run_id)
+        return True
+
+    def lock_owner(self, pid: str) -> Optional[str]:
+        try:
+            with open(self._lock_path(pid), encoding="UTF-8") as fh:
+                return fh.read().strip()
+        except OSError:
+            return None
+
+    def release(self, pid: str, run_id: str) -> None:
+        if self.lock_owner(pid) == run_id:
+            try:
+                os.remove(self._lock_path(pid))
+            except OSError:
+                pass
+
+    # ---- run markers (staging ownership) -----------------------------
+
+    def _run_marker(self, run_id: str) -> str:
+        return os.path.join(self.runs_dir, run_id)
+
+    def register_run(self, run_id: str) -> None:
+        with open(self._run_marker(run_id), "w", encoding="UTF-8") as fh:
+            fh.write(run_id)
+
+    def finish_run(self, run_id: str) -> None:
+        try:
+            os.remove(self._run_marker(run_id))
+        except OSError:
+            pass
+
+    def run_is_live(self, run_id: str,
+                    stale_sec: float = DEFAULT_STALE_SEC) -> bool:
+        marker = self._run_marker(run_id)
+        try:
+            return _time.time() - os.path.getmtime(marker) <= stale_sec
+        except OSError:
+            return False
+
+    def sweep_staging(self, stale_sec: float = DEFAULT_STALE_SEC) -> List[str]:
+        """Remove staging dirs of DEAD runs only (crashed / SIGKILLed).
+
+        A staging dir is ``_staging_<run_id>``; it is swept only when
+        its owning run's marker is absent or stale — a live concurrent
+        driver's staging is left alone.
+        """
+        removed = []
+        for name in os.listdir(self.out_root):
+            if not name.startswith("_staging_"):
+                continue
+            owner = name[len("_staging_"):]
+            if not self.run_is_live(owner, stale_sec):
+                shutil.rmtree(os.path.join(self.out_root, name),
+                              ignore_errors=True)
+                removed.append(name)
+        return removed
+
+
+def _stage_metrics(ds) -> List[Dict]:
+    """Per-operator wall-time / row metrics from ``Dataset.stats()``.
+
+    The per-step ``profile()`` analogue (`ocr_pipeline.py:368-376`):
+    one entry per physical operator of the executed plan. Defensive —
+    returns whatever subset of fields the Ray version exposes.
+    """
+    stages: List[Dict] = []
+    try:
+        # after write_parquet the executed plan's stats live on the
+        # internal written dataset, not the pre-write handle
+        executed = getattr(ds, "_write_ds", None) or ds
+        summaries = [executed._get_stats_summary()]
+        seen = set()
+        while summaries:
+            summary = summaries.pop()
+            if id(summary) in seen:
+                continue
+            seen.add(id(summary))
+            summaries.extend(getattr(summary, "parents", []) or [])
+            for op in getattr(summary, "operators_stats", []) or []:
+                entry: Dict = {"stage": getattr(op, "operator_name", "?")}
+                wall = getattr(op, "wall_time", None)
+                if isinstance(wall, dict) and "sum" in wall:
+                    entry["wall_time_sum_sec"] = round(wall["sum"], 4)
+                rows = getattr(op, "output_num_rows", None)
+                if isinstance(rows, dict) and "sum" in rows:
+                    entry["output_rows"] = rows["sum"]
+                total = getattr(op, "time_total_s", None)
+                if isinstance(total, (int, float)):
+                    entry["time_total_sec"] = round(total, 4)
+                stages.append(entry)
+    except Exception:  # stats are best-effort telemetry, never fatal
+        return stages
+    return stages
+
 
 def run_partitioned(
     input_files: Sequence[str],
@@ -90,39 +266,52 @@ def run_partitioned(
     pipeline_fn: Callable,
     run_ts: str,
     read_columns: Optional[List[str]] = None,
+    run_id: Optional[str] = None,
+    stale_sec: float = DEFAULT_STALE_SEC,
     **read_kwargs,
 ) -> Dict:
     """Process pending input shards through ``pipeline_fn``, resumably.
 
     ``pipeline_fn(ds) -> ds`` must preserve the ``pid`` column. Returns
-    a summary dict with processed/skipped partitions and row counts.
+    a summary dict with processed/skipped/locked partitions and row
+    counts. Safe under concurrent drivers sharing ``out_root``: each
+    pending shard is processed by exactly one of them (lease claims).
     """
     import ray.data
 
     store = LineageStore(out_root)
+    if run_id is None:
+        run_id = f"{os.getpid()}-{hashlib.md5(run_ts.encode()).hexdigest()[:6]}"
+    store.register_run(run_id)
     done = store.done_partitions()
-    by_pid = {partition_id(f): f for f in sorted(input_files)}
-    pending = {pid: f for pid, f in by_pid.items() if pid not in done}
+    by_pid = partition_ids(input_files)
+    candidates = {pid: f for pid, f in by_pid.items() if pid not in done}
+    # lease: claim each candidate; shards claimed by a LIVE concurrent
+    # run are reported as locked and left to that run
+    pending, locked = {}, []
+    for pid, f in candidates.items():
+        if store.try_claim(pid, run_id, stale_sec):
+            pending[pid] = f
+        else:
+            locked.append(pid)
     summary = {
         "total_partitions": len(by_pid),
-        "skipped_partitions": sorted(set(by_pid) - set(pending)),
+        "skipped_partitions": sorted(set(by_pid) - set(candidates)),
+        "locked_partitions": sorted(locked),
         "processed_partitions": sorted(pending),
         "rows_written": 0,
     }
     if not pending:
+        store.finish_run(run_id)
         return summary
 
     for pid in pending:
         store.append_state(pid, "busy", run_ts,
-                           {"input_file": pending[pid]})
+                           {"input_file": pending[pid], "run_id": run_id})
 
-    # single-writer contract per out_root: clear orphaned staging dirs
-    # left by a crashed (SIGKILLed) previous run — they were never
-    # published, so removing them is always safe
-    for name in os.listdir(out_root):
-        if name.startswith("_staging_"):
-            shutil.rmtree(os.path.join(out_root, name), ignore_errors=True)
-    staging = os.path.join(out_root, f"_staging_{run_ts}".replace(" ", "_").replace(":", "-"))
+    # sweep staging dirs of DEAD runs only (ours is freshly registered)
+    store.sweep_staging(stale_sec)
+    staging = os.path.join(out_root, f"_staging_{run_id}")
 
     pid_by_path = {os.path.abspath(f): pid for pid, f in pending.items()}
 
@@ -132,8 +321,6 @@ def run_partitioned(
         return batch.drop_columns(["path"]).append_column(
             "pid", pa.array(pids, pa.string())
         )
-
-    import time as _time
 
     run_t0 = _time.monotonic()
     try:
@@ -148,10 +335,15 @@ def run_partitioned(
         out.write_parquet(staging, partition_cols=["pid"])
     except Exception as exc:
         for pid in pending:
-            store.append_state(pid, "fail", run_ts, {"error": str(exc)})
+            store.append_state(pid, "fail", run_ts,
+                               {"error": str(exc), "run_id": run_id})
+            store.release(pid, run_id)
         shutil.rmtree(staging, ignore_errors=True)
+        store.finish_run(run_id)
         raise
 
+    stages = _stage_metrics(out)
+    run_wall = round(_time.monotonic() - run_t0, 3)
     for pid in pending:
         src = os.path.join(staging, f"pid={pid}")
         dst = os.path.join(out_root, f"pid={pid}")
@@ -164,14 +356,17 @@ def run_partitioned(
             os.replace(src, dst)  # atomic publish of the partition
         else:
             os.makedirs(dst, exist_ok=True)  # shard produced zero rows
-        # driver-measured wall time for the whole pending batch — the
-        # per-step profile() analogue (ocr_pipeline.py:368-376); finer
-        # per-stage splits live in Dataset.stats().
+        # run_wall = driver wall for the whole pending batch; "stages"
+        # carries the per-operator wall/rows split of the executed plan
         store.append_state(
             pid, "done", run_ts,
             {"rows": rows,
-             "run_wall_sec": round(_time.monotonic() - run_t0, 3)},
+             "run_id": run_id,
+             "run_wall_sec": run_wall,
+             "stages": stages},
         )
+        store.release(pid, run_id)
         summary["rows_written"] += rows
     shutil.rmtree(staging, ignore_errors=True)
+    store.finish_run(run_id)
     return summary

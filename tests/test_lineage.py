@@ -9,6 +9,7 @@ from ocr_pipeline_ray.pipelines.extraction import build_pipeline
 from ocr_pipeline_ray.state.lineage import (
     LineageStore,
     partition_id,
+    partition_ids,
     run_partitioned,
 )
 
@@ -82,6 +83,90 @@ class TestLineage:
         # recovery: a good re-run processes everything
         s = run_partitioned(small_corpus, out, _pipeline, "2026-01-01 13:00:00")
         assert len(s["processed_partitions"]) == 4
+
+    def test_partition_ids_collision_free(self, tmp_path):
+        """Two shards sharing a basename in different dirs must BOTH
+        get a pid (regression: one was silently dropped)."""
+        a = tmp_path / "a" / "pages-00000.parquet"
+        b = tmp_path / "b" / "pages-00000.parquet"
+        c = tmp_path / "b" / "pages-00001.parquet"
+        for p in (a, b, c):
+            p.parent.mkdir(exist_ok=True)
+            p.write_bytes(b"")
+        mapping = partition_ids([str(a), str(b), str(c)])
+        assert len(mapping) == 3
+        assert set(mapping.values()) == {str(a), str(b), str(c)}
+        # non-colliding shard keeps the plain basename pid
+        assert "pages-00001" in mapping
+        # colliding pids are deterministic
+        assert mapping == partition_ids([str(b), str(a), str(c)])
+
+    def test_stage_metrics_recorded(self, ray_session, small_corpus, tmp_path):
+        """Lineage records carry per-operator wall/rows (the per-step
+        profile() analogue, ocr_pipeline.py:368-376)."""
+        out = str(tmp_path / "out")
+        run_partitioned(small_corpus, out, _pipeline, "2026-01-01 10:00:00")
+        rec = LineageStore(out).read(partition_id(small_corpus[0]))
+        assert rec["run_wall_sec"] > 0
+        stages = rec["stages"]
+        assert stages, "expected per-stage entries"
+        names = " ".join(s["stage"] for s in stages)
+        assert "ReadParquet" in names
+        assert any("wall_time_sum_sec" in s for s in stages)
+        assert any(s.get("output_rows") for s in stages)
+
+
+class TestConcurrentDrivers:
+    def test_lease_splits_pending_set(self, ray_session, small_corpus, tmp_path):
+        """Two drivers on one out_root: each shard processed exactly
+        once (the open→busy rename lease, ocr_pipeline.py:338-365)."""
+        out = str(tmp_path / "out")
+        store = LineageStore(out)
+        pids = sorted(partition_ids(small_corpus))
+        # driver B holds live claims on the first two shards
+        for pid in pids[:2]:
+            assert store.try_claim(pid, "driver-b")
+        s1 = run_partitioned(small_corpus, out, _pipeline,
+                             "2026-01-01 10:00:00", run_id="driver-a")
+        assert s1["locked_partitions"] == pids[:2]
+        assert s1["processed_partitions"] == pids[2:]
+        # driver B finishes its shards (release + its own run)
+        for pid in pids[:2]:
+            store.release(pid, "driver-b")
+        s2 = run_partitioned(small_corpus, out, _pipeline,
+                             "2026-01-01 10:05:00", run_id="driver-b2")
+        assert s2["processed_partitions"] == pids[:2]
+        assert s2["skipped_partitions"] == pids[2:]
+        # all four published exactly once
+        assert len(LineageStore(out).done_partitions()) == 4
+
+    def test_stale_lease_takeover(self, tmp_path):
+        out = str(tmp_path / "out")
+        store = LineageStore(out)
+        assert store.try_claim("p1", "dead-run")
+        # fresh lock: not stealable
+        assert not store.try_claim("p1", "new-run", stale_sec=3600)
+        # idempotent re-claim by the owner
+        assert store.try_claim("p1", "dead-run")
+        # age the lock past the deadline → takeover succeeds
+        lock = store._lock_path("p1")
+        old = os.path.getmtime(lock) - 7200
+        os.utime(lock, (old, old))
+        assert store.try_claim("p1", "new-run", stale_sec=3600)
+        assert store.lock_owner("p1") == "new-run"
+
+    def test_sweep_leaves_live_staging(self, tmp_path):
+        out = str(tmp_path / "out")
+        store = LineageStore(out)
+        live = os.path.join(out, "_staging_liverun")
+        dead = os.path.join(out, "_staging_deadrun")
+        os.makedirs(live)
+        os.makedirs(dead)
+        store.register_run("liverun")
+        removed = store.sweep_staging()
+        assert removed == ["_staging_deadrun"]
+        assert os.path.isdir(live)
+        assert not os.path.isdir(dead)
 
     def test_output_readable_and_complete(
         self, ray_session, small_corpus, tmp_path

@@ -31,6 +31,7 @@ from .functions.text import replace_chars_regex, round3
 from .stages.dedup import (
     exact_dedup_summary,
     fingerprint_fn,
+    minhash_bucket_stats,
     minhash_dup_pairs,
     minhash_signatures,
     simhash_signatures,
@@ -38,6 +39,7 @@ from .stages.dedup import (
 )
 from .stages.similarity import (
     brute_force_topk,
+    bucketed_near_dup_pairs,
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
@@ -301,8 +303,20 @@ def q_simhash(sf_dir: str):
 
 
 def q_jaccard_dup_pairs(sf_dir: str):
-    """MinHash candidates verified by exact n-gram Jaccard >= 0.8."""
+    """MinHash candidates verified by exact n-gram Jaccard >= 0.8.
+
+    Distributed verification (no driver-side candidate
+    materialization) — see stages/dedup.py jaccard_dup_pairs.
+    """
     return jaccard_dup_pairs(_docs(sf_dir))
+
+
+HOT_BUCKET_CAP = 3  # deliberately tiny so truncation telemetry is non-zero
+
+
+def q_minhash_hot_buckets(sf_dir: str):
+    """Hot-bucket cap telemetry: what a max_bucket cap would drop."""
+    return minhash_bucket_stats(_docs(sf_dir), max_bucket=HOT_BUCKET_CAP)
 
 
 def _query_vec(sf_dir: str, vec_id: int = 0):
@@ -334,14 +348,26 @@ NEAR_DUP_THRESHOLD = 0.5
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """All embedding pairs with cosine > threshold (v1 < v2).
+    """All embedding pairs with cosine > threshold (v1 < v2) — exact,
+    via the distributed block-pair join (stages/similarity.py).
 
     Returned as a concrete Arrow table so the (v1, v2) schema survives
-    even when no pair crosses the threshold.
+    even when no pair crosses the threshold (the PAIR set is tiny by
+    definition; the vectors themselves never leave the object store).
     """
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, threshold=NEAR_DUP_THRESHOLD)
+    schema = pa.schema([("v1", pa.int64()), ("v2", pa.int64())])
+    return pa.Table.from_pylist(pairs.take_all(), schema=schema)
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """Approximate near-dup pairs via hyperplane-signature buckets —
+    the 10^12-scale path (recall < 1 by construction; no SQL oracle)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pairs = bucketed_near_dup_pairs(ds, threshold=NEAR_DUP_THRESHOLD)
     schema = pa.schema([("v1", pa.int64()), ("v2", pa.int64())])
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
@@ -516,6 +542,36 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------- oracles
 
+# shared CTE fragments for the minhash family (3-token shingles,
+# 4 md5-salted band hashes — mirrors stages/dedup.py exactly)
+SHINGLE_CTE = (
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END AS shingles FROM t)"
+)
+SIG_CTE = (
+    SHINGLE_CTE + ", "
+    "sig AS (SELECT doc_id, "
+    "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
+    "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
+    "list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2, "
+    "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
+    "FROM sh)"
+)
+CAND_SELECT = (
+    "SELECT d1, d2 FROM ("
+    "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+    "ON a.h0 = b.h0 AND a.doc_id < b.doc_id "
+    "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+    "ON a.h1 = b.h1 AND a.doc_id < b.doc_id "
+    "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+    "ON a.h2 = b.h2 AND a.doc_id < b.doc_id "
+    "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+    "ON a.h3 = b.h3 AND a.doc_id < b.doc_id)"
+)
+
 ORACLE_SQL: Dict[str, str] = {
     "replace_chars": (
         "SELECT doc_id, replace(replace(text, 'spark', 'ray'), "
@@ -598,11 +654,7 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM t"
     ),
     "minhash_signatures": (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
-        "list_transform(generate_series(1, len(toks) - 2), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
-        "ELSE [] END AS shingles FROM t) "
+        "WITH " + SHINGLE_CTE + " "
         "SELECT doc_id, "
         "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
         "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
@@ -610,27 +662,32 @@ ORACLE_SQL: Dict[str, str] = {
         "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
         "FROM sh"
     ),
-    "minhash_dup_pairs": (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
-        "list_transform(generate_series(1, len(toks) - 2), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
-        "ELSE [] END AS shingles FROM t), "
-        "sig AS (SELECT doc_id, "
-        "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
-        "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
-        "list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2, "
-        "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
-        "FROM sh) "
-        "SELECT d1, d2 FROM ("
-        "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
-        "ON a.h0 = b.h0 AND a.doc_id < b.doc_id "
-        "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
-        "ON a.h1 = b.h1 AND a.doc_id < b.doc_id "
-        "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
-        "ON a.h2 = b.h2 AND a.doc_id < b.doc_id "
-        "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
-        "ON a.h3 = b.h3 AND a.doc_id < b.doc_id)"
+    "minhash_dup_pairs": "WITH " + SIG_CTE + " " + CAND_SELECT,
+    "jaccard_dup_pairs": (
+        "WITH " + SIG_CTE + ", "
+        "cand AS (" + CAND_SELECT + "), "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+        "j AS (SELECT c.d1, c.d2, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac "
+        "FROM cand c JOIN dsh a ON a.doc_id = c.d1 "
+        "JOIN dsh b ON b.doc_id = c.d2) "
+        "SELECT d1, d2, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard "
+        "FROM j WHERE jac >= 0.8"
+    ),
+    "minhash_hot_buckets": (
+        "WITH " + SIG_CTE + ", "
+        "bands AS ("
+        "SELECT '0:' || h0 AS band FROM sig WHERE h0 IS NOT NULL "
+        "UNION ALL SELECT '1:' || h1 FROM sig WHERE h1 IS NOT NULL "
+        "UNION ALL SELECT '2:' || h2 FROM sig WHERE h2 IS NOT NULL "
+        "UNION ALL SELECT '3:' || h3 FROM sig WHERE h3 IS NOT NULL), "
+        "bs AS (SELECT band, count(*) AS n FROM bands GROUP BY band) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+        "CAST(count(*) FILTER (WHERE n > 3) AS BIGINT) AS n_hot_buckets, "
+        "CAST(max(n) AS BIGINT) AS max_bucket_size, "
+        "CAST(sum(greatest(n - 3, 0)) AS BIGINT) AS dropped_ids "
+        "FROM bs"
     ),
     "ann_topk": (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
@@ -670,8 +727,7 @@ ORACLE_SQL: Dict[str, str] = {
         "d.text AS extracted_text, q.hit_ratio, q.n_words, q.n_errs "
         "FROM documents d JOIN q USING (doc_id)"
     ),
-    # no oracle (non-SQL / approximate): ann_topk_lsh, simhash,
-    # jaccard_dup_pairs
+    # no oracle (non-SQL / approximate): ann_topk_lsh, simhash
 }
 
 QUERIES = {
@@ -690,11 +746,13 @@ QUERIES = {
     "quality_heuristics": q_quality_heuristics,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "minhash_hot_buckets": q_minhash_hot_buckets,
     "simhash": q_simhash,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,

@@ -8,7 +8,13 @@ Scale shape (10^12-row design notes):
 * MinHash near-dup shuffles only ``(band_hash → doc_id)`` pairs
   (bytes per doc, not the documents), groups by band, and emits
   candidate pairs inside each bucket; a hot bucket is bounded by
-  ``max_bucket`` to keep the pair blow-up polynomial-safe.
+  ``max_bucket`` to keep the pair blow-up polynomial-safe, and the
+  truncation is OBSERVABLE via :func:`minhash_bucket_stats` (no
+  silent caps).
+* Jaccard verification is fully distributed: candidate pairs stay a
+  Dataset; only the candidate docs' shingle sets move, co-shuffled to
+  their pairs through two small groupbys (a union-based repartition
+  join). Nothing content-sized ever lands on the driver.
 * Hash functions are md5-based so the DuckDB oracle can reproduce
   them exactly (md5 hex strings compare lexicographically the same
   in Python and SQL).
@@ -17,15 +23,22 @@ Scale shape (10^12-row design notes):
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Dict, List, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Min
 
 
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _round6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — matches the DuckDB oracle formula."""
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
 # ---------------------------------------------------------------- exact
@@ -64,15 +77,14 @@ def dedup_first(ds, key_col: str = "url", order_col: str = "warc_ts"):
     """Keep one full row per key: the minimum ``order_col`` wins.
 
     The engine's D1 analogue for duplicate urls. Shuffles full rows
-    once, hash-partitioned by key.
+    once, hash-partitioned by key; per-group winner picked with an
+    Arrow sort+slice (no pandas round trip).
     """
-    import pandas as pd
 
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        idx = group[order_col].idxmin()
-        return group.loc[[idx]]
+    def _first(group: pa.Table) -> pa.Table:
+        return group.sort_by(order_col).slice(0, 1)
 
-    return ds.groupby(key_col).map_groups(_first)
+    return ds.groupby(key_col).map_groups(_first, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- minhash
@@ -116,17 +128,8 @@ def minhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text",
     ).select_columns([id_col] + [f"h{i}" for i in range(n_hashes)])
 
 
-def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                      n_hashes: int = 4, k: int = 3, max_bucket: int = 1000):
-    """Candidate near-duplicate pairs: docs sharing ANY band value.
-
-    band explode → groupby(band_hash) → in-bucket pair expansion →
-    global pair dedup. Two small shuffles over (hash, id) pairs only.
-    ``max_bucket`` caps degenerate buckets (hot-key guard).
-    """
-    import pandas as pd
-
-    sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
+def _band_explode(sigs, id_col: str, n_hashes: int):
+    """(id, h0..hN) → (band, id) rows — the only data that shuffles."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, bands = [], []
@@ -142,21 +145,89 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             id_col: pa.array(ids, pa.int64()),
         })
 
-    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+    return sigs.map_batches(_explode, batch_format="pyarrow")
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())[:max_bucket]
-        d1, d2 = [], []
-        for a in range(len(ids)):
-            for b in range(a + 1, len(ids)):
-                d1.append(ids[a])
-                d2.append(ids[b])
-        return pd.DataFrame({"d1": d1, "d2": d2})
 
-    pairs = exploded.groupby("band").map_groups(_pairs)
+def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = 4, k: int = 3, max_bucket: int = 1000):
+    """Candidate near-duplicate pairs: docs sharing ANY band value.
+
+    band explode → groupby(band_hash) → in-bucket pair expansion
+    (Arrow-native, no pandas) → global pair dedup. Two small shuffles
+    over (hash, id) pairs only. ``max_bucket`` caps degenerate buckets
+    (hot-key guard); use :func:`minhash_bucket_stats` to MEASURE what
+    a given cap drops — truncation is never silent.
+    """
+    import numpy as np
+
+    sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
+    exploded = _band_explode(sigs, id_col, n_hashes)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(
+            group.column(id_col).to_numpy(zero_copy_only=False)
+        )[:max_bucket]
+        n = len(ids)
+        if n < 2:
+            return pa.table({"d1": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        # upper-triangle index pairs, vectorized
+        r, c = np.triu_indices(n, k=1)
+        return pa.table({"d1": pa.array(ids[r], pa.int64()),
+                         "d2": pa.array(ids[c], pa.int64())})
+
+    pairs = exploded.groupby("band").map_groups(
+        _pairs, batch_format="pyarrow"
+    )
     # distinct pairs (a doc pair can collide in several bands)
     agg = pairs.groupby(["d1", "d2"]).aggregate(Count())
     return agg.select_columns(["d1", "d2"])
+
+
+def minhash_bucket_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                         n_hashes: int = 4, k: int = 3,
+                         max_bucket: int = 1000):
+    """Hot-bucket telemetry for the ``max_bucket`` cap (one row).
+
+    Reports how much :func:`minhash_dup_pairs` would truncate at the
+    given cap: total band buckets, buckets over the cap, the largest
+    bucket, and the number of (band, id) memberships dropped. Emit
+    this next to the pairs so a cap is a measured trade-off, not a
+    silent one.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
+    exploded = _band_explode(sigs, id_col, n_hashes)
+    sizes = exploded.groupby("band").aggregate(Count())
+
+    def _per_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()")
+        dropped = pc.max_element_wise(
+            pc.subtract(n, pa.scalar(max_bucket, n.type)),
+            pa.scalar(0, n.type),
+        )
+        return pa.table({
+            "n_buckets": pa.array([batch.num_rows], pa.int64()),
+            "n_hot": pa.array(
+                [pc.sum(pc.cast(pc.greater(n, max_bucket), pa.int64())).as_py() or 0],
+                pa.int64()),
+            "max_size": pa.array(
+                [pc.max(n).as_py() or 0], pa.int64()),
+            "dropped_ids": pa.array(
+                [pc.sum(dropped).as_py() or 0], pa.int64()),
+        })
+
+    partials = sizes.map_batches(_per_bucket, batch_format="pyarrow")
+    agg = partials.aggregate(
+        Sum("n_buckets"), Sum("n_hot"), Max("max_size"), Sum("dropped_ids")
+    )
+    return pa.table({
+        "n_buckets": pa.array([agg["sum(n_buckets)"] or 0], pa.int64()),
+        "n_hot_buckets": pa.array([agg["sum(n_hot)"] or 0], pa.int64()),
+        "max_bucket_size": pa.array([agg["max(max_size)"] or 0], pa.int64()),
+        "dropped_ids": pa.array([agg["sum(dropped_ids)"] or 0], pa.int64()),
+    })
 
 
 # -------------------------------------------------------------- simhash
@@ -200,55 +271,130 @@ def jaccard(a: List[str], b: List[str]) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+_EMPTY_PAIRS = pa.table({
+    "d1": pa.array([], pa.int64()),
+    "d2": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64()),
+})
+
+
 def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.8,
                       n_hashes: int = 4, max_bucket: int = 1000):
     """Verified near-dup pairs: MinHash candidates re-scored by exact
-    n-gram Jaccard ≥ threshold.
+    n-gram Jaccard ≥ threshold. Output: (d1, d2, jaccard·round6).
 
-    Candidate generation is the LSH path above (no all-pairs); the
-    verification join broadcasts only the candidate docs' shingle sets
-    to the pair stage via a groupby on the pair key — at 10^12 scale
-    the candidate set is the small side by construction.
+    Fully distributed verification (no driver-side candidate
+    materialization):
+
+    1. candidate pairs (LSH path above) stay a Dataset; only their
+       DISTINCT doc ids — the small side by construction — are
+       broadcast to prune the shingle projection;
+    2. pair memberships ``(doc → pair_key)`` and candidate shingle
+       sets ``(doc → shingles)`` are co-shuffled by doc id (union +
+       groupby = repartition join), attaching each doc's shingles to
+       its pairs;
+    3. a second groupby on the pair key brings both sides' shingle
+       sets together and scores Jaccard inside the group UDF.
+
+    Shuffle volume = candidate docs' shingle sets only.
     """
-    import pandas as pd
-
-    cands = minhash_dup_pairs(ds, id_col, text_col, n_hashes, k, max_bucket)
-    cand_rows = cands.take_all()
-    if not cand_rows:
-        return cands.filter(lambda r: False)
-    needed = sorted({r["d1"] for r in cand_rows} | {r["d2"] for r in cand_rows})
-    needed_set = set(needed)
-
-    def _project(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        keep_ids, keep_sh = [], []
-        for rid, t in zip(ids, texts):
-            if rid in needed_set:
-                keep_ids.append(rid)
-                keep_sh.append(shingles((t or "").split(" "), k))
-        return pa.table({
-            id_col: pa.array(keep_ids, pa.int64()),
-            "sh": pa.array(keep_sh, pa.list_(pa.string())),
-        })
-
-    sh_by_id = {}
-    for row in ds.map_batches(_project, batch_format="pyarrow").iter_rows():
-        sh_by_id[row[id_col]] = row["sh"]
-
     import ray
 
-    verified = [
-        {"d1": r["d1"], "d2": r["d2"],
-         "jaccard": jaccard(sh_by_id[r["d1"]], sh_by_id[r["d2"]])}
-        for r in cand_rows
-    ]
-    verified = [v for v in verified if v["jaccard"] >= threshold]
-    if not verified:
-        return ray.data.from_arrow(pa.table({
-            "d1": pa.array([], pa.int64()),
-            "d2": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }))
-    return ray.data.from_items(verified)
+    cands = minhash_dup_pairs(
+        ds, id_col, text_col, n_hashes, k, max_bucket
+    ).materialize()  # tiny: (int64, int64) per candidate pair
+
+    # broadcast the candidate id SET (small side) to prune the scan
+    cand_ids = set()
+    for batch in cands.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(batch.column("d1").to_pylist())
+        cand_ids.update(batch.column("d2").to_pylist())
+    if not cand_ids:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    join_schema = pa.schema([
+        ("key", pa.int64()),          # doc id (join key)
+        ("pair", pa.string()),        # "d1|d2" for membership rows
+        ("side", pa.int32()),         # 0=left, 1=right, -1=shingle row
+        ("sh", pa.list_(pa.string())),
+    ])
+
+    def _membership(batch: pa.Table) -> pa.Table:
+        d1 = batch.column("d1").to_pylist()
+        d2 = batch.column("d2").to_pylist()
+        keys, pair_keys, sides = [], [], []
+        for a, b in zip(d1, d2):
+            pk = f"{a}|{b}"
+            keys.extend((a, b))
+            pair_keys.extend((pk, pk))
+            sides.extend((0, 1))
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "pair": pa.array(pair_keys, pa.string()),
+            "side": pa.array(sides, pa.int32()),
+            "sh": pa.array([None] * len(keys), pa.list_(pa.string())),
+        }, schema=join_schema)
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        keys, shs = [], []
+        for rid, t in zip(ids, texts):
+            if rid in wanted:
+                keys.append(rid)
+                # distinct shingles: Jaccard is a SET measure, and
+                # shipping the dedup'd set shrinks the shuffle
+                shs.append(sorted(set(shingles((t or "").split(" "), k))))
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "pair": pa.array([None] * len(keys), pa.string()),
+            "side": pa.array([-1] * len(keys), pa.int32()),
+            "sh": pa.array(shs, pa.list_(pa.string())),
+        }, schema=join_schema)
+
+    membership = cands.map_batches(_membership, batch_format="pyarrow")
+    doc_sh = ds.map_batches(_shingle_rows, batch_format="pyarrow")
+
+    def _attach(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_pylist()
+        try:
+            sh_row = sides.index(-1)
+        except ValueError:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "side": pa.array([], pa.int32()),
+                             "sh": pa.array([], pa.list_(pa.string()))})
+        sh = group.column("sh")[sh_row].as_py()
+        pairs, out_sides = [], []
+        for i, side in enumerate(sides):
+            if side >= 0:
+                pairs.append(group.column("pair")[i].as_py())
+                out_sides.append(side)
+        return pa.table({
+            "pair": pa.array(pairs, pa.string()),
+            "side": pa.array(out_sides, pa.int32()),
+            "sh": pa.array([sh] * len(pairs), pa.list_(pa.string())),
+        })
+
+    attached = membership.union(doc_sh).groupby("key").map_groups(
+        _attach, batch_format="pyarrow"
+    )
+
+    def _score(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:
+            return _EMPTY_PAIRS  # defensive: both sides must arrive
+        pair_key = group.column("pair")[0].as_py()
+        d1, d2 = (int(x) for x in pair_key.split("|"))
+        shs = group.column("sh").to_pylist()
+        score = jaccard(shs[0], shs[1])
+        if score < threshold:
+            return _EMPTY_PAIRS
+        return pa.table({
+            "d1": pa.array([d1], pa.int64()),
+            "d2": pa.array([d2], pa.int64()),
+            "jaccard": pa.array([_round6(score)], pa.float64()),
+        })
+
+    return attached.groupby("pair").map_groups(_score, batch_format="pyarrow")

@@ -116,43 +116,142 @@ def lsh_bucketed_topk(
     return brute_force_topk(pruned, query_vec, k, id_col, emb_col, exclude_id)
 
 
+def _norm_blocks(ds, id_col: str, emb_col: str, max_blocks: int):
+    """Materialize (id, L2-normalized embedding) compactly in the
+    OBJECT STORE and return its block refs — the driver holds only
+    refs, never the vectors."""
+    def _normalize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _to_matrix(batch.column(emb_col))
+        if mat.size:
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            emb_col: pa.array(mat.tolist(),
+                              pa.list_(pa.float64())),
+        })
+
+    norm = ds.map_batches(_normalize, batch_format="pyarrow").materialize()
+    refs = [r for b in norm.iter_internal_ref_bundles() for r in b.block_refs]
+    if len(refs) > max_blocks:
+        norm = norm.repartition(max_blocks).materialize()
+        refs = [r for b in norm.iter_internal_ref_bundles()
+                for r in b.block_refs]
+    return refs
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_blocks: int = 24,
 ):
-    """All pairs (v1 < v2) with cosine similarity > threshold.
+    """All pairs (v1 < v2) with cosine similarity > threshold — EXACT,
+    computed as a distributed block-pair join.
 
-    The normalized matrix is broadcast once via ``ray.put``; each batch
-    multiplies against it (one matmul per batch). Exact — suitable up
-    to ~10^5 vectors; beyond that use ``lsh_bucketed_topk``-style
-    bucketing first (documented scale path).
+    The normalized matrix lives in the object store as B blocks; a
+    Dataset of the B·(B+1)/2 block-index pairs fans out one task per
+    pair, each pulling its two blocks zero-copy and doing ONE matmul.
+    Nothing materializes on the driver (it holds only block refs), and
+    no single task ever sees more than two blocks. Exact all-pairs is
+    inherently O(N²) compute — at 10^12 scale use
+    :func:`bucketed_near_dup_pairs` (LSH buckets prune the pair space
+    at the cost of exactness) and keep this as the verifier inside
+    buckets.
     """
     import ray
 
-    rows = ds.select_columns([id_col, emb_col]).take_all()
-    all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, mat_n))
+    refs = _norm_blocks(ds, id_col, emb_col, max_blocks)
+    n = len(refs)
+    idx_pairs = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        ids_all, mat_all = ray.get(ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        sub = _to_matrix(batch.column(emb_col))
-        sub_n = sub / np.linalg.norm(sub, axis=1, keepdims=True)
-        sims = sub_n @ mat_all.T
+    def _block_pair(batch: pa.Table) -> pa.Table:
         d1, d2 = [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] > threshold)[0]
-            for c in hits:
-                if ids[r] < ids_all[c]:
-                    d1.append(int(ids[r]))
-                    d2.append(int(ids_all[c]))
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            blk_a, blk_b = ray.get([refs[i], refs[j]])
+            ids_a = np.asarray(blk_a.column(id_col).to_pylist(), dtype=np.int64)
+            ids_b = np.asarray(blk_b.column(id_col).to_pylist(), dtype=np.int64)
+            mat_a = _to_matrix(blk_a.column(emb_col))
+            mat_b = _to_matrix(blk_b.column(emb_col))
+            if not mat_a.size or not mat_b.size:
+                continue
+            sims = mat_a @ mat_b.T
+            r, c = np.where(sims > threshold)
+            if i == j:
+                keep = r < c  # upper triangle: no self / mirrored pairs
+                r, c = r[keep], c[keep]
+            lo = np.minimum(ids_a[r], ids_b[c])
+            hi = np.maximum(ids_a[r], ids_b[c])
+            d1.extend(int(x) for x in lo)
+            d2.extend(int(x) for x in hi)
         return pa.table({
             "v1": pa.array(d1, pa.int64()),
             "v2": pa.array(d2, pa.int64()),
         })
 
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    import ray.data
+
+    return ray.data.from_items(idx_pairs).map_batches(
+        _block_pair, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def bucketed_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket: int = 10000,
+):
+    """Approximate near-dup pairs: hyperplane-signature buckets, then
+    exact in-bucket cosine — the 10^12-scale path.
+
+    One groupby shuffle on the 8-bit signature; each bucket does a
+    local matmul. Recall < 1 by construction (a pair split across
+    buckets is missed) — that is the explicit trade against the
+    O(N²) block-pair join of :func:`embedding_near_dup_pairs`.
+    """
+    def _sign(batch: pa.Table) -> pa.Table:
+        # plane matrix rebuilt per worker from the seed — cheap and
+        # deterministic, no broadcast needed
+        mat = _to_matrix(batch.column(emb_col))
+        if not mat.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], pa.list_(pa.float64())),
+                             "sig": pa.array([], pa.int64())})
+        local_planes = np.random.default_rng(seed).standard_normal(
+            (n_planes, mat.shape[1]))
+        bits = (mat @ local_planes.T > 0).astype(np.int64)
+        sig = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({
+            id_col: batch.column(id_col),
+            emb_col: pa.array(norm.tolist(), pa.list_(pa.float64())),
+            "sig": pa.array(sig, pa.int64()),
+        })
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        group = group.slice(0, max_bucket)
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _to_matrix(group.column(emb_col))
+        empty = pa.table({"v1": pa.array([], pa.int64()),
+                          "v2": pa.array([], pa.int64())})
+        if len(ids) < 2:
+            return empty
+        sims = mat @ mat.T
+        r, c = np.where(sims > threshold)
+        keep = r < c
+        r, c = r[keep], c[keep]
+        lo = np.minimum(ids[r], ids[c])
+        hi = np.maximum(ids[r], ids[c])
+        return pa.table({"v1": pa.array(lo, pa.int64()),
+                         "v2": pa.array(hi, pa.int64())})
+
+    signed = ds.map_batches(_sign, batch_format="pyarrow")
+    return signed.groupby("sig").map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )

@@ -156,6 +156,104 @@ class TestSimilarity:
                  for r in embedding_near_dup_pairs(ds, 0.95).take_all()}
         assert pairs == {(0, 5)}
 
+    def test_near_dup_block_pair_join_is_exact(self, ray_session):
+        """The distributed block-pair join finds EVERY pair regardless
+        of block layout — compared against a numpy all-pairs oracle."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(11)
+        mat = rng.standard_normal((60, 12))
+        # plant near-dups crossing block boundaries
+        for src, dst in [(0, 59), (7, 31), (20, 21), (3, 45)]:
+            mat[dst] = mat[src] + 0.005 * rng.standard_normal(12)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        expected = {
+            (i, j)
+            for i in range(60) for j in range(i + 1, 60)
+            if sims[i, j] > 0.9
+        }
+        assert len(expected) >= 4
+        tbl = pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        got = {(r["v1"], r["v2"])
+               for r in embedding_near_dup_pairs(ds, 0.9, max_blocks=5).take_all()}
+        assert got == expected
+
+    def test_bucketed_near_dup_subset_of_exact(self, ray_session):
+        """LSH-bucketed pairs: finds identical vectors (same signature
+        by construction), never reports a false positive."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import (
+            bucketed_near_dup_pairs,
+            embedding_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((50, 10))
+        mat[10] = mat[2]            # identical → same bucket, sim 1.0
+        mat[33] = mat[4] * 2.0      # scaled copy → same direction
+        tbl = pa.table({
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        exact = {(r["v1"], r["v2"])
+                 for r in embedding_near_dup_pairs(ds, 0.99).take_all()}
+        approx = {(r["v1"], r["v2"])
+                  for r in bucketed_near_dup_pairs(ds, 0.99).take_all()}
+        assert {(2, 10), (4, 33)} <= approx
+        assert approx <= exact  # no false positives
+
+
+class TestBucketTelemetry:
+    def test_minhash_bucket_stats(self, dup_docs_ds):
+        """Cap telemetry matches a by-hand recomputation from the
+        band-exploded signature table (no silent truncation)."""
+        from collections import Counter
+
+        from ocr_pipeline_ray.stages.dedup import (
+            minhash_bucket_stats,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(dup_docs_ds).take_all()
+        sizes = Counter()
+        for row in sigs:
+            for i in range(4):
+                if row[f"h{i}"] is not None:
+                    sizes[f"{i}:{row[f'h{i}']}"] += 1
+        for cap in (1, 2, 1000):
+            got = minhash_bucket_stats(dup_docs_ds, max_bucket=cap).to_pylist()[0]
+            assert got["n_buckets"] == len(sizes)
+            assert got["n_hot_buckets"] == sum(1 for n in sizes.values() if n > cap)
+            assert got["max_bucket_size"] == max(sizes.values())
+            assert got["dropped_ids"] == sum(max(0, n - cap) for n in sizes.values())
+
+    def test_jaccard_no_candidates_schema(self, ray_session):
+        """Empty candidate set still yields the (d1,d2,jaccard) schema."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_dup_pairs
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["kurz", "klein"], pa.string()),  # no shingles
+        })
+        ds = ray.data.from_arrow(tbl)
+        out = jaccard_dup_pairs(ds)
+        schema = out.schema()
+        assert schema.names == ["d1", "d2", "jaccard"]
+        assert out.take_all() == []
+
 
 class TestMultimodal:
     def test_media_feature_stage(self, ray_session):

@@ -166,6 +166,9 @@ def run_queries(sf_dir: str):
 def single_run(num_cpus: int, sf_dir: str, headline_only: bool) -> dict:
     import ray
 
+    from ocr_pipeline_ray import silence_ray_cosmetic_warnings
+
+    silence_ray_cosmetic_warnings()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     import ray.data
 

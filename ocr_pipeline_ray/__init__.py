@@ -20,3 +20,32 @@ See SURVEY.md for the full mapping from the reference to this engine.
 """
 
 __version__ = "0.1.0"
+
+
+def silence_ray_cosmetic_warnings() -> None:
+    """Filter two noisy-but-cosmetic Ray Data warnings.
+
+    Both fire when a pipeline legitimately emits empty blocks (a
+    filtered-out batch, an empty aggregation partial): the streaming
+    executor's "produced a RefBundle with a different schema" (the new
+    schema is the EMPTY one) and the schema-dedup "Failed to hash the
+    schemas". Called by entry points (bench, CLI) — never on import,
+    so library users keep Ray's default logging.
+    """
+    import logging
+
+    class _Drop(logging.Filter):
+        _needles = (
+            "with a different schema than the previous one",
+            "Failed to hash the schemas",
+        )
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not any(n in msg for n in self._needles)
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).addFilter(_Drop())

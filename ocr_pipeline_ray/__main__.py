@@ -84,6 +84,10 @@ def main(argv=None) -> int:
 
     import ray
 
+    from ocr_pipeline_ray import silence_ray_cosmetic_warnings
+
+    silence_ray_cosmetic_warnings()
+
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False}
         if args.num_cpus:

@@ -42,16 +42,19 @@ class PipelineContext:
 # (e.g. the ReplaceCharsRegex ``old = 3`` literal must stay '3').
 INT_PARAMS = frozenset({"min_len", "minlen", "batch_size"})
 FLOAT_PARAMS = frozenset({"max_link_density"})
+BOOL_PARAMS = frozenset({"backup"})
 
 
 def coerce_params(params: Dict[str, object]) -> Dict[str, object]:
-    """Coerce known-numeric step params (idempotent on already-typed)."""
+    """Coerce known-typed step params (idempotent on already-typed)."""
     out = dict(params)
     for key, value in params.items():
         if key in INT_PARAMS:
             out[key] = int(value)
         elif key in FLOAT_PARAMS:
             out[key] = float(value)
+        elif key in BOOL_PARAMS and isinstance(value, str):
+            out[key] = value.strip().lower() in ("1", "true", "yes", "on")
     return out
 
 

@@ -158,17 +158,22 @@ def get_page_lines(
                     f"{{{ns_uri}}}TextEquiv/{{{ns_uri}}}Unicode"
                 )
                 if unicode_el is not None and unicode_el.text:
+                    # reference parity: a token EMPTIED by mark
+                    # stripping stays in the list, so the join yields
+                    # double spaces (lib/ocr_model.py:144-157 keeps
+                    # the replaced string in text_words)
                     tokens.append(strip_marks(unicode_el.text.strip()))
         else:
             # no Word elements: the line itself must carry valid coords
             center = _to_center(line, ns_uri, vertical)
             if center is None:
                 continue  # invalid coords → line dropped (valid=False)
-            tokens = [strip_marks(t) for t in stripped.split()]
+            # reference parity: the whole line text is ONE token
+            # (lib/ocr_model.py:119-126 appends the TextLine element
+            # itself), so inner runs of spaces survive and RTL
+            # reordering is a no-op for word-less lines
+            tokens = [strip_marks(stripped)]
 
-        tokens = [t for t in tokens if t]
-        if not tokens:
-            continue
         if reorder:
             tokens = list(reversed(tokens))
 

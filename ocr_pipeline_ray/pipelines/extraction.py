@@ -59,7 +59,11 @@ def _build_extract(ds, params, ctx: PipelineContext):
 
 @register_step("ReplaceChars")
 def _build_replace_chars(ds, params, ctx: PipelineContext):
-    fn = make_replace_chars_fn(dict(params["dict_chars"]))
+    from ..config import coerce_params
+
+    params = coerce_params(params)
+    fn = make_replace_chars_fn(dict(params["dict_chars"]),
+                               backup=bool(params.get("backup", False)))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 

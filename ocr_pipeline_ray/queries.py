@@ -506,6 +506,55 @@ def q_extraction_flagship(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_extraction_boilerplate(sf_dir: str):
+    """Boilerplate-stripping oracle: every drop rule is LOAD-BEARING.
+
+    Wraps each document in HTML where the extractor must (a) drop a
+    class-matched sidebar (``class="sidebar promo"``), (b) drop a
+    pure-link nav list via link density, (c) drop a 1-char line via
+    ``min_len``, (d) reverse an ``dir="rtl"`` line's token order, and
+    keep exactly three content lines. Unlike the flagship identity
+    oracle, a regression in ANY of those classifiers changes
+    ``extracted_text`` and fails the DuckDB hash.
+    """
+    import html as html_mod
+
+    from .pipelines.extraction import build_pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        htmls = [
+            (
+                "<html><body>"
+                "<div class='sidebar promo'><p>Best offers here now</p></div>"
+                "<ul><li><a href='/1'>Home</a></li>"
+                "<li><a href='/2'>Kontakt hier</a></li></ul>"
+                f"<p>{html_mod.escape(t or '')}</p>"
+                "<p>x</p>"
+                f"<p>doc {i} end</p>"
+                "<p dir='rtl'>aleph bet gimel</p>"
+                "<footer><p>Impressum</p></footer>"
+                "</body></html>"
+            ).encode("utf-8")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    out = build_pipeline(pages)
+    return out.select_columns(["url", "extracted_text"])
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -689,6 +738,27 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(sum(greatest(n - 3, 0)) AS BIGINT) AS dropped_ids "
         "FROM bs"
     ),
+    "simhash": (
+        # 64-bit SimHash reproduced bit-for-bit in SQL: per-token
+        # h = first 8 md5 bytes big-endian (== '0x'||hexdigest[:16]),
+        # per-bit majority vote, hex-formatted from the bit vector
+        "WITH toks AS ("
+        "SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok "
+        "FROM documents), "
+        "th AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks), "
+        "bits AS (SELECT doc_id, b.bit AS bit, "
+        "sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc "
+        "FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b "
+        "GROUP BY doc_id, b.bit), "
+        "docbits AS (SELECT doc_id, "
+        "list(CASE WHEN acc > 0 THEN 1 ELSE 0 END ORDER BY bit) AS bv "
+        "FROM bits GROUP BY doc_id) "
+        "SELECT doc_id, array_to_string(list_transform(generate_series(0, 15), "
+        "c -> substr('0123456789abcdef', "
+        "1 + bv[64-4*c] * 8 + bv[63-4*c] * 4 + bv[62-4*c] * 2 + bv[61-4*c], 1)), "
+        "'') AS simhash FROM docbits"
+    ),
     "ann_topk": (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
         "WHERE vec_id = 0) "
@@ -727,7 +797,17 @@ ORACLE_SQL: Dict[str, str] = {
         "d.text AS extracted_text, q.hit_ratio, q.n_words, q.n_errs "
         "FROM documents d JOIN q USING (doc_id)"
     ),
-    # no oracle (non-SQL / approximate): ann_topk_lsh, simhash
+    "extraction_boilerplate": (
+        # kept lines: the doc text (unless empty), 'doc <id> end', and
+        # the RTL line with tokens REVERSED; sidebar/nav/x/footer gone
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "(CASE WHEN text = '' THEN '' ELSE text || chr(10) END) || "
+        "'doc ' || CAST(doc_id AS VARCHAR) || ' end' || chr(10) || "
+        "'gimel bet aleph' AS extracted_text "
+        "FROM documents"
+    ),
+    # no oracle (approximate by design): ann_topk_lsh,
+    # embedding_near_dup_lsh
 }
 
 QUERIES = {
@@ -757,4 +837,5 @@ QUERIES = {
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,
+    "extraction_boilerplate": q_extraction_boilerplate,
 }

@@ -50,6 +50,10 @@ def _line_id(i: int) -> str:
 def is_fusable(specs: Sequence[StepSpec]) -> bool:
     if not specs or specs[0].type != "HtmlExtract":
         return False
+    # the backup column is a per-step-path feature (extra output
+    # column the fused chain doesn't model)
+    if any(s.params.get("backup") for s in specs):
+        return False
     tail = [s.type for s in specs[1:]]
     return (
         set(tail) <= FUSABLE_TAIL

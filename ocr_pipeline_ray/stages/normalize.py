@@ -48,8 +48,16 @@ def _merge_stats(
     return list(merged.items())
 
 
-def make_replace_chars_fn(dict_chars: Dict[str, str]):
-    """Batch fn applying ordered literal substitution to every line."""
+def make_replace_chars_fn(dict_chars: Dict[str, str], backup: bool = False):
+    """Batch fn applying ordered literal substitution to every line.
+
+    ``backup=True`` is the engine's analogue of the reference's
+    backup-before-overwrite option (StepPostReplaceChars,
+    `lib/ocr_step.py:231-243`, ``<name>_before_<Class>.xml``): the
+    pre-replacement line texts are preserved as a
+    ``text_before_replace_chars`` column (newline-joined) instead of a
+    sibling file — there is no file handoff to back up.
+    """
 
     def _fn(batch: pa.Table) -> pa.Table:
         lines_list = batch.column("lines").to_pylist()
@@ -58,9 +66,11 @@ def make_replace_chars_fn(dict_chars: Dict[str, str]):
             if "repl_stats" in batch.column_names
             else None
         )
-        new_lines, new_stats = [], []
+        new_lines, new_stats, backups = [], [], []
         for i in range(len(lines_list)):
             lines, texts = _lines_texts(lines_list, i)
+            if backup:
+                backups.append("\n".join(texts))
             replaced, stats = replace_chars(texts, dict_chars)
             new_lines.append(_rebuild(lines, replaced))
             prior = stats_list[i] if stats_list is not None else None
@@ -72,6 +82,10 @@ def make_replace_chars_fn(dict_chars: Dict[str, str]):
         out = out.append_column(
             "repl_stats", pa.array(new_stats, REPL_STATS_TYPE)
         )
+        if backup:
+            out = out.append_column(
+                "text_before_replace_chars", pa.array(backups, pa.string())
+            )
         return out
 
     return _fn

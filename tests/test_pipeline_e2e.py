@@ -109,6 +109,48 @@ class TestStats:
         assert merged, "corpus should produce replacement hits"
 
 
+class TestReplaceCharsBackup:
+    def test_backup_column_holds_pre_replacement_text(
+        self, ray_session, small_corpus
+    ):
+        """backup=True (StepPostReplaceChars backup analogue,
+        lib/ocr_step.py:231-243): the pre-replacement text is kept as
+        a column; replaying the replacement over it reproduces the
+        replaced line texts."""
+        from ocr_pipeline_ray.config import default_steps
+        from ocr_pipeline_ray.functions.text import (
+            replace_chars,
+            replace_chars_regex,
+        )
+        from ocr_pipeline_ray.pipelines.extraction import (
+            build_pipeline,
+            read_pages,
+        )
+
+        steps = default_steps()
+        repl = next(s for s in steps if s.type == "ReplaceChars")
+        repl.params["backup"] = True
+        dict_chars = repl.params["dict_chars"]
+        rx = next(s for s in steps if s.type == "ReplaceCharsRegex").params
+        rows = build_pipeline(read_pages(small_corpus[:1]), steps=steps).take_all()
+        assert any(r["text_before_replace_chars"] for r in rows)
+        hit = 0
+        for r in rows:
+            before = r["text_before_replace_chars"]
+            after_lines = [ln["text"] for ln in r["lines"] or []]
+            # replay the full downstream normalization over the backup
+            replayed, stats = replace_chars(
+                before.split("\n") if before else [], dict_chars
+            )
+            replayed, _ = replace_chars_regex(
+                replayed, rx["pattern"], rx["old"], rx["new"]
+            )
+            assert replayed == after_lines, r["url"]
+            if stats:
+                hit += 1
+        assert hit, "corpus should contain replacement hits"
+
+
 class TestFusedUnfusedParity:
     """The fused single-pass chain and the per-step registry path must
     stay value- and schema-identical (regression guard)."""

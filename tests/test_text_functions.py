@@ -23,6 +23,22 @@ from ocr_pipeline_ray.functions.text import (
 )
 
 
+class TestRound3:
+    def test_half_up_boundary_is_a_known_reference_deviation(self):
+        """round3 = floor(x*1000+0.5)/1000 (half-up, DuckDB-matching).
+
+        The reference uses Python round() (banker's, lib/ocr_step.py:
+        403-412); values landing exactly on a .0005 boundary differ by
+        0.001. Pinned DELIBERATE deviation — see BASELINE.md."""
+        v = (64 - 3) / 64 * 100.0  # == 95.3125 exactly in binary
+        assert round3(v) == 95.313       # this engine + DuckDB oracle
+        assert round(v, 3) == 95.312     # reference (banker's)
+
+    def test_matches_python_round_off_boundary(self):
+        for v in (0.0, 1.2344, 1.2346, 99.9994, 99.9996, 87.123):
+            assert round3(v) == round(v, 3)
+
+
 class TestReplaceChars:
     def test_counts_once_per_line_per_key(self):
         lines = ["ſieben ſachen", "nichts", "ſo"]

@@ -86,6 +86,31 @@ class TestPage:
         lines, _ = get_xml_lines(doc)
         assert lines[0][1] == "eins zwei"
 
+    def test_mark_only_word_leaves_double_space(self):
+        """Reference parity (lib/ocr_model.py:144-157): a word emptied
+        by mark stripping stays in text_words, so the join yields a
+        double space."""
+        doc = page_doc(PAGE13).replace(
+            b"<Unicode>eins</Unicode>", "<Unicode>‏</Unicode>".encode()
+        )
+        lines, _ = get_xml_lines(doc)
+        assert lines[0][1] == " zwei"  # emptied token + space + zwei
+
+    def test_wordless_line_is_one_token(self):
+        """Reference parity (lib/ocr_model.py:119-126): a TextLine
+        without Word elements contributes its whole text as ONE token
+        — inner space runs survive and RTL reorder is a no-op."""
+        doc = (
+            f'<?xml version="1.0"?><PcGts xmlns="{PAGE13}"><Page><TextRegion>'
+            '<TextLine id="lw"><Coords points="0,0 10,0 10,5 0,5"/>'
+            "<TextEquiv><Unicode>alpha  beta</Unicode></TextEquiv></TextLine>"
+            "</TextRegion></Page></PcGts>"
+        ).encode()
+        lines, _ = get_xml_lines(doc)
+        assert lines[0][1] == "alpha  beta"  # double space preserved
+        lines_r, _ = get_xml_lines(doc, reorder=True)
+        assert lines_r[0][1] == "alpha  beta"  # single token: no-op
+
     def test_words_without_line_text_raises(self):
         doc = (
             f'<?xml version="1.0"?><PcGts xmlns="{PAGE13}"><Page><TextRegion>'

@@ -603,10 +603,10 @@ SHINGLE_CTE = (
 SIG_CTE = (
     SHINGLE_CTE + ", "
     "sig AS (SELECT doc_id, "
-    "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
-    "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
-    "list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2, "
-    "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS h0, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS h1, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS h2, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS h3 "
     "FROM sh)"
 )
 CAND_SELECT = (
@@ -705,10 +705,10 @@ ORACLE_SQL: Dict[str, str] = {
     "minhash_signatures": (
         "WITH " + SHINGLE_CTE + " "
         "SELECT doc_id, "
-        "list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0, "
-        "list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1, "
-        "list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2, "
-        "list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3 "
+        "list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS h0, "
+        "list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS h1, "
+        "list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS h2, "
+        "list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS h3 "
         "FROM sh"
     ),
     "minhash_dup_pairs": "WITH " + SIG_CTE + " " + CAND_SELECT,

@@ -96,16 +96,24 @@ def shingles(tokens: List[str], k: int = 3) -> List[str]:
 
 
 def minhash_signature(text: str, n_hashes: int = 4, k: int = 3) -> List[Optional[str]]:
-    """Bottom-1 md5 minhash per salt — ``n_hashes`` band values.
+    """Bottom-1 minhash per band — ``n_hashes`` band values.
 
-    min() over hex digests = lexicographic min, matching DuckDB's
-    ``list_min(list_transform(shingles, s -> md5(salt || '|' || s)))``.
+    ONE md5 per distinct shingle, sliced into ``n_hashes`` 8-hex-char
+    chunks (independent 32-bit hash functions from a single digest) —
+    4× fewer hashes than salting per band. min() over hex chunks =
+    lexicographic min, matching DuckDB's
+    ``list_min(list_transform(shingles, s -> substr(md5(s), 1+8*i, 8)))``.
     """
+    if n_hashes > 4:
+        raise ValueError("n_hashes > 4 needs more than one 128-bit digest")
     toks = text.split(" ")
-    sh = shingles(toks, k)
+    sh = set(shingles(toks, k))
     if not sh:
         return [None] * n_hashes
-    return [min(_md5(f"{i}|{s}") for s in sh) for i in range(n_hashes)]
+    digests = [_md5(s) for s in sh]
+    return [
+        min(d[8 * i : 8 * i + 8] for d in digests) for i in range(n_hashes)
+    ]
 
 
 def minhash_fn(batch: pa.Table, text_col: str = "text", n_hashes: int = 4, k: int = 3) -> pa.Table:
@@ -278,28 +286,57 @@ _EMPTY_PAIRS = pa.table({
 })
 
 
+# per-worker-process cache of the broadcast shingle map (workers
+# persist across tasks; the map is deserialized from the object store
+# once per worker, not once per batch)
+_SH_MAP_CACHE: Dict[str, Dict] = {}
+
+
+def _broadcast_shingle_map(refs):
+    import ray
+
+    cache_key = refs[0].hex() if refs else ""
+    sh_map = _SH_MAP_CACHE.get(cache_key)
+    if sh_map is None:
+        sh_map = {}
+        for blk in ray.get(list(refs)):
+            for key, sh in zip(blk.column("key").to_pylist(),
+                               blk.column("sh").to_pylist()):
+                sh_map[key] = frozenset(sh)
+        _SH_MAP_CACHE.clear()  # hold at most one table per worker
+        _SH_MAP_CACHE[cache_key] = sh_map
+    return sh_map
+
+
 def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.8,
-                      n_hashes: int = 4, max_bucket: int = 1000):
+                      n_hashes: int = 4, max_bucket: int = 1000,
+                      join: str = "broadcast"):
     """Verified near-dup pairs: MinHash candidates re-scored by exact
     n-gram Jaccard ≥ threshold. Output: (d1, d2, jaccard·round6).
 
-    Fully distributed verification (no driver-side candidate
-    materialization):
+    Fully distributed verification — candidate pairs stay a Dataset
+    and nothing content-sized lands on the driver (it holds block
+    refs and the distinct candidate-id set only). Two join strategies:
 
-    1. candidate pairs (LSH path above) stay a Dataset; only their
-       DISTINCT doc ids — the small side by construction — are
-       broadcast to prune the shingle projection;
-    2. pair memberships ``(doc → pair_key)`` and candidate shingle
-       sets ``(doc → shingles)`` are co-shuffled by doc id (union +
-       groupby = repartition join), attaching each doc's shingles to
-       its pairs;
-    3. a second groupby on the pair key brings both sides' shingle
-       sets together and scores Jaccard inside the group UDF.
-
-    Shuffle volume = candidate docs' shingle sets only.
+    * ``join="broadcast"`` (default): the candidate docs' DISTINCT
+      shingle sets are computed distributed, materialized in the
+      OBJECT STORE, and hash-joined against the pair stream inside
+      ``map_batches`` (deserialized once per worker, cached). One
+      pass, zero extra shuffles — right whenever the candidate
+      shingle table fits in a worker's heap (it is the small side by
+      construction: near-dup candidates, not the corpus).
+    * ``join="shuffle"``: no memory assumption — memberships and
+      shingle sets are co-shuffled by a crc32 hash bucket of the doc
+      id (union + groupby = repartition join; whole-bucket UDFs, not
+      per-doc groups), then a second bucketed groupby on the pair key
+      scores each pair. Shuffle volume = one shingle-set copy per
+      pair membership.
     """
     import ray
+
+    if join not in ("broadcast", "shuffle"):
+        raise ValueError(f"join must be broadcast|shuffle, got {join!r}")
 
     cands = minhash_dup_pairs(
         ds, id_col, text_col, n_hashes, k, max_bucket
@@ -314,23 +351,80 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return ray.data.from_arrow(_EMPTY_PAIRS)
     ids_ref = ray.put(frozenset(cand_ids))
 
+    if join == "broadcast":
+        def _project_shingles(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            keys, shs = [], []
+            for rid, t in zip(ids, texts):
+                if rid in wanted:
+                    keys.append(rid)
+                    shs.append(sorted(set(shingles((t or "").split(" "), k))))
+            return pa.table({
+                "key": pa.array(keys, pa.int64()),
+                "sh": pa.array(shs, pa.list_(pa.string())),
+            })
+
+        sh_ds = ds.map_batches(
+            _project_shingles, batch_format="pyarrow"
+        ).materialize()
+        sh_refs = tuple(
+            r for b in sh_ds.iter_internal_ref_bundles() for r in b.block_refs
+        )
+
+        def _score_pairs(batch: pa.Table) -> pa.Table:
+            sh_map = _broadcast_shingle_map(sh_refs)
+            d1 = batch.column("d1").to_pylist()
+            d2 = batch.column("d2").to_pylist()
+            d1s, d2s, scores = [], [], []
+            for a, b in zip(d1, d2):
+                sh_a = sh_map.get(a)
+                sh_b = sh_map.get(b)
+                if sh_a is None or sh_b is None:
+                    continue
+                inter = len(sh_a & sh_b)
+                union = len(sh_a) + len(sh_b) - inter
+                score = 1.0 if union == 0 else inter / union
+                if score >= threshold:
+                    d1s.append(a)
+                    d2s.append(b)
+                    scores.append(_round6(score))
+            return pa.table({
+                "d1": pa.array(d1s, pa.int64()),
+                "d2": pa.array(d2s, pa.int64()),
+                "jaccard": pa.array(scores, pa.float64()),
+            })
+
+        return cands.map_batches(_score_pairs, batch_format="pyarrow")
+
+    from zlib import crc32
+
+    n_buckets = 128
+
     join_schema = pa.schema([
+        ("bucket", pa.int64()),       # crc-bucket of the doc id
         ("key", pa.int64()),          # doc id (join key)
         ("pair", pa.string()),        # "d1|d2" for membership rows
         ("side", pa.int32()),         # 0=left, 1=right, -1=shingle row
         ("sh", pa.list_(pa.string())),
     ])
 
+    def _doc_bucket(doc_id: int) -> int:
+        return crc32(str(doc_id).encode()) % n_buckets
+
     def _membership(batch: pa.Table) -> pa.Table:
         d1 = batch.column("d1").to_pylist()
         d2 = batch.column("d2").to_pylist()
-        keys, pair_keys, sides = [], [], []
+        buckets, keys, pair_keys, sides = [], [], [], []
         for a, b in zip(d1, d2):
             pk = f"{a}|{b}"
+            buckets.extend((_doc_bucket(a), _doc_bucket(b)))
             keys.extend((a, b))
             pair_keys.extend((pk, pk))
             sides.extend((0, 1))
         return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
             "key": pa.array(keys, pa.int64()),
             "pair": pa.array(pair_keys, pa.string()),
             "side": pa.array(sides, pa.int32()),
@@ -341,14 +435,16 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         wanted = ray.get(ids_ref)
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        keys, shs = [], []
+        buckets, keys, shs = [], [], []
         for rid, t in zip(ids, texts):
             if rid in wanted:
+                buckets.append(_doc_bucket(rid))
                 keys.append(rid)
                 # distinct shingles: Jaccard is a SET measure, and
                 # shipping the dedup'd set shrinks the shuffle
                 shs.append(sorted(set(shingles((t or "").split(" "), k))))
         return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
             "key": pa.array(keys, pa.int64()),
             "pair": pa.array([None] * len(keys), pa.string()),
             "side": pa.array([-1] * len(keys), pa.int32()),
@@ -359,42 +455,56 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     doc_sh = ds.map_batches(_shingle_rows, batch_format="pyarrow")
 
     def _attach(group: pa.Table) -> pa.Table:
+        """One whole doc-bucket: dict-join shingles onto memberships."""
         sides = group.column("side").to_pylist()
-        try:
-            sh_row = sides.index(-1)
-        except ValueError:
-            return pa.table({"pair": pa.array([], pa.string()),
-                             "side": pa.array([], pa.int32()),
-                             "sh": pa.array([], pa.list_(pa.string()))})
-        sh = group.column("sh")[sh_row].as_py()
-        pairs, out_sides = [], []
-        for i, side in enumerate(sides):
-            if side >= 0:
-                pairs.append(group.column("pair")[i].as_py())
+        keys = group.column("key").to_pylist()
+        shs = group.column("sh").to_pylist()
+        pairs_in = group.column("pair").to_pylist()
+        sh_by_key = {
+            key: sh for key, sh, side in zip(keys, shs, sides) if side == -1
+        }
+        out_bucket, out_pairs, out_sides, out_shs = [], [], [], []
+        for key, pair_key, side in zip(keys, pairs_in, sides):
+            if side >= 0 and key in sh_by_key:
+                out_bucket.append(crc32(pair_key.encode()) % n_buckets)
+                out_pairs.append(pair_key)
                 out_sides.append(side)
+                out_shs.append(sh_by_key[key])
         return pa.table({
-            "pair": pa.array(pairs, pa.string()),
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "pair": pa.array(out_pairs, pa.string()),
             "side": pa.array(out_sides, pa.int32()),
-            "sh": pa.array([sh] * len(pairs), pa.list_(pa.string())),
+            "sh": pa.array(out_shs, pa.list_(pa.string())),
         })
 
-    attached = membership.union(doc_sh).groupby("key").map_groups(
+    attached = membership.union(doc_sh).groupby("bucket").map_groups(
         _attach, batch_format="pyarrow"
     )
 
     def _score(group: pa.Table) -> pa.Table:
-        if group.num_rows != 2:
-            return _EMPTY_PAIRS  # defensive: both sides must arrive
-        pair_key = group.column("pair")[0].as_py()
-        d1, d2 = (int(x) for x in pair_key.split("|"))
+        """One whole pair-bucket: assemble both sides, score Jaccard."""
+        pairs_in = group.column("pair").to_pylist()
+        sides = group.column("side").to_pylist()
         shs = group.column("sh").to_pylist()
-        score = jaccard(shs[0], shs[1])
-        if score < threshold:
-            return _EMPTY_PAIRS
+        by_pair: Dict[str, list] = {}
+        for pair_key, side, sh in zip(pairs_in, sides, shs):
+            by_pair.setdefault(pair_key, [None, None])[side] = sh
+        d1s, d2s, scores = [], [], []
+        for pair_key, (sh_a, sh_b) in by_pair.items():
+            if sh_a is None or sh_b is None:
+                continue  # defensive: both sides must arrive
+            score = jaccard(sh_a, sh_b)
+            if score >= threshold:
+                a, b = pair_key.split("|")
+                d1s.append(int(a))
+                d2s.append(int(b))
+                scores.append(_round6(score))
         return pa.table({
-            "d1": pa.array([d1], pa.int64()),
-            "d2": pa.array([d2], pa.int64()),
-            "jaccard": pa.array([_round6(score)], pa.float64()),
+            "d1": pa.array(d1s, pa.int64()),
+            "d2": pa.array(d2s, pa.int64()),
+            "jaccard": pa.array(scores, pa.float64()),
         })
 
-    return attached.groupby("pair").map_groups(_score, batch_format="pyarrow")
+    return attached.groupby("bucket").map_groups(
+        _score, batch_format="pyarrow"
+    )

@@ -38,23 +38,57 @@ def sanitize_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_sanitized", pa.array(out, pa.string()))
 
 
+def _token_lists(batch: pa.Table, text_col: str):
+    """Vectorized tokenization shared by lang-ID / heuristics.
+
+    Returns ``(flat_tokens, offsets, n_tokens)``: the single-space
+    split as one flat Arrow array + int64 doc offsets — per-doc
+    reductions become cumsum differences over the flat arrays (no
+    Python loop over rows or tokens).
+    """
+    import numpy as np
+
+    col = pc.fill_null(batch.column(text_col), "")
+    parts = pc.split_pattern(col, " ").combine_chunks()
+    if isinstance(parts, pa.ChunkedArray):  # single chunk after combine
+        parts = parts.chunk(0)
+    offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = parts.values
+    n_tokens = np.diff(offsets)
+    return flat, offsets, n_tokens
+
+
+def _segment_sum(mask, offsets):
+    """Per-doc sums of a flat 0/1 array via cumsum differences
+    (empty-list safe, unlike ``np.add.reduceat``)."""
+    import numpy as np
+
+    cs = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 def lang_id_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-profile language ID: en/de scores + argmax prediction."""
-    texts = batch.column(text_col).to_pylist()
-    s_en: List[int] = []
-    s_de: List[int] = []
-    pred: List[str] = []
-    for t in texts:
-        toks = (t or "").split(" ")
-        en = sum(1 for x in toks if x in STOPWORDS_EN)
-        de = sum(1 for x in toks if x in STOPWORDS_DE)
-        s_en.append(en)
-        s_de.append(de)
-        pred.append("en" if en > de else ("de" if de > en else "unk"))
+    """Stopword-profile language ID: en/de scores + argmax prediction.
+
+    Vectorized: one split kernel, two ``is_in`` kernels over the flat
+    token array, per-doc counts by cumsum difference.
+    """
+    import numpy as np
+
+    flat, offsets, _ = _token_lists(batch, text_col)
+    en_mask = pc.is_in(
+        flat, value_set=pa.array(sorted(STOPWORDS_EN))
+    ).to_numpy(zero_copy_only=False)
+    de_mask = pc.is_in(
+        flat, value_set=pa.array(sorted(STOPWORDS_DE))
+    ).to_numpy(zero_copy_only=False)
+    s_en = _segment_sum(en_mask, offsets)
+    s_de = _segment_sum(de_mask, offsets)
+    pred = np.where(s_en > s_de, "en", np.where(s_de > s_en, "de", "unk"))
     return (
         batch.append_column("s_en", pa.array(s_en, pa.int64()))
         .append_column("s_de", pa.array(s_de, pa.int64()))
-        .append_column("lang_pred", pa.array(pred, pa.string()))
+        .append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
     )
 
 
@@ -63,27 +97,33 @@ def quality_heuristics_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     mean_token_len uses ``(len(text) - (n_tokens - 1)) / n_tokens``
     (total chars minus separator spaces) — one exact division, so the
-    SQL twin is bit-identical.
+    SQL twin is bit-identical. Fully vectorized (Arrow kernels over
+    the flat token array + cumsum-difference per-doc reductions; the
+    int64→float64 divisions are the same IEEE ops as Python's).
     """
-    texts = batch.column(text_col).to_pylist()
-    cols: Dict[str, List] = {
-        "n_chars_text": [], "n_tokens": [], "short_ratio": [],
-        "stop_ratio": [], "mean_token_len": [],
-    }
-    for t in texts:
-        t = t or ""
-        toks = t.split(" ")
-        n = len(toks)
-        cols["n_chars_text"].append(len(t))
-        cols["n_tokens"].append(n)
-        cols["short_ratio"].append(sum(1 for x in toks if len(x) <= 2) / n)
-        cols["stop_ratio"].append(sum(1 for x in toks if x in STOPWORDS_EN) / n)
-        cols["mean_token_len"].append((len(t) - (n - 1)) / n)
+    import numpy as np
+
+    col = pc.fill_null(batch.column(text_col), "")
+    flat, offsets, n_tokens = _token_lists(batch, text_col)
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    short = _segment_sum(tok_lens <= 2, offsets)
+    stop = _segment_sum(
+        pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS_EN)))
+        .to_numpy(zero_copy_only=False),
+        offsets,
+    )
     out = batch
-    for name in ("n_chars_text", "n_tokens"):
-        out = out.append_column(name, pa.array(cols[name], pa.int64()))
-    for name in ("short_ratio", "stop_ratio", "mean_token_len"):
-        out = out.append_column(name, pa.array(cols[name], pa.float64()))
+    out = out.append_column("n_chars_text", pa.array(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+    out = out.append_column("short_ratio", pa.array(short / n_tokens,
+                                                   pa.float64()))
+    out = out.append_column("stop_ratio", pa.array(stop / n_tokens,
+                                                   pa.float64()))
+    out = out.append_column(
+        "mean_token_len",
+        pa.array((n_chars - (n_tokens - 1)) / n_tokens, pa.float64()),
+    )
     return out
 
 

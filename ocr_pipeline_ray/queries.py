@@ -506,6 +506,65 @@ def q_extraction_flagship(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_events_by_type_salted(sf_dir: str):
+    """Two-phase SALTED aggregate over a genuinely hot key.
+
+    ``event_type`` has a handful of distinct values over the whole
+    events table — every key is hot, so a naive groupby funnels each
+    key's entire volume through one reducer. The salted shape:
+    phase 1 groups by ``(event_type, salt)`` (salt = user_id % 16,
+    deterministic and data-derived) spreading each hot key over 16
+    reducers; phase 2 re-aggregates the 16 partials per key. Combined
+    with the map-side partial combine, shuffle volume is
+    O(keys × salt × blocks) regardless of row skew.
+    """
+    n_salt = 16
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        etype = batch.column("event_type").to_pylist()
+        users = batch.column("user_id").to_pylist()
+        values = batch.column("value").to_pylist()
+        counts: Dict = {}
+        sums: Dict = {}
+        for e, u, v in zip(etype, users, values):
+            key = (e, u % n_salt)
+            counts[key] = counts.get(key, 0) + 1
+            sums[key] = sums.get(key, 0.0) + v
+        keys = list(counts.keys())
+        return pa.table({
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "salt": pa.array([k[1] for k in keys], pa.int64()),
+            "n_events": pa.array([counts[k] for k in keys], pa.int64()),
+            "sum_value": pa.array([sums[k] for k in keys], pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+    phase1 = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .aggregate(Sum("n_events"), Sum("sum_value"))
+    )
+    phase2 = phase1.groupby("event_type").aggregate(
+        Sum("sum(n_events)"), Sum("sum(sum_value)")
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sums = [
+            math.floor(s * 1000000.0 + 0.5) / 1000000.0
+            for s in batch.column("sum(sum(sum_value))").to_pylist()
+        ]
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("sum(sum(n_events))"), pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        })
+
+    return phase2.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_extraction_boilerplate(sf_dir: str):
     """Boilerplate-stripping oracle: every drop rule is LOAD-BEARING.
 
@@ -781,6 +840,11 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "events_by_type_salted": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
+        "FROM events GROUP BY event_type"
+    ),
     "user_activity": (
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
@@ -834,6 +898,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,
+    "events_by_type_salted": q_events_by_type_salted,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,

@@ -76,6 +76,9 @@ def main(argv=None) -> int:
     parser.add_argument("--num-cpus", type=int, default=None)
     parser.add_argument("--report", action="store_true",
                         help="also write the .wtr corpus quality report")
+    parser.add_argument("--emit-xml", action="store_true",
+                        help="add an alto_xml column (pretty/CRLF ALTO v4 "
+                             "serialization of the extracted lines)")
     parser.add_argument("--rescore", action="store_true",
                         help="post-only quality re-scoring of extracted output")
     parser.add_argument("--no-resume", action="store_true",
@@ -145,7 +148,13 @@ def main(argv=None) -> int:
             os.remove(os.path.join(args.out, "_lineage", f"{pid}.json"))
 
     def _pipeline(ds):
-        return build_pipeline(ds, steps=steps)
+        out = build_pipeline(ds, steps=steps)
+        if args.emit_xml:
+            from ocr_pipeline_ray.functions.xmlout import alto_xml_fn
+
+            out = out.map_batches(alto_xml_fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return out
 
     try:
         # prune at the read: the chain needs only these four columns

@@ -80,6 +80,16 @@ def _build_finalize(ds, params, ctx: PipelineContext):
     )
 
 
+@register_step("EmitAlto")
+def _build_emit_alto(ds, params, ctx: PipelineContext):
+    """Optional ALTO v4 serialization of the extracted lines — the S4
+    pretty/CRLF XML writer as an ``alto_xml`` binary column."""
+    from ..functions.xmlout import alto_xml_fn
+
+    return ds.map_batches(alto_xml_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @register_step("QualityEstimate")
 def _build_quality(ds, params, ctx: PipelineContext):
     return quality_stage(

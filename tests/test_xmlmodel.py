@@ -198,3 +198,50 @@ class TestEndToEnd:
         html = by_url["http://a/h.html"]
         assert html["extracted_text"] == "web seite inhalt"
         assert html["lines"][0]["line_id"] == "l00000"
+
+
+class TestAltoEmission:
+    """S4 writer parity: pretty/CRLF ALTO v4 out, re-readable by the
+    engine's own ALTO reader (full round trip)."""
+
+    def test_crlf_pretty_deterministic(self):
+        from ocr_pipeline_ray.functions.xmlout import doc_to_alto_xml
+
+        lines = [
+            {"line_id": "l00000", "text": 'mit "anführung" & <klammer>',
+             "hpos": 80, "vpos": 100, "width": 240, "height": 24},
+            {"line_id": "l00001", "text": "zweite zeile",
+             "hpos": 80, "vpos": 128, "width": 144, "height": 24},
+        ]
+        raw = doc_to_alto_xml("doc1", "pdoc1", lines)
+        # every newline is CRLF (write_xml_file parity,
+        # lib/ocr_step.py:605-619), pretty-printed, deterministic
+        assert raw.count(b"\n") == raw.count(b"\r\n") > 10
+        assert b"  <Description>" in raw
+        assert raw == doc_to_alto_xml("doc1", "pdoc1", lines)
+
+    def test_round_trip_through_own_reader(self, ray_session, small_corpus):
+        from ocr_pipeline_ray.functions.xmlout import alto_xml_fn
+        from ocr_pipeline_ray.pipelines.extraction import extraction_pipeline
+
+        ds = extraction_pipeline(small_corpus[:1]).map_batches(
+            alto_xml_fn, batch_format="pyarrow"
+        )
+        rows = ds.take_all()
+        checked = 0
+        for r in rows:
+            if r["error"]:
+                continue
+            lines, dialect = get_xml_lines(r["alto_xml"], min_len=0)
+            assert dialect == "alto4"
+            expect = r["lines"] or []
+            assert [t for _i, t, _g in lines] == [ln["text"] for ln in expect]
+            assert [i for i, _t, _g in lines] == [
+                ln["line_id"] for ln in expect
+            ]
+            assert [g for _i, _t, g in lines] == [
+                (ln["hpos"], ln["vpos"], ln["width"], ln["height"])
+                for ln in expect
+            ]
+            checked += 1
+        assert checked > 30

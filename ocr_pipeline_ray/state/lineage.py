@@ -313,60 +313,95 @@ def run_partitioned(
     store.sweep_staging(stale_sec)
     staging = os.path.join(out_root, f"_staging_{run_id}")
 
-    pid_by_path = {os.path.abspath(f): pid for pid, f in pending.items()}
-
-    def _assign_pid(batch: pa.Table) -> pa.Table:
-        paths = batch.column("path").to_pylist()
-        pids = [pid_by_path[os.path.abspath(p)] for p in paths]
-        return batch.drop_columns(["path"]).append_column(
-            "pid", pa.array(pids, pa.string())
-        )
-
     run_t0 = _time.monotonic()
-    try:
-        ds = ray.data.read_parquet(
-            sorted(pending.values()),
-            include_paths=True,
-            columns=read_columns,
-            **read_kwargs,
-        )
-        ds = ds.map_batches(_assign_pid, batch_format="pyarrow")
-        out = pipeline_fn(ds)
-        out.write_parquet(staging, partition_cols=["pid"])
-    except Exception as exc:
-        for pid in pending:
-            store.append_state(pid, "fail", run_ts,
-                               {"error": str(exc), "run_id": run_id})
-            store.release(pid, run_id)
-        shutil.rmtree(staging, ignore_errors=True)
-        store.finish_run(run_id)
-        raise
+    failed: Dict[str, str] = {}
 
-    stages = _stage_metrics(out)
-    run_wall = round(_time.monotonic() - run_t0, 3)
-    for pid in pending:
-        src = os.path.join(staging, f"pid={pid}")
-        dst = os.path.join(out_root, f"pid={pid}")
-        rows = 0
-        if os.path.isdir(src):
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    rows += pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(src, dst)  # atomic publish of the partition
-        else:
-            os.makedirs(dst, exist_ok=True)  # shard produced zero rows
-        # run_wall = driver wall for the whole pending batch; "stages"
-        # carries the per-operator wall/rows split of the executed plan
-        store.append_state(
-            pid, "done", run_ts,
-            {"rows": rows,
-             "run_id": run_id,
-             "run_wall_sec": run_wall,
-             "stages": stages},
+    def _process(batch_pending: Dict[str, str], staging: str) -> None:
+        """Run one shard subset; on failure BISECT so a single poison
+        shard fails alone while healthy shards still publish.
+
+        The reference distinguishes skip-this-doc from kill-the-run
+        (`ocr_pipeline.py:426-441`); row-level errors are already
+        isolated into the ``error`` column by the chain — this is the
+        shard-level analogue for inputs that break the READ itself
+        (corrupt parquet), at log2(n) extra executions worst-case.
+        """
+        pid_by_path = {
+            os.path.abspath(f): pid for pid, f in batch_pending.items()
+        }
+
+        def _assign_pid(batch: pa.Table) -> pa.Table:
+            paths = batch.column("path").to_pylist()
+            pids = [pid_by_path[os.path.abspath(p)] for p in paths]
+            return batch.drop_columns(["path"]).append_column(
+                "pid", pa.array(pids, pa.string())
+            )
+
+        try:
+            ds = ray.data.read_parquet(
+                sorted(batch_pending.values()),
+                include_paths=True,
+                columns=read_columns,
+                **read_kwargs,
+            )
+            ds = ds.map_batches(_assign_pid, batch_format="pyarrow")
+            out = pipeline_fn(ds)
+            out.write_parquet(staging, partition_cols=["pid"])
+        except Exception as exc:
+            shutil.rmtree(staging, ignore_errors=True)
+            if len(batch_pending) == 1:
+                (pid,) = batch_pending
+                failed[pid] = str(exc)
+                store.append_state(pid, "fail", run_ts,
+                                   {"error": str(exc), "run_id": run_id})
+                store.release(pid, run_id)
+                return
+            pids = sorted(batch_pending)
+            half = len(pids) // 2
+            for i, part in enumerate((pids[:half], pids[half:])):
+                _process({p: batch_pending[p] for p in part},
+                         f"{staging}.{i}")
+            return
+
+        stages = _stage_metrics(out)
+        run_wall = round(_time.monotonic() - run_t0, 3)
+        for pid in batch_pending:
+            src = os.path.join(staging, f"pid={pid}")
+            dst = os.path.join(out_root, f"pid={pid}")
+            rows = 0
+            if os.path.isdir(src):
+                for f in os.listdir(src):
+                    if f.endswith(".parquet"):
+                        rows += pq.ParquetFile(
+                            os.path.join(src, f)).metadata.num_rows
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)  # atomic publish of the partition
+            else:
+                os.makedirs(dst, exist_ok=True)  # shard with zero rows
+            # run_wall = driver wall so far; "stages" carries the
+            # per-operator wall/rows split of the executed plan
+            store.append_state(
+                pid, "done", run_ts,
+                {"rows": rows,
+                 "run_id": run_id,
+                 "run_wall_sec": run_wall,
+                 "stages": stages},
+            )
+            store.release(pid, run_id)
+            summary["rows_written"] += rows
+        shutil.rmtree(staging, ignore_errors=True)
+
+    try:
+        _process(pending, staging)
+    finally:
+        store.finish_run(run_id)
+    summary["failed_partitions"] = sorted(failed)
+    summary["processed_partitions"] = sorted(set(pending) - set(failed))
+    if failed:
+        # healthy shards are already published + marked done (a
+        # re-run resumes past them); surface the poison shards loudly
+        raise RuntimeError(
+            f"{len(failed)} partition(s) failed: "
+            + "; ".join(f"{p}: {e}" for p, e in sorted(failed.items()))
         )
-        store.release(pid, run_id)
-        summary["rows_written"] += rows
-    shutil.rmtree(staging, ignore_errors=True)
-    store.finish_run(run_id)
     return summary

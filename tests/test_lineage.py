@@ -168,6 +168,43 @@ class TestConcurrentDrivers:
         assert os.path.isdir(live)
         assert not os.path.isdir(dead)
 
+    def test_poison_shard_isolated_by_bisect(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        """One shard whose rows break the pipeline fails ALONE; the
+        healthy shards publish and a resume retries only the poison
+        one (shard-level analogue of the skip-vs-fail split)."""
+        out = str(tmp_path / "out")
+        pids = sorted(partition_ids(small_corpus))
+        poison = pids[1]
+
+        def _poisoned(ds):
+            import pyarrow as pa
+
+            def _maybe_boom(batch: pa.Table) -> pa.Table:
+                if poison in set(batch.column("pid").to_pylist()):
+                    raise RuntimeError("poison shard")
+                return batch
+
+            return _pipeline(ds.map_batches(_maybe_boom,
+                                            batch_format="pyarrow"))
+
+        with pytest.raises(RuntimeError, match="poison"):
+            run_partitioned(small_corpus, out, _poisoned,
+                            "2026-01-01 10:00:00")
+        store = LineageStore(out)
+        assert store.done_partitions() == set(pids) - {poison}
+        assert store.read(poison)["status"] == "fail"
+        for pid in set(pids) - {poison}:
+            assert os.path.isdir(os.path.join(out, f"pid={pid}"))
+        assert not os.path.isdir(os.path.join(out, f"pid={poison}"))
+        assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+        # resume with a healthy pipeline touches only the poison shard
+        s = run_partitioned(small_corpus, out, _pipeline,
+                            "2026-01-01 11:00:00")
+        assert s["processed_partitions"] == [poison]
+        assert len(s["skipped_partitions"]) == 3
+
     def test_output_readable_and_complete(
         self, ray_session, small_corpus, tmp_path
     ):

@@ -117,7 +117,7 @@ def run_headline(paths, html_mb: float, num_cpus: int):
     out_dir = "/dev/shm/ocr_ray_bench_headline_out"
     # fused chain runs as a task pool: scales with every CPU, and Ray
     # fuses read → extract-chain → write into a single pass per block.
-    ctx = PipelineContext(batch_size=64)
+    ctx = PipelineContext(batch_size=256)
 
     def _one_run() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)

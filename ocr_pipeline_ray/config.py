@@ -28,9 +28,15 @@ class StepSpec:
 
 @dataclass
 class PipelineContext:
-    """Per-run sizing knobs shared by all stages."""
+    """Per-run sizing knobs shared by all stages.
 
-    batch_size: int = 64
+    ``batch_size=256``: measured ~15% faster than 64 on the fused
+    chain (per-batch Arrow assembly amortizes better) while keeping
+    an in-flight batch small even for fat pages (256 × 500 KB html =
+    128 MB worst case; shrink it for multi-MB documents).
+    """
+
+    batch_size: int = 256
     concurrency: object = (1, 8)
     quality_batch_size: int = 256
     # fused chain: None → task pool (default); tuple/int → actor pool

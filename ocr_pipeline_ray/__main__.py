@@ -5,8 +5,9 @@ SURVEY.md §3.1): parse args → load config → discover inputs → lock →
 parallel per-document chain → merge estimations → ``.wtr`` report →
 mark done/fail. This engine's recast::
 
-    python -m ocr_pipeline_ray INPUT... -o OUT [-c conf.ini]
-        [--num-cpus N] [--report] [--rescore]
+    python -m ocr_pipeline_ray INPUT... -o OUT [-c conf.ini] [-r]
+        [--set SECTION.KEY=VALUE ...] [--num-cpus N] [--report]
+        [--rescore] [--emit-xml] [--logdir DIR]
 
 * INPUT: parquet file(s), directory of parquet shards, or a glob.
 * resumable by default: shards with a ``done`` lineage record under
@@ -83,7 +84,12 @@ def main(argv=None) -> int:
                         help="post-only quality re-scoring of extracted output")
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing lineage (reprocess everything)")
+    parser.add_argument("--logdir", default=None,
+                        help="write a dated run log file here (the "
+                             "reference's init_logger analogue)")
     args = parser.parse_args(argv)
+
+    log = _init_logger(args.logdir)
 
     import ray
 
@@ -109,6 +115,7 @@ def main(argv=None) -> int:
     if not paths:
         print("no input parquet files found", file=sys.stderr)
         return 2
+    log.info("%d input shard(s) discovered", len(paths))
     run_ts = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
 
     if args.rescore:
@@ -163,18 +170,49 @@ def main(argv=None) -> int:
             read_columns=["url", "warc_ts", "html", "lang"],
         )
     except Exception as exc:
+        log.error("pipeline failed: %s", exc)
         print(f"pipeline failed: {exc}", file=sys.stderr)
         return 1
 
-    print(
+    line = (
         f"partitions: {len(summary['processed_partitions'])} processed, "
         f"{len(summary['skipped_partitions'])} skipped (resume), "
         f"{summary['rows_written']} rows written"
     )
+    log.info("%s", line)
+    print(line)
 
     if args.report:
         _write_report(args.out)
     return 0
+
+
+def _init_logger(logdir):
+    """File+console run logger with a dated logfile name.
+
+    The reference's ``init_logger`` contract
+    (`/root/reference/ocr_pipeline.py:120-158`): console always;
+    ``<logdir>/ocr_pipeline_ray_<%Y-%m-%d_%H-%M>.log`` when a logdir
+    is given (created if missing).
+    """
+    import logging
+
+    log = logging.getLogger("ocr_pipeline_ray.run")
+    log.setLevel(logging.INFO)
+    log.handlers.clear()
+    console = logging.StreamHandler()
+    console.setFormatter(logging.Formatter("%(levelname)s %(message)s"))
+    log.addHandler(console)
+    if logdir:
+        os.makedirs(logdir, exist_ok=True)
+        stamp = time.strftime("%Y-%m-%d_%H-%M", time.localtime())
+        path = os.path.join(logdir, f"ocr_pipeline_ray_{stamp}.log")
+        fh = logging.FileHandler(path, encoding="UTF-8")
+        fh.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        log.addHandler(fh)
+    return log
 
 
 def _write_report(out_root: str, paths_rescored: str = None) -> None:

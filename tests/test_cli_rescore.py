@@ -129,6 +129,20 @@ class TestCli:
         with pytest.raises(ValueError, match="must look like"):
             apply_overrides(default_steps(), ["min_len=3"])
 
+    def test_logdir_writes_dated_logfile(self, ray_session, small_corpus,
+                                         tmp_path):
+        """--logdir: dated run log (init_logger analogue,
+        ocr_pipeline.py:120-158)."""
+        out = str(tmp_path / "out")
+        logdir = str(tmp_path / "logs")
+        rc = main([*small_corpus, "-o", out, "--logdir", logdir])
+        assert rc == 0
+        logs = os.listdir(logdir)
+        assert len(logs) == 1 and logs[0].startswith("ocr_pipeline_ray_")
+        content = open(os.path.join(logdir, logs[0]), encoding="UTF-8").read()
+        assert "input shard(s) discovered" in content
+        assert "partitions: 4 processed" in content
+
     def test_missing_inputs(self, ray_session, tmp_path):
         rc = main(["/nonexistent/dir/x.parquet".replace("x", "*"),
                    "-o", str(tmp_path / "o")])

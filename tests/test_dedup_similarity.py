@@ -214,6 +214,56 @@ class TestSimilarity:
         assert approx <= exact  # no false positives
 
 
+class TestJaccardJoinStrategies:
+    def test_broadcast_and_shuffle_agree(self, ray_session):
+        """The broadcast hash-join and the bucketed shuffle join are
+        two physical plans of the SAME operator — identical results
+        on a seeded corpus with planted near-dups."""
+        import random
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_dup_pairs
+
+        rng = random.Random(99)
+        vocab = [f"w{i}" for i in range(60)]
+        base = [rng.choice(vocab) for _ in range(40)]
+        texts = []
+        for i in range(30):
+            words = list(base)
+            for _ in range(i % 7):  # increasing edit distance
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            texts.append(" ".join(words))
+        texts += [" ".join(rng.choice(vocab) for _ in range(40))
+                  for _ in range(10)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl)
+        results = {}
+        for join in ("broadcast", "shuffle"):
+            rows = jaccard_dup_pairs(ds, threshold=0.5, join=join).take_all()
+            results[join] = sorted(
+                (r["d1"], r["d2"], r["jaccard"]) for r in rows
+            )
+        assert results["broadcast"] == results["shuffle"]
+        assert len(results["broadcast"]) > 5  # planted dups found
+
+    def test_bad_join_arg(self, ray_session):
+        import pytest
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_dup_pairs
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["x"], pa.string()),
+        }))
+        with pytest.raises(ValueError, match="broadcast|shuffle"):
+            jaccard_dup_pairs(ds, join="nope")
+
+
 class TestBucketTelemetry:
     def test_minhash_bucket_stats(self, dup_docs_ds):
         """Cap telemetry matches a by-hand recomputation from the

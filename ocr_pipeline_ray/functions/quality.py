@@ -38,7 +38,15 @@ def count_errors(tokens: Sequence[str], lexicon: Optional[FrozenSet[str]] = None
     """
     n_errs = 0
     for token in tokens:
-        if not VALID_TOKEN_RE.match(token):
+        # fast path, exact-equivalent to the regex: a non-alpha token
+        # can never match; an all-ASCII alpha token always matches;
+        # only non-ASCII alpha tokens (umlauts vs other scripts) need
+        # the regex to decide
+        if token.isalpha():
+            valid = token.isascii() or VALID_TOKEN_RE.match(token)
+        else:
+            valid = False
+        if not valid:
             n_errs += 1
         elif lexicon is not None and token.lower() not in lexicon:
             n_errs += 1

@@ -160,32 +160,63 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       n_hashes: int = 4, k: int = 3, max_bucket: int = 1000):
     """Candidate near-duplicate pairs: docs sharing ANY band value.
 
-    band explode → groupby(band_hash) → in-bucket pair expansion
-    (Arrow-native, no pandas) → global pair dedup. Two small shuffles
-    over (hash, id) pairs only. ``max_bucket`` caps degenerate buckets
+    band explode → groupby(crc32-BUCKET of band) → per-band pair
+    expansion inside whole-bucket UDFs (Arrow/numpy, no pandas, no
+    per-band UDF invocation) → global pair dedup. Two small shuffles
+    over (hash, id) pairs only. ``max_bucket`` caps degenerate bands
     (hot-key guard); use :func:`minhash_bucket_stats` to MEASURE what
     a given cap drops — truncation is never silent.
     """
     import numpy as np
+    from zlib import crc32
+
+    n_buckets = 128
 
     sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
     exploded = _band_explode(sigs, id_col, n_hashes)
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(
-            group.column(id_col).to_numpy(zero_copy_only=False)
-        )[:max_bucket]
-        n = len(ids)
-        if n < 2:
-            return pa.table({"d1": pa.array([], pa.int64()),
-                             "d2": pa.array([], pa.int64())})
-        # upper-triangle index pairs, vectorized
-        r, c = np.triu_indices(n, k=1)
-        return pa.table({"d1": pa.array(ids[r], pa.int64()),
-                         "d2": pa.array(ids[c], pa.int64())})
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = [
+            crc32(b.encode()) % n_buckets
+            for b in batch.column("band").to_pylist()
+        ]
+        return batch.append_column("bucket", pa.array(buckets, pa.int64()))
 
-    pairs = exploded.groupby("band").map_groups(
-        _pairs, batch_format="pyarrow"
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        """Whole bucket of bands: sort by band, expand each band's
+        upper triangle over contiguous runs — one UDF call per
+        bucket instead of one per band."""
+        empty = pa.table({"d1": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        bands = np.asarray(group.column("band").to_pylist())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bands))
+        bands, ids = bands[order], ids[order]
+        # band run boundaries in the sorted view
+        starts = np.concatenate(
+            [[0], np.nonzero(bands[1:] != bands[:-1])[0] + 1, [len(bands)]]
+        )
+        d1_parts, d2_parts = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            run = ids[s:e][:max_bucket]
+            if len(run) < 2:
+                continue
+            r, c = np.triu_indices(len(run), k=1)
+            d1_parts.append(run[r])
+            d2_parts.append(run[c])
+        if not d1_parts:
+            return empty
+        return pa.table({
+            "d1": pa.array(np.concatenate(d1_parts), pa.int64()),
+            "d2": pa.array(np.concatenate(d2_parts), pa.int64()),
+        })
+
+    pairs = (
+        exploded.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     # distinct pairs (a doc pair can collide in several bands)
     agg = pairs.groupby(["d1", "d2"]).aggregate(Count())

@@ -506,6 +506,59 @@ def q_extraction_flagship(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing, ORACLE-CHECKED end to end.
+
+    Synthesizes a deterministic binary media payload per document
+    (utf-8 text bytes; kind from doc_id), runs the real actor-pool
+    ``MediaFeatureExtractor`` stage (small batches, payload dropped
+    after featurization), and emits digest-derived features the
+    DuckDB twin reproduces bit-for-bit via chained sha256 — proving
+    the batching/schema/actor plumbing, not just running it.
+    """
+    from .stages.multimodal import media_feature_stage
+
+    kinds = ["image", "audio", "video"]
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "media_id": pa.array([f"m{i}" for i in ids], pa.string()),
+            "kind": pa.array([kinds[i % 3] for i in ids], pa.string()),
+            "payload": pa.array(
+                [(t or "").encode("utf-8") for t in texts], pa.binary()
+            ),
+            "mime": pa.array(["application/octet-stream"] * len(ids),
+                             pa.string()),
+        })
+
+    media = _docs(sf_dir).map_batches(_to_media, batch_format="pyarrow")
+    feats = media_feature_stage(media)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        # scalar projection of the feature vector (the comparator —
+        # like most SQL engines — can't sort on list columns):
+        # f0 = first component, features_sig = the 16 feature bytes
+        # as hex
+        fl = batch.column("features").to_pylist()
+        f0 = [f[0] if f else None for f in fl]
+        sig = [
+            "".join(f"{round(v * 255):02x}" for v in f) if f else None
+            for f in fl
+        ]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "payload_bytes": batch.column("payload_bytes"),
+            "decode_error": batch.column("decode_error"),
+            "f0": pa.array(f0, pa.float64()),
+            "features_sig": pa.array(sig, pa.string()),
+        })
+
+    return feats.map_batches(_project, batch_format="pyarrow")
+
+
 def q_events_by_type_salted(sf_dir: str):
     """Two-phase SALTED aggregate over a genuinely hot key.
 
@@ -840,6 +893,21 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "media_features": (
+        "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "CAST(CASE WHEN text = '' THEN 0 ELSE octet_length(encode(text)) "
+        "END AS BIGINT) AS payload_bytes, "
+        "CASE WHEN text = '' THEN 'empty payload' ELSE NULL END "
+        "AS decode_error, "
+        "CASE WHEN text = '' THEN NULL ELSE "
+        "CAST(('0x' || substr(sha256(sha256(text)), 1, 2)) AS INTEGER) "
+        "/ 255.0 END AS f0, "
+        "CASE WHEN text = '' THEN NULL ELSE "
+        "substr(sha256(sha256(text)), 1, 32) END AS features_sig "
+        "FROM documents"
+    ),
     "events_by_type_salted": (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
@@ -899,6 +967,7 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,
     "events_by_type_salted": q_events_by_type_salted,
+    "media_features": q_media_features,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,

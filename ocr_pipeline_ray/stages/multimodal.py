@@ -54,12 +54,15 @@ class MediaFeatureExtractor:
             )
 
     def _features(self, payload: bytes) -> list:
-        digest = hashlib.sha256(payload).digest()
+        # chained over hexdigest STRINGS (not raw digests) so the
+        # DuckDB oracle can reproduce it: sha256(sha256(payload)) in
+        # SQL hashes the hex string, exactly like this
+        hexd = hashlib.sha256(payload).hexdigest()
         need = self.cfg.feature_dim
         vals = []
         while len(vals) < need:
-            digest = hashlib.sha256(digest).digest()
-            vals.extend(b / 255.0 for b in digest)
+            hexd = hashlib.sha256(hexd.encode("ascii")).hexdigest()
+            vals.extend(b / 255.0 for b in bytes.fromhex(hexd))
         return vals[:need]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

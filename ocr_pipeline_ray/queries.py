@@ -17,6 +17,7 @@ Parity rules baked in everywhere:
 
 from __future__ import annotations
 
+import hashlib
 import math
 import re
 from typing import Dict
@@ -506,6 +507,35 @@ def q_extraction_flagship(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic content-hash train/val/test split (90/5/5).
+
+    The split key is md5 of the CONTENT (not the id), so exact
+    duplicates always land in the same split — no train/test leakage
+    through duplicated documents; fully reproducible with no RNG
+    state. Bucket = first 8 md5 hex chars as an integer, mod 100.
+    """
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        buckets = [
+            int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16)
+            % 100
+            for t in texts
+        ]
+        splits = [
+            "train" if b < 90 else ("val" if b < 95 else "test")
+            for b in buckets
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing, ORACLE-CHECKED end to end.
 
@@ -893,6 +923,16 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "dataset_split": (
+        "SELECT doc_id, "
+        "CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 "
+        "AS BIGINT) AS bucket, "
+        "CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 "
+        "< 90 THEN 'train' "
+        "WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 "
+        "< 95 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents"
+    ),
     "media_features": (
         "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -968,6 +1008,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_by_type_salted": q_events_by_type_salted,
     "media_features": q_media_features,
+    "dataset_split": q_dataset_split,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,

@@ -205,6 +205,32 @@ class TestConcurrentDrivers:
         assert s["processed_partitions"] == [poison]
         assert len(s["skipped_partitions"]) == 3
 
+    def test_corrupt_parquet_shard_isolated(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        """A shard whose FILE is unreadable (corrupt parquet bytes)
+        fails alone too — the bisect covers read-time breakage, not
+        just pipeline-stage exceptions."""
+        import shutil as sh
+
+        corrupt_dir = tmp_path / "shards"
+        corrupt_dir.mkdir()
+        files = []
+        for f in small_corpus:
+            dst = corrupt_dir / os.path.basename(f)
+            sh.copyfile(f, dst)
+            files.append(str(dst))
+        victim = files[2]
+        with open(victim, "wb") as fh:
+            fh.write(b"PAR1 this is not a parquet file")
+        out = str(tmp_path / "out")
+        with pytest.raises(RuntimeError, match="partition"):
+            run_partitioned(files, out, _pipeline, "2026-01-01 10:00:00")
+        store = LineageStore(out)
+        vpid = partition_id(victim)
+        assert store.read(vpid)["status"] == "fail"
+        assert store.done_partitions() == set(partition_ids(files)) - {vpid}
+
     def test_output_readable_and_complete(
         self, ray_session, small_corpus, tmp_path
     ):

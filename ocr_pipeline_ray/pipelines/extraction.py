@@ -105,13 +105,18 @@ def build_pipeline(
     steps: Optional[Sequence[StepSpec]] = None,
     ctx: Optional[PipelineContext] = None,
     fused: bool = True,
+    profile: bool = False,
 ) -> "ray.data.Dataset":
     """Apply the ordered step chain to a pages Dataset (lazy).
 
     When the chain matches the fusable default shape, it compiles to
     ONE actor-pool stage (single Arrow↔Python conversion per batch,
     see stages/fused.py); custom step types fall back to one
-    ``map_batches`` per step via the registry.
+    ``map_batches`` per step via the registry. ``profile=True`` adds
+    the fused chain's per-step ``step_wall_us`` timing column (the
+    reference's per-step profile() log at batch granularity; the
+    per-step registry path gets per-operator timings from
+    ``Dataset.stats()``/lineage instead).
     """
     from ..stages.fused import fused_stage, is_fusable
 
@@ -121,6 +126,7 @@ def build_pipeline(
         return fused_stage(
             ds, specs, batch_size=ctx.batch_size,
             concurrency=ctx.fused_concurrency,
+            profile=profile,
         )
     for spec in specs:
         builder = resolve_step(spec.type)

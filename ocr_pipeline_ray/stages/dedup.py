@@ -110,9 +110,12 @@ def minhash_signature(text: str, n_hashes: int = 4, k: int = 3) -> List[Optional
     sh = set(shingles(toks, k))
     if not sh:
         return [None] * n_hashes
-    digests = [_md5(s) for s in sh]
+    # min over raw 4-byte chunks == min over their hex (hex is an
+    # order-preserving map); only the 4 winners get hex-encoded
+    digests = [hashlib.md5(s.encode("utf-8")).digest() for s in sh]
     return [
-        min(d[8 * i : 8 * i + 8] for d in digests) for i in range(n_hashes)
+        min(d[4 * i : 4 * i + 4] for d in digests).hex()
+        for i in range(n_hashes)
     ]
 
 

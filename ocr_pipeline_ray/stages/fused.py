@@ -63,11 +63,19 @@ def is_fusable(specs: Sequence[StepSpec]) -> bool:
 
 
 class FusedExtractor:
-    """Actor: the whole default chain, one conversion per batch."""
+    """Actor: the whole default chain, one conversion per batch.
 
-    def __init__(self, specs: Sequence[StepSpec]):
+    ``profile=True`` appends a ``step_wall_us`` map column — per-STEP
+    wall microseconds accumulated over the batch (the reference's
+    per-step ``profile()`` log, `ocr_pipeline.py:368-376`, at batch
+    granularity; values repeat on every row of the batch). Off by
+    default: the timer calls are cheap but not free.
+    """
+
+    def __init__(self, specs: Sequence[StepSpec], profile: bool = False):
         from ..config import coerce_params
 
+        self.profile = profile
         extract_params = coerce_params(specs[0].params)
         cfg = extract_params.get("config")
         if cfg is None:
@@ -88,14 +96,17 @@ class FusedExtractor:
                     w.lower() for w in params["lexicon"]
                 )
 
-    def _process_row(self, raw: Optional[bytes]):
+    def _process_row(self, raw: Optional[bytes], timings=None):
         """One row: texts through the chain. Returns
         (texts, n_raw, error, stats_items, extracted_text, starts,
         stops, quality)."""
+        from time import perf_counter
+
         error = None
         texts: List[str] = []
         overrides = None
         n_raw = 0
+        t0 = perf_counter() if timings is not None else 0.0
         if raw is None:
             error = "empty html"
         else:
@@ -108,6 +119,10 @@ class FusedExtractor:
                 error = f"{type(exc).__name__}: {exc}"
                 texts = []
                 overrides = None
+        if timings is not None:
+            now = perf_counter()
+            timings["HtmlExtract"] = timings.get("HtmlExtract", 0.0) + (now - t0)
+            t0 = now
         repl_stats: Dict[str, int] = {}
         extracted_text = ""
         quality = None
@@ -135,12 +150,21 @@ class FusedExtractor:
                 quality = estimate_quality(
                     texts, params.get("lexicon"), params.get("minlen", 2)
                 )
+            if timings is not None:
+                now = perf_counter()
+                timings[_type] = timings.get(_type, 0.0) + (now - t0)
+                t0 = now
         return (texts, n_raw, error, list(repl_stats.items()),
                 extracted_text, starts, stops, quality, overrides)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        timings = {} if self.profile else None
+        if timings is not None:
+            from time import perf_counter
+
+            batch_t0 = perf_counter()
         htmls = batch.column("html").to_pylist()
         n_raw_col, err_col, stats_col, text_col, nl_col = [], [], [], [], []
         qual_cols = {name: [] for name, _ in QUALITY_FIELDS}
@@ -151,7 +175,7 @@ class FusedExtractor:
         xml_overrides = []  # (flat_pos, ids, geoms) for ALTO/PAGE docs
         for raw in htmls:
             (texts, n_raw, error, stats, extracted, starts, stops,
-             quality, overrides) = self._process_row(raw)
+             quality, overrides) = self._process_row(raw, timings)
             n_raw_col.append(n_raw)
             err_col.append(error)
             stats_col.append(stats)
@@ -229,6 +253,15 @@ class FusedExtractor:
         )
         for name, typ in QUALITY_FIELDS:
             out = out.append_column(name, pa.array(qual_cols[name], typ))
+        if timings is not None:
+            total = perf_counter() - batch_t0
+            timings["arrow_assembly"] = total - sum(timings.values())
+            items = [(k, int(v * 1_000_000)) for k, v in timings.items()]
+            out = out.append_column(
+                "step_wall_us",
+                pa.array([items] * out.num_rows,
+                         pa.map_(pa.string(), pa.int64())),
+            )
         return out
 
 
@@ -239,15 +272,15 @@ class FusedExtractor:
 _FUSED_CACHE: dict = {}
 
 
-def make_fused_fn(specs: Sequence[StepSpec]):
+def make_fused_fn(specs: Sequence[StepSpec], profile: bool = False):
     spec_list = [StepSpec(s.type, dict(s.params)) for s in specs]
     key = repr([(s.type, sorted((k, repr(v)) for k, v in s.params.items()))
-                for s in spec_list])
+                for s in spec_list]) + f"|profile={profile}"
 
     def _fused_fn(batch: pa.Table) -> pa.Table:
         inst = _FUSED_CACHE.get(key)
         if inst is None:
-            inst = FusedExtractor(spec_list)
+            inst = FusedExtractor(spec_list, profile=profile)
             _FUSED_CACHE[key] = inst
         return inst(batch)
 
@@ -255,24 +288,25 @@ def make_fused_fn(specs: Sequence[StepSpec]):
 
 
 def fused_stage(ds, specs: Sequence[StepSpec], batch_size: int = 64,
-                concurrency=None):
+                concurrency=None, profile: bool = False):
     """Attach the fused chain.
 
     Default: TASK pool (cheap per-worker init, full-cluster scaling,
     and Ray fuses read→map→write into one pass). Pass ``concurrency``
     to force an actor pool instead — right when the chain carries
     heavy state (a large lexicon) worth pinning in long-lived actors.
+    ``profile=True`` adds the per-step ``step_wall_us`` column.
     """
     if concurrency is None:
         return ds.map_batches(
-            make_fused_fn(specs),
+            make_fused_fn(specs, profile=profile),
             batch_size=batch_size,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
     return ds.map_batches(
         FusedExtractor,
-        fn_constructor_kwargs={"specs": list(specs)},
+        fn_constructor_kwargs={"specs": list(specs), "profile": profile},
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -151,6 +151,29 @@ class TestReplaceCharsBackup:
         assert hit, "corpus should contain replacement hits"
 
 
+class TestStepProfile:
+    def test_profile_column_covers_every_step(self, ray_session, small_corpus):
+        """build_pipeline(profile=True): per-step wall-time map (the
+        reference's per-step profile() log at batch granularity)."""
+        from ocr_pipeline_ray.pipelines.extraction import (
+            build_pipeline,
+            read_pages,
+        )
+
+        rows = build_pipeline(read_pages(small_corpus[:1]),
+                              profile=True).take_all()
+        expected = {"HtmlExtract", "ReplaceChars", "ReplaceCharsRegex",
+                    "FinalizeText", "QualityEstimate", "arrow_assembly"}
+        for r in rows[:5]:
+            timing = dict(r["step_wall_us"])
+            assert set(timing) == expected
+            assert all(v >= 0 for v in timing.values())
+        assert sum(dict(rows[0]["step_wall_us"]).values()) > 0
+        # default output has NO profile column
+        plain = build_pipeline(read_pages(small_corpus[:1])).take(1)
+        assert "step_wall_us" not in plain[0]
+
+
 class TestFusedUnfusedParity:
     """The fused single-pass chain and the per-step registry path must
     stay value- and schema-identical (regression guard)."""

@@ -38,7 +38,7 @@ from dataclasses import dataclass
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
 
-from .text import strip_marks
+from .text import CLEAR_MARKS, strip_marks
 
 _BLOCK_TAGS = frozenset(
     {
@@ -93,10 +93,11 @@ class _MainContentParser(HTMLParser):
         self.boiler_re = boiler_re
         self.stack: List[_Frame] = []
         self.link_depth = 0
-        # current line accumulation
+        # current line accumulation; char counting is deferred to
+        # flush (counts are additive across segment boundaries, so
+        # splitting once per line == splitting per segment)
         self._segments: List[str] = []
-        self._link_chars = 0
-        self._total_chars = 0
+        self._link_segments: List[str] = []
         self._line_boiler = False
         self._line_rtl = False
         self._line_open = False
@@ -120,19 +121,31 @@ class _MainContentParser(HTMLParser):
         if not self._line_open:
             return
         text = "".join(self._segments)
-        tokens = [strip_marks(t) for t in text.split()]
-        tokens = [t for t in tokens if t]
+        tokens = text.split()
+        # raw (pre-mark-strip) char counts feed link density — same
+        # values as per-segment counting, computed once per line
+        total_chars = sum(map(len, tokens))
+        if self._link_segments:
+            link_chars = sum(
+                sum(map(len, seg.split())) for seg in self._link_segments
+            )
+        else:
+            link_chars = 0
+        # mark stripping only when a mark is present in the line at
+        # all (rare) — avoids a per-token function call on the hot path
+        if tokens and any(m in text for m in CLEAR_MARKS):
+            tokens = [strip_marks(t) for t in tokens]
+            tokens = [t for t in tokens if t]
         self._line_open = False
         self._segments = []
+        self._link_segments = []
         if tokens:
             if self._line_rtl:
                 tokens = list(reversed(tokens))
             line_text = " ".join(tokens)
             self.raw_lines.append(
-                (line_text, self._line_boiler, self._link_chars, self._total_chars)
+                (line_text, self._line_boiler, link_chars, total_chars)
             )
-        self._link_chars = 0
-        self._total_chars = 0
         self._line_boiler = False
         self._line_rtl = False
 
@@ -187,14 +200,12 @@ class _MainContentParser(HTMLParser):
         ignored, boiler, rtl = self._state()
         if ignored or not data:
             return
-        if not data.strip() and not self._line_open:
+        if not self._line_open and not data.strip():
             return
         self._line_open = True
         self._segments.append(data)
-        n_chars = sum(len(t) for t in data.split())
-        self._total_chars += n_chars
         if self.link_depth > 0:
-            self._link_chars += n_chars
+            self._link_segments.append(data)
         if boiler:
             self._line_boiler = True
         if rtl:

@@ -129,6 +129,34 @@ class TestCli:
         with pytest.raises(ValueError, match="must look like"):
             apply_overrides(default_steps(), ["min_len=3"])
 
+    def test_emit_alto_via_ini_chain(self, ray_session, small_corpus,
+                                     tmp_path):
+        """An INI chain ending in EmitAlto drives the S4 writer through
+        the step registry (per-step path, since EmitAlto isn't
+        fusable)."""
+        import pyarrow.parquet as pq
+
+        ini = tmp_path / "with_alto.ini"
+        ini.write_text(
+            "[step_01]\ntype = HtmlExtract\nmin_len = 2\n"
+            "[step_02]\ntype = ReplaceChars\n"
+            "dict_chars = {'ic)': 'ich', 's<': 'sc', '<': 'c'}\n"
+            "[step_03]\ntype = ReplaceCharsRegex\n"
+            "pattern = r'([aeioubcglnt]3[:-]*\")'\nold = 3\nnew = s\n"
+            "[step_04]\ntype = FinalizeText\n"
+            "[step_05]\ntype = QualityEstimate\n"
+            "[step_06]\ntype = EmitAlto\n"
+        )
+        out = str(tmp_path / "out")
+        rc = main([*small_corpus, "-o", out, "-c", str(ini)])
+        assert rc == 0
+        tbl = pq.read_table(
+            glob.glob(os.path.join(out, "pid=*", "*.parquet")),
+            columns=["alto_xml"])
+        payloads = [p for p in tbl.column("alto_xml").to_pylist() if p]
+        assert len(payloads) > 200
+        assert all(b"\r\n" in p and b"<alto" in p for p in payloads[:10])
+
     def test_logdir_writes_dated_logfile(self, ray_session, small_corpus,
                                          tmp_path):
         """--logdir: dated run log (init_logger analogue,

@@ -320,10 +320,23 @@ _EMPTY_PAIRS = pa.table({
 })
 
 
-# per-worker-process cache of the broadcast shingle map (workers
-# persist across tasks; the map is deserialized from the object store
-# once per worker, not once per batch)
+# per-worker-process caches for broadcast objects (workers persist
+# across tasks; deserialize from the object store once per worker,
+# not once per batch)
 _SH_MAP_CACHE: Dict[str, Dict] = {}
+_BROADCAST_CACHE: Dict[str, object] = {}
+
+
+def _cached_get(ref):
+    """ray.get memoized per worker process (keyed by the ref id)."""
+    import ray
+
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        if len(_BROADCAST_CACHE) > 8:
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
 
 
 def _broadcast_shingle_map(refs):
@@ -387,7 +400,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     if join == "broadcast":
         def _project_shingles(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)
+            wanted = _cached_get(ids_ref)
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             keys, shs = [], []
@@ -466,7 +479,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         }, schema=join_schema)
 
     def _shingle_rows(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
+        wanted = _cached_get(ids_ref)
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         buckets, keys, shs = [], [], []

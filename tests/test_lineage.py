@@ -140,6 +140,44 @@ class TestConcurrentDrivers:
         # all four published exactly once
         assert len(LineageStore(out).done_partitions()) == 4
 
+    def test_two_real_processes_share_out_root(self, small_corpus, tmp_path):
+        """TWO OS processes run the CLI concurrently against one
+        out_root: every shard is published exactly once, no
+        double-writes (the reference's NFS busy-marker contract,
+        ocr_pipeline.py:338-365, under genuine concurrency)."""
+        import subprocess
+        import sys
+
+        out = str(tmp_path / "out")
+        cmd = [sys.executable, "-m", "ocr_pipeline_ray", *small_corpus,
+               "-o", out, "--num-cpus", "2"]
+        procs = [
+            subprocess.Popen(cmd, cwd="/root/repo",
+                             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for _ in range(2)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, se.decode()[-2000:]
+        store = LineageStore(out)
+        pids = set(partition_ids(small_corpus))
+        assert store.done_partitions() == pids
+        # no shard processed twice: total rows exactly the corpus size
+        # and lineage row counts sum to it
+        import duckdb
+
+        n, distinct = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT url || CAST(warc_ts AS VARCHAR)) "
+            f"FROM read_parquet('{out}/pid=*/*.parquet', "
+            f"hive_partitioning=true)"
+        ).fetchone()
+        assert n == 240 and distinct == 240
+        assert sum(store.read(p)["rows"] for p in pids) == 240
+        # no leftover claims or staging
+        assert not [f for f in os.listdir(os.path.join(out, "_lineage"))
+                    if f.endswith(".lock")]
+        assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+
     def test_stale_lease_takeover(self, tmp_path):
         out = str(tmp_path / "out")
         store = LineageStore(out)

@@ -216,10 +216,21 @@ class _MainContentParser(HTMLParser):
 # Drives the same _MainContentParser handlers as html.parser but with a
 # single regex scan (HTMLParser's goahead/parse_starttag machinery is
 # ~60-70% of per-doc cost). Validated drift-free against the stdlib
-# path on the full fixture corpus; any tokenizer exception falls back
-# to html.parser for that document.
+# path on VALID HTML (incl. quoted '>', comments, rawtext, misnesting
+# — see TestFastTokenizerDrift). On INVALID markup — a raw unescaped
+# '<' in text content — recovery is undefined and the two parsers may
+# segment differently; the fast path is the engine's authoritative
+# behavior there (it runs for every document; the stdlib fallback only
+# fires if the tokenizer raises).
 
-_TAG_RE = re.compile(r"<(!--.*?--|!\[CDATA\[.*?\]\]|![^>]*|/?[a-zA-Z][^>]*?)/?>", re.S)
+# element bodies consume quoted attribute values atomically so a '>'
+# inside quotes (href="x>y") does not terminate the tag early —
+# matching html.parser's behavior
+_TAG_RE = re.compile(
+    r"<(!--.*?--|!\[CDATA\[.*?\]\]|![^>]*"
+    r"|/?[a-zA-Z](?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)/?>",
+    re.S,
+)
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*))"""
@@ -256,7 +267,9 @@ def _fast_feed(text: str, parser: "_MainContentParser") -> None:
         name = name_match.group(0).lower()
         attrs = []
         rest = body[name_match.end():]
-        if rest and ("class" in rest or "id" in rest or "dir" in rest):
+        if rest and any(
+            key in rest.lower() for key in ("class", "id", "dir")
+        ):
             for am in _ATTR_RE.finditer(rest):
                 val = am.group(2)
                 if val is None:

@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     parser.add_argument("--emit-xml", action="store_true",
                         help="add an alto_xml column (pretty/CRLF ALTO v4 "
                              "serialization of the extracted lines)")
+    parser.add_argument("--profile", action="store_true",
+                        help="add a step_wall_us column with per-step "
+                             "wall timing (the reference's per-step "
+                             "profile() log at batch granularity)")
     parser.add_argument("--rescore", action="store_true",
                         help="post-only quality re-scoring of extracted output")
     parser.add_argument("--no-resume", action="store_true",
@@ -155,7 +159,7 @@ def main(argv=None) -> int:
             os.remove(os.path.join(args.out, "_lineage", f"{pid}.json"))
 
     def _pipeline(ds):
-        out = build_pipeline(ds, steps=steps)
+        out = build_pipeline(ds, steps=steps, profile=args.profile)
         if args.emit_xml:
             from ocr_pipeline_ray.functions.xmlout import alto_xml_fn
 

@@ -697,6 +697,44 @@ def q_extraction_boilerplate(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def q_extraction_alto_roundtrip(sf_dir: str):
+    """XML-dialect extraction, ORACLE-CHECKED: each document is
+    serialized to ALTO v4 with the engine's own S4 emitter, then the
+    FULL pipeline must sniff the dialect, parse it back and reproduce
+    the text byte-identically — pinning the ALTO reader (namespace
+    sniff, String/TextLine traversal) under the DuckDB gate, not just
+    pytest."""
+    from .functions.xmlout import doc_to_alto_xml
+    from .pipelines.extraction import build_pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        payloads = [
+            doc_to_alto_xml(
+                str(i), f"p{i}",
+                [{"line_id": "l00000", "text": t or "",
+                  "hpos": 80, "vpos": 100,
+                  "width": 12 * len(t or ""), "height": 24}],
+            )
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    out = build_pipeline(pages)
+    return out.select_columns(["url", "extracted_text"])
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -923,6 +961,10 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "extraction_alto_roundtrip": (
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "text AS extracted_text FROM documents"
+    ),
     "dataset_split": (
         "SELECT doc_id, "
         "CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 "
@@ -1013,4 +1055,5 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,
     "extraction_boilerplate": q_extraction_boilerplate,
+    "extraction_alto_roundtrip": q_extraction_alto_roundtrip,
 }

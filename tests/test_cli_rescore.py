@@ -157,6 +157,19 @@ class TestCli:
         assert len(payloads) > 200
         assert all(b"\r\n" in p and b"<alto" in p for p in payloads[:10])
 
+    def test_profile_flag_adds_timing_column(self, ray_session,
+                                             small_corpus, tmp_path):
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "out")
+        rc = main([small_corpus[0], "-o", out, "--profile"])
+        assert rc == 0
+        tbl = pq.read_table(
+            glob.glob(os.path.join(out, "pid=*", "*.parquet")),
+            columns=["step_wall_us"])
+        timing = dict(tbl.column("step_wall_us")[0].as_py())
+        assert "HtmlExtract" in timing and "QualityEstimate" in timing
+
     def test_logdir_writes_dated_logfile(self, ray_session, small_corpus,
                                          tmp_path):
         """--logdir: dated run log (init_logger analogue,

@@ -735,6 +735,48 @@ def q_extraction_alto_roundtrip(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+
+def q_extraction_page_roundtrip(sf_dir: str):
+    """PAGE-dialect extraction, ORACLE-CHECKED: documents wrapped in
+    PAGE 2019 XML (TextLine/TextEquiv/Unicode, no Word elements — the
+    whole text is ONE token per reference parity) must sniff, parse
+    and reproduce the text byte-identically."""
+    from xml.sax.saxutils import escape
+
+    from .pipelines.extraction import build_pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        payloads = [
+            (
+                f'<?xml version="1.0"?><PcGts xmlns="{PAGE_NS}">'
+                "<Page><TextRegion>"
+                f'<TextLine id="l{i}">'
+                '<Coords points="80,100 500,100 500,124 80,124"/>'
+                f"<TextEquiv><Unicode>{escape(t or '')}</Unicode></TextEquiv>"
+                "</TextLine></TextRegion></Page></PcGts>"
+            ).encode("utf-8")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    out = build_pipeline(pages)
+    return out.select_columns(["url", "extracted_text"])
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -965,6 +1007,10 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
         "text AS extracted_text FROM documents"
     ),
+    "extraction_page_roundtrip": (
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "text AS extracted_text FROM documents"
+    ),
     "dataset_split": (
         "SELECT doc_id, "
         "CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 "
@@ -1056,4 +1102,5 @@ QUERIES = {
     "extraction_flagship": q_extraction_flagship,
     "extraction_boilerplate": q_extraction_boilerplate,
     "extraction_alto_roundtrip": q_extraction_alto_roundtrip,
+    "extraction_page_roundtrip": q_extraction_page_roundtrip,
 }

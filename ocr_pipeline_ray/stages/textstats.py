@@ -8,7 +8,6 @@ oracle twin (see ``ocr_pipeline_ray.queries``).
 
 from __future__ import annotations
 
-from typing import Dict, List
 
 import pyarrow as pa
 import pyarrow.compute as pc

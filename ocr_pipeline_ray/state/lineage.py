@@ -36,7 +36,10 @@ import hashlib
 import json
 import os
 import shutil
+import socket
+import threading
 import time as _time
+import uuid
 from typing import Callable, Dict, List, Optional, Sequence
 
 import pyarrow as pa
@@ -181,6 +184,26 @@ class LineageStore:
             except OSError:
                 pass
 
+    def touch_claims(self, run_id: str, pids: Sequence[str]) -> None:
+        """Heartbeat: refresh mtimes of this run's marker and its
+        lock files so a LIVE long run is never mistaken for dead by
+        the ``stale_sec`` takeover (a lease is live while its holder
+        keeps beating, not merely for ``stale_sec`` after claim)."""
+        for path in [self._run_marker(run_id)] + [
+            self._lock_path(p) for p in pids
+        ]:
+            try:
+                # refresh only locks we still own (utime on a stolen
+                # lock would extend the thief's lease — harmless but
+                # wrong-headed; skip them)
+                if path.endswith(".lock"):
+                    with open(path, encoding="UTF-8") as fh:
+                        if fh.read().strip() != run_id:
+                            continue
+                os.utime(path, None)
+            except OSError:
+                continue
+
     # ---- run markers (staging ownership) -----------------------------
 
     def _run_marker(self, run_id: str) -> str:
@@ -221,6 +244,33 @@ class LineageStore:
                               ignore_errors=True)
                 removed.append(name)
         return removed
+
+
+class _Heartbeat(threading.Thread):
+    """Driver-side lease heartbeat.
+
+    Touches the run marker + claimed lock files every
+    ``stale_sec / 4`` (capped at 60 s) while the run processes, so
+    runs longer than ``stale_sec`` keep their claims and their
+    staging dir against concurrent drivers' stale-takeover/sweep.
+    """
+
+    def __init__(self, store: "LineageStore", run_id: str,
+                 pids: Sequence[str], stale_sec: float):
+        super().__init__(daemon=True, name=f"lineage-heartbeat-{run_id}")
+        self._store = store
+        self._run_id = run_id
+        self._pids = list(pids)
+        self._interval = min(max(stale_sec / 4.0, 0.05), 60.0)
+        self._halt = threading.Event()  # NB: Thread reserves `_stop`
+
+    def run(self) -> None:
+        while not self._halt.wait(self._interval):
+            self._store.touch_claims(self._run_id, self._pids)
+
+    def stop(self) -> None:
+        self._halt.set()
+        self.join(timeout=5.0)
 
 
 def _stage_metrics(ds) -> List[Dict]:
@@ -281,7 +331,12 @@ def run_partitioned(
 
     store = LineageStore(out_root)
     if run_id is None:
-        run_id = f"{os.getpid()}-{hashlib.md5(run_ts.encode()).hexdigest()[:6]}"
+        # host-unique: two drivers launched the same second on
+        # different hosts sharing an NFS out_root must never collide
+        # on (pid, timestamp) alone
+        run_id = (
+            f"{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        )
     store.register_run(run_id)
     done = store.done_partitions()
     by_pid = partition_ids(input_files)
@@ -311,10 +366,15 @@ def run_partitioned(
 
     # sweep staging dirs of DEAD runs only (ours is freshly registered)
     store.sweep_staging(stale_sec)
-    staging = os.path.join(out_root, f"_staging_{run_id}")
+    # all staging (incl. bisect retries) nests under ONE top-level
+    # dir named by the run id, so a concurrent sweep always resolves
+    # its owner (a sibling `_staging_<run>.0` would parse as owner
+    # "<run>.0" and be swept out from under a live run)
+    staging_root = os.path.join(out_root, f"_staging_{run_id}")
 
     run_t0 = _time.monotonic()
     failed: Dict[str, str] = {}
+    lost: List[str] = []
 
     def _process(batch_pending: Dict[str, str], staging: str) -> None:
         """Run one shard subset; on failure BISECT so a single poison
@@ -366,6 +426,13 @@ def run_partitioned(
         stages = _stage_metrics(out)
         run_wall = round(_time.monotonic() - run_t0, 3)
         for pid in batch_pending:
+            # publish re-checks lease ownership: if another driver
+            # stole this claim (stale takeover) while we processed,
+            # publishing anyway would double-write the partition —
+            # skip it, leave its lineage un-done, and report it lost
+            if store.lock_owner(pid) != run_id:
+                lost.append(pid)
+                continue
             src = os.path.join(staging, f"pid={pid}")
             dst = os.path.join(out_root, f"pid={pid}")
             rows = 0
@@ -391,12 +458,19 @@ def run_partitioned(
             summary["rows_written"] += rows
         shutil.rmtree(staging, ignore_errors=True)
 
+    heartbeat = _Heartbeat(store, run_id, list(pending), stale_sec)
+    heartbeat.start()
     try:
-        _process(pending, staging)
+        _process(pending, os.path.join(staging_root, "s"))
     finally:
+        heartbeat.stop()
+        shutil.rmtree(staging_root, ignore_errors=True)
         store.finish_run(run_id)
     summary["failed_partitions"] = sorted(failed)
-    summary["processed_partitions"] = sorted(set(pending) - set(failed))
+    summary["lost_partitions"] = sorted(lost)
+    summary["processed_partitions"] = sorted(
+        set(pending) - set(failed) - set(lost)
+    )
     if failed:
         # healthy shards are already published + marked done (a
         # re-run resumes past them); surface the poison shards loudly

@@ -193,6 +193,106 @@ class TestConcurrentDrivers:
         assert store.try_claim("p1", "new-run", stale_sec=3600)
         assert store.lock_owner("p1") == "new-run"
 
+    def test_heartbeat_refreshes_claims(self, tmp_path):
+        """A long run keeps its lease: the heartbeat touches the run
+        marker and lock mtimes so stale takeover never fires against
+        a live driver (ADVICE: locks were touched once at claim)."""
+        import time
+
+        from ocr_pipeline_ray.state.lineage import _Heartbeat
+
+        out = str(tmp_path / "out")
+        store = LineageStore(out)
+        assert store.try_claim("p1", "run-a")
+        assert store.try_claim("p2", "thief")  # not ours: left alone
+        store.register_run("run-a")
+        lock = store._lock_path("p1")
+        other = store._lock_path("p2")
+        marker = store._run_marker("run-a")
+        old = time.time() - 7200
+        for p in (lock, other, marker):
+            os.utime(p, (old, old))
+        hb = _Heartbeat(store, "run-a", ["p1", "p2"], stale_sec=0.2)
+        hb.start()
+        time.sleep(0.4)
+        hb.stop()
+        assert time.time() - os.path.getmtime(lock) < 3600
+        assert time.time() - os.path.getmtime(marker) < 3600
+        # the foreign lock's mtime was NOT refreshed
+        assert time.time() - os.path.getmtime(other) > 3600
+        # so: our aged-but-beating claim is not stealable ...
+        assert store.try_claim("p1", "thief", stale_sec=3600)is False
+        # ... and our run marker still reads live
+        assert store.run_is_live("run-a", stale_sec=3600)
+
+    def test_publish_skips_lost_lease(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        """If another driver steals a claim mid-run (stale takeover),
+        the loser must NOT publish that partition or mark it done —
+        publish re-checks lock ownership (ADVICE high)."""
+        out = str(tmp_path / "out")
+        store = LineageStore(out)
+        pids = sorted(partition_ids(small_corpus))
+        victim = pids[1]
+
+        def _stealing(ds):
+            # runs driver-side after claims, before write/publish
+            with open(store._lock_path(victim), "w", encoding="UTF-8") as fh:
+                fh.write("thief-run")
+            return _pipeline(ds)
+
+        s = run_partitioned(small_corpus, out, _stealing,
+                            "2026-01-01 10:00:00", run_id="loser-run")
+        assert s["lost_partitions"] == [victim]
+        assert s["processed_partitions"] == sorted(set(pids) - {victim})
+        assert not os.path.isdir(os.path.join(out, f"pid={victim}"))
+        assert store.read(victim)["status"] == "busy"  # not done
+        assert store.lock_owner(victim) == "thief-run"  # not released
+        for pid in set(pids) - {victim}:
+            assert os.path.isdir(os.path.join(out, f"pid={pid}"))
+
+    def test_bisect_staging_owned_by_run(self, ray_session, small_corpus,
+                                         tmp_path):
+        """Bisect retries stage under _staging_<run_id>/ so a
+        concurrent sweep resolves their owner to the live run
+        (ADVICE medium: `_staging_<run>.0` parsed as owner
+        '<run>.0' and got swept mid-write)."""
+        out = str(tmp_path / "out")
+        store = LineageStore(out)
+        pids = sorted(partition_ids(small_corpus))
+        poison = pids[1]
+        seen_stagings = []
+
+        def _poisoned(ds):
+            import pyarrow as pa
+
+            # snapshot staging layout while the run is mid-flight
+            seen_stagings.append(
+                [d for d in os.listdir(out) if d.startswith("_staging")]
+            )
+
+            def _maybe_boom(batch: pa.Table) -> pa.Table:
+                if poison in set(batch.column("pid").to_pylist()):
+                    raise RuntimeError("poison shard")
+                return batch
+
+            return _pipeline(ds.map_batches(_maybe_boom,
+                                            batch_format="pyarrow"))
+
+        with pytest.raises(RuntimeError, match="poison"):
+            run_partitioned(small_corpus, out, _poisoned,
+                            "2026-01-01 10:00:00", run_id="bisect-run")
+        # every staging dir ever visible at top level was the run's own
+        for snapshot in seen_stagings:
+            for d in snapshot:
+                assert d == "_staging_bisect-run", d
+        # and a sweep during the run would have identified the owner:
+        # simulate by re-registering the run and checking liveness
+        store.register_run("bisect-run")
+        assert store.run_is_live("bisect-run")
+        assert store.sweep_staging() == []
+
     def test_sweep_leaves_live_staging(self, tmp_path):
         out = str(tmp_path / "out")
         store = LineageStore(out)

@@ -231,6 +231,36 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup_summary(_docs(sf_dir))
 
 
+def q_dedup_first_rows(sf_dir: str):
+    """D1 keep-ONE-ROW dedup: first-wins per key, bucketed shape.
+
+    Groups documents by a 2-hex md5 prefix of the content (~181
+    non-trivial groups at sf0.01) and keeps the row with the minimum
+    ``doc_id`` per group — the keep-row variant of D1 first-wins
+    (`/root/reference/ocr_pipeline.py:335`), executed as ONE
+    crc32-bucketed shuffle with a whole-bucket Arrow
+    sort + key-boundary mask (no per-key UDF invocations).
+    """
+    from .stages.dedup import dedup_first
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()[:2]
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({
+            "grp": pa.array(fps, pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+        })
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    return dedup_first(keyed, key_col="grp", order_col="doc_id")
+
+
 def q_fingerprint(sf_dir: str):
     """Document fingerprinting: md5 content hash + 16-hex prefix."""
 
@@ -889,6 +919,12 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
     ),
+    "dedup_first_rows": (
+        "SELECT substr(md5(text), 1, 2) AS grp, doc_id, lang, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "QUALIFY row_number() OVER ("
+        "PARTITION BY substr(md5(text), 1, 2) ORDER BY doc_id) = 1"
+    ),
     "fingerprint": (
         "SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp16 "
         "FROM documents"
@@ -1080,6 +1116,7 @@ QUERIES = {
     "quality_bins": q_quality_bins,
     "corpus_quality_summary": q_corpus_quality_summary,
     "dedup_exact": q_dedup_exact,
+    "dedup_first_rows": q_dedup_first_rows,
     "fingerprint": q_fingerprint,
     "lang_stats": q_lang_stats,
     "lang_id": q_lang_id,

@@ -73,18 +73,59 @@ def exact_dedup_summary(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
-def dedup_first(ds, key_col: str = "url", order_col: str = "warc_ts"):
+def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
+                n_buckets: int = 128):
     """Keep one full row per key: the minimum ``order_col`` wins.
 
-    The engine's D1 analogue for duplicate urls. Shuffles full rows
-    once, hash-partitioned by key; per-group winner picked with an
-    Arrow sort+slice (no pandas round trip).
+    The engine's D1 keep-one-row analogue for duplicate urls
+    (first-wins, `/root/reference/ocr_pipeline.py:335`). ONE shuffle
+    of full rows, hash-partitioned by ``crc32(key) % n_buckets`` —
+    NOT by the key itself: a groupby on the raw key invokes the UDF
+    once per key (millions of 1-2-row Python calls at 10^12 keys).
+    Here each whole-bucket UDF does a single Arrow
+    ``sort_by([(key, asc), (order, asc)])`` plus a vectorized
+    key-boundary mask, so the per-key cost is one numpy comparison.
+
+    ``order_col`` may be a string or a list of strings; ties beyond
+    the given order columns are broken arbitrarily — pass enough
+    columns to make the winner unique when determinism matters.
     """
+    import numpy as np
+    from zlib import crc32
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.sort_by(order_col).slice(0, 1)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
-    return ds.groupby(key_col).map_groups(_first, batch_format="pyarrow")
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = [
+            crc32(str(k).encode("utf-8")) % n_buckets
+            for k in batch.column(key_col).to_pylist()
+        ]
+        return batch.append_column("_kbucket", pa.array(buckets, pa.int64()))
+
+    sort_keys = [(key_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def _first_per_key(group: pa.Table) -> pa.Table:
+        g = group.sort_by(sort_keys)
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns(["_kbucket"])
+        keys = g.column(key_col)
+        # row i survives iff it starts a new key run in the sorted view
+        neq = pc.fill_null(
+            pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1)), True
+        )
+        mask = np.empty(n, dtype=bool)
+        mask[0] = True
+        mask[1:] = neq.to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(mask)).drop_columns(["_kbucket"])
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("_kbucket")
+        .map_groups(_first_per_key, batch_format="pyarrow")
+    )
 
 
 # -------------------------------------------------------------- minhash

@@ -77,6 +77,50 @@ class TestDedupDistributed:
         dup_group = [r for r in rows if r["n_dups"] == 2][0]
         assert dup_group["keep_id"] == 0  # first wins
 
+    @pytest.mark.parametrize("n_blocks", [1, 3, 7])
+    def test_dedup_first_keeps_min_order_row(self, ray_session, n_blocks):
+        """Bucketed first-per-key == naive per-key winner, across
+        block layouts (the shuffle must not change the winner)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import dedup_first
+
+        rng = np.random.RandomState(11)
+        n = 200
+        keys = [f"k{rng.randint(0, 37)}" for _ in range(n)]
+        order = rng.permutation(n).astype(np.int64)
+        payload = [f"row-{i}" for i in range(n)]
+        tbl = pa.table({
+            "url": pa.array(keys, pa.string()),
+            "warc_ts": pa.array(order, pa.int64()),
+            "payload": pa.array(payload, pa.string()),
+        })
+        expected = {}
+        for k, o, p in zip(keys, order, payload):
+            if k not in expected or o < expected[k][0]:
+                expected[k] = (int(o), p)
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        rows = dedup_first(ds, key_col="url", order_col="warc_ts",
+                           n_buckets=8).take_all()
+        got = {r["url"]: (r["warc_ts"], r["payload"]) for r in rows}
+        assert got == expected
+        assert all("_kbucket" not in r for r in rows)
+
+    def test_dedup_first_multi_order_cols(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import dedup_first
+
+        tbl = pa.table({
+            "url": pa.array(["a", "a", "a", "b"], pa.string()),
+            "warc_ts": pa.array([5, 5, 5, 1], pa.int64()),
+            "doc_id": pa.array([30, 10, 20, 7], pa.int64()),
+        })
+        rows = dedup_first(ray.data.from_arrow(tbl), key_col="url",
+                           order_col=["warc_ts", "doc_id"]).take_all()
+        got = {r["url"]: r["doc_id"] for r in rows}
+        assert got == {"a": 10, "b": 7}
+
     def test_minhash_pairs_find_near_dups(self, dup_docs_ds):
         from ocr_pipeline_ray.stages.dedup import minhash_dup_pairs
 

@@ -345,6 +345,51 @@ def q_jaccard_dup_pairs(sf_dir: str):
 HOT_BUCKET_CAP = 3  # deliberately tiny so truncation telemetry is non-zero
 
 
+def q_lsh_recall(sf_dir: str):
+    """Recall telemetry for the MinHash LSH path, ORACLE-CHECKED.
+
+    One row: candidate pairs found by LSH banding, candidates that
+    verify at true Jaccard ≥ 0.8, ALL pairs at true Jaccard ≥ 0.8
+    (exact twin, distributed block-pair join), and recall =
+    verified / true. Makes the LSH path's recall<1 a measured number
+    the DuckDB oracle reproduces end to end.
+    """
+    from .stages.dedup import _round6 as round6
+    from .stages.dedup import jaccard_all_pairs
+
+    docs = _docs(sf_dir)
+    n_cand = minhash_dup_pairs(docs).count()
+    n_ver = jaccard_dup_pairs(_docs(sf_dir)).count()
+    n_true = jaccard_all_pairs(_docs(sf_dir)).count()
+    recall = 1.0 if n_true == 0 else round6(n_ver / n_true)
+    return pa.table({
+        "n_candidates": pa.array([n_cand], pa.int64()),
+        "n_verified": pa.array([n_ver], pa.int64()),
+        "n_true": pa.array([n_true], pa.int64()),
+        "recall": pa.array([recall], pa.float64()),
+    })
+
+
+def q_embedding_lsh_recall(sf_dir: str):
+    """Recall of the hyperplane-LSH embedding near-dup path vs its
+    exact block-pair twin (rows-only: the plane matmul is not
+    SQL-expressible; the exact side IS oracle-checked separately via
+    ``embedding_near_dup``)."""
+    from .stages.similarity import embedding_lsh_recall
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_lsh_recall(ds, threshold=0.90)
+
+
+def q_near_dup_bucket_stats(sf_dir: str):
+    """Hot-bucket telemetry for the embedding-LSH cap (rows-only
+    companion to the oracle-checked ``minhash_hot_buckets``)."""
+    from .stages.similarity import near_dup_bucket_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_bucket_stats(ds, max_bucket=100)
+
+
 def q_minhash_hot_buckets(sf_dir: str):
     """Hot-bucket cap telemetry: what a max_bucket cap would drop."""
     return minhash_bucket_stats(_docs(sf_dir), max_bucket=HOT_BUCKET_CAP)
@@ -982,6 +1027,26 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT d1, d2, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard "
         "FROM j WHERE jac >= 0.8"
     ),
+    "lsh_recall": (
+        "WITH " + SIG_CTE + ", "
+        "cand AS (" + CAND_SELECT + "), "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+        "ver AS (SELECT c.d1 FROM cand c "
+        "JOIN dsh a ON a.doc_id = c.d1 JOIN dsh b ON b.doc_id = c.d2 "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), "
+        "tp AS (SELECT a.doc_id FROM dsh a JOIN dsh b "
+        "ON a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8) "
+        "SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates, "
+        "CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified, "
+        "CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_true, "
+        "CASE WHEN (SELECT count(*) FROM tp) = 0 THEN 1.0 ELSE "
+        "floor(CAST((SELECT count(*) FROM ver) AS DOUBLE) / "
+        "(SELECT count(*) FROM tp) * 1000000.0 + 0.5) / 1000000.0 "
+        "END AS recall"
+    ),
     "minhash_hot_buckets": (
         "WITH " + SIG_CTE + ", "
         "bands AS ("
@@ -1124,6 +1189,9 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "minhash_hot_buckets": q_minhash_hot_buckets,
+    "lsh_recall": q_lsh_recall,
+    "embedding_lsh_recall": q_embedding_lsh_recall,
+    "near_dup_bucket_stats": q_near_dup_bucket_stats,
     "simhash": q_simhash,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "ann_topk": q_ann_topk,

@@ -332,9 +332,55 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts: List[str]) -> List[int]:
+    """Vectorized :func:`simhash64` over a batch (bit-exact).
+
+    One md5 per DISTINCT token in the batch (cross-doc memoization),
+    then numpy end to end: ``unpackbits`` turns the 64-bit digests
+    into a ±1 bit matrix, ``np.add.reduceat`` sums each document's
+    token rows in one pass, ``packbits`` reassembles the signature —
+    no per-token × 64-bit Python loop. ~an order of magnitude faster
+    than the scalar kernel on realistic batches.
+    """
+    import numpy as np
+
+    tok_lists = [(t or "").split(" ") for t in texts]
+    if not tok_lists:
+        return []
+    idx: Dict[str, int] = {}
+    for toks in tok_lists:
+        for tok in toks:
+            if tok not in idx:
+                idx[tok] = len(idx)
+    digests = np.empty(len(idx), dtype=np.uint64)
+    for tok, i in idx.items():
+        digests[i] = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+        )
+    # (U, 64) ±1 matrix; column b == bit b of the digest (LSB first,
+    # matching the scalar kernel's `(h >> bit) & 1`)
+    signed = np.unpackbits(
+        digests.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32) * 2 - 1
+    flat = np.fromiter(
+        (idx[t] for toks in tok_lists for t in toks), np.int64
+    )
+    lens = np.fromiter((len(toks) for toks in tok_lists), np.int64,
+                       count=len(tok_lists))
+    # str.split(" ") never yields an empty list, so every segment in
+    # reduceat is non-empty (equal consecutive offsets would misbehave)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    acc = np.add.reduceat(signed[flat], offsets, axis=0)
+    packed = np.packbits(
+        (acc > 0).astype(np.uint8), axis=1, bitorder="little"
+    ).view(np.uint64).ravel()
+    return [int(v) for v in packed]
+
+
 def simhash_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    hashes = [format(simhash64(t or ""), "016x") for t in texts]
+    hashes = [format(v, "016x") for v in simhash64_batch(texts)]
     return batch.append_column("simhash", pa.array(hashes, pa.string()))
 
 
@@ -595,4 +641,75 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return attached.groupby("bucket").map_groups(
         _score, batch_format="pyarrow"
+    )
+
+
+def jaccard_all_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, threshold: float = 0.8,
+                      max_blocks: int = 16):
+    """EXACT all-pairs n-gram Jaccard ≥ threshold — the ground-truth
+    twin the LSH candidate path is measured against.
+
+    Distributed block-pair join (same shape as
+    ``similarity.embedding_near_dup_pairs``): distinct shingle sets
+    materialize as B object-store blocks, one task per block pair
+    scores its cross product, the driver holds refs only. Inherently
+    O(N²) pair comparisons — this is the recall-measurement /
+    verification operator, NOT the scale path (that is
+    :func:`minhash_dup_pairs` + :func:`jaccard_dup_pairs`); run it on
+    samples or buckets, never the full corpus.
+    """
+    import ray
+    import ray.data
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        shs = [
+            sorted(set(shingles((t or "").split(" "), k))) for t in texts
+        ]
+        return pa.table({
+            "key": pa.array(ids, pa.int64()),
+            "sh": pa.array(shs, pa.list_(pa.string())),
+        })
+
+    sh_ds = ds.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    refs = [r for b in sh_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if len(refs) > max_blocks:
+        sh_ds = sh_ds.repartition(max_blocks).materialize()
+        refs = [r for b in sh_ds.iter_internal_ref_bundles()
+                for r in b.block_refs]
+    n = len(refs)
+    idx_pairs = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+
+    def _block_pair(batch: pa.Table) -> pa.Table:
+        d1s, d2s, scores = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            blk_a, blk_b = ray.get([refs[i], refs[j]])
+            ids_a = blk_a.column("key").to_pylist()
+            ids_b = blk_b.column("key").to_pylist()
+            sets_a = [frozenset(s) for s in blk_a.column("sh").to_pylist()]
+            sets_b = (
+                sets_a if i == j
+                else [frozenset(s) for s in blk_b.column("sh").to_pylist()]
+            )
+            for ai, (a_id, sa) in enumerate(zip(ids_a, sets_a)):
+                b_start = ai + 1 if i == j else 0
+                for b_id, sb in zip(ids_b[b_start:], sets_b[b_start:]):
+                    inter = len(sa & sb)
+                    union = len(sa) + len(sb) - inter
+                    score = 1.0 if union == 0 else inter / union
+                    if score >= threshold:
+                        d1s.append(min(a_id, b_id))
+                        d2s.append(max(a_id, b_id))
+                        scores.append(_round6(score))
+        return pa.table({
+            "d1": pa.array(d1s, pa.int64()),
+            "d2": pa.array(d2s, pa.int64()),
+            "jaccard": pa.array(scores, pa.float64()),
+        })
+
+    return ray.data.from_items(idx_pairs).map_batches(
+        _block_pair, batch_size=1, batch_format="pyarrow"
     )

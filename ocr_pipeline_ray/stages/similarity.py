@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _round6(x: float) -> float:
@@ -26,7 +27,39 @@ def _round6(x: float) -> float:
 
 
 def _to_matrix(col) -> np.ndarray:
+    """``list<float>`` column → (n, dim) float64 matrix, zero-copy.
+
+    For the common case — non-null fixed-dim embeddings — this reads
+    the flat Arrow values buffer directly (``flatten()`` + numpy view
+    + reshape): no per-row pylist round trip, no per-vector copies.
+    Ragged or null-bearing columns fall back to the slow path.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray,
+                        pa.FixedSizeListArray)) and col.null_count == 0:
+        n = len(col)
+        if n == 0:
+            return np.empty((0, 0), dtype=np.float64)
+        lengths = np.asarray(pc.list_value_length(col))
+        if (lengths == lengths[0]).all():
+            flat = col.flatten()  # offset-correct child values
+            return np.asarray(flat).astype(
+                np.float64, copy=False
+            ).reshape(n, int(lengths[0]))
     return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _from_matrix(mat: np.ndarray) -> pa.Array:
+    """(n, dim) float64 matrix → ``list<double>`` array, zero-copy:
+    one flat values buffer plus a uniform offsets vector (no
+    per-vector Python lists)."""
+    n, dim = (mat.shape + (0,))[:2] if mat.ndim == 2 else (0, 0)
+    offsets = pa.array(
+        np.arange(0, (n + 1) * dim, dim, dtype=np.int32), pa.int32()
+    )
+    values = pa.array(np.ascontiguousarray(mat).ravel(), pa.float64())
+    return pa.ListArray.from_arrays(offsets, values)
 
 
 def brute_force_topk(
@@ -46,7 +79,7 @@ def brute_force_topk(
     qn = np.linalg.norm(q)
 
     def _local_topk(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).combine_chunks().to_numpy()
         mat = _to_matrix(batch.column(emb_col))
         if mat.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
@@ -101,7 +134,7 @@ def lsh_bucketed_topk(
     q_sig = (planes @ q > 0).astype(np.uint8)
 
     def _bucket_filter(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).combine_chunks().to_numpy()
         mat = _to_matrix(batch.column(emb_col))
         if mat.size == 0:
             return batch
@@ -121,14 +154,13 @@ def _norm_blocks(ds, id_col: str, emb_col: str, max_blocks: int):
     OBJECT STORE and return its block refs — the driver holds only
     refs, never the vectors."""
     def _normalize(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).combine_chunks().to_numpy()
         mat = _to_matrix(batch.column(emb_col))
         if mat.size:
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
-            emb_col: pa.array(mat.tolist(),
-                              pa.list_(pa.float64())),
+            emb_col: _from_matrix(mat),
         })
 
     norm = ds.map_batches(_normalize, batch_format="pyarrow").materialize()
@@ -171,8 +203,8 @@ def embedding_near_dup_pairs(
         for i, j in zip(batch.column("i").to_pylist(),
                         batch.column("j").to_pylist()):
             blk_a, blk_b = ray.get([refs[i], refs[j]])
-            ids_a = np.asarray(blk_a.column(id_col).to_pylist(), dtype=np.int64)
-            ids_b = np.asarray(blk_b.column(id_col).to_pylist(), dtype=np.int64)
+            ids_a = blk_a.column(id_col).combine_chunks().to_numpy()
+            ids_b = blk_b.column(id_col).combine_chunks().to_numpy()
             mat_a = _to_matrix(blk_a.column(emb_col))
             mat_b = _to_matrix(blk_b.column(emb_col))
             if not mat_a.size or not mat_b.size:
@@ -230,13 +262,21 @@ def bucketed_near_dup_pairs(
         norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pa.table({
             id_col: batch.column(id_col),
-            emb_col: pa.array(norm.tolist(), pa.list_(pa.float64())),
+            emb_col: _from_matrix(norm),
             "sig": pa.array(sig, pa.int64()),
         })
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
-        group = group.slice(0, max_bucket)
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        if group.num_rows > max_bucket:
+            # deterministic truncation: keep the max_bucket smallest
+            # ids (shuffle order is run-dependent; a slice of the raw
+            # group would drop DIFFERENT ids each run). What a cap
+            # drops is measured by near_dup_bucket_stats — never
+            # silent.
+            group = group.sort_by([(id_col, "ascending")]).slice(
+                0, max_bucket
+            )
+        ids = group.column(id_col).combine_chunks().to_numpy()
         mat = _to_matrix(group.column(emb_col))
         empty = pa.table({"v1": pa.array([], pa.int64()),
                           "v2": pa.array([], pa.int64())})
@@ -255,3 +295,101 @@ def bucketed_near_dup_pairs(
     return signed.groupby("sig").map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
+
+
+def near_dup_bucket_stats(
+    ds,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket: int = 10000,
+):
+    """Hot-bucket telemetry for :func:`bucketed_near_dup_pairs` (one
+    row) — the companion to ``minhash_bucket_stats``: how many
+    signature buckets exist, how many exceed ``max_bucket``, the
+    largest one, and how many vectors the cap would drop. Emit this
+    next to the pairs so the cap is a measured trade-off.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def _sig_only(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(emb_col))
+        if not mat.size:
+            return pa.table({"sig": pa.array([], pa.int64())})
+        local_planes = np.random.default_rng(seed).standard_normal(
+            (n_planes, mat.shape[1]))
+        bits = (mat @ local_planes.T > 0).astype(np.int64)
+        sig = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pa.table({"sig": pa.array(sig, pa.int64())})
+
+    sizes = ds.map_batches(
+        _sig_only, batch_format="pyarrow"
+    ).groupby("sig").aggregate(Count())
+
+    def _per_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()")
+        dropped = pc.max_element_wise(
+            pc.subtract(n, pa.scalar(max_bucket, n.type)),
+            pa.scalar(0, n.type),
+        )
+        return pa.table({
+            "n_buckets": pa.array([batch.num_rows], pa.int64()),
+            "n_hot": pa.array(
+                [pc.sum(pc.cast(pc.greater(n, max_bucket),
+                                pa.int64())).as_py() or 0], pa.int64()),
+            "max_size": pa.array([pc.max(n).as_py() or 0], pa.int64()),
+            "dropped": pa.array([pc.sum(dropped).as_py() or 0], pa.int64()),
+        })
+
+    agg = sizes.map_batches(_per_bucket, batch_format="pyarrow").aggregate(
+        Sum("n_buckets"), Sum("n_hot"), Max("max_size"), Sum("dropped")
+    )
+    return pa.table({
+        "n_buckets": pa.array([agg["sum(n_buckets)"] or 0], pa.int64()),
+        "n_hot_buckets": pa.array([agg["sum(n_hot)"] or 0], pa.int64()),
+        "max_bucket_size": pa.array([agg["max(max_size)"] or 0], pa.int64()),
+        "dropped_ids": pa.array([agg["sum(dropped)"] or 0], pa.int64()),
+    })
+
+
+def embedding_lsh_recall(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_blocks: int = 24,
+    max_bucket: int = 10000,
+):
+    """Measured recall of the LSH near-dup path vs its exact twin
+    (one row: n_exact, n_lsh, n_common, recall·round6).
+
+    The LSH path ships recall < 1 BY DESIGN; this makes the loss a
+    measured number instead of a shrug. Both pair sets are computed
+    distributed; only the (int64, int64) pair sets land on the driver
+    (bounded by the near-dup count, not the corpus). The plane matmul
+    is not SQL-expressible, so this is telemetry (rows-only check),
+    mirrored for the minhash chain by the fully-oracled lsh_recall.
+    """
+    exact = {
+        (r["v1"], r["v2"])
+        for r in embedding_near_dup_pairs(
+            ds, threshold, id_col, emb_col, max_blocks
+        ).take_all()
+    }
+    approx = {
+        (r["v1"], r["v2"])
+        for r in bucketed_near_dup_pairs(
+            ds, threshold, n_planes, seed, id_col, emb_col, max_bucket
+        ).take_all()
+    }
+    common = len(exact & approx)
+    recall = 1.0 if not exact else _round6(common / len(exact))
+    return pa.table({
+        "n_exact": pa.array([len(exact)], pa.int64()),
+        "n_lsh": pa.array([len(approx)], pa.int64()),
+        "n_common": pa.array([common], pa.int64()),
+        "recall": pa.array([recall], pa.float64()),
+    })

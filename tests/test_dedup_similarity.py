@@ -42,6 +42,20 @@ class TestPrimitives:
         assert ham_ab < ham_ac
         assert ham_ab <= 8
 
+    def test_simhash_batch_matches_scalar(self):
+        """Vectorized kernel is bit-exact vs the scalar reference,
+        including empty text and shared tokens across docs."""
+        from ocr_pipeline_ray.stages.dedup import simhash64_batch
+
+        rng = np.random.RandomState(3)
+        vocab = [f"wort{i}" for i in range(40)] + ["ſtraße", "café"]
+        texts = [
+            " ".join(vocab[j] for j in rng.randint(0, len(vocab), size=n))
+            for n in rng.randint(1, 60, size=25)
+        ] + ["", "ein", "zwei zwei zwei"]
+        assert simhash64_batch(texts) == [simhash64(t) for t in texts]
+        assert simhash64_batch([]) == []
+
     def test_jaccard(self):
         assert jaccard(["a b c"], ["a b c"]) == 1.0
         assert jaccard(["a b c"], ["x y z"]) == 0.0
@@ -331,6 +345,75 @@ class TestBucketTelemetry:
             assert got["n_hot_buckets"] == sum(1 for n in sizes.values() if n > cap)
             assert got["max_bucket_size"] == max(sizes.values())
             assert got["dropped_ids"] == sum(max(0, n - cap) for n in sizes.values())
+
+    def test_bucketed_near_dup_cap_deterministic(self, ray_session):
+        """max_bucket truncation keeps the SMALLEST ids (sorted before
+        slice), so drops are run-independent, and near_dup_bucket_stats
+        measures exactly what the cap drops (ADVICE: the slice used to
+        depend on shuffle order)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import (
+            bucketed_near_dup_pairs,
+            near_dup_bucket_stats,
+        )
+
+        # 6 identical unit vectors → one signature bucket of size 6
+        vecs = [[1.0, 0.0, 0.0, 0.0]] * 6
+        tbl = pa.table({
+            "vec_id": pa.array([9, 3, 7, 1, 5, 2], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        })
+        for layout in (1, 3):
+            ds = ray.data.from_arrow(tbl).repartition(layout)
+            pairs = {
+                (r["v1"], r["v2"])
+                for r in bucketed_near_dup_pairs(
+                    ds, threshold=0.9, max_bucket=3
+                ).take_all()
+            }
+            # smallest three ids {1,2,3} survive the cap, every run
+            assert pairs == {(1, 2), (1, 3), (2, 3)}
+            stats = near_dup_bucket_stats(ds, max_bucket=3).to_pylist()[0]
+            assert stats["n_buckets"] == 1
+            assert stats["n_hot_buckets"] == 1
+            assert stats["max_bucket_size"] == 6
+            assert stats["dropped_ids"] == 3
+
+    def test_embedding_lsh_recall_counts(self, ray_session):
+        """Recall telemetry: exact twin vs LSH path, one row, and the
+        LSH pair set is a subset of the exact set."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import embedding_lsh_recall
+
+        rng = np.random.RandomState(5)
+        base = rng.randn(20, 8)
+        # 5 near-dup twins of the first 5 vectors
+        twins = base[:5] + rng.randn(5, 8) * 0.01
+        mat = np.vstack([base, twins])
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        row = embedding_lsh_recall(ds, threshold=0.95).to_pylist()[0]
+        assert row["n_exact"] >= 5
+        assert 0 <= row["n_lsh"] <= row["n_exact"]
+        assert row["n_common"] == row["n_lsh"]  # subset property
+        assert 0.0 <= row["recall"] <= 1.0
+
+    def test_jaccard_all_pairs_exact(self, dup_docs_ds):
+        """Block-pair all-pairs Jaccard finds the known dups with the
+        same scores as the scalar jaccard()."""
+        from ocr_pipeline_ray.stages.dedup import jaccard_all_pairs
+
+        rows = jaccard_all_pairs(dup_docs_ds, threshold=0.5).take_all()
+        got = {(r["d1"], r["d2"]): r["jaccard"] for r in rows}
+        assert (0, 1) in got and got[(0, 1)] == 1.0  # exact dup
+        assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0  # near dup
+        assert (1, 2) in got
+        assert all(k in {(0, 1), (0, 2), (1, 2)} for k in got)
 
     def test_jaccard_no_candidates_schema(self, ray_session):
         """Empty candidate set still yields the (d1,d2,jaccard) schema."""

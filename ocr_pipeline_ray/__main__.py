@@ -77,6 +77,10 @@ def main(argv=None) -> int:
     parser.add_argument("--num-cpus", type=int, default=None)
     parser.add_argument("--report", action="store_true",
                         help="also write the .wtr corpus quality report")
+    parser.add_argument("--report-parts", action="store_true",
+                        help="write the report as sorted parquet parts "
+                             "+ _summary.json (the at-scale report "
+                             "mode) instead of one .wtr file")
     parser.add_argument("--emit-xml", action="store_true",
                         help="add an alto_xml column (pretty/CRLF ALTO v4 "
                              "serialization of the extracted lines)")
@@ -186,8 +190,8 @@ def main(argv=None) -> int:
     log.info("%s", line)
     print(line)
 
-    if args.report:
-        _write_report(args.out)
+    if args.report or args.report_parts:
+        _write_report(args.out, parts=args.report_parts)
     return 0
 
 
@@ -219,14 +223,17 @@ def _init_logger(logdir):
     return log
 
 
-def _write_report(out_root: str, paths_rescored: str = None) -> None:
+def _write_report(out_root: str, paths_rescored: str = None,
+                  parts: bool = False) -> None:
     import ray.data
 
     from ocr_pipeline_ray.functions.text import wtr_filename
     from ocr_pipeline_ray.stages.report import (
+        REPORT_COLUMNS,
         quality_summary,
         sorted_report,
-        write_wtr,
+        stream_wtr,
+        write_report_parts,
     )
 
     if paths_rescored:
@@ -235,12 +242,20 @@ def _write_report(out_root: str, paths_rescored: str = None) -> None:
         pattern = sorted(
             globmod.glob(os.path.join(out_root, "pid=*", "*.parquet"))
         )
-    ds = ray.data.read_parquet(pattern)
+    # ONE pruned read shared by both consumers: the report needs only
+    # the 8 report columns — never the heavy `lines` / extracted_text
+    ds = ray.data.read_parquet(pattern, columns=REPORT_COLUMNS)
     summary = quality_summary(ds)
-    rows = sorted_report(ds).take_all()
-    name = wtr_filename(os.path.basename(os.path.normpath(out_root)),
-                        time.localtime())
-    path = write_wtr(os.path.join(out_root, name), summary, rows)
+    rep = sorted_report(ds)
+    if parts:
+        path = write_report_parts(
+            os.path.join(out_root, "report_parts"), summary, rep
+        )
+    else:
+        # rows stream through iter_batches — constant driver memory
+        name = wtr_filename(os.path.basename(os.path.normpath(out_root)),
+                            time.localtime())
+        path = stream_wtr(os.path.join(out_root, name), summary, rep)
     print(f"report → {path} (mean {summary['mean']}, "
           f"{summary['total']} docs, {summary['invalid']} invalid)")
 

@@ -129,3 +129,67 @@ def write_wtr(path: str, summary: Dict, report_rows) -> str:
             )
         outfile.write("\n")
     return path
+
+
+def stream_wtr(path: str, summary: Dict, sorted_ds,
+               batch_size: int = 4096) -> str:
+    """Single-file ``.wtr`` streamed from a SORTED dataset.
+
+    Constant driver memory: rows flow through ``iter_batches`` one
+    block at a time — never a ``take_all`` of one row per document
+    (at 10^12 docs that list IS the corpus). Byte-identical to
+    :func:`write_wtr` over the same rows.
+    """
+
+    def _rows():
+        for batch in sorted_ds.iter_batches(
+            batch_format="pyarrow", batch_size=batch_size
+        ):
+            yield from batch.to_pylist()
+
+    return write_wtr(path, summary, _rows())
+
+
+def write_report_parts(out_dir: str, summary: Dict, sorted_ds) -> str:
+    """Partitioned report — the 10^12-doc mode of S5.
+
+    The single-file ``.wtr`` cannot scale past a small corpus (one
+    global text file); here the sorted per-doc rows are written as
+    parquet PARTS from the workers (Ray names output files by
+    ascending task/block index, so lexicographic filename order ==
+    global ascending-ratio order) plus a tiny ``_summary.json``
+    holding the header aggregate. :func:`iter_report_parts` streams
+    the rows back in order; the ``.wtr`` file stays available as the
+    small-corpus mode (`/root/reference/ocr_pipeline.py:233-269`).
+    """
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_summary.json"), "w",
+              encoding="UTF-8") as fh:
+        json.dump(summary, fh, sort_keys=True)
+    sorted_ds.write_parquet(out_dir)
+    return out_dir
+
+
+def iter_report_parts(out_dir: str):
+    """(summary, row-iterator) from a :func:`write_report_parts` dir —
+    rows stream back in global ascending-ratio order."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(out_dir, "_summary.json"),
+              encoding="UTF-8") as fh:
+        summary = json.load(fh)
+
+    def _rows():
+        for part in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+            pf = pq.ParquetFile(part)
+            for batch in pf.iter_batches():
+                yield from batch.to_pylist()
+
+    return summary, _rows()

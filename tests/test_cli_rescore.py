@@ -58,6 +58,24 @@ class TestCli:
         rc = main([*small_corpus, "-o", out])
         assert rc == 0
 
+    def test_report_parts_mode(self, ray_session, small_corpus, tmp_path):
+        """--report-parts writes the at-scale partitioned report and
+        its rows round-trip in ascending-ratio order."""
+        from ocr_pipeline_ray.stages.report import iter_report_parts
+
+        out = str(tmp_path / "out")
+        rc = main([*small_corpus, "-o", out, "--report-parts"])
+        assert rc == 0
+        parts_dir = os.path.join(out, "report_parts")
+        assert os.path.isfile(os.path.join(parts_dir, "_summary.json"))
+        assert glob.glob(os.path.join(parts_dir, "*.parquet"))
+        summary, rows_iter = iter_report_parts(parts_dir)
+        rows = list(rows_iter)
+        assert summary["total"] == 240
+        ratios = [r["hit_ratio"] for r in rows]
+        assert ratios == sorted(ratios)
+        assert len(rows) == summary["total"] - summary["invalid"]
+
     def test_config_driven_run(self, ray_session, small_corpus, tmp_path):
         out = str(tmp_path / "out")
         ini = os.path.join(os.path.dirname(__file__), "..",

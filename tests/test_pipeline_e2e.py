@@ -97,6 +97,46 @@ class TestReport:
         assert len(first_doc) == 8
 
 
+    def test_stream_wtr_byte_identical(self, ray_session, small_corpus,
+                                       tmp_path):
+        """Streamed writer (iter_batches, constant driver memory) ==
+        the take_all path, byte for byte."""
+        from ocr_pipeline_ray.stages.report import stream_wtr
+
+        ds = extraction_pipeline(small_corpus)
+        summary = quality_summary(ds)
+        rows = sorted_report(extraction_pipeline(small_corpus)).take_all()
+        old = write_wtr(str(tmp_path / "old.wtr"), summary, rows)
+        new = stream_wtr(str(tmp_path / "new.wtr"), summary,
+                         sorted_report(extraction_pipeline(small_corpus)),
+                         batch_size=7)  # force multi-batch streaming
+        assert open(new, "rb").read() == open(old, "rb").read()
+
+    def test_report_parts_round_trip(self, ray_session, small_corpus,
+                                     tmp_path):
+        """Partitioned report parts stream back in global
+        ascending-ratio order with the same summary."""
+        from ocr_pipeline_ray.stages.report import (
+            iter_report_parts,
+            write_report_parts,
+        )
+
+        ds = extraction_pipeline(small_corpus)
+        summary = quality_summary(ds)
+        expected = sorted_report(extraction_pipeline(small_corpus)).take_all()
+        out = write_report_parts(
+            str(tmp_path / "parts"), summary,
+            sorted_report(extraction_pipeline(small_corpus)),
+        )
+        got_summary, rows_iter = iter_report_parts(out)
+        got = list(rows_iter)
+        assert got_summary == summary
+        assert [r["url"] for r in got] == [r["url"] for r in expected]
+        assert [r["hit_ratio"] for r in got] == [
+            r["hit_ratio"] for r in expected
+        ]
+
+
 class TestStats:
     def test_merge_repl_stats(self, ray_session, small_corpus, pipeline_rows):
         ds = extraction_pipeline(small_corpus)

@@ -40,6 +40,9 @@ from typing import Dict, List, Optional, Tuple
 
 from .text import CLEAR_MARKS, strip_marks
 
+# one C-level scan instead of len(CLEAR_MARKS) substring probes per line
+_MARKS_RE = re.compile("[" + "".join(CLEAR_MARKS) + "]")
+
 _BLOCK_TAGS = frozenset(
     {
         "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
@@ -76,12 +79,9 @@ class ExtractConfig:
     char_width: int = 12
 
 
-@dataclass
-class _Frame:
-    tag: str
-    ignored: bool
-    boiler: bool
-    rtl: bool
+# stack frames are plain tuples (tag, ignored, boiler, rtl) — a
+# dataclass per open element was a measurable share of per-doc cost
+_ROOT_STATE = (False, False, False)
 
 
 class _MainContentParser(HTMLParser):
@@ -91,7 +91,7 @@ class _MainContentParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.cfg = config
         self.boiler_re = boiler_re
-        self.stack: List[_Frame] = []
+        self.stack: List[Tuple[str, bool, bool, bool]] = []
         self.link_depth = 0
         # current line accumulation; char counting is deferred to
         # flush (counts are additive across segment boundaries, so
@@ -107,14 +107,11 @@ class _MainContentParser(HTMLParser):
         self.n_short_dropped = 0
 
     # -- frame helpers -------------------------------------------------
-    def _top(self) -> Optional[_Frame]:
-        return self.stack[-1] if self.stack else None
-
     def _state(self) -> Tuple[bool, bool, bool]:
-        top = self._top()
-        if top is None:
-            return (False, False, False)
-        return (top.ignored, top.boiler, top.rtl)
+        stack = self.stack
+        if not stack:
+            return _ROOT_STATE
+        return stack[-1][1:]
 
     # -- line accumulation ---------------------------------------------
     def _flush_line(self) -> None:
@@ -133,7 +130,7 @@ class _MainContentParser(HTMLParser):
             link_chars = 0
         # mark stripping only when a mark is present in the line at
         # all (rare) — avoids a per-token function call on the hot path
-        if tokens and any(m in text for m in CLEAR_MARKS):
+        if tokens and _MARKS_RE.search(text) is not None:
             tokens = [strip_marks(t) for t in tokens]
             tokens = [t for t in tokens if t]
         self._line_open = False
@@ -153,28 +150,34 @@ class _MainContentParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
         if tag == "br":
-            self._flush_line()
+            if self._line_open:
+                self._flush_line()
             return
         if tag in _VOID_TAGS:
             return
         if tag == "a":
             self.link_depth += 1
             return
-        parent_ignored, parent_boiler, parent_rtl = self._state()
-        ignored = parent_ignored or tag in _IGNORED_TAGS
-        boiler = parent_boiler or tag in _BOILER_TAGS
-        rtl = parent_rtl
-        for name, value in attrs:
-            if value is None:
-                continue
-            lname = name.lower()
-            if lname in ("class", "id") and self.boiler_re.search(value.lower()):
-                boiler = True
-            elif lname == "dir":
-                rtl = value.strip().lower() == "rtl"
-        if tag in _BLOCK_TAGS:
+        stack = self.stack
+        if stack:
+            _t, ignored, boiler, rtl = stack[-1]
+        else:
+            ignored = boiler = rtl = False
+        ignored = ignored or tag in _IGNORED_TAGS
+        boiler = boiler or tag in _BOILER_TAGS
+        if attrs:
+            for name, value in attrs:
+                if value is None:
+                    continue
+                lname = name.lower()
+                if lname in ("class", "id"):
+                    if self.boiler_re.search(value.lower()):
+                        boiler = True
+                elif lname == "dir":
+                    rtl = value.strip().lower() == "rtl"
+        if tag in _BLOCK_TAGS and self._line_open:
             self._flush_line()
-        self.stack.append(_Frame(tag, ignored, boiler, rtl))
+        stack.append((tag, ignored, boiler, rtl))
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -184,12 +187,17 @@ class _MainContentParser(HTMLParser):
             return
         if tag in _VOID_TAGS:
             return
-        if tag in _BLOCK_TAGS:
+        if tag in _BLOCK_TAGS and self._line_open:
             self._flush_line()
+        stack = self.stack
+        # fast path: properly nested close
+        if stack and stack[-1][0] == tag:
+            stack.pop()
+            return
         # pop to the matching open frame (tolerates misnesting)
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == tag:
+                del stack[i:]
                 break
 
     def handle_startendtag(self, tag, attrs):
@@ -197,7 +205,11 @@ class _MainContentParser(HTMLParser):
             self._flush_line()
 
     def handle_data(self, data):
-        ignored, boiler, rtl = self._state()
+        stack = self.stack
+        if stack:
+            _t, ignored, boiler, rtl = stack[-1]
+        else:
+            ignored = boiler = rtl = False
         if ignored or not data:
             return
         if not self._line_open and not data.strip():
@@ -225,10 +237,14 @@ class _MainContentParser(HTMLParser):
 
 # element bodies consume quoted attribute values atomically so a '>'
 # inside quotes (href="x>y") does not terminate the tag early —
-# matching html.parser's behavior
+# matching html.parser's behavior. The body is matched with GREEDY
+# unquoted-chunk / quoted-string alternation (linear scan, no
+# per-character lazy backtracking — the lazy variant was the single
+# hottest regex in the engine); a trailing '/' lands inside the body
+# and is ignored by the name/attr parses.
 _TAG_RE = re.compile(
     r"<(!--.*?--|!\[CDATA\[.*?\]\]|![^>]*"
-    r"|/?[a-zA-Z](?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)/?>",
+    r"|/?[a-zA-Z][^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*)>",
     re.S,
 )
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
@@ -267,14 +283,15 @@ def _fast_feed(text: str, parser: "_MainContentParser") -> None:
         name = name_match.group(0).lower()
         attrs = []
         rest = body[name_match.end():]
-        if rest and any(
-            key in rest.lower() for key in ("class", "id", "dir")
-        ):
-            for am in _ATTR_RE.finditer(rest):
-                val = am.group(2)
-                if val is None:
-                    val = am.group(3) if am.group(3) is not None else am.group(4)
-                attrs.append((am.group(1), val))
+        if rest:
+            rest_l = rest.lower()
+            if "class" in rest_l or "id" in rest_l or "dir" in rest_l:
+                for am in _ATTR_RE.finditer(rest):
+                    val = am.group(2)
+                    if val is None:
+                        val = (am.group(3) if am.group(3) is not None
+                               else am.group(4))
+                    attrs.append((am.group(1), val))
         parser.handle_starttag(name, attrs)
         if name in _RAWTEXT_TAGS:
             if lower is None:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import re
 from typing import Dict, FrozenSet, Optional, Sequence
 
-from .text import round3, textlines2data
+from .text import _BAD_RE, round3, sanitize_wraps
 
 # A token counts as well-recognized iff purely alphabetic incl. German
 # letters. Deliberately SQL-expressible (DuckDB regexp_matches) so the
@@ -84,12 +84,34 @@ def estimate_quality(
     }
     if not line_texts:
         return record
-    word_string, n_lines, n_wraps, n_shorts, n_dense = textlines2data(
-        line_texts, minlen=minlen
-    )
-    if not word_string:
+    # fused textlines2data: same values as the public function
+    # (pinned by TestQualityFusionParity) without the per-line
+    # join → corpus join → re-split round trip. Equivalences used:
+    # the '..' removal is a no-op ('.' is already removed by the
+    # char class) and the double-space collapse only ever feeds
+    # split(), which normalizes whitespace anyway — so the joined
+    # dense string's tokens ARE the per-line filtered token lists.
+    non_empty = [t for t in line_texts if t]
+    normalized, n_wraps = sanitize_wraps(non_empty)
+    tokens: list = []
+    n_dense = 0
+    n_shorts = 0
+    for line in normalized:
+        text = _BAD_RE.sub("", line.strip())
+        if "ſ" in text:
+            text = text.replace("ſ", "s")
+        toks = [t for t in text.split() if len(t) > 1]
+        # dense test on the joined length: sum of token lengths plus
+        # single separating spaces (lib/ocr_step.py:449-469)
+        joined_len = sum(map(len, toks)) + len(toks) - 1 if toks else 0
+        if joined_len > minlen:
+            n_dense += 1
+            tokens.extend(toks)
+        else:
+            n_shorts += 1
+    n_lines = len(line_texts)
+    if not tokens:
         return record
-    tokens = word_string.split()
     n_words = len(tokens)
     n_errs = min(count_errors(tokens, lexicon), n_words)
     record.update(

@@ -638,8 +638,15 @@ def q_media_features(sf_dir: str):
                              pa.string()),
         })
 
+    from .stages.multimodal import DecodeConfig
+
     media = _docs(sf_dir).map_batches(_to_media, batch_format="pyarrow")
-    feats = media_feature_stage(media)
+    # fake decoder pinned: these payloads are raw utf-8 text, not
+    # decodable media — this query proves the digest/actor plumbing;
+    # real PNM/WAV decoding is oracle-checked by `media_decode`
+    feats = media_feature_stage(
+        media, config=DecodeConfig(use_fake_decoder=True)
+    )
 
     def _project(batch: pa.Table) -> pa.Table:
         # scalar projection of the feature vector (the comparator —
@@ -662,6 +669,57 @@ def q_media_features(sf_dir: str):
         })
 
     return feats.map_batches(_project, batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """REAL media decode, ORACLE-CHECKED end to end.
+
+    Synthesizes genuine binary media per document — a binary PGM
+    image (dims and constant fill derived from doc_id), a mono 16-bit
+    PCM WAV (frame count and amplitude from doc_id), or an opaque
+    video payload — and runs the real actor-pool decoder
+    (``decode_pnm`` / ``decode_wav``, pure stdlib). The emitted
+    dimensions, duration, byte counts and content means are read from
+    the DECODED BYTES on the Ray side and recomputed from the doc_id
+    formulas on the DuckDB side: a header-faking decoder cannot pass.
+    Video rows pin the documented no-stdlib-codec stub error.
+    """
+    from .stages.multimodal import (
+        encode_pgm,
+        encode_wav,
+        media_feature_stage,
+    )
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads, kinds = [], []
+        for i, t in zip(ids, texts):
+            m = i % 3
+            if m == 0:
+                w, h = 8 + i % 25, 8 + (i * 7) % 25
+                payloads.append(encode_pgm(w, h, i % 256))
+                kinds.append("image")
+            elif m == 1:
+                n_frames = 8 * (10 + i % 50)
+                payloads.append(encode_wav([i % 100] * n_frames))
+                kinds.append("audio")
+            else:
+                payloads.append((t or "").encode("utf-8"))
+                kinds.append("video")
+        return pa.table({
+            "media_id": pa.array([f"m{i}" for i in ids], pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = _docs(sf_dir).map_batches(_to_media, batch_format="pyarrow")
+    feats = media_feature_stage(media)  # real decoder (default config)
+    return feats.select_columns([
+        "media_id", "kind", "payload_bytes", "decoded_width",
+        "decoded_height", "decoded_duration_ms", "content_mean",
+        "decode_error",
+    ])
 
 
 def q_events_by_type_salted(sf_dir: str):
@@ -1137,6 +1195,31 @@ ORACLE_SQL: Dict[str, str] = {
         "substr(sha256(sha256(text)), 1, 32) END AS features_sig "
         "FROM documents"
     ),
+    "media_decode": (
+        "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "CAST(CASE doc_id % 3 "
+        "WHEN 0 THEN 9 + length(CAST(8 + doc_id % 25 AS VARCHAR)) "
+        "+ length(CAST(8 + (doc_id * 7) % 25 AS VARCHAR)) "
+        "+ (8 + doc_id % 25) * (8 + (doc_id * 7) % 25) "
+        "WHEN 1 THEN 44 + 2 * 8 * (10 + doc_id % 50) "
+        "ELSE CASE WHEN text = '' THEN 0 ELSE octet_length(encode(text)) "
+        "END END AS BIGINT) AS payload_bytes, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 25 END "
+        "AS INTEGER) AS decoded_width, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 7) % 25 END "
+        "AS INTEGER) AS decoded_height, "
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 10 + doc_id % 50 END "
+        "AS INTEGER) AS decoded_duration_ms, "
+        "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE) "
+        "WHEN 1 THEN CAST(doc_id % 100 AS DOUBLE) END AS content_mean, "
+        "CASE WHEN doc_id % 3 = 2 THEN (CASE WHEN text = '' "
+        "THEN 'empty payload' ELSE "
+        "'video decode not implemented: no stdlib codec (stub)' END) "
+        "END AS decode_error "
+        "FROM documents"
+    ),
     "events_by_type_salted": (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
@@ -1201,6 +1284,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_by_type_salted": q_events_by_type_salted,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     "dataset_split": q_dataset_split,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,

@@ -1,19 +1,27 @@
 """Multimodal binary-column plumbing (image/audio/video payloads).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake or ``NotImplementedError``), but the Ray-side
-plumbing is real and tested: schema handling of opaque ``binary``
-payload columns with typed metadata, actor-pool batch signature, small
-batch sizes for MB-scale rows, and the output layout (feature columns
-appended, payload dropped unless asked to keep it).
+Real pure-stdlib decoders cover the header+raw formats the container
+can handle without codec libraries: binary PNM images (PGM ``P5`` /
+PPM ``P6``) and PCM WAV audio (via the stdlib ``wave`` module). Video
+decode has no stdlib path, so video rows get a ``decode_error`` stub
+marker (the frame-sampling PLAN is real, the pixel decode is not).
+The Ray-side plumbing is real and tested throughout: schema handling
+of opaque ``binary`` payload columns with typed metadata, actor-pool
+batch signature, small batch sizes for MB-scale rows, and the output
+layout (feature columns appended, payload dropped unless asked to
+keep it). The opaque-binary recognition input is the reference
+analogue (`/root/reference/lib/ocr_step.py:188-194`).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from dataclasses import dataclass
-from typing import Optional
+from typing import Dict, Optional
 
+import numpy as np
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(
@@ -31,27 +39,134 @@ MEDIA_SCHEMA = pa.schema(
 
 @dataclass(frozen=True)
 class DecodeConfig:
-    use_fake_decoder: bool = True   # container has no codecs
+    use_fake_decoder: bool = False  # real PNM/WAV decode by default
     feature_dim: int = 16
 
 
-class MediaFeatureExtractor:
-    """Actor-pool stage: payload binary → fixed-dim feature vector.
+# --------------------------------------------------- stdlib decoders
 
-    ``__init__`` is where a real codec/model would load (once per
-    actor). With ``use_fake_decoder`` the features are a deterministic
-    digest-derived vector, so the distributed plumbing (batching,
-    schema, output layout) is fully exercised without codecs.
+def encode_pgm(width: int, height: int, pixels) -> bytes:
+    """Binary PGM (``P5``, maxval 255). ``pixels``: scalar fill value
+    or a (height, width) uint8 array."""
+    header = f"P5\n{width} {height}\n255\n".encode("ascii")
+    if np.isscalar(pixels):
+        raster = bytes([int(pixels)]) * (width * height)
+    else:
+        raster = np.asarray(pixels, dtype=np.uint8).tobytes()
+        if len(raster) != width * height:
+            raise ValueError("pixel buffer does not match dims")
+    return header + raster
+
+
+def decode_pnm(payload: bytes) -> Dict:
+    """Parse binary PNM (PGM ``P5`` grayscale / PPM ``P6`` RGB).
+
+    Pure stdlib+numpy: whitespace/comment-tolerant header scan, then a
+    zero-copy ``np.frombuffer`` view of the raster. Returns
+    ``{width, height, channels, maxval, pixels}``; raises ValueError
+    on anything malformed.
+    """
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM (P5/P6) payload")
+    channels = 1 if magic == b"P5" else 3
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < n and payload[pos] == ord("#"):  # comment to EOL
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos] not in b" \t\r\n":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PNM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError:
+            raise ValueError("non-numeric PNM header field") from None
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError("invalid PNM dimensions/maxval")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    dtype = np.dtype(np.uint8) if maxval < 256 else np.dtype(">u2")
+    expected = width * height * channels * dtype.itemsize
+    raster = payload[pos:pos + expected]
+    if len(raster) != expected:
+        raise ValueError("PNM raster shorter than header promises")
+    pixels = np.frombuffer(raster, dtype=dtype).reshape(
+        height, width, channels
+    )
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "maxval": maxval,
+        "pixels": pixels,
+    }
+
+
+def encode_wav(samples, framerate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array (stdlib wave)."""
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> Dict:
+    """Parse PCM WAV via the stdlib ``wave`` module.
+
+    Returns ``{channels, sample_width, framerate, n_frames,
+    duration_ms, samples}`` (samples: int16/uint8 numpy array, frames
+    × channels); raises ValueError on malformed/compressed input.
+    """
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            channels = wf.getnchannels()
+            width = wf.getsampwidth()
+            framerate = wf.getframerate()
+            n_frames = wf.getnframes()
+            raw = wf.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"bad WAV payload: {exc}") from None
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    samples = samples.reshape(-1, channels)
+    return {
+        "channels": channels,
+        "sample_width": width,
+        "framerate": framerate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // framerate if framerate else 0,
+        "samples": samples,
+    }
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: payload binary → features + decoded metadata.
+
+    ``__init__`` is where a codec/model loads (once per actor). The
+    real mode (default) decodes PNM images and WAV audio with the
+    pure-stdlib decoders above, emitting dimensions/duration/content
+    statistics read from the actual bytes; video has no stdlib codec
+    and reports a stub ``decode_error``. ``use_fake_decoder`` skips
+    decoding entirely (digest features only) for plumbing tests.
     """
 
     def __init__(self, config: Optional[DecodeConfig] = None):
         self.cfg = config or DecodeConfig()
-        if not self.cfg.use_fake_decoder:
-            raise NotImplementedError(
-                "real media decoding requires image/audio codecs that are "
-                "not available in this environment; use the fake decoder "
-                "or plug a codec-backed subclass"
-            )
 
     def _features(self, payload: bytes) -> list:
         # chained over hexdigest STRINGS (not raw digests) so the
@@ -65,25 +180,67 @@ class MediaFeatureExtractor:
             vals.extend(b / 255.0 for b in bytes.fromhex(hexd))
         return vals[:need]
 
+    def _decode(self, kind: str, raw: bytes):
+        """(width, height, duration_ms, content_mean, error)."""
+        if kind == "image":
+            img = decode_pnm(raw)
+            return (img["width"], img["height"], None,
+                    float(img["pixels"].mean(dtype=np.float64)), None)
+        if kind == "audio":
+            wav = decode_wav(raw)
+            mean_amp = (
+                float(np.abs(wav["samples"].astype(np.int64)).mean())
+                if wav["samples"].size else 0.0
+            )
+            return (None, None, wav["duration_ms"], mean_amp, None)
+        if kind == "video":
+            return (None, None, None, None,
+                    "video decode not implemented: no stdlib codec (stub)")
+        return (None, None, None, None, f"unknown media kind {kind!r}")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload")
+        kinds = batch.column("kind").to_pylist()
         feats, sizes, errors = [], [], []
+        widths, heights, durations, means = [], [], [], []
         for i in range(len(payloads)):
             raw = payloads[i].as_py()
+            width = height = duration = mean = None
             if not raw:
                 feats.append(None)
                 sizes.append(0)
                 errors.append("empty payload")
-                continue
-            feats.append(self._features(raw))
-            sizes.append(len(raw))
-            errors.append(None)
+            else:
+                feats.append(self._features(raw))
+                sizes.append(len(raw))
+                if self.cfg.use_fake_decoder:
+                    errors.append(None)
+                else:
+                    try:
+                        width, height, duration, mean, err = self._decode(
+                            kinds[i], raw
+                        )
+                    except ValueError as exc:
+                        err = str(exc)
+                    errors.append(err)
+            widths.append(width)
+            heights.append(height)
+            durations.append(duration)
+            means.append(mean)
         out = batch.drop_columns(["payload"])  # payload never travels on
         out = out.append_column(
             "features", pa.array(feats, pa.list_(pa.float64()))
         )
         out = out.append_column("payload_bytes", pa.array(sizes, pa.int64()))
         out = out.append_column("decode_error", pa.array(errors, pa.string()))
+        out = out.append_column("decoded_width",
+                                pa.array(widths, pa.int32()))
+        out = out.append_column("decoded_height",
+                                pa.array(heights, pa.int32()))
+        out = out.append_column("decoded_duration_ms",
+                                pa.array(durations, pa.int32()))
+        out = out.append_column("content_mean",
+                                pa.array(means, pa.float64()))
         return out
 
 

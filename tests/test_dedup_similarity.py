@@ -461,16 +461,83 @@ class TestMultimodal:
         # deterministic features
         assert by_id["m0"]["features"] == by_id["m0"]["features"]
 
-    def test_real_decoder_not_implemented(self):
+    def test_pgm_round_trip(self):
+        from ocr_pipeline_ray.stages.multimodal import decode_pnm, encode_pgm
+
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        img = decode_pnm(encode_pgm(4, 3, px))
+        assert (img["width"], img["height"], img["channels"]) == (4, 3, 1)
+        assert (img["pixels"][:, :, 0] == px).all()
+        # comment + whitespace tolerant header
+        wonky = b"P5\n# a comment\n 4\t3\n255\n" + bytes(range(12))
+        assert decode_pnm(wonky)["width"] == 4
+        # PPM (P6): 2x1 RGB
+        ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+        img = decode_pnm(ppm)
+        assert img["channels"] == 3
+        assert img["pixels"][0, 1].tolist() == [40, 50, 60]
+
+    def test_pgm_malformed(self):
+        from ocr_pipeline_ray.stages.multimodal import decode_pnm
+
+        for bad in (b"\x89PNG fake", b"P5\n4 3\n255\n\x00\x00",
+                    b"P5\nx y\n255\n", b"P5\n0 3\n255\n"):
+            with pytest.raises(ValueError):
+                decode_pnm(bad)
+
+    def test_wav_round_trip(self):
+        from ocr_pipeline_ray.stages.multimodal import decode_wav, encode_wav
+
+        samples = np.array([0, 100, -100, 32000], dtype=np.int16)
+        wav = decode_wav(encode_wav(samples, framerate=8000))
+        assert wav["channels"] == 1
+        assert wav["framerate"] == 8000
+        assert wav["n_frames"] == 4
+        assert wav["duration_ms"] == 0  # 4 frames @ 8 kHz < 1 ms
+        assert (wav["samples"][:, 0] == samples).all()
+        long = decode_wav(encode_wav(np.zeros(8000, dtype=np.int16)))
+        assert long["duration_ms"] == 1000
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF fake")
+
+    def test_real_decode_stage(self, ray_session):
+        """Default (real) decoder reads dims/means from the BYTES;
+        garbage and video rows get decode_error, never a crash."""
+        import ray.data
+
         from ocr_pipeline_ray.stages.multimodal import (
-            DecodeConfig,
-            MediaFeatureExtractor,
+            encode_pgm,
+            encode_wav,
+            media_feature_stage,
         )
 
-        import pytest as _pytest
-
-        with _pytest.raises(NotImplementedError):
-            MediaFeatureExtractor(DecodeConfig(use_fake_decoder=False))
+        tbl = pa.table({
+            "media_id": pa.array(["img", "wav", "vid", "bad"], pa.string()),
+            "kind": pa.array(["image", "audio", "video", "image"],
+                             pa.string()),
+            "payload": pa.array([
+                encode_pgm(6, 5, 42),
+                encode_wav([7] * 1600, framerate=8000),
+                b"not decodable video bytes",
+                b"\x89PNG fake",
+            ], pa.binary()),
+        })
+        rows = media_feature_stage(
+            ray.data.from_arrow(tbl), concurrency=(1, 2), batch_size=2
+        ).take_all()
+        by_id = {r["media_id"]: r for r in rows}
+        img = by_id["img"]
+        assert (img["decoded_width"], img["decoded_height"]) == (6, 5)
+        assert img["content_mean"] == 42.0
+        assert img["decode_error"] is None
+        wav = by_id["wav"]
+        assert wav["decoded_duration_ms"] == 200
+        assert wav["content_mean"] == 7.0
+        assert by_id["vid"]["decode_error"] == (
+            "video decode not implemented: no stdlib codec (stub)"
+        )
+        assert "PNM" in by_id["bad"]["decode_error"]
+        assert all(len(r["features"]) == 16 for r in rows)
 
     def test_resize_plan(self, ray_session):
         import pyarrow as pa

@@ -156,6 +156,48 @@ class TestTextlines2Data:
         assert textlines2data([]) == ("", 0, 0, 0, 0)
 
 
+class TestQualityFusionParity:
+    def test_fused_estimate_equals_textlines2data_path(self):
+        """estimate_quality's fused token path == the public
+        textlines2data composition, over adversarial line shapes
+        (hyphen wraps, empties, bad chars, ſ, short tokens, marks)."""
+        import random
+
+        from ocr_pipeline_ray.functions.quality import (
+            count_errors,
+            estimate_quality,
+            score_ratio,
+        )
+        from ocr_pipeline_ray.functions.text import textlines2data
+
+        rng = random.Random(17)
+        pieces = [
+            "der alte turm", "steht-", "", "  ", "am 123 fluss!",
+            "ab", "x", "ſtraße und „gassen“", "unter dem (hohen) berg-",
+            "zu|sammen ge..setzt", "a b c d", "drüben;", "--", "-",
+        ]
+        for _ in range(300):
+            lines = [rng.choice(pieces) for _ in range(rng.randint(0, 9))]
+            for minlen in (0, 2, 5):
+                got = estimate_quality(lines, minlen=minlen)
+                ws, n_lines, n_wraps, n_shorts, n_dense = textlines2data(
+                    lines, minlen=minlen
+                )
+                if not lines or not ws:
+                    assert got["hit_ratio"] == -1.0
+                    assert got["n_words"] == 0
+                    continue
+                toks = ws.split()
+                n_errs = min(count_errors(toks), len(toks))
+                assert got["n_lines_in"] == n_lines
+                assert got["n_wraps"] == n_wraps
+                assert got["n_shorts"] == n_shorts
+                assert got["n_lines_out"] == n_dense
+                assert got["n_words"] == len(toks)
+                assert got["n_errs"] == n_errs
+                assert got["hit_ratio"] == score_ratio(len(toks), n_errs)
+
+
 class TestAnalyze:
     def test_bins_last_bin_from_60(self):
         ratios = [0.0, 14.9, 15.0, 44.9, 59.9, 60.0, 75.0, 100.0]

@@ -35,10 +35,11 @@ BENCH_ROOT = "/tmp/ocr_ray_bench"
 # queries timed in the full bench (one per operator family)
 BENCH_QUERIES = [
     "replace_chars", "sanitize_chars", "token_count", "quality_report",
-    "dedup_exact", "minhash_signatures", "minhash_dup_pairs",
-    "jaccard_dup_pairs", "simhash", "ann_topk", "embedding_near_dup",
-    "events_hourly", "events_by_type_salted", "top_tokens",
-    "extraction_flagship", "extraction_boilerplate",
+    "dedup_exact", "dedup_first_rows", "minhash_signatures",
+    "minhash_dup_pairs", "jaccard_dup_pairs", "simhash", "ann_topk",
+    "embedding_near_dup", "events_hourly", "events_by_type_salted",
+    "top_tokens", "extraction_flagship", "extraction_boilerplate",
+    "media_decode",
 ]
 
 

@@ -582,6 +582,62 @@ def q_extraction_flagship(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_extraction_wraps(sf_dir: str):
+    """M6 dehyphenation, ORACLE-CHECKED end to end.
+
+    Each document's page carries a CONSTRUCTED hyphen wrap: the main
+    paragraph is ``tok0-<br>rest`` — so extraction yields two lines,
+    the first ending in ``-``. The quality chain merges the wrap
+    (``sanitize_wraps``: pop the next line's first token, append sans
+    hyphen — `/root/reference/lib/ocr_step.py:472-494`), so
+    ``n_wraps=1`` and the scored word string starts with the FUSED
+    token ``tok0tok1``; ``extracted_text`` keeps the raw hyphen (M6
+    feeds scoring only). The DuckDB twin rebuilds both lines, the
+    merge, sanitization and scoring from the original token stream —
+    every M6 semantic is load-bearing in the hash.
+    """
+    import html as html_mod
+
+    from .pipelines.extraction import build_pipeline
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"doc://{i}" for i in ids]
+        htmls = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            first, rest = toks[0], " ".join(toks[1:])
+            htmls.append((
+                "<html><body>"
+                "<nav><ul><li><a href='/x'>Start</a></li></ul></nav>"
+                f"<p>{html_mod.escape(first)}-<br>{html_mod.escape(rest)}</p>"
+                "<footer><p>Impressum Kontakt</p></footer>"
+                "</body></html>"
+            ).encode("utf-8"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    out = build_pipeline(ds.map_batches(_to_pages, batch_format="pyarrow"))
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        cols = {"url": batch.column("url"),
+                "extracted_text": batch.column("extracted_text"),
+                "hit_ratio": batch.column("hit_ratio")}
+        for name in ("n_words", "n_errs", "n_lines_in", "n_wraps",
+                     "n_shorts", "n_lines_out"):
+            cols[name] = pc.cast(batch.column(name), pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic content-hash train/val/test split (90/5/5).
 
@@ -714,7 +770,9 @@ def q_media_decode(sf_dir: str):
         })
 
     media = _docs(sf_dir).map_batches(_to_media, batch_format="pyarrow")
-    feats = media_feature_stage(media)  # real decoder (default config)
+    # real decoder (default config); these synthetic payloads are
+    # KB-scale, so a larger batch than the MB-payload default is right
+    feats = media_feature_stage(media, batch_size=128, concurrency=(1, 16))
     return feats.select_columns([
         "media_id", "kind", "payload_bytes", "decoded_width",
         "decoded_height", "decoded_duration_ms", "content_mean",
@@ -1195,6 +1253,39 @@ ORACLE_SQL: Dict[str, str] = {
         "substr(sha256(sha256(text)), 1, 32) END AS features_sig "
         "FROM documents"
     ),
+    "extraction_wraps": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "l AS (SELECT doc_id, toks, toks[1] || toks[2] AS l1, "
+        "array_to_string(toks[3:], ' ') AS l2 FROM t), "
+        "s AS (SELECT doc_id, toks, "
+        + SANITIZE_SQL.format(col="l1") + " AS s1, "
+        + SANITIZE_SQL.format(col="l2") + " AS s2 FROM l), "
+        "w AS (SELECT doc_id, toks, s1, s2, array_to_string("
+        "list_filter([s1, s2], x -> length(x) > 2), ' ') AS ws FROM s), "
+        "q AS (SELECT doc_id, toks, s1, s2, ws, "
+        "CASE WHEN ws = '' THEN 0 ELSE len(string_split(ws, ' ')) END AS nw, "
+        "CASE WHEN ws = '' THEN 0 ELSE len(list_filter(string_split(ws, ' '), "
+        "x -> NOT regexp_matches(x, '^[A-Za-zÄÖÜäöüß]+$'))) END AS ne "
+        "FROM w) "
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "toks[1] || '-' || chr(10) || array_to_string(toks[2:], ' ') "
+        "AS extracted_text, "
+        "CASE WHEN nw = 0 THEN -1.0 WHEN nw <= ne THEN 0.0 ELSE "
+        "floor(((nw - ne) / CAST(nw AS DOUBLE) * 100.0) * 1000.0 + 0.5) "
+        "/ 1000.0 END AS hit_ratio, "
+        "CAST(CASE WHEN nw = 0 THEN 0 ELSE nw END AS BIGINT) AS n_words, "
+        "CAST(CASE WHEN nw = 0 THEN 0 ELSE ne END AS BIGINT) AS n_errs, "
+        "CAST(CASE WHEN nw = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_lines_in, "
+        "CAST(CASE WHEN nw = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_wraps, "
+        "CAST(CASE WHEN nw = 0 THEN 0 ELSE "
+        "2 - len(list_filter([s1, s2], x -> length(x) > 2)) END AS BIGINT) "
+        "AS n_shorts, "
+        "CAST(CASE WHEN nw = 0 THEN 0 ELSE "
+        "len(list_filter([s1, s2], x -> length(x) > 2)) END AS BIGINT) "
+        "AS n_lines_out "
+        "FROM q"
+    ),
     "media_decode": (
         "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -1289,6 +1380,7 @@ QUERIES = {
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,
+    "extraction_wraps": q_extraction_wraps,
     "extraction_boilerplate": q_extraction_boilerplate,
     "extraction_alto_roundtrip": q_extraction_alto_roundtrip,
     "extraction_page_roundtrip": q_extraction_page_roundtrip,

@@ -276,6 +276,17 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow")
 
 
+def q_winnow_fingerprint(sf_dir: str):
+    """Winnowing rolling-hash fingerprint (SIGMOD'03 technique),
+    oracle-checked: 8-token sliding windows, per-window 32-bit md5
+    minima, distinct-count + global min reproduced in SQL."""
+    from .stages.dedup import winnow_fingerprint_fn
+
+    return _docs(sf_dir).map_batches(
+        winnow_fingerprint_fn, batch_format="pyarrow"
+    )
+
+
 def q_lang_stats(sf_dir: str):
     """Per-language corpus stats (groupby + partial-friendly aggs)."""
     ds = _docs(sf_dir, ["lang", "n_chars"])
@@ -1090,6 +1101,22 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp16 "
         "FROM documents"
     ),
+    "winnow_fingerprint": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "ti AS (SELECT doc_id, len(toks) AS n, list_transform(toks, "
+        "x -> CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT)) AS hs "
+        "FROM t), "
+        "w AS (SELECT doc_id, n, CASE WHEN n >= 8 THEN "
+        "list_transform(generate_series(1, n - 7), "
+        "i -> list_min(hs[i:i+7])) ELSE [] END AS mins FROM ti) "
+        "SELECT doc_id, "
+        "CAST(CASE WHEN n >= 8 THEN n - 7 ELSE 0 END AS BIGINT) "
+        "AS n_windows, "
+        "CAST(len(list_distinct(mins)) AS BIGINT) AS n_fps, "
+        "CAST(CASE WHEN n >= 8 THEN list_min(mins) END AS BIGINT) "
+        "AS fp_min FROM w"
+    ),
     "lang_stats": (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
@@ -1357,6 +1384,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_first_rows": q_dedup_first_rows,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "lang_stats": q_lang_stats,
     "lang_id": q_lang_id,
     "quality_heuristics": q_quality_heuristics,

@@ -713,3 +713,51 @@ def jaccard_all_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return ray.data.from_items(idx_pairs).map_batches(
         _block_pair, batch_size=1, batch_format="pyarrow"
     )
+
+
+def winnow_fingerprint_fn(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          window: int = 8) -> pa.Table:
+    """Winnowing-style rolling-hash document fingerprint (row-local).
+
+    Public technique (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD 2003): each token
+    hashes to a 32-bit value (md5 prefix, SQL-reproducible); every
+    ``window``-token sliding window contributes its MINIMUM hash; the
+    document's fingerprint set is the distinct window minima — robust
+    to local edits, linear to compute, no shuffle. Emits scalar
+    telemetry per doc: window count, distinct-fingerprint count and
+    the global minimum (the doc's strongest fingerprint).
+    """
+    import numpy as np
+
+    texts = batch.column(text_col).to_pylist()
+    memo: Dict[str, int] = {}
+    n_windows, n_fps, fp_min = [], [], []
+    for t in texts:
+        toks = (t or "").split(" ")
+        n = len(toks)
+        if n < window:
+            n_windows.append(0)
+            n_fps.append(0)
+            fp_min.append(None)
+            continue
+        hs = np.empty(n, dtype=np.uint64)
+        for i, tok in enumerate(toks):
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                memo[tok] = v
+            hs[i] = v
+        mins = np.lib.stride_tricks.sliding_window_view(
+            hs, window
+        ).min(axis=1)
+        n_windows.append(n - window + 1)
+        n_fps.append(int(np.unique(mins).size))
+        fp_min.append(int(mins.min()))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_windows": pa.array(n_windows, pa.int64()),
+        "n_fps": pa.array(n_fps, pa.int64()),
+        "fp_min": pa.array(fp_min, pa.int64()),
+    })

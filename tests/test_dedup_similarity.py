@@ -42,6 +42,43 @@ class TestPrimitives:
         assert ham_ab < ham_ac
         assert ham_ab <= 8
 
+    def test_winnow_fingerprint(self, ray_session):
+        """Winnowing: short docs get no windows; identical docs get
+        identical fingerprints; a LOCAL edit preserves most distinct
+        window minima (the robustness property the technique is for)."""
+        import hashlib as _hl
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import winnow_fingerprint_fn
+
+        base = ("der alte turm steht am fluss unter dem hohen berg "
+                "und die sonne geht über dem tal langsam unter heute") * 3
+        edited = base.replace("sonne", "wolke", 1)
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([base, base, edited, "nur sieben worte"],
+                             pa.string()),
+        })
+        rows = (
+            ray.data.from_arrow(tbl)
+            .map_batches(winnow_fingerprint_fn, batch_format="pyarrow")
+            .take_all()
+        )
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[3] == {"doc_id": 3, "n_windows": 0, "n_fps": 0,
+                            "fp_min": None}
+        assert by_id[0] == {**by_id[1], "doc_id": 0}
+        # hand-check the window count and the global min for doc 0
+        toks = base.split(" ")
+        hs = [int(_hl.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        assert by_id[0]["n_windows"] == len(toks) - 7
+        assert by_id[0]["fp_min"] == min(
+            min(hs[i:i + 8]) for i in range(len(toks) - 7)
+        )
+        # a one-token local edit perturbs at most `window` minima
+        assert abs(by_id[2]["n_fps"] - by_id[0]["n_fps"]) <= 8
+
     def test_simhash_batch_matches_scalar(self):
         """Vectorized kernel is bit-exact vs the scalar reference,
         including empty text and shared tokens across docs."""

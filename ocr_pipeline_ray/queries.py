@@ -979,6 +979,41 @@ def q_extraction_page_roundtrip(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap), one row per session.
+
+    The engine's windowed-state shape: ONE crc32-bucketed shuffle of
+    (user, ts, value, event_id), then a whole-bucket Arrow sort +
+    vectorized numpy break/segment math — never a per-user UDF. The
+    DuckDB twin is the classic lag()+cumulative-sum sessionization.
+    """
+    from .stages.temporal import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    return sessionize(ds, gap_minutes=30.0)
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Trailing 3-hour sliding-window aggregate per event type.
+
+    Phase 1 pre-aggregates to (type, hour) hourly partials (map-side
+    combine — the shuffle carries hours, not events); phase 2 windows
+    by VALUE inside whole-bucket UDFs, so missing hours weigh zero —
+    exactly SQL ``RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND
+    CURRENT ROW``.
+    """
+    from .stages.temporal import sliding_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    )
+    return sliding_window_agg(ds, window_hours=3)
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -1343,6 +1378,32 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY event_type"
     ),
+    "user_sessions": (
+        "WITH e AS (SELECT user_id, ts, event_id, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+        "AS brk FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM e) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value, "
+        "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) "
+        "AS duration_us "
+        "FROM s GROUP BY user_id, sess"
+    ),
+    "events_sliding_window": (
+        "WITH hourly AS (SELECT event_type, "
+        "date_trunc('hour', ts) AS hour, count(*) AS n, sum(value) AS sv "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)) "
+        "SELECT event_type, hour, "
+        "CAST(sum(n) OVER w AS BIGINT) AS n_events_w, "
+        "floor(sum(sv) OVER w * 1000000.0 + 0.5) / 1000000.0 "
+        "AS sum_value_w FROM hourly "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY hour "
+        "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)"
+    ),
     "user_activity": (
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
@@ -1401,6 +1462,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,
     "media_features": q_media_features,
     "media_decode": q_media_decode,

@@ -1,0 +1,195 @@
+"""Temporal operators over an event stream: sessionization + sliding
+windows.
+
+The reference is strictly batch (SURVEY.md §2.9 — no windows exist),
+but a large-scale training-data/telemetry pipeline needs both shapes,
+so they ship as first-class operators with DuckDB oracles. Both use
+the engine's standard skew-safe layout: ONE shuffle, hash-partitioned
+by ``crc32(key) % n_buckets`` (never a per-key groupby — that is one
+Python UDF call per user/type), then a single Arrow sort + vectorized
+numpy segment math inside each whole-bucket UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _bucket_by(ds, key_col: str, n_buckets: int):
+    from zlib import crc32
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = [
+            crc32(str(k).encode("utf-8")) % n_buckets
+            for k in batch.column(key_col).to_pylist()
+        ]
+        return batch.append_column("_kbucket", pa.array(buckets, pa.int64()))
+
+    return ds.map_batches(_bucketize, batch_format="pyarrow")
+
+
+def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", order_col: str = "event_id",
+               gap_minutes: float = 30.0, n_buckets: int = 64):
+    """Gap-based sessions per user (one row per session).
+
+    A new session starts at a user's first event and whenever the gap
+    to the previous event exceeds ``gap_minutes`` (strictly). Output:
+    ``(user_id, session_start, n_events, sum_value, duration_us)``.
+    Events within a user are ordered by ``(ts, order_col)`` so ties
+    are deterministic.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            user_col: pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+            "duration_us": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending"),
+                           (order_col, "ascending")])
+        users = g.column(user_col).combine_chunks().to_numpy()
+        ts = g.column(ts_col).combine_chunks().to_numpy().astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        vals = g.column(value_col).combine_chunks().to_numpy()
+        n = len(users)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = users[1:] == users[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= gap_us
+            brk[1:] = ~(same_user & small_gap)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        sums = np.add.reduceat(vals, starts)
+        return pa.table({
+            user_col: pa.array(users[starts], pa.int64()),
+            "session_start": pa.array(
+                ts[starts].view("datetime64[us]"), pa.timestamp("us")
+            ),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "sum_value": pa.array(
+                [_round6(s) for s in sums], pa.float64()
+            ),
+            "duration_us": pa.array(
+                ts[ends - 1] - ts[starts], pa.int64()
+            ),
+        })
+
+    bucketed = _bucket_by(
+        ds.select_columns([user_col, ts_col, value_col, order_col]),
+        user_col, n_buckets,
+    )
+    return bucketed.groupby("_kbucket").map_groups(
+        _sessions, batch_format="pyarrow"
+    )
+
+
+def sliding_window_agg(ds, key_col: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value", window_hours: int = 3,
+                       n_buckets: int = 16):
+    """Trailing sliding-window aggregate per key (RANGE semantics).
+
+    Two-phase: (1) map-side partial combine into (key, hour) hourly
+    partials — the shuffle carries one row per (key, hour, block), not
+    one per event; (2) per-bucket whole-bucket UDF computes, for every
+    present hour, the count/sum over the trailing ``window_hours``
+    window by VALUE (missing hours weigh zero — identical to SQL
+    ``RANGE BETWEEN INTERVAL n PRECEDING AND CURRENT ROW``), via two
+    ``np.searchsorted`` cumulative-sum lookups per key run.
+    Output: ``(key, hour, n_events_w, sum_value_w)``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def _hour_partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch.column(ts_col), unit="hour")
+        return pa.table({
+            key_col: batch.column(key_col),
+            "hour": hours,
+            value_col: batch.column(value_col),
+        })
+
+    hourly = (
+        ds.select_columns([key_col, ts_col, value_col])
+        .map_batches(_hour_partial, batch_format="pyarrow")
+        .groupby([key_col, "hour"])
+        .aggregate(Count(), Sum(value_col))
+    )
+
+    win_us = window_hours * 3600 * 1_000_000
+
+    def _slide(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.string()),
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_events_w": pa.array([], pa.int64()),
+            "sum_value_w": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([(key_col, "ascending"), ("hour", "ascending")])
+        keys = g.column(key_col).to_pylist()
+        hours = g.column("hour").combine_chunks().to_numpy().astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        counts = g.column("count()").combine_chunks().to_numpy()
+        sums = g.column(f"sum({value_col})").combine_chunks().to_numpy()
+        out_keys: List[str] = []
+        out_hours, out_counts, out_sums = [], [], []
+        i = 0
+        n = len(keys)
+        while i < n:
+            j = i
+            while j < n and keys[j] == keys[i]:
+                j += 1
+            h = hours[i:j]
+            cnt = counts[i:j]
+            val = sums[i:j]
+            # trailing window (h - window, h]: first index with
+            # hour > h_k - window_us
+            lo = np.searchsorted(h, h - win_us + 1, side="left")
+            ccum = np.concatenate([[0], np.cumsum(cnt)])
+            idx = np.arange(len(h))
+            out_keys.extend(keys[i:j])
+            out_hours.append(h)
+            out_counts.append(ccum[idx + 1] - ccum[lo])
+            # frame sums DIRECTLY in ascending-hour order (≤
+            # window_hours addends) — a cumsum difference would
+            # accumulate float cancellation the SQL frame sum
+            # doesn't have
+            out_sums.append(np.array(
+                [val[a:k + 1].sum() for k, a in enumerate(lo)]
+            ))
+            i = j
+        return pa.table({
+            key_col: pa.array(out_keys, pa.string()),
+            "hour": pa.array(
+                np.concatenate(out_hours).view("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "n_events_w": pa.array(
+                np.concatenate(out_counts).astype(np.int64), pa.int64()
+            ),
+            "sum_value_w": pa.array(
+                [_round6(s) for s in np.concatenate(out_sums)], pa.float64()
+            ),
+        })
+
+    bucketed = _bucket_by(hourly, key_col, n_buckets)
+    return bucketed.groupby("_kbucket").map_groups(
+        _slide, batch_format="pyarrow"
+    )

@@ -1,0 +1,94 @@
+"""Temporal operators: sessionization + sliding windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+US = 1_000_000
+MIN = 60 * US
+HOUR = 60 * MIN
+
+
+def _events(rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            np.array([r[1] for r in rows], dtype="datetime64[us]"),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+class TestSessionize:
+    def test_gap_semantics(self, ray_session):
+        """Strict 30-min gap: exactly 30:00 continues the session,
+        30:00.000001 starts a new one; users never share sessions."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import sessionize
+
+        rows = [
+            # user 1: three events, second exactly at the gap bound
+            # (continues), third one microsecond past it (breaks)
+            (0, 0, 1, "a", 1.0),
+            (1, 30 * MIN, 1, "a", 2.0),
+            (2, 60 * MIN + 1, 1, "a", 4.0),
+            # user 2: single event at the same instant as user 1's
+            (3, 0, 2, "a", 8.0),
+        ]
+        for layout in (1, 3):
+            ds = ray.data.from_arrow(_events(rows)).repartition(layout)
+            got = sorted(
+                sessionize(ds).take_all(),
+                key=lambda r: (r["user_id"], r["session_start"]),
+            )
+            assert [(r["user_id"], r["n_events"], r["sum_value"],
+                     r["duration_us"]) for r in got] == [
+                (1, 2, 3.0, 30 * MIN),
+                (1, 1, 4.0, 0),
+                (2, 1, 8.0, 0),
+            ]
+
+    def test_tie_break_by_event_id(self, ray_session):
+        """Equal timestamps order by event_id (deterministic)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import sessionize
+
+        rows = [(5, 0, 1, "a", 1.0), (4, 0, 1, "a", 2.0)]
+        got = sessionize(ray.data.from_arrow(_events(rows))).take_all()
+        assert len(got) == 1
+        assert got[0]["n_events"] == 2 and got[0]["sum_value"] == 3.0
+
+
+class TestSlidingWindow:
+    def test_missing_hours_weigh_zero(self, ray_session):
+        """RANGE semantics: a 3-hour trailing window over hours
+        0, 1, 5 — hour 5's window covers only itself (hours 3-5)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import sliding_window_agg
+
+        rows = [
+            (0, 10 * MIN, 1, "x", 1.0),
+            (1, 1 * HOUR + 10 * MIN, 1, "x", 2.0),
+            (2, 1 * HOUR + 20 * MIN, 1, "x", 4.0),
+            (3, 5 * HOUR, 1, "x", 8.0),
+            (4, 10 * MIN, 1, "y", 16.0),
+        ]
+        ds = ray.data.from_arrow(_events(rows))
+        got = {
+            (r["event_type"], r["hour"].hour): (r["n_events_w"],
+                                                r["sum_value_w"])
+            for r in sliding_window_agg(ds, window_hours=3).take_all()
+        }
+        assert got == {
+            ("x", 0): (1, 1.0),
+            ("x", 1): (3, 7.0),   # hours 0+1 in range
+            ("x", 5): (1, 8.0),   # hours 3-5: only hour 5 present
+            ("y", 0): (1, 16.0),  # keys are windowed independently
+        }

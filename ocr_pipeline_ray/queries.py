@@ -434,6 +434,17 @@ def q_ann_topk_lsh(sf_dir: str):
 NEAR_DUP_THRESHOLD = 0.5
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-quantizer ANN (scale path #2; rows-only like the LSH
+    paths — centroid math is not SQL-expressible; pytest pins the
+    subset-of-exact property)."""
+    from .stages.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vec(sf_dir), k=10, exclude_id=0)
+
+
 def q_embedding_near_dup(sf_dir: str):
     """All embedding pairs with cosine > threshold (v1 < v2) — exact,
     via the distributed block-pair join (stages/similarity.py).
@@ -1459,6 +1470,7 @@ QUERIES = {
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,

@@ -393,3 +393,93 @@ def embedding_lsh_recall(
         "n_common": pa.array([common], pa.int64()),
         "recall": pa.array([recall], pa.float64()),
     })
+
+
+def train_centroids(ds, n_centroids: int = 16, sample_size: int = 2048,
+                    n_iters: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Deterministic mini k-means coarse quantizer (IVF training).
+
+    Trains on a bounded SAMPLE (the first ``sample_size`` rows of the
+    dataset — at 10^12 scale the quantizer is always trained on a
+    sample and broadcast, never on the corpus), seeded
+    initialization, fixed Lloyd iterations, empty clusters keep their
+    previous centroid. Returns an (n_centroids, dim) float64 matrix
+    of L2-NORMALIZED centroids (cosine ≡ dot on normalized vectors).
+    """
+    sample = _to_matrix(
+        pa.concat_tables([
+            b.select([emb_col]) for b in
+            ds.limit(sample_size).iter_batches(batch_format="pyarrow")
+        ]).column(emb_col)
+    )
+    if sample.size == 0:
+        raise ValueError("cannot train centroids on an empty dataset")
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(sample))
+    rng = np.random.default_rng(seed)
+    centroids = sample[
+        rng.choice(len(sample), size=n_centroids, replace=False)
+    ].copy()
+    for _ in range(n_iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    centroids[c] = mean / norm
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: Optional[int] = None,
+):
+    """Approximate top-k via an IVF coarse quantizer (scale path #2).
+
+    A sample-trained k-means quantizer partitions the space into
+    ``n_centroids`` inverted lists; the scan keeps only vectors whose
+    nearest centroid is among the query's ``nprobe`` closest
+    centroids, then exact cosine top-k runs on the pruned set. The
+    centroid matrix is closure-broadcast (KBs); each batch does two
+    matmuls. Recall < 1 by construction and grows with ``nprobe`` —
+    measured by the subset property in pytest (the plane/centroid
+    math is not SQL-expressible, so this is a rows-only query like
+    the LSH paths). At 10^12 scale the assignment becomes a
+    partitioning key: write each inverted list as its own partition
+    and the probe reads ``nprobe`` partitions instead of scanning.
+    """
+    centroids = train_centroids(
+        ds, n_centroids, sample_size, seed=seed,
+        id_col=id_col, emb_col=emb_col,
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    order = np.argsort(-(centroids @ q))
+    probed = frozenset(int(c) for c in order[:nprobe])
+
+    def _probe_filter(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(emb_col))
+        if mat.size == 0:
+            return batch
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = (norm @ centroids.T).argmax(axis=1)
+        mask = np.isin(assign, list(probed))
+        if exclude_id is not None:
+            ids = batch.column(id_col).combine_chunks().to_numpy()
+            mask &= ids != exclude_id
+        return batch.filter(pa.array(mask))
+
+    pruned = ds.map_batches(_probe_filter, batch_format="pyarrow")
+    return brute_force_topk(pruned, query_vec, k, id_col, emb_col,
+                            exclude_id)

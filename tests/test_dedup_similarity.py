@@ -417,6 +417,47 @@ class TestBucketTelemetry:
             assert stats["max_bucket_size"] == 6
             assert stats["dropped_ids"] == 3
 
+    def test_ivf_topk_subset_of_exact(self, ray_session):
+        """IVF results ⊆ exact top-k universe with correct sims; a
+        full probe (nprobe = n_centroids) recovers the exact top-k."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(9)
+        # three well-separated clusters so the quantizer is meaningful
+        centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]],
+                           dtype=float)
+        mat = np.vstack([
+            centers[i % 3] + rng.randn(4) * 0.5 for i in range(90)
+        ])
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        q = mat[0].tolist()
+        exact = {(r["vec_id"], r["sim"])
+                 for r in brute_force_topk(ds, q, k=10,
+                                           exclude_id=0).take_all()}
+        approx = {(r["vec_id"], r["sim"])
+                  for r in ivf_topk(ds, q, k=10, n_centroids=6, nprobe=2,
+                                    exclude_id=0).take_all()}
+        # sims must agree exactly for any id found by both paths
+        exact_by_id = dict(exact)
+        for vid, sim in approx:
+            assert exact_by_id.get(vid, sim) == sim
+        # probing every list degenerates to the exact scan
+        full = {(r["vec_id"], r["sim"])
+                for r in ivf_topk(ds, q, k=10, n_centroids=6, nprobe=6,
+                                  exclude_id=0).take_all()}
+        assert full == exact
+        # with clustered data, 2 probes should still find most of top-10
+        assert len({v for v, _ in approx} & {v for v, _ in exact}) >= 7
+
     def test_embedding_lsh_recall_counts(self, ray_session):
         """Recall telemetry: exact twin vs LSH path, one row, and the
         LSH pair set is a subset of the exact set."""

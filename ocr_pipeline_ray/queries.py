@@ -1025,6 +1025,49 @@ def q_events_sliding_window(sf_dir: str):
     return sliding_window_agg(ds, window_hours=3)
 
 
+def q_events_json_agg(sf_dir: str):
+    """JSON scalar extraction (§2.8's JSON family — the reference
+    parses LanguageTool's JSON response, `lib/ocr_step.py:395-402`):
+    parse the ``props`` JSON column per event, extract ``k``, and
+    aggregate per event type with map-side partial combine."""
+    import json
+
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = json.loads(p).get("k") if p else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(_extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(), Sum("k"), Min("k"), Max("k"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("count()"), pa.int64()),
+            "sum_k": pc.cast(batch.column("sum(k)"), pa.int64()),
+            "min_k": pc.cast(batch.column("min(k)"), pa.int64()),
+            "max_k": pc.cast(batch.column("max(k)"), pa.int64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -1389,6 +1432,15 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY event_type"
     ),
+    "events_json_agg": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS sum_k, "
+        "CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS min_k, "
+        "CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS max_k FROM events GROUP BY event_type"
+    ),
     "user_sessions": (
         "WITH e AS (SELECT user_id, ts, event_id, value, "
         "CASE WHEN lag(ts) OVER w IS NULL "
@@ -1474,6 +1526,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,
+    "events_json_agg": q_events_json_agg,
     "user_sessions": q_user_sessions,
     "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,

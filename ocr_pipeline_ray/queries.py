@@ -1068,6 +1068,125 @@ def q_events_json_agg(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Star-schema rollup across BOTH join strategies, oracle-checked.
+
+    lineitem ⨝ orders runs as a ``repartition_join`` (both sides
+    large at scale: one co-shuffle by crc32(orderkey) bucket,
+    whole-bucket dict probe); orders ⨝ customer ⨝ nation run as
+    ``broadcast_join`` (dimension tables: object-store broadcast,
+    per-worker cached). Revenue = sum(extendedprice·(1−discount))
+    per nation with map-side partial combine; round3 grid so
+    summation-order float noise (~1e-8 relative) sits far below the
+    comparison granularity.
+    """
+    from .stages.join import broadcast_join, repartition_join
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.rename_columns(["o_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["c_nationkey", "n_name"])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, on="o_custkey")
+    orders = broadcast_join(orders, nation, on="c_nationkey")
+
+    def _orders_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("o_orderkey"),
+            "n_name": batch.column("n_name"),
+        })
+
+    orders_dim = orders.map_batches(_orders_key, batch_format="pyarrow")
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = repartition_join(lineitem, orders_dim, on="l_orderkey")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "rev": rev,
+            "one": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+        })
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev"), Sum("one"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        revs = [
+            math.floor(v * 1000.0 + 0.5) / 1000.0
+            for v in batch.column("sum(rev)").to_pylist()
+        ]
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "n_items": pc.cast(batch.column("sum(one)"), pa.int64()),
+            "revenue": pa.array(revs, pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def q_top_parts_by_revenue(sf_dir: str):
+    """Broadcast dimension join + partial agg + global top-k:
+    lineitem ⨝ part (2k-row dimension, object-store broadcast),
+    revenue per part, top 10 by (revenue desc, p_name asc)."""
+    import pyarrow.parquet as pq
+
+    from .stages.join import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    part = part.rename_columns(["l_partkey", "p_name"])
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(lineitem, part, on="l_partkey")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"p_name": batch.column("p_name"), "rev": rev})
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("p_name")
+        .aggregate(Sum("rev"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        revs = [
+            math.floor(v * 1000.0 + 0.5) / 1000.0
+            for v in batch.column("sum(rev)").to_pylist()
+        ]
+        return pa.table({
+            "p_name": batch.column("p_name"),
+            "revenue": pa.array(revs, pa.float64()),
+        })
+
+    return (
+        agg.map_batches(_finish, batch_format="pyarrow")
+        .sort(key=["revenue", "p_name"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -1432,6 +1551,22 @@ ORACLE_SQL: Dict[str, str] = {
         "floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value "
         "FROM events GROUP BY event_type"
     ),
+    "revenue_by_nation": (
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_items, "
+        "floor(sum(l_extendedprice * (1 - l_discount)) * 1000.0 + 0.5) "
+        "/ 1000.0 AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    "top_parts_by_revenue": (
+        "SELECT p_name, "
+        "floor(sum(l_extendedprice * (1 - l_discount)) * 1000.0 + 0.5) "
+        "/ 1000.0 AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_name ORDER BY revenue DESC, p_name ASC LIMIT 10"
+    ),
     "events_json_agg": (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
@@ -1527,6 +1662,8 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "events_hourly": q_events_hourly,
     "events_json_agg": q_events_json_agg,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
     "user_sessions": q_user_sessions,
     "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,

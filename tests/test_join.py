@@ -1,0 +1,101 @@
+"""Broadcast + repartition join operators."""
+
+import pyarrow as pa
+import pytest
+
+
+def _left_tbl():
+    return pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+
+
+def _right_tbl():
+    return pa.table({
+        "k": pa.array([1, 2, 5], pa.int64()),
+        "w": pa.array([10.0, 20.0, 50.0], pa.float64()),
+        "v": pa.array(["ra", "rb", "rx"], pa.string()),  # name collision
+    })
+
+
+EXPECT_INNER = {
+    (1, "a", 10.0, "ra"),
+    (2, "b", 20.0, "rb"),
+    (2, "e", 20.0, "rb"),
+}
+
+
+class TestJoins:
+    @pytest.mark.parametrize("layout", [1, 3])
+    def test_broadcast_inner_and_left(self, ray_session, layout):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import broadcast_join
+
+        left = ray.data.from_arrow(_left_tbl()).repartition(layout)
+        rows = broadcast_join(left, _right_tbl(), on="k").take_all()
+        got = {(r["k"], r["v"], r["w"], r["v_r"]) for r in rows}
+        assert got == EXPECT_INNER
+        rows = broadcast_join(
+            ray.data.from_arrow(_left_tbl()), _right_tbl(), on="k",
+            how="left",
+        ).take_all()
+        assert len(rows) == 5
+        misses = [r for r in rows if r["k"] in (3, 4)]
+        assert all(r["w"] is None and r["v_r"] is None for r in misses)
+
+    @pytest.mark.parametrize("layout", [1, 4])
+    def test_repartition_inner_and_left(self, ray_session, layout):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import repartition_join
+
+        left = ray.data.from_arrow(_left_tbl()).repartition(layout)
+        right = ray.data.from_arrow(_right_tbl()).repartition(2)
+        rows = repartition_join(left, right, on="k",
+                                n_buckets=4).take_all()
+        got = {(r["k"], r["v"], r["w"], r["v_r"]) for r in rows}
+        assert got == EXPECT_INNER
+        rows = repartition_join(left, right, on="k", how="left",
+                                n_buckets=4).take_all()
+        assert len(rows) == 5
+        assert {r["k"] for r in rows if r["w"] is None} == {3, 4}
+
+    def test_strategies_agree_on_string_keys(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import (
+            broadcast_join,
+            repartition_join,
+        )
+
+        left = pa.table({
+            "url": pa.array([f"u{i % 7}" for i in range(40)], pa.string()),
+            "i": pa.array(range(40), pa.int64()),
+        })
+        right = pa.table({
+            "url": pa.array([f"u{i}" for i in range(5)], pa.string()),
+            "host": pa.array([f"h{i}" for i in range(5)], pa.string()),
+        })
+        a = broadcast_join(
+            ray.data.from_arrow(left), right, on="url"
+        ).take_all()
+        b = repartition_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="url", n_buckets=3,
+        ).take_all()
+        key = lambda r: (r["url"], r["i"], r["host"])  # noqa: E731
+        assert sorted(map(key, a)) == sorted(map(key, b))
+        assert len(a) == sum(1 for i in range(40) if i % 7 < 5)
+
+    def test_right_cols_projection(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import broadcast_join
+
+        rows = broadcast_join(
+            ray.data.from_arrow(_left_tbl()), _right_tbl(), on="k",
+            right_cols=["w"],
+        ).take_all()
+        assert set(rows[0].keys()) == {"k", "v", "w"}

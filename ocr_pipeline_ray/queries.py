@@ -1187,6 +1187,52 @@ def q_top_parts_by_revenue(sf_dir: str):
     )
 
 
+def q_click_attribution(sf_dir: str):
+    """As-of join, ORACLE-CHECKED against DuckDB's native ASOF JOIN:
+    for every click event, the latest view event by the same user
+    at-or-before the click (the classic attribution/backfill shape).
+    One crc32-bucketed co-shuffle; per-bucket sorted-right
+    searchsorted probe — never a per-user UDF."""
+    from .stages.join import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def _views(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), "view")
+        b = batch.filter(m)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "view_id": b.column("event_id"),
+            "view_ts": b.column("ts"),
+        })
+
+    views = ev.map_batches(_views, batch_format="pyarrow")
+    joined = asof_join(clicks, views, on="user_id", ts_col="ts",
+                       right_cols=["view_id", "view_ts"], how="left")
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        gap = pc.cast(
+            pc.subtract(batch.column("ts"), batch.column("view_ts")),
+            pa.duration("us"),
+        )
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "view_id": batch.column("view_id"),
+            "gap_us": pc.cast(gap, pa.int64()),
+        })
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -1567,6 +1613,17 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "GROUP BY p_name ORDER BY revenue DESC, p_name ASC LIMIT 10"
     ),
+    "click_attribution": (
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "v AS (SELECT event_id AS view_id, user_id, ts AS view_ts "
+        "FROM events WHERE event_type = 'view') "
+        "SELECT c.event_id, c.user_id, c.ts, v.view_id, "
+        "CAST(date_diff('microsecond', v.view_ts, c.ts) AS BIGINT) "
+        "AS gap_us "
+        "FROM c ASOF LEFT JOIN v "
+        "ON c.user_id = v.user_id AND v.view_ts <= c.ts"
+    ),
     "events_json_agg": (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
@@ -1663,6 +1720,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json_agg": q_events_json_agg,
     "revenue_by_nation": q_revenue_by_nation,
+    "click_attribution": q_click_attribution,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "user_sessions": q_user_sessions,
     "events_sliding_window": q_events_sliding_window,

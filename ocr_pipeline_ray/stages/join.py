@@ -200,3 +200,138 @@ def repartition_join(left, right, on: str,
     return tagged_left.union(tagged_right).groupby("_bucket").map_groups(
         _join_bucket, batch_format="pyarrow"
     )
+
+
+def asof_join(left, right, on: str, ts_col: str = "ts",
+              right_cols: Optional[List[str]] = None,
+              how: str = "left", suffix: str = "_r",
+              n_buckets: int = 64):
+    """As-of join: for each left row, the LATEST right row with the
+    same key and ``right.ts <= left.ts`` (DuckDB ``ASOF JOIN``
+    semantics; the attribution/backfill operator).
+
+    Same physical shape as :func:`repartition_join` — both sides
+    co-shuffled once by ``crc32(key) % n_buckets``, then each
+    whole-bucket UDF sorts its right rows per key and answers every
+    left row with one ``np.searchsorted`` — never a per-key UDF,
+    never a sort of the full dataset. Ties on ``right.ts`` keep the
+    last row in (ts, input-order) sort order; pass unique (key, ts)
+    right rows when that matters.
+    """
+    import numpy as np
+    from zlib import crc32
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right.schema()
+    cols = right_cols or [
+        c for c in right_schema.names if c not in (on, ts_col)
+    ]
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    out_names = left_cols + [
+        (c if c not in left_cols else c + suffix) for c in cols
+    ]
+    payload_left = [c for c in left_cols if c != on]
+
+    union_fields = (
+        [("_bucket", pa.int64()), ("_side", pa.int32()),
+         (on, left_types[on]), ("_ts", left_types[ts_col])]
+        + [(f"_l_{c}", left_types[c]) for c in payload_left if c != ts_col]
+        + [(f"_r_{c}", right_types[c]) for c in cols]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _tag(side: int, payload: List[str], prefix: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = batch.column(on)
+            buckets = [
+                crc32(str(k).encode("utf-8")) % n_buckets
+                for k in keys.to_pylist()
+            ]
+            arrays = {
+                "_bucket": pa.array(buckets, pa.int64()),
+                "_side": pa.array([side] * n, pa.int32()),
+                on: keys,
+                "_ts": batch.column(ts_col),
+            }
+            for name, typ in union_fields[4:]:
+                arrays[name] = pa.nulls(n, typ)
+            for c in payload:
+                arrays[f"{prefix}{c}"] = batch.column(c)
+            return pa.table(
+                {name: arrays[name] for name, _ in union_fields},
+                schema=union_schema,
+            )
+        return _fn
+
+    tagged_left = left.map_batches(
+        _tag(0, [c for c in payload_left if c != ts_col], "_l_"),
+        batch_format="pyarrow")
+    tagged_right = right.select_columns(
+        [on, ts_col] + cols
+    ).map_batches(_tag(1, cols, "_r_"), batch_format="pyarrow")
+
+    def _probe(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("_side").to_pylist())
+        keys = group.column(on).to_pylist()
+        ts = group.column("_ts").combine_chunks().to_numpy().astype(
+            "datetime64[us]"
+        ).view(np.int64) if pa.types.is_timestamp(
+            group.schema.field("_ts").type
+        ) else group.column("_ts").combine_chunks().to_numpy()
+        # per-key sorted right timestamps + original row indices
+        r_by_key: Dict = {}
+        r_idx = np.flatnonzero(sides == 1)
+        for i in r_idx:
+            r_by_key.setdefault(keys[i], []).append(i)
+        for k, idxs in r_by_key.items():
+            arr = np.asarray(idxs)
+            order = np.argsort(ts[arr], kind="stable")
+            r_by_key[k] = (ts[arr][order], arr[order])
+        rcols_data = [group.column(f"_r_{c}").to_pylist() for c in cols]
+        lcols_data = {
+            c: group.column(f"_l_{c}").to_pylist()
+            for c in payload_left if c != ts_col
+        }
+        ts_vals = group.column("_ts").to_pylist()
+        out: Dict[str, list] = {name: [] for name in out_names}
+        for i in np.flatnonzero(sides == 0):
+            entry = r_by_key.get(keys[i])
+            hit_row = None
+            if entry is not None:
+                pos = int(np.searchsorted(entry[0], ts[i],
+                                          side="right")) - 1
+                if pos >= 0:
+                    hit_row = int(entry[1][pos])
+            if hit_row is None and how == "inner":
+                continue
+            for c in left_cols:
+                if c == on:
+                    out[c].append(keys[i])
+                elif c == ts_col:
+                    out[c].append(ts_vals[i])
+                else:
+                    out[c].append(lcols_data[c][i])
+            for j, c in enumerate(cols):
+                name = c if c not in left_cols else c + suffix
+                out[name].append(
+                    rcols_data[j][hit_row] if hit_row is not None else None
+                )
+        arrays = []
+        for name in out_names:
+            if name in left_cols:
+                typ = left_types[name]
+            else:
+                base = name[:-len(suffix)] if name.endswith(suffix) \
+                    and name not in right_types else name
+                typ = right_types[base]
+            arrays.append(pa.array(out[name], typ))
+        return pa.table(dict(zip(out_names, arrays)))
+
+    return tagged_left.union(tagged_right).groupby("_bucket").map_groups(
+        _probe, batch_format="pyarrow"
+    )

@@ -89,6 +89,45 @@ class TestJoins:
         assert sorted(map(key, a)) == sorted(map(key, b))
         assert len(a) == sum(1 for i in range(40) if i % 7 < 5)
 
+    def test_asof_join_semantics(self, ray_session):
+        """At-or-before INCLUSIVE bound; latest wins; per-key
+        isolation; no-prior match → null (left) / dropped (inner)."""
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import asof_join
+
+        def _ts(vals):
+            return pa.array(np.array(vals, dtype="datetime64[us]"),
+                            pa.timestamp("us"))
+
+        left = pa.table({
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": _ts([100, 50, 5, 100]),
+            "lv": pa.array(["a", "b", "c", "d"], pa.string()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": _ts([10, 50, 999]),
+            "rv": pa.array(["r10", "r50", "r999"], pa.string()),
+        })
+        for layout in (1, 3):
+            lds = ray.data.from_arrow(left).repartition(layout)
+            rds = ray.data.from_arrow(right)
+            rows = asof_join(lds, rds, on="k", ts_col="ts",
+                             n_buckets=4).take_all()
+            got = {r["lv"]: r["rv"] for r in rows}
+            assert got == {
+                "a": "r50",   # latest of {10, 50} <= 100
+                "b": "r50",   # ts == right ts: INCLUSIVE bound
+                "c": None,    # no right row at-or-before 5
+                "d": None,    # k=2's only view is later
+            }
+        inner = asof_join(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right), on="k",
+                          ts_col="ts", how="inner").take_all()
+        assert {r["lv"] for r in inner} == {"a", "b"}
+
     def test_right_cols_projection(self, ray_session):
         import ray.data
 

@@ -1,0 +1,34 @@
+"""Shared partitioning-hash helpers.
+
+``bucket_ids`` maps a key column to shuffle-bucket ids. The bucket
+function is INTERNAL partitioning state (no query semantics depend on
+which bucket a key lands in — only that the mapping is deterministic
+within and across runs and spreads keys evenly), so integer keys take
+a vectorized numpy multiplicative mix (no per-row Python) and only
+string-ish keys pay a per-row crc32.
+"""
+
+from __future__ import annotations
+
+from zlib import crc32
+
+import numpy as np
+import pyarrow as pa
+
+# SplitMix64-style odd multiplier — full-period, well-mixed high bits
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bucket_ids(col, n_buckets: int) -> np.ndarray:
+    """Key column (Arrow Array/ChunkedArray) → int64 bucket ids."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) and col.null_count == 0:
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (v * _MIX) >> np.uint64(33)
+        return (mixed % np.uint64(n_buckets)).astype(np.int64)
+    return np.fromiter(
+        (crc32(str(k).encode("utf-8")) % n_buckets for k in col.to_pylist()),
+        dtype=np.int64,
+        count=len(col),
+    )

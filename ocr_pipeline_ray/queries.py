@@ -660,6 +660,38 @@ def q_extraction_wraps(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_corpus_filter(sf_dir: str):
+    """C4-style training-corpus quality FILTER, oracle-checked: keep
+    documents passing vectorized heuristic gates (min length, token
+    count, bounded short-token ratio, bounded mean token length) —
+    the canonical cleaning step ahead of dedup/split in a web-scale
+    data pipeline. Pure row-local predicate: no shuffle, prunes at
+    full scan speed."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        feats = quality_heuristics_fn(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), 30),
+                pc.greater_equal(feats.column("n_chars_text"), 200),
+            ),
+            pc.and_(
+                pc.less_equal(feats.column("short_ratio"), 0.30),
+                pc.less_equal(feats.column("mean_token_len"), 12.0),
+            ),
+        )
+        f = feats.filter(keep)
+        return pa.table({
+            "doc_id": f.column("doc_id"),
+            "lang": f.column("lang"),
+            "n_tokens": f.column("n_tokens"),
+            "n_chars_text": f.column("n_chars_text"),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic content-hash train/val/test split (90/5/5).
 
@@ -1392,6 +1424,20 @@ ORACLE_SQL: Dict[str, str] = {
         "THEN 'de' ELSE 'unk' END AS lang_pred "
         "FROM documents"
     ),
+    "corpus_filter": (
+        "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') "
+        "AS toks FROM documents), "
+        "f AS (SELECT doc_id, lang, "
+        "CAST(length(text) AS BIGINT) AS n_chars_text, "
+        "CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) "
+        "/ len(toks) AS short_ratio, "
+        "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) "
+        "AS mean_token_len FROM t) "
+        "SELECT doc_id, lang, n_tokens, n_chars_text FROM f "
+        "WHERE n_tokens >= 30 AND n_chars_text >= 200 "
+        "AND short_ratio <= 0.30 AND mean_token_len <= 12.0"
+    ),
     "quality_heuristics": (
         "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
         "FROM documents) "
@@ -1704,6 +1750,7 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "lang_id": q_lang_id,
     "quality_heuristics": q_quality_heuristics,
+    "corpus_filter": q_corpus_filter,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "minhash_hot_buckets": q_minhash_hot_buckets,

@@ -95,11 +95,10 @@ def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
+    from ..functions.hashing import bucket_ids
+
     def _bucketize(batch: pa.Table) -> pa.Table:
-        buckets = [
-            crc32(str(k).encode("utf-8")) % n_buckets
-            for k in batch.column(key_col).to_pylist()
-        ]
+        buckets = bucket_ids(batch.column(key_col), n_buckets)
         return batch.append_column("_kbucket", pa.array(buckets, pa.int64()))
 
     sort_keys = [(key_col, "ascending")] + [

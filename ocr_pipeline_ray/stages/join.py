@@ -27,26 +27,24 @@ from typing import Dict, List, Optional
 
 import pyarrow as pa
 
-# per-worker cache for broadcast join maps (workers persist across
-# tasks; deserialize once per worker, not once per batch)
-_JOIN_MAP_CACHE: Dict[str, Dict] = {}
+from ..functions.hashing import bucket_ids
+
+# per-worker cache for broadcast right-side tables (workers persist
+# across tasks; deserialize once per worker, not once per batch)
+_JOIN_TBL_CACHE: Dict[str, pa.Table] = {}
 
 
-def _right_map_from_refs(refs, key_col: str, cols: List[str]):
+def _right_tbl_from_ref(ref) -> pa.Table:
     import ray
 
-    cache_key = refs[0].hex() if refs else ""
-    jmap = _JOIN_MAP_CACHE.get(cache_key)
-    if jmap is None:
-        jmap = {}
-        for blk in ray.get(list(refs)):
-            keys = blk.column(key_col).to_pylist()
-            vals = [blk.column(c).to_pylist() for c in cols]
-            for i, k in enumerate(keys):
-                jmap[k] = tuple(v[i] for v in vals)
-        _JOIN_MAP_CACHE.clear()  # hold at most one map per worker
-        _JOIN_MAP_CACHE[cache_key] = jmap
-    return jmap
+    cache_key = ref.hex()
+    tbl = _JOIN_TBL_CACHE.get(cache_key)
+    if tbl is None:
+        if len(_JOIN_TBL_CACHE) > 8:
+            _JOIN_TBL_CACHE.clear()
+        tbl = ray.get(ref)
+        _JOIN_TBL_CACHE[cache_key] = tbl
+    return tbl
 
 
 def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
@@ -54,12 +52,16 @@ def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
     """Join ``ds`` against a SMALL dataset/table ``right`` on ``on``.
 
     ``right`` may be a ``ray.data.Dataset`` or a ``pyarrow.Table``;
-    it is broadcast via the object store and hash-probed per batch.
+    it is broadcast via the object store and probed per batch fully
+    vectorized — ``pc.index_in`` against the (deduped) right key
+    array, then one Arrow ``take`` gathers the matched rows (null
+    probe positions yield null right columns on the left path).
     ``right_cols`` selects which right-side columns to append
     (default: all but the key); name collisions get ``suffix``.
-    Duplicate right keys keep the LAST row (dict semantics) — use a
-    pre-deduped dimension table when that matters.
+    Duplicate right keys keep the LAST row (dict semantics) — the
+    driver dedupes the small side once before broadcasting.
     """
+    import pyarrow.compute as pc
     import ray
     import ray.data
 
@@ -72,26 +74,26 @@ def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
             right.iter_batches(batch_format="pyarrow", batch_size=None)
         )
     cols = right_cols or [c for c in right_tbl.column_names if c != on]
-    types = {c: right_tbl.schema.field(c).type for c in cols}
-    refs = (ray.put(right_tbl.select([on] + cols)),)
+    # last occurrence per key wins (dict contract), deduped ONCE here
+    keep = {k: i for i, k in enumerate(right_tbl.column(on).to_pylist())}
+    if len(keep) != right_tbl.num_rows:
+        right_tbl = right_tbl.take(
+            pa.array(sorted(keep.values()), pa.int64())
+        )
+    ref = ray.put(right_tbl.select([on] + cols).combine_chunks())
 
     def _probe(batch: pa.Table) -> pa.Table:
-        jmap = _right_map_from_refs(refs, on, cols)
-        keys = batch.column(on).to_pylist()
-        hits = [jmap.get(k) for k in keys]
+        rt = _right_tbl_from_ref(ref)
+        pos = pc.index_in(batch.column(on), value_set=rt.column(on))
         if how == "inner":
-            mask = [h is not None for h in hits]
-            if not all(mask):
-                batch = batch.filter(pa.array(mask))
-                hits = [h for h in hits if h is not None]
+            valid = pc.is_valid(pos)
+            if not pc.all(valid).as_py():
+                batch = batch.filter(valid)
+                pos = pos.filter(valid)
         out = batch
-        for j, c in enumerate(cols):
+        for c in cols:
             name = c if c not in out.column_names else c + suffix
-            out = out.append_column(
-                name,
-                pa.array([h[j] if h is not None else None for h in hits],
-                         types[c]),
-            )
+            out = out.append_column(name, rt.column(c).take(pos))
         return out
 
     return ds.map_batches(_probe, batch_format="pyarrow")
@@ -108,8 +110,6 @@ def repartition_join(left, right, on: str,
     UDF call per bucket, not per key. Duplicate right keys keep the
     last row (same contract as :func:`broadcast_join`).
     """
-    from zlib import crc32
-
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     left_schema = left.schema()
@@ -138,12 +138,9 @@ def repartition_join(left, right, on: str,
         def _fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             keys = batch.column(on)
-            buckets = [
-                crc32(str(k).encode("utf-8")) % n_buckets
-                for k in keys.to_pylist()
-            ]
             arrays = {
-                "_bucket": pa.array(buckets, pa.int64()),
+                "_bucket": pa.array(bucket_ids(keys, n_buckets),
+                                    pa.int64()),
                 "_side": pa.array([side] * n, pa.int32()),
                 on: keys,
             }
@@ -163,38 +160,43 @@ def repartition_join(left, right, on: str,
         _tag(1, cols, "_r_"), batch_format="pyarrow")
 
     def _join_bucket(group: pa.Table) -> pa.Table:
-        sides = group.column("_side").to_pylist()
-        keys = group.column(on).to_pylist()
-        rmap: Dict = {}
-        rcols_data = [group.column(f"_r_{c}").to_pylist() for c in cols]
-        for i, s in enumerate(sides):
-            if s == 1:
-                rmap[keys[i]] = tuple(col[i] for col in rcols_data)
-        lcols_data = {
-            c: group.column(f"_l_{c}").to_pylist() for c in payload_left
-        }
-        out: Dict[str, list] = {name: [] for name in out_names}
-        for i, s in enumerate(sides):
-            if s != 0:
-                continue
-            hit = rmap.get(keys[i])
-            if hit is None and how == "inner":
-                continue
-            for c in left_cols:
-                out[c].append(keys[i] if c == on else lcols_data[c][i])
-            for j, c in enumerate(cols):
-                name = c if c not in left_cols else c + suffix
-                out[name].append(hit[j] if hit is not None else None)
+        """Vectorized hash probe: dictionary-encode the bucket's key
+        column once (shared codes across both sides), resolve each
+        code's LAST right row with one fancy assignment, then gather
+        both sides with Arrow ``take`` — C-speed and type-exact, no
+        per-row Python."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        sides = group.column("_side").combine_chunks().to_numpy()
+        codes_arr = pc.dictionary_encode(
+            group.column(on).combine_chunks()
+        ).indices
+        codes = codes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = int(codes.max()) + 1 if len(codes) else 0
+        left_sel = np.flatnonzero(sides == 0)
+        right_sel = np.flatnonzero(sides == 1)
+        # duplicate right keys: later assignment wins == last row
+        last_right = np.full(n_codes, -1, dtype=np.int64)
+        last_right[codes[right_sel]] = right_sel
+        match = last_right[codes[left_sel]] if len(left_sel) else \
+            np.empty(0, dtype=np.int64)
+        if how == "inner":
+            keep = match >= 0
+            left_sel, match = left_sel[keep], match[keep]
+        left_rows = group.take(pa.array(left_sel, pa.int64()))
+        right_rows = group.take(
+            pa.array(match, pa.int64(), mask=match < 0)
+        )
         arrays = []
         for name in out_names:
-            src = name[:-len(suffix)] if name.endswith(suffix) and \
-                name not in left_cols and name[:-len(suffix)] in cols \
-                else name
             if name in left_cols:
-                typ = left_types[name]
+                col = (left_rows.column(on) if name == on
+                       else left_rows.column(f"_l_{name}"))
             else:
-                typ = right_types[src if src in right_types else name]
-            arrays.append(pa.array(out[name], typ))
+                src = name[:-len(suffix)] if name not in cols else name
+                col = right_rows.column(f"_r_{src}")
+            arrays.append(col)
         return pa.table(dict(zip(out_names, arrays)))
 
     return tagged_left.union(tagged_right).groupby("_bucket").map_groups(
@@ -219,8 +221,6 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     right rows when that matters.
     """
     import numpy as np
-    from zlib import crc32
-
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     left_schema = left.schema()
@@ -248,12 +248,9 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
         def _fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             keys = batch.column(on)
-            buckets = [
-                crc32(str(k).encode("utf-8")) % n_buckets
-                for k in keys.to_pylist()
-            ]
             arrays = {
-                "_bucket": pa.array(buckets, pa.int64()),
+                "_bucket": pa.array(bucket_ids(keys, n_buckets),
+                                    pa.int64()),
                 "_side": pa.array([side] * n, pa.int32()),
                 on: keys,
                 "_ts": batch.column(ts_col),

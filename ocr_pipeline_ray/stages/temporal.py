@@ -24,13 +24,10 @@ def _round6(x: float) -> float:
 
 
 def _bucket_by(ds, key_col: str, n_buckets: int):
-    from zlib import crc32
+    from ..functions.hashing import bucket_ids
 
     def _bucketize(batch: pa.Table) -> pa.Table:
-        buckets = [
-            crc32(str(k).encode("utf-8")) % n_buckets
-            for k in batch.column(key_col).to_pylist()
-        ]
+        buckets = bucket_ids(batch.column(key_col), n_buckets)
         return batch.append_column("_kbucket", pa.array(buckets, pa.int64()))
 
     return ds.map_batches(_bucketize, batch_format="pyarrow")

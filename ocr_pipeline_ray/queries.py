@@ -692,6 +692,87 @@ def q_corpus_filter(sf_dir: str):
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic ~20% stratified sample per language: hash-based
+    (md5 of doc content), no RNG, reproducible across runs and block
+    layouts — the sampling primitive for eval-set carving. Row-local
+    predicate, no shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keep = [
+            int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16)
+            % 100 < 20
+            for t in texts
+        ]
+        f = batch.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": f.column("doc_id"),
+            "lang": f.column("lang"),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Group-wise top-k (top 3 docs per language by n_chars, doc_id
+    tie-break) — computed the scalable way: vectorized PARTIAL top-k
+    per block (argsort + head inside map_batches), then one tiny
+    global groupby over blocks×k candidate rows. The full dataset
+    never sorts."""
+    import numpy as np
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    k = 3
+
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch.column("lang").to_pylist())
+        ids = batch.column("doc_id").combine_chunks().to_numpy()
+        chars = batch.column("n_chars").combine_chunks().to_numpy()
+        keep_idx = []
+        for lang in np.unique(langs):
+            sel = np.flatnonzero(langs == lang)
+            # top-k by (-n_chars, doc_id): lexsort last key primary
+            order = np.lexsort((ids[sel], -chars[sel]))
+            keep_idx.extend(sel[order[:k]])
+        f = batch.take(pa.array(sorted(keep_idx), pa.int64()))
+        return pa.table({
+            "lang": f.column("lang"),
+            "doc_id": f.column("doc_id"),
+            "n_chars": pc.cast(f.column("n_chars"), pa.int64()),
+        })
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("lang", "ascending"),
+                           ("n_chars", "descending"),
+                           ("doc_id", "ascending")])
+        langs = g.column("lang").to_pylist()
+        rank_in_lang, seen = [], {}
+        for lang in langs:
+            seen[lang] = seen.get(lang, 0) + 1
+            rank_in_lang.append(seen[lang])
+        mask = pa.array([r <= k for r in rank_in_lang])
+        return g.filter(mask)
+
+    cands = ds.map_batches(_partial_topk, batch_format="pyarrow")
+    # candidates = blocks × langs × k rows — tiny; one single-group
+    # pass finishes the selection
+    return (
+        cands.map_batches(
+            lambda b: b.append_column(
+                "_g", pa.nulls(b.num_rows, pa.int64()).fill_null(0)
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_g")
+        .map_groups(
+            lambda g: _final_topk(g.drop_columns(["_g"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic content-hash train/val/test split (90/5/5).
 
@@ -1424,6 +1505,17 @@ ORACLE_SQL: Dict[str, str] = {
         "THEN 'de' ELSE 'unk' END AS lang_pred "
         "FROM documents"
     ),
+    "stratified_sample": (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) "
+        "% 100 < 20"
+    ),
+    "top_docs_per_lang": (
+        "SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+        "FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id ASC) <= 3"
+    ),
     "corpus_filter": (
         "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') "
         "AS toks FROM documents), "
@@ -1751,6 +1843,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_heuristics": q_quality_heuristics,
     "corpus_filter": q_corpus_filter,
+    "stratified_sample": q_stratified_sample,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "minhash_hot_buckets": q_minhash_hot_buckets,

@@ -692,6 +692,69 @@ def q_corpus_filter(sf_dir: str):
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def q_approx_distinct_tokens(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch, ORACLE-CHECKED
+    including the ESTIMATE itself.
+
+    Classic sketch (Bar-Yossef et al. 2002): keep the k smallest
+    md5-derived hash values over the distinct tokens; estimate
+    distinct ≈ (k−1) / max-of-k-normalized. Because the hash is md5
+    (deterministic, SQL-reproducible) the DuckDB twin recomputes the
+    exact same estimate — a sketch whose approximation error is
+    itself oracle-pinned. Distributed shape: each block emits its k
+    smallest distinct hashes (bytes per block), the driver-side merge
+    is one tiny groupby; the EXACT side is a distinct-count groupby
+    for comparison. One output row: (n_exact, k, kmv_estimate).
+    """
+    import numpy as np
+
+    from .stages.dedup import _round6
+
+    k = 16
+    ds = _docs(sf_dir)
+
+    def _partial_hashes(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t in batch.column("text").to_pylist():
+            for tok in (t or "").split(" "):
+                if tok not in seen:
+                    seen.add(tok)
+        hs = np.unique(np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             for t in seen),
+            dtype=np.uint64, count=len(seen),
+        ))[:k]
+        return pa.table({"hv": pa.array(hs, pa.uint64())})
+
+    partials = ds.map_batches(_partial_hashes, batch_format="pyarrow")
+    merged = np.unique(np.concatenate([
+        b.column("hv").to_numpy(zero_copy_only=False)
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ] + [np.empty(0, dtype=np.uint64)]))[:k]
+
+    # exact twin: distributed distinct count (groupby on the token)
+    def _toks(batch: pa.Table) -> pa.Table:
+        toks = sorted({
+            tok
+            for t in batch.column("text").to_pylist()
+            for tok in (t or "").split(" ")
+        })
+        return pa.table({"tok": pa.array(toks, pa.string())})
+
+    n_exact = ds.map_batches(_toks, batch_format="pyarrow") \
+        .groupby("tok").count().count()
+
+    if len(merged) < k:
+        estimate = float(len(merged))
+    else:
+        estimate = _round6((k - 1) / (float(merged[-1]) / 4294967296.0))
+    return pa.table({
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "kmv_estimate": pa.array([estimate], pa.float64()),
+    })
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic ~20% stratified sample per language: hash-based
     (md5 of doc content), no RNG, reproducible across runs and block
@@ -1505,6 +1568,20 @@ ORACLE_SQL: Dict[str, str] = {
         "THEN 'de' ELSE 'unk' END AS lang_pred "
         "FROM documents"
     ),
+    "approx_distinct_tokens": (
+        "WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "h AS (SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 8)) "
+        "AS UBIGINT) AS hv FROM toks), "
+        "kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 16) "
+        "SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_exact, "
+        "CAST(16 AS BIGINT) AS k, "
+        "CASE WHEN (SELECT count(*) FROM kmin) < 16 "
+        "THEN CAST((SELECT count(*) FROM kmin) AS DOUBLE) "
+        "ELSE floor(15.0 / (CAST((SELECT max(hv) FROM kmin) AS DOUBLE) "
+        "/ 4294967296.0) * 1000000.0 + 0.5) / 1000000.0 "
+        "END AS kmv_estimate"
+    ),
     "stratified_sample": (
         "SELECT doc_id, lang FROM documents "
         "WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) "
@@ -1844,6 +1921,7 @@ QUERIES = {
     "quality_heuristics": q_quality_heuristics,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
+    "approx_distinct_tokens": q_approx_distinct_tokens,
     "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,

@@ -79,7 +79,7 @@ def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
 
     The engine's D1 keep-one-row analogue for duplicate urls
     (first-wins, `/root/reference/ocr_pipeline.py:335`). ONE shuffle
-    of full rows, hash-partitioned by ``crc32(key) % n_buckets`` —
+    of full rows, hash-partitioned by ``bucket_ids(key)`` —
     NOT by the key itself: a groupby on the raw key invokes the UDF
     once per key (millions of 1-2-row Python calls at 10^12 keys).
     Here each whole-bucket UDF does a single Arrow

@@ -12,7 +12,8 @@ jaccard verifier (`stages/dedup.jaccard_dup_pairs`):
   shuffles; right whenever one side fits in a worker's heap. This is
   the 100-TB default for dimension/lookup tables.
 * :func:`repartition_join` — no memory assumption: both sides are
-  co-shuffled by ``crc32(key) % n_buckets`` through a union + ONE
+  co-shuffled by ``bucket_ids(key) % n_buckets`` (vectorized numpy
+  mix for integer keys, crc32 for strings) through a union + ONE
   groupby, and each whole-bucket UDF builds a dict of the right side
   and probes the left (never a per-key group). Shuffle volume = both
   sides, once.
@@ -103,7 +104,7 @@ def repartition_join(left, right, on: str,
                      right_cols: Optional[List[str]] = None,
                      how: str = "inner", suffix: str = "_r",
                      n_buckets: int = 64):
-    """Large-large join: co-shuffle both sides by a crc32 key bucket.
+    """Large-large join: co-shuffle both sides by a key-hash bucket.
 
     Union + one groupby on the bucket; each whole-bucket UDF builds a
     dict of its right-side rows and probes its left-side rows — one

@@ -5,7 +5,7 @@ The reference is strictly batch (SURVEY.md §2.9 — no windows exist),
 but a large-scale training-data/telemetry pipeline needs both shapes,
 so they ship as first-class operators with DuckDB oracles. Both use
 the engine's standard skew-safe layout: ONE shuffle, hash-partitioned
-by ``crc32(key) % n_buckets`` (never a per-key groupby — that is one
+by ``bucket_ids(key) % n_buckets`` (never a per-key groupby — that is one
 Python UDF call per user/type), then a single Arrow sort + vectorized
 numpy segment math inside each whole-bucket UDF.
 """

@@ -91,7 +91,6 @@ def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
     columns to make the winner unique when determinism matters.
     """
     import numpy as np
-    from zlib import crc32
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
@@ -502,9 +501,9 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         sh_ds = ds.map_batches(
             _project_shingles, batch_format="pyarrow"
         ).materialize()
-        sh_refs = tuple(
-            r for b in sh_ds.iter_internal_ref_bundles() for r in b.block_refs
-        )
+        from .similarity import _nonempty_block_refs
+
+        sh_refs = tuple(_nonempty_block_refs(sh_ds))
 
         def _score_pairs(batch: pa.Table) -> pa.Table:
             sh_map = _broadcast_shingle_map(sh_refs)
@@ -672,12 +671,13 @@ def jaccard_all_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "sh": pa.array(shs, pa.list_(pa.string())),
         })
 
+    from .similarity import _nonempty_block_refs
+
     sh_ds = ds.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
-    refs = [r for b in sh_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    refs = _nonempty_block_refs(sh_ds)
     if len(refs) > max_blocks:
         sh_ds = sh_ds.repartition(max_blocks).materialize()
-        refs = [r for b in sh_ds.iter_internal_ref_bundles()
-                for r in b.block_refs]
+        refs = _nonempty_block_refs(sh_ds)
     n = len(refs)
     idx_pairs = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
 
@@ -698,7 +698,14 @@ def jaccard_all_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 for b_id, sb in zip(ids_b[b_start:], sets_b[b_start:]):
                     inter = len(sa & sb)
                     union = len(sa) + len(sb) - inter
-                    score = 1.0 if union == 0 else inter / union
+                    if union == 0:
+                        # two sub-k-token docs: EXCLUDED, matching the
+                        # lsh_recall oracle (SQL 0/0 -> NULL drops the
+                        # pair) — the LSH path can never propose these
+                        # (their bands are NULL) so counting them as
+                        # true dups would deflate recall dishonestly
+                        continue
+                    score = inter / union
                     if score >= threshold:
                         d1s.append(min(a_id, b_id))
                         d2s.append(max(a_id, b_id))

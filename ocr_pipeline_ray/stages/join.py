@@ -85,7 +85,11 @@ def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
 
     def _probe(batch: pa.Table) -> pa.Table:
         rt = _right_tbl_from_ref(ref)
-        pos = pc.index_in(batch.column(on), value_set=rt.column(on))
+        keys = batch.column(on)
+        pos = pc.index_in(keys, value_set=rt.column(on))
+        # SQL join semantics: a NULL key matches NOTHING (index_in
+        # would otherwise match null-to-null)
+        pos = pc.if_else(pc.is_valid(keys), pos, pa.scalar(None, pos.type))
         if how == "inner":
             valid = pc.is_valid(pos)
             if not pc.all(valid).as_py():
@@ -170,18 +174,24 @@ def repartition_join(left, right, on: str,
         import pyarrow.compute as pc
 
         sides = group.column("_side").combine_chunks().to_numpy()
-        codes_arr = pc.dictionary_encode(
+        # fill_null(-1): a NULL key gets code -1 and matches NOTHING
+        # (SQL join semantics; an unguarded null index would wrap to
+        # INT64_MIN and crash the probe)
+        codes = pc.dictionary_encode(
             group.column(on).combine_chunks()
-        ).indices
-        codes = codes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        ).indices.fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         n_codes = int(codes.max()) + 1 if len(codes) else 0
         left_sel = np.flatnonzero(sides == 0)
-        right_sel = np.flatnonzero(sides == 1)
+        right_sel = np.flatnonzero((sides == 1) & (codes >= 0))
         # duplicate right keys: later assignment wins == last row
-        last_right = np.full(n_codes, -1, dtype=np.int64)
+        last_right = np.full(max(n_codes, 1), -1, dtype=np.int64)
         last_right[codes[right_sel]] = right_sel
-        match = last_right[codes[left_sel]] if len(left_sel) else \
-            np.empty(0, dtype=np.int64)
+        lcodes = codes[left_sel]
+        match = np.where(
+            lcodes >= 0, last_right[np.maximum(lcodes, 0)], -1
+        ) if len(left_sel) else np.empty(0, dtype=np.int64)
         if how == "inner":
             keep = match >= 0
             left_sel, match = left_sel[keep], match[keep]
@@ -214,14 +224,17 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     semantics; the attribution/backfill operator).
 
     Same physical shape as :func:`repartition_join` — both sides
-    co-shuffled once by ``crc32(key) % n_buckets``, then each
-    whole-bucket UDF sorts its right rows per key and answers every
-    left row with one ``np.searchsorted`` — never a per-key UDF,
+    co-shuffled once by ``bucket_ids(key)``, then each
+    whole-bucket UDF sorts its right rows by (key, ts) once and
+    answers each left KEY RUN with one ``np.searchsorted`` — never a
+    per-key UDF,
     never a sort of the full dataset. Ties on ``right.ts`` keep the
     last row in (ts, input-order) sort order; pass unique (key, ts)
     right rows when that matters.
     """
     import numpy as np
+    import pyarrow.compute as pc
+
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     left_schema = left.schema()
@@ -274,60 +287,75 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     ).map_batches(_tag(1, cols, "_r_"), batch_format="pyarrow")
 
     def _probe(group: pa.Table) -> pa.Table:
-        sides = np.asarray(group.column("_side").to_pylist())
-        keys = group.column(on).to_pylist()
+        """Vectorized as-of probe: dictionary-encode keys once, sort
+        the right side by (code, ts) ONCE, then answer each left
+        key-run with a single ``np.searchsorted`` over its right run
+        (loop count = keys per bucket, not rows) and gather both
+        sides with Arrow ``take``. NULL keys match nothing."""
+        sides = group.column("_side").combine_chunks().to_numpy()
+        codes = pc.dictionary_encode(
+            group.column(on).combine_chunks()
+        ).indices.fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         ts = group.column("_ts").combine_chunks().to_numpy().astype(
             "datetime64[us]"
         ).view(np.int64) if pa.types.is_timestamp(
             group.schema.field("_ts").type
         ) else group.column("_ts").combine_chunks().to_numpy()
-        # per-key sorted right timestamps + original row indices
-        r_by_key: Dict = {}
-        r_idx = np.flatnonzero(sides == 1)
-        for i in r_idx:
-            r_by_key.setdefault(keys[i], []).append(i)
-        for k, idxs in r_by_key.items():
-            arr = np.asarray(idxs)
-            order = np.argsort(ts[arr], kind="stable")
-            r_by_key[k] = (ts[arr][order], arr[order])
-        rcols_data = [group.column(f"_r_{c}").to_pylist() for c in cols]
-        lcols_data = {
-            c: group.column(f"_l_{c}").to_pylist()
-            for c in payload_left if c != ts_col
-        }
-        ts_vals = group.column("_ts").to_pylist()
-        out: Dict[str, list] = {name: [] for name in out_names}
-        for i in np.flatnonzero(sides == 0):
-            entry = r_by_key.get(keys[i])
-            hit_row = None
-            if entry is not None:
-                pos = int(np.searchsorted(entry[0], ts[i],
-                                          side="right")) - 1
-                if pos >= 0:
-                    hit_row = int(entry[1][pos])
-            if hit_row is None and how == "inner":
+        left_sel = np.flatnonzero((sides == 0))
+        right_sel = np.flatnonzero((sides == 1) & (codes >= 0))
+        # right side sorted by (code, ts, input order): ties on ts
+        # keep the LAST input row, matching the previous stable sort
+        rorder = np.lexsort(
+            (np.arange(len(right_sel)), ts[right_sel], codes[right_sel])
+        )
+        r_sorted = right_sel[rorder]
+        rcode_s, rts_s = codes[r_sorted], ts[r_sorted]
+        match = np.full(len(left_sel), -1, dtype=np.int64)
+        lcodes, lts = codes[left_sel], ts[left_sel]
+        # iterate LEFT KEY RUNS (sorted by code), vectorized inside
+        lorder = np.argsort(lcodes, kind="stable")
+        run_start = 0
+        while run_start < len(lorder):
+            code = lcodes[lorder[run_start]]
+            run_end = run_start
+            while run_end < len(lorder) and \
+                    lcodes[lorder[run_end]] == code:
+                run_end += 1
+            run = lorder[run_start:run_end]
+            run_start = run_end
+            if code < 0:
                 continue
-            for c in left_cols:
-                if c == on:
-                    out[c].append(keys[i])
-                elif c == ts_col:
-                    out[c].append(ts_vals[i])
-                else:
-                    out[c].append(lcols_data[c][i])
-            for j, c in enumerate(cols):
-                name = c if c not in left_cols else c + suffix
-                out[name].append(
-                    rcols_data[j][hit_row] if hit_row is not None else None
-                )
+            lo = np.searchsorted(rcode_s, code, side="left")
+            hi = np.searchsorted(rcode_s, code, side="right")
+            if lo == hi:
+                continue
+            pos = np.searchsorted(rts_s[lo:hi], lts[run],
+                                  side="right") - 1
+            hit = pos >= 0
+            match[run[hit]] = r_sorted[lo + pos[hit]]
+        if how == "inner":
+            keep = match >= 0
+            left_sel, match = left_sel[keep], match[keep]
+        left_rows = group.take(pa.array(left_sel, pa.int64()))
+        right_rows = group.take(
+            pa.array(match, pa.int64(), mask=match < 0)
+        )
         arrays = []
         for name in out_names:
             if name in left_cols:
-                typ = left_types[name]
+                if name == on:
+                    col = left_rows.column(on)
+                elif name == ts_col:
+                    col = left_rows.column("_ts")
+                else:
+                    col = left_rows.column(f"_l_{name}")
             else:
                 base = name[:-len(suffix)] if name.endswith(suffix) \
                     and name not in right_types else name
-                typ = right_types[base]
-            arrays.append(pa.array(out[name], typ))
+                col = right_rows.column(f"_r_{base}")
+            arrays.append(col)
         return pa.table(dict(zip(out_names, arrays)))
 
     return tagged_left.union(tagged_right).groupby("_bucket").map_groups(

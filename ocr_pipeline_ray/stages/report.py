@@ -164,7 +164,11 @@ def write_report_parts(out_dir: str, summary: Dict, sorted_ds) -> str:
     """
     import json
     import os
+    import shutil
 
+    # a re-run must REPLACE the report: leftover part files from a
+    # previous run would interleave into the streamed row order
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_summary.json"), "w",
               encoding="UTF-8") as fh:

@@ -53,13 +53,27 @@ def _to_matrix(col) -> np.ndarray:
 def _from_matrix(mat: np.ndarray) -> pa.Array:
     """(n, dim) float64 matrix → ``list<double>`` array, zero-copy:
     one flat values buffer plus a uniform offsets vector (no
-    per-vector Python lists)."""
+    per-vector Python lists). Degenerate (0-row / 0-dim) matrices
+    yield a valid empty-list array instead of a zero-step arange."""
     n, dim = (mat.shape + (0,))[:2] if mat.ndim == 2 else (0, 0)
     offsets = pa.array(
-        np.arange(0, (n + 1) * dim, dim, dtype=np.int32), pa.int32()
+        (np.arange(n + 1, dtype=np.int32) * dim).astype(np.int32),
+        pa.int32(),
     )
     values = pa.array(np.ascontiguousarray(mat).ravel(), pa.float64())
     return pa.ListArray.from_arrays(offsets, values)
+
+
+def _nonempty_block_refs(ds):
+    """Block refs of a MATERIALIZED dataset, skipping zero-row blocks
+    (empty input blocks can pass through map_batches un-called and
+    carry an empty schema — reading their columns would KeyError)."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    return refs
 
 
 def brute_force_topk(
@@ -164,11 +178,10 @@ def _norm_blocks(ds, id_col: str, emb_col: str, max_blocks: int):
         })
 
     norm = ds.map_batches(_normalize, batch_format="pyarrow").materialize()
-    refs = [r for b in norm.iter_internal_ref_bundles() for r in b.block_refs]
+    refs = _nonempty_block_refs(norm)
     if len(refs) > max_blocks:
         norm = norm.repartition(max_blocks).materialize()
-        refs = [r for b in norm.iter_internal_ref_bundles()
-                for r in b.block_refs]
+        refs = _nonempty_block_refs(norm)
     return refs
 
 

@@ -493,6 +493,61 @@ class TestBucketTelemetry:
         assert (1, 2) in got
         assert all(k in {(0, 1), (0, 2), (1, 2)} for k in got)
 
+    def test_block_pair_ops_survive_empty_blocks(self, ray_session):
+        """Zero-row blocks (from aggressive repartition) must not
+        crash the block-pair joins (regression: empty blocks carry an
+        empty schema and KeyError'd the pair tasks)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_all_pairs
+        from ocr_pipeline_ray.stages.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["der alte turm steht am fluss"] * 2, pa.string()
+            ),
+        })
+        rows = jaccard_all_pairs(
+            ray.data.from_arrow(docs).repartition(5)
+        ).take_all()
+        assert {(r["d1"], r["d2"]) for r in rows} == {(0, 1)}
+        vecs = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 2,
+                                  pa.list_(pa.float64())),
+        })
+        pairs = embedding_near_dup_pairs(
+            ray.data.from_arrow(vecs).repartition(5), threshold=0.9
+        ).take_all()
+        assert {(r["v1"], r["v2"]) for r in pairs} == {(0, 1)}
+
+    def test_jaccard_all_pairs_excludes_empty_shingle_docs(
+        self, ray_session
+    ):
+        """Two sub-k-token docs (empty shingle sets) are NOT emitted
+        as jaccard=1.0 'true dups' — matching the lsh_recall oracle
+        (SQL 0/0 → NULL drops the pair) and the LSH path, which can
+        never propose them (their bands are NULL)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_all_pairs
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["kurz", "klein", "winzig"], pa.string()),
+        })
+        assert jaccard_all_pairs(ray.data.from_arrow(docs)).take_all() == []
+
+    def test_from_matrix_degenerate(self):
+        from ocr_pipeline_ray.stages.similarity import _from_matrix
+
+        assert _from_matrix(np.empty((0, 0))).to_pylist() == []
+        assert _from_matrix(np.empty((0, 4))).to_pylist() == []
+        assert _from_matrix(np.ones((2, 0))).to_pylist() == [[], []]
+
     def test_jaccard_no_candidates_schema(self, ray_session):
         """Empty candidate set still yields the (d1,d2,jaccard) schema."""
         import ray.data

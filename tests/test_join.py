@@ -128,6 +128,68 @@ class TestJoins:
                           ts_col="ts", how="inner").take_all()
         assert {r["lv"] for r in inner} == {"a", "b"}
 
+    def test_null_keys_match_nothing(self, ray_session):
+        """SQL join semantics for NULL keys in BOTH strategies:
+        never matched (not even to a null-keyed right row), dropped
+        on inner, kept-with-nulls on left (regression: broadcast
+        matched null-to-null; repartition crashed with IndexError)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import (
+            broadcast_join,
+            repartition_join,
+        )
+
+        left = pa.table({
+            "k": pa.array([1, None, 2, None], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"], pa.string()),
+        })
+        right = pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "w": pa.array([10.0, 99.0], pa.float64()),
+        })
+        lds = ray.data.from_arrow(left)
+        rds = ray.data.from_arrow(right)
+        for joiner in (
+            lambda how: broadcast_join(lds, right, on="k", how=how),
+            lambda how: repartition_join(lds, rds, on="k", how=how,
+                                         n_buckets=4),
+        ):
+            inner = joiner("inner").take_all()
+            assert {(r["k"], r["v"], r["w"]) for r in inner} == {
+                (1, "a", 10.0)
+            }
+            outer = joiner("left").take_all()
+            assert len(outer) == 4
+            assert {r["v"]: r["w"] for r in outer} == {
+                "a": 10.0, "b": None, "c": None, "d": None
+            }
+
+    def test_asof_join_null_keys(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import asof_join
+
+        def _ts(vals):
+            return pa.array(np.array(vals, dtype="datetime64[us]"),
+                            pa.timestamp("us"))
+
+        left = pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "ts": _ts([100, 100]),
+            "lv": pa.array(["a", "b"], pa.string()),
+        })
+        right = pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "ts": _ts([50, 50]),
+            "rv": pa.array(["r", "rnull"], pa.string()),
+        })
+        rows = asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right), on="k",
+                         ts_col="ts").take_all()
+        assert {r["lv"]: r["rv"] for r in rows} == {"a": "r", "b": None}
+
     def test_right_cols_projection(self, ray_session):
         import ray.data
 

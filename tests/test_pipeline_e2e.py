@@ -137,6 +137,30 @@ class TestReport:
         ]
 
 
+    def test_report_parts_rerun_replaces(self, ray_session, small_corpus,
+                                         tmp_path):
+        """A second write into the same parts dir REPLACES the report
+        (regression: old part files interleaved into the stream)."""
+        from ocr_pipeline_ray.stages.report import (
+            iter_report_parts,
+            write_report_parts,
+        )
+
+        ds = extraction_pipeline(small_corpus)
+        summary = quality_summary(ds)
+        out = str(tmp_path / "parts")
+        for _ in range(2):
+            write_report_parts(
+                out, summary,
+                sorted_report(extraction_pipeline(small_corpus)),
+            )
+        got_summary, rows_iter = iter_report_parts(out)
+        rows = list(rows_iter)
+        assert len(rows) == got_summary["total"] - got_summary["invalid"]
+        ratios = [r["hit_ratio"] for r in rows]
+        assert ratios == sorted(ratios)
+
+
 class TestStats:
     def test_merge_repl_stats(self, ray_session, small_corpus, pipeline_rows):
         ds = extraction_pipeline(small_corpus)

@@ -836,6 +836,117 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_training_pipeline(sf_dir: str):
+    """END-TO-END training-data pipeline, ORACLE-CHECKED as one chain:
+
+    extraction (full HTML chain, byte-identical text) → C4-style
+    quality filter → exact dedup (first-wins by content hash) →
+    MinHash-candidate + Jaccard-verified near-dup REMOVAL (drop the
+    higher doc_id of each verified pair, computed over the filtered
+    survivors) → deterministic content-hash train/val/test split.
+    Every stage is load-bearing in the single DuckDB hash. At real
+    scale each stage boundary is a partition-aligned parquet
+    checkpoint; here the survivor set is materialized once so the
+    near-dup scan and the final filter share it.
+    """
+    import html as html_mod
+
+    from .pipelines.extraction import build_pipeline
+    from .stages.dedup import dedup_first, jaccard_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array([
+                (
+                    "<html><body>"
+                    "<nav><ul><li><a href='/x'>Start</a></li></ul></nav>"
+                    f"<p>{html_mod.escape(t or '')}</p>"
+                    "<footer><p>Impressum Kontakt</p></footer>"
+                    "</body></html>"
+                ).encode("utf-8")
+                for t in texts
+            ], pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    extracted = build_pipeline(
+        ds.map_batches(_to_pages, batch_format="pyarrow")
+    )
+
+    def _project_and_filter(batch: pa.Table) -> pa.Table:
+        ids = [int(u[len("doc://"):])
+               for u in batch.column("url").to_pylist()]
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": batch.column("extracted_text"),
+        })
+        feats = quality_heuristics_fn(tbl)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), 30),
+                pc.greater_equal(feats.column("n_chars_text"), 200),
+            ),
+            pc.and_(
+                pc.less_equal(feats.column("short_ratio"), 0.30),
+                pc.less_equal(feats.column("mean_token_len"), 12.0),
+            ),
+        )
+        return tbl.filter(keep)
+
+    filtered = extracted.map_batches(_project_and_filter,
+                                     batch_format="pyarrow")
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.append_column("fp", pa.array(fps, pa.string()))
+
+    deduped = dedup_first(
+        filtered.map_batches(_fp, batch_format="pyarrow"),
+        key_col="fp", order_col="doc_id",
+    ).drop_columns(["fp"]).materialize()
+
+    # verified near-dup pairs over the SURVIVORS; the drop set is the
+    # pair-set projection (tiny by construction)
+    drop_ids = frozenset(
+        r["d2"] for r in jaccard_dup_pairs(deduped).take_all()
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep, splits, n_tokens = [], [], []
+        for i, t in zip(ids, texts):
+            if i in drop_ids:
+                keep.append(False)
+                splits.append("")
+                n_tokens.append(0)
+                continue
+            keep.append(True)
+            b = int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8],
+                    16) % 100
+            splits.append("train" if b < 90 else
+                          ("val" if b < 95 else "test"))
+            n_tokens.append(len((t or "").split(" ")))
+        f = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "split": pa.array(splits, pa.string()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+        }).filter(pa.array(keep))
+        return f
+
+    return deduped.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic content-hash train/val/test split (90/5/5).
 
@@ -1447,12 +1558,26 @@ def q_events_hourly(sf_dir: str):
 
 # shared CTE fragments for the minhash family (3-token shingles,
 # 4 md5-salted band hashes — mirrors stages/dedup.py exactly)
-SHINGLE_CTE = (
-    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-    "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
-    "list_transform(generate_series(1, len(toks) - 2), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
-    "ELSE [] END AS shingles FROM t)"
+def shingle_cte(src: str = "documents") -> str:
+    """The 3-token shingle CTE over an arbitrary (doc_id, text) source
+    relation — mirrors stages/dedup.py shingling exactly."""
+    return (
+        f"t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}), "
+        "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+        "ELSE [] END AS shingles FROM t)"
+    )
+
+
+SHINGLE_CTE = shingle_cte("documents")
+SIG_FRAGMENT = (
+    "sig AS (SELECT doc_id, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS h0, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS h1, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS h2, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS h3 "
+    "FROM sh)"
 )
 SIG_CTE = (
     SHINGLE_CTE + ", "
@@ -1592,6 +1717,34 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY lang "
         "ORDER BY n_chars DESC, doc_id ASC) <= 3"
+    ),
+    "training_pipeline": (
+        # extraction is identity on this page construction (pinned by
+        # extraction_flagship), so the chain starts from documents
+        "WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "f AS (SELECT doc_id, text FROM q "
+        "WHERE len(tk) >= 30 AND length(text) >= 200 "
+        "AND CAST(len(list_filter(tk, x -> length(x) <= 2)) AS DOUBLE) "
+        "/ len(tk) <= 0.30 "
+        "AND CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk) "
+        "<= 12.0), "
+        "d AS (SELECT doc_id, text FROM f QUALIFY row_number() OVER ("
+        "PARTITION BY md5(text) ORDER BY doc_id) = 1), "
+        + shingle_cte("d") + ", " + SIG_FRAGMENT + ", "
+        "cand AS (" + CAND_SELECT + "), "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+        "dropset AS (SELECT DISTINCT c.d2 FROM cand c "
+        "JOIN dsh a ON a.doc_id = c.d1 JOIN dsh b ON b.doc_id = c.d2 "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8) "
+        "SELECT doc_id, "
+        "CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) "
+        "% 100 < 90 THEN 'train' "
+        "WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) "
+        "% 100 < 95 THEN 'val' ELSE 'test' END AS split, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM d WHERE doc_id NOT IN (SELECT d2 FROM dropset)"
     ),
     "corpus_filter": (
         "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') "
@@ -1947,6 +2100,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_decode": q_media_decode,
     "dataset_split": q_dataset_split,
+    "training_pipeline": q_training_pipeline,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
     "extraction_flagship": q_extraction_flagship,

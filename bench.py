@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution", "revenue_by_nation",
     "corpus_filter", "top_tokens", "extraction_flagship",
-    "extraction_boilerplate", "media_decode",
+    "extraction_boilerplate", "media_decode", "training_pipeline",
 ]
 
 

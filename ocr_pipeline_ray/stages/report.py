@@ -38,18 +38,21 @@ def quality_summary(ds, bins: int = 5, step_bin: int = 15) -> Dict[str, float]:
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
-        ratios = batch.column("hit_ratio").to_pylist()
-        bin_counts = [0] * bins
-        total = 0.0
-        n_valid = 0
-        n_invalid = 0
-        for r in ratios:
-            if r is None or r == -1:
-                n_invalid += 1
-                continue
-            n_valid += 1
-            total += r
-            bin_counts[_bin_index(r, bins, step_bin)] += 1
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch.column("hit_ratio")
+        valid_mask = pc.and_(pc.is_valid(col), pc.not_equal(col, -1.0))
+        ratios = np.asarray(col.filter(valid_mask).combine_chunks())
+        n_valid = len(ratios)
+        n_invalid = batch.num_rows - n_valid
+        total = float(ratios.sum()) if n_valid else 0.0
+        # bin = min(bins-1, round(r // step)); r // step is integral,
+        # so round() is the identity — exact parity with _bin_index
+        idx = np.minimum(
+            (ratios // step_bin).astype(np.int64), bins - 1
+        ) if n_valid else np.empty(0, dtype=np.int64)
+        bin_counts = np.bincount(idx, minlength=bins)
         return pa.table(
             {
                 "sum_ratio": pa.array([total], pa.float64()),

@@ -165,6 +165,64 @@ class TestJoins:
                 "a": 10.0, "b": None, "c": None, "d": None
             }
 
+    def test_asof_join_randomized_vs_reference(self, ray_session):
+        """Vectorized run-loop probe == a naive per-row reference on
+        randomized streams (duplicate timestamps, shared and disjoint
+        keys, multiple block layouts)."""
+        import bisect
+        import random
+
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import asof_join
+
+        rng = random.Random(23)
+        lrows = [(i, rng.randint(0, 6), rng.randint(0, 50))
+                 for i in range(120)]
+        rrows = [(100 + i, rng.randint(0, 8), rng.randint(0, 50))
+                 for i in range(80)]
+
+        def _ts(vals):
+            return pa.array(np.array(vals, dtype="datetime64[us]"),
+                            pa.timestamp("us"))
+
+        left = pa.table({
+            "lid": pa.array([r[0] for r in lrows], pa.int64()),
+            "k": pa.array([r[1] for r in lrows], pa.int64()),
+            "ts": _ts([r[2] for r in lrows]),
+        })
+        right = pa.table({
+            "k": pa.array([r[1] for r in rrows], pa.int64()),
+            "ts": _ts([r[2] for r in rrows]),
+            "rid": pa.array([r[0] for r in rrows], pa.int64()),
+        })
+        # reference: per key, right rows sorted by (ts, input order);
+        # latest ts <= left ts, last input row winning ties
+        by_key = {}
+        for pos, (rid, k, ts) in enumerate(rrows):
+            by_key.setdefault(k, []).append((ts, pos, rid))
+        for k in by_key:
+            by_key[k].sort(key=lambda x: (x[0], x[1]))
+        expected = {}
+        for lid, k, ts in lrows:
+            hit = None
+            entries = by_key.get(k, [])
+            i = bisect.bisect_right([e[0] for e in entries], ts)
+            if i > 0:
+                hit = entries[i - 1][2]
+            expected[lid] = hit
+        for layout in (1, 4):
+            got = {
+                r["lid"]: r["rid"]
+                for r in asof_join(
+                    ray.data.from_arrow(left).repartition(layout),
+                    ray.data.from_arrow(right).repartition(2),
+                    on="k", ts_col="ts", n_buckets=4,
+                ).take_all()
+            }
+            assert got == expected
+
     def test_asof_join_null_keys(self, ray_session):
         import numpy as np
         import ray.data

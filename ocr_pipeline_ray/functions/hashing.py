@@ -20,13 +20,28 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def bucket_ids(col, n_buckets: int) -> np.ndarray:
-    """Key column (Arrow Array/ChunkedArray) → int64 bucket ids."""
+    """Key column (Arrow Array/ChunkedArray) → int64 bucket ids.
+
+    The bucket of a VALUE depends only on the value and its type —
+    never on which batch it arrived in (a per-batch hash-function
+    switch would send the same key to different buckets on the two
+    sides of a co-shuffle and silently drop joins). NULL keys map to
+    bucket 0 — they match nothing in every keyed operator, so their
+    placement only needs to be deterministic.
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_integer(col.type) and col.null_count == 0:
-        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    if pa.types.is_integer(col.type):
+        v = col.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
         mixed = (v * _MIX) >> np.uint64(33)
-        return (mixed % np.uint64(n_buckets)).astype(np.int64)
+        out = (mixed % np.uint64(n_buckets)).astype(np.int64)
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            out[~pc.is_valid(col).to_numpy(zero_copy_only=False)] = 0
+        return out
     return np.fromiter(
         (crc32(str(k).encode("utf-8")) % n_buckets for k in col.to_pylist()),
         dtype=np.int64,

@@ -851,6 +851,7 @@ def q_training_pipeline(sf_dir: str):
     """
     import html as html_mod
 
+    from .config import StepSpec
     from .pipelines.extraction import build_pipeline
     from .stages.dedup import dedup_first, jaccard_dup_pairs
 
@@ -876,8 +877,14 @@ def q_training_pipeline(sf_dir: str):
             "lang": batch.column("lang"),
         })
 
+    # replace-free step chain: extraction must be IDENTITY on the
+    # embedded text for the oracle to chain from documents.text — the
+    # default ReplaceChars/regex tables would rewrite any text that
+    # happens to contain their triggers ('<', 'ic)', letter+'3'+'"')
     extracted = build_pipeline(
-        ds.map_batches(_to_pages, batch_format="pyarrow")
+        ds.map_batches(_to_pages, batch_format="pyarrow"),
+        steps=[StepSpec("HtmlExtract", {}), StepSpec("FinalizeText", {}),
+               StepSpec("QualityEstimate", {})],
     )
 
     def _project_and_filter(batch: pa.Table) -> pa.Table:
@@ -903,22 +910,20 @@ def q_training_pipeline(sf_dir: str):
     filtered = extracted.map_batches(_project_and_filter,
                                      batch_format="pyarrow")
 
-    def _fp(batch: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
-        return batch.append_column("fp", pa.array(fps, pa.string()))
-
     deduped = dedup_first(
-        filtered.map_batches(_fp, batch_format="pyarrow"),
+        filtered.map_batches(fingerprint_fn, batch_format="pyarrow"),
         key_col="fp", order_col="doc_id",
     ).drop_columns(["fp"]).materialize()
 
     # verified near-dup pairs over the SURVIVORS; the drop set is the
-    # pair-set projection (tiny by construction)
+    # pair-set projection (tiny by construction). max_bucket is set
+    # far above any band-bucket size this corpus can produce so the
+    # hot-bucket cap cannot silently diverge from the (uncapped)
+    # oracle SQL — at real scale, size it from minhash_bucket_stats.
     drop_ids = frozenset(
-        r["d2"] for r in jaccard_dup_pairs(deduped).take_all()
+        r["d2"]
+        for r in jaccard_dup_pairs(deduped, max_bucket=1_000_000)
+        .take_all()
     )
 
     def _finish(batch: pa.Table) -> pa.Table:
@@ -1579,15 +1584,7 @@ SIG_FRAGMENT = (
     "list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS h3 "
     "FROM sh)"
 )
-SIG_CTE = (
-    SHINGLE_CTE + ", "
-    "sig AS (SELECT doc_id, "
-    "list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS h0, "
-    "list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS h1, "
-    "list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS h2, "
-    "list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS h3 "
-    "FROM sh)"
-)
+SIG_CTE = SHINGLE_CTE + ", " + SIG_FRAGMENT
 CAND_SELECT = (
     "SELECT d1, d2 FROM ("
     "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "

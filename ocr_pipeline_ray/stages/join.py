@@ -314,17 +314,22 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
         rcode_s, rts_s = codes[r_sorted], ts[r_sorted]
         match = np.full(len(left_sel), -1, dtype=np.int64)
         lcodes, lts = codes[left_sel], ts[left_sel]
-        # iterate LEFT KEY RUNS (sorted by code), vectorized inside
+        # iterate LEFT KEY RUNS (sorted by code): run boundaries come
+        # from one vectorized neighbor-compare, so the Python loop
+        # count is keys-per-bucket, not rows
         lorder = np.argsort(lcodes, kind="stable")
-        run_start = 0
-        while run_start < len(lorder):
-            code = lcodes[lorder[run_start]]
-            run_end = run_start
-            while run_end < len(lorder) and \
-                    lcodes[lorder[run_end]] == code:
-                run_end += 1
+        sorted_codes = lcodes[lorder]
+        if len(sorted_codes):
+            boundaries = np.concatenate((
+                [0],
+                np.nonzero(sorted_codes[1:] != sorted_codes[:-1])[0] + 1,
+                [len(sorted_codes)],
+            )).astype(np.int64)
+        else:
+            boundaries = np.zeros(1, dtype=np.int64)
+        for run_start, run_end in zip(boundaries[:-1], boundaries[1:]):
+            code = sorted_codes[run_start]
             run = lorder[run_start:run_end]
-            run_start = run_end
             if code < 0:
                 continue
             lo = np.searchsorted(rcode_s, code, side="left")

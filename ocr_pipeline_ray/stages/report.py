@@ -48,10 +48,14 @@ def quality_summary(ds, bins: int = 5, step_bin: int = 15) -> Dict[str, float]:
         n_invalid = batch.num_rows - n_valid
         total = float(ratios.sum()) if n_valid else 0.0
         # bin = min(bins-1, round(r // step)); r // step is integral,
-        # so round() is the identity — exact parity with _bin_index
+        # so round() is the identity — exact parity with _bin_index.
+        # Out-of-domain negative ratios (other than the -1 sentinel,
+        # filtered above) wrap like Python list indexing did in the
+        # scalar path (bin_counts[-1] == last bin) instead of
+        # crashing np.bincount.
         idx = np.minimum(
             (ratios // step_bin).astype(np.int64), bins - 1
-        ) if n_valid else np.empty(0, dtype=np.int64)
+        ) % bins if n_valid else np.empty(0, dtype=np.int64)
         bin_counts = np.bincount(idx, minlength=bins)
         return pa.table(
             {
@@ -165,14 +169,21 @@ def write_report_parts(out_dir: str, summary: Dict, sorted_ds) -> str:
     the rows back in order; the ``.wtr`` file stays available as the
     small-corpus mode (`/root/reference/ocr_pipeline.py:233-269`).
     """
+    import glob
     import json
     import os
-    import shutil
 
-    # a re-run must REPLACE the report: leftover part files from a
-    # previous run would interleave into the streamed row order
-    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    # a re-run must REPLACE the report: leftover part files from a
+    # previous run would interleave into the streamed row order.
+    # Remove ONLY the report's own artifacts (never rmtree a
+    # caller-supplied directory that may hold other outputs), and
+    # raise on failure rather than silently keeping stale parts.
+    for stale in glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.remove(stale)
+    summary_path = os.path.join(out_dir, "_summary.json")
+    if os.path.exists(summary_path):
+        os.remove(summary_path)
     with open(os.path.join(out_dir, "_summary.json"), "w",
               encoding="UTF-8") as fh:
         json.dump(summary, fh, sort_keys=True)

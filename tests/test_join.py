@@ -165,6 +165,51 @@ class TestJoins:
                 "a": 10.0, "b": None, "c": None, "d": None
             }
 
+    def test_bucket_ids_batch_independent(self):
+        """A key's bucket depends on the VALUE only — never on which
+        batch it arrived in (regression: integer batches switched to
+        the crc32 hash when they contained a null, so the same key
+        landed in different buckets on the two sides of a co-shuffle
+        and joins silently dropped matches)."""
+        import numpy as np
+
+        from ocr_pipeline_ray.functions.hashing import bucket_ids
+
+        with_null = bucket_ids(pa.array([1, None, 2], pa.int64()), 64)
+        without = bucket_ids(pa.array([1, 2], pa.int64()), 64)
+        assert with_null[0] == without[0]
+        assert with_null[2] == without[1]
+        assert with_null[1] == 0  # nulls: fixed deterministic bucket
+        # string path is value-deterministic too
+        s1 = bucket_ids(pa.array(["a", "b"], pa.string()), 64)
+        s2 = bucket_ids(pa.array(["x", "a"], pa.string()), 64)
+        assert s1[0] == s2[1]
+        assert isinstance(with_null, np.ndarray)
+
+    def test_join_mixed_null_presence_across_sides(self, ray_session):
+        """Inner join finds matches when ONE side's batches carry
+        nulls and the other's don't (the exact shape the per-batch
+        hash switch used to break)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import repartition_join
+
+        left = pa.table({
+            "k": pa.array([1, None, 2, 3], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"], pa.string()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),  # null-free side
+            "w": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        })
+        rows = repartition_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", n_buckets=8,
+        ).take_all()
+        assert {(r["k"], r["w"]) for r in rows} == {
+            (1, 10.0), (2, 20.0), (3, 30.0)
+        }
+
     def test_asof_join_randomized_vs_reference(self, ray_session):
         """Vectorized run-loop probe == a naive per-row reference on
         randomized streams (duplicate timestamps, shared and disjoint

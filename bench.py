@@ -36,7 +36,8 @@ BENCH_ROOT = "/tmp/ocr_ray_bench"
 BENCH_QUERIES = [
     "replace_chars", "sanitize_chars", "token_count", "quality_report",
     "dedup_exact", "dedup_first_rows", "minhash_signatures",
-    "minhash_dup_pairs", "jaccard_dup_pairs", "simhash",
+    "minhash_dup_pairs", "dup_clusters", "dedup_canonical",
+    "jaccard_dup_pairs", "simhash",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution", "revenue_by_nation",

@@ -353,6 +353,54 @@ def q_jaccard_dup_pairs(sf_dir: str):
     return jaccard_dup_pairs(_docs(sf_dir))
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: transitive closure over the MinHash
+    candidate pairs, cluster id = min doc_id of the component.
+
+    Distributed min-label propagation with pointer doubling
+    (stages/cluster.py) — all shuffles are over the candidate pair
+    list, never the corpus. The DuckDB oracle reproduces the closure
+    with a recursive CTE over the same bit-exact pair set.
+    """
+    from .stages.cluster import connected_components
+
+    cl = connected_components(minhash_dup_pairs(_docs(sf_dir)),
+                              a_col="d1", b_col="d2")
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("node"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("cluster"), pa.int64()),
+        })
+
+    return cl.map_batches(_fin, batch_format="pyarrow").sort("doc_id")
+
+
+def q_dedup_canonical(sf_dir: str):
+    """Corpus survivors after near-dup clustering: ONE canonical
+    (min-id) document per cluster, all unclustered docs kept.
+
+    The drop set (non-canonical members) is cluster-member-scale and
+    is broadcast once; the corpus itself is filtered with a
+    vectorized ``is_in`` — no corpus shuffle (stages/cluster.py
+    ``canonical_filter``).
+    """
+    from .stages.cluster import canonical_filter, connected_components
+
+    clusters = connected_components(minhash_dup_pairs(_docs(sf_dir)))
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+        })
+
+    return canonical_filter(docs, clusters).map_batches(
+        _fin, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 HOT_BUCKET_CAP = 3  # deliberately tiny so truncation telemetry is non-zero
 
 
@@ -1597,6 +1645,21 @@ CAND_SELECT = (
     "ON a.h3 = b.h3 AND a.doc_id < b.doc_id)"
 )
 
+# connected-components closure over the candidate pair set: label
+# every node with every reachable node (edges are symmetrized so
+# reachability = component membership), then min per node — the SQL
+# twin of stages/cluster.connected_components' min-label fixpoint.
+CC_CTE = (
+    "edges AS (SELECT d1 AS u, d2 AS v FROM cand "
+    "UNION ALL SELECT d2, d1 FROM cand), "
+    "lbl(node, lab) AS ("
+    "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+    "UNION "
+    "SELECT e.u, l.lab FROM edges e JOIN lbl l ON l.node = e.v), "
+    "clusters AS (SELECT node, MIN(lab) AS cluster_id FROM lbl "
+    "GROUP BY node)"
+)
+
 ORACLE_SQL: Dict[str, str] = {
     "replace_chars": (
         "SELECT doc_id, replace(replace(text, 'spark', 'ray'), "
@@ -1777,6 +1840,19 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM sh"
     ),
     "minhash_dup_pairs": "WITH " + SIG_CTE + " " + CAND_SELECT,
+    "dup_clusters": (
+        "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+        + CC_CTE +
+        " SELECT node AS doc_id, cluster_id FROM clusters ORDER BY doc_id"
+    ),
+    "dedup_canonical": (
+        "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+        + CC_CTE +
+        " SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
+        "FROM documents d WHERE d.doc_id NOT IN "
+        "(SELECT node FROM clusters WHERE node != cluster_id) "
+        "ORDER BY d.doc_id"
+    ),
     "jaccard_dup_pairs": (
         "WITH " + SIG_CTE + ", "
         "cand AS (" + CAND_SELECT + "), "
@@ -2075,6 +2151,8 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "dup_clusters": q_dup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "minhash_hot_buckets": q_minhash_hot_buckets,
     "lsh_recall": q_lsh_recall,
     "embedding_lsh_recall": q_embedding_lsh_recall,

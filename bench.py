@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution", "revenue_by_nation",
-    "corpus_filter", "top_tokens", "extraction_flagship",
+    "corpus_filter", "corpus_quantiles", "top_tokens",
+    "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]
 

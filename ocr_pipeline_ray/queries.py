@@ -740,6 +740,28 @@ def q_corpus_filter(sf_dir: str):
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_corpus_quantiles(sf_dir: str):
+    """EXACT percentile_disc quantiles of doc length, distributed.
+
+    Map-side value_counts partial combine → one groupby over the
+    DISTINCT-VALUE histogram → driver cumsum (histogram-scale only;
+    the corpus streams through once). Matches DuckDB
+    ``quantile_disc`` bit-for-bit — see stages/stats.py.
+    """
+    from .stages.stats import exact_quantiles
+
+    t = exact_quantiles(
+        _docs(sf_dir, columns=["n_chars"]), "n_chars", QUANTILE_QS
+    )
+    return pa.table({
+        "q": t.column("q"),
+        "value": pc.cast(t.column("value"), pa.int64()),
+    })
+
+
 def q_approx_distinct_tokens(sf_dir: str):
     """KMV (k-minimum-values) distinct-count sketch, ORACLE-CHECKED
     including the ESTIMATE itself.
@@ -1767,6 +1789,12 @@ ORACLE_SQL: Dict[str, str] = {
         "/ 4294967296.0) * 1000000.0 + 0.5) / 1000000.0 "
         "END AS kmv_estimate"
     ),
+    "corpus_quantiles": (
+        "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+        "CAST(unnest(quantile_disc(n_chars, "
+        "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS BIGINT) AS value "
+        "FROM documents"
+    ),
     "stratified_sample": (
         "SELECT doc_id, lang FROM documents "
         "WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) "
@@ -2148,6 +2176,7 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,
+    "corpus_quantiles": q_corpus_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,

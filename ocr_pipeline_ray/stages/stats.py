@@ -1,0 +1,77 @@
+"""Distributed order statistics.
+
+:func:`exact_quantiles` — EXACT percentiles over a
+bounded-cardinality column, the corpus-statistics companion to the
+KMV distinct-count sketch (`queries.q_approx_distinct_tokens`).
+
+Shape: one map-side ``value_counts`` per batch (the partial
+combine), ONE small ``groupby(value).sum`` shuffle over the
+DISTINCT-VALUE set, then a driver-side cumsum over that set. The
+corpus is touched once, streaming; the only materialized object is
+the distinct-value histogram. That is the exactness contract: the
+column must have bounded cardinality (discrete scores like the
+3-decimal ``hit_ratio``, integer lengths like ``n_chars``, enum-ish
+codes) — at 10^12 rows a 10^6-distinct histogram is a few MB. For
+genuinely continuous columns, discretize first (then this IS a
+fixed-bin quantile sketch with known error = bin width).
+
+Quantile semantics match SQL ``percentile_disc`` / DuckDB
+``quantile_disc`` exactly: the element at index
+``max(0, ceil(q*n) - 1)`` of the sorted column (verified against
+DuckDB; the oracle recomputes it natively).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+
+def exact_quantiles(ds, col: str, qs: Sequence[float]) -> pa.Table:
+    """Exact ``percentile_disc`` quantiles of ``ds[col]``.
+
+    Returns one row per q: ``(q: float64, value: <col type>)``.
+    NULLs are ignored (SQL aggregate semantics).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        vc = pc.value_counts(arr.combine_chunks()
+                             if isinstance(arr, pa.ChunkedArray) else arr)
+        return pa.table({
+            "value": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("value").aggregate(Sum("n"))
+    )
+    tbls = [
+        t for t in counts.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)
+        if t.num_rows
+    ]
+    if not tbls:
+        raise ValueError(f"exact_quantiles: no rows in column {col!r}")
+    hist = pa.concat_tables(tbls)
+    hist = hist.filter(pc.is_valid(hist.column("value")))
+    hist = hist.sort_by([("value", "ascending")])
+    values = hist.column("value").combine_chunks()
+    cum = np.cumsum(hist.column("sum(n)").to_numpy(zero_copy_only=False))
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        raise ValueError(f"exact_quantiles: column {col!r} is all-null")
+    picks = []
+    for q in qs:
+        r = max(0, math.ceil(q * n) - 1)   # percentile_disc index
+        picks.append(int(np.searchsorted(cum, r + 1, side="left")))
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "value": values.take(pa.array(picks, pa.int64())),
+    })

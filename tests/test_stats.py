@@ -1,0 +1,58 @@
+"""Exact distributed quantiles vs DuckDB quantile_disc."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ocr_pipeline_ray.stages.stats import exact_quantiles
+
+QS = [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _duck_quantiles(values, qs):
+    con = duckdb.connect()
+    tbl = pa.table({"x": values})  # noqa: F841 — registered by name
+    con.register("t", tbl)
+    row = con.sql(
+        f"SELECT quantile_disc(x, {qs}) FROM t"
+    ).fetchone()[0]
+    return list(row)
+
+
+class TestExactQuantiles:
+    @pytest.mark.parametrize("n", [1, 2, 7, 100, 501])
+    def test_matches_duckdb_random(self, ray_session, n):
+        import ray.data
+
+        rng = random.Random(n)
+        # heavy duplication stresses the cumsum index math
+        vals = [rng.randrange(0, max(2, n // 3)) for _ in range(n)]
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(vals, pa.int64())})
+        ).repartition(4)
+        got = exact_quantiles(ds, "x", QS)
+        assert got.column("q").to_pylist() == QS
+        assert got.column("value").to_pylist() == _duck_quantiles(
+            pa.array(vals, pa.int64()), QS
+        )
+
+    def test_ignores_nulls(self, ray_session):
+        import ray.data
+
+        vals = pa.array([None, 5, None, 1, 3], pa.int64())
+        ds = ray.data.from_arrow(pa.table({"x": vals}))
+        got = exact_quantiles(ds, "x", [0.5])
+        assert got.column("value").to_pylist() == _duck_quantiles(
+            vals, [0.5]
+        )
+
+    def test_all_null_raises(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array([None, None], pa.int64())})
+        )
+        with pytest.raises(ValueError):
+            exact_quantiles(ds, "x", [0.5])

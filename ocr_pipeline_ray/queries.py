@@ -1430,6 +1430,68 @@ def q_events_json_agg(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_customers_no_orders(sf_dir: str):
+    """ANTI join (NOT EXISTS): customers with no URGENT order.
+
+    The right side is predicate-pruned at the read (priority filter,
+    two columns), then both sides co-shuffle once by key hash —
+    bucketed repartition anti join, no memory assumption on either
+    side (the 100-TB shape for large-large existence filters).
+    """
+    from .stages.join import repartition_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow",
+    )
+    out = repartition_join(cust, orders, on="c_custkey", how="anti")
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "c_nationkey": pc.cast(batch.column("c_nationkey"),
+                                   pa.int64()),
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow").sort("c_custkey")
+
+
+def q_parts_ordered(sf_dir: str):
+    """SEMI join (EXISTS): parts that appear in ≥1 lineitem.
+
+    The right side is reduced to its DISTINCT key set FIRST (one
+    groupby over keys only), then broadcast — membership filters
+    never need the fact table's payload, so the broadcast side is
+    bounded by key cardinality, not fact rows.
+    """
+    from .stages.join import broadcast_join
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li_keys = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey"])
+        .groupby("l_partkey").aggregate(Count())
+        .map_batches(
+            lambda b: pa.table({"p_partkey": b.column("l_partkey")}),
+            batch_format="pyarrow",
+        )
+    )
+    return broadcast_join(
+        part, li_keys, on="p_partkey", how="semi"
+    ).sort("p_partkey")
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup across BOTH join strategies, oracle-checked.
 
@@ -1788,6 +1850,18 @@ ORACLE_SQL: Dict[str, str] = {
         "ELSE floor(15.0 / (CAST((SELECT max(hv) FROM kmin) AS DOUBLE) "
         "/ 4294967296.0) * 1000000.0 + 0.5) / 1000000.0 "
         "END AS kmv_estimate"
+    ),
+    "customers_no_orders": (
+        "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey "
+        "FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT') "
+        "ORDER BY c_custkey"
+    ),
+    "parts_ordered": (
+        "SELECT p_partkey, p_brand FROM part p WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) "
+        "ORDER BY p_partkey"
     ),
     "corpus_quantiles": (
         "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
@@ -2196,6 +2270,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json_agg": q_events_json_agg,
     "revenue_by_nation": q_revenue_by_nation,
+    "customers_no_orders": q_customers_no_orders,
+    "parts_ordered": q_parts_ordered,
     "click_attribution": q_click_attribution,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "user_sessions": q_user_sessions,

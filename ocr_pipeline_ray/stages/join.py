@@ -61,20 +61,32 @@ def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
     (default: all but the key); name collisions get ``suffix``.
     Duplicate right keys keep the LAST row (dict semantics) — the
     driver dedupes the small side once before broadcasting.
+
+    ``how="semi"`` / ``"anti"`` filter the left side by EXISTS /
+    NOT EXISTS of the key in ``right`` (no right columns appended;
+    a NULL left key matches nothing, so semi drops it and anti
+    keeps it — SQL ``EXISTS`` semantics). Reduce the right side to
+    distinct keys BEFORE the call when it is large — membership
+    only needs the key set.
     """
     import pyarrow.compute as pc
     import ray
     import ray.data
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|semi|anti, got {how!r}")
+    if how in ("semi", "anti"):
+        right_cols = []
     if isinstance(right, pa.Table):
         right_tbl = right
     else:
         right_tbl = pa.concat_tables(
             right.iter_batches(batch_format="pyarrow", batch_size=None)
         )
-    cols = right_cols or [c for c in right_tbl.column_names if c != on]
+    cols = right_cols if right_cols is not None else [
+        c for c in right_tbl.column_names if c != on
+    ]
     # last occurrence per key wins (dict contract), deduped ONCE here
     keep = {k: i for i, k in enumerate(right_tbl.column(on).to_pylist())}
     if len(keep) != right_tbl.num_rows:
@@ -90,6 +102,10 @@ def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
         # SQL join semantics: a NULL key matches NOTHING (index_in
         # would otherwise match null-to-null)
         pos = pc.if_else(pc.is_valid(keys), pos, pa.scalar(None, pos.type))
+        if how == "semi":
+            return batch.filter(pc.is_valid(pos))
+        if how == "anti":
+            return batch.filter(pc.is_null(pos))
         if how == "inner":
             valid = pc.is_valid(pos)
             if not pc.all(valid).as_py():
@@ -114,15 +130,27 @@ def repartition_join(left, right, on: str,
     dict of its right-side rows and probes its left-side rows — one
     UDF call per bucket, not per key. Duplicate right keys keep the
     last row (same contract as :func:`broadcast_join`).
+
+    ``how="semi"`` / ``"anti"`` keep / drop left rows by key
+    existence in ``right`` (no right columns in the output; NULL
+    left keys match nothing — SQL ``EXISTS`` semantics). This is
+    the no-memory-assumption membership filter; prefer
+    :func:`broadcast_join` semi/anti when the right key set fits a
+    worker.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|semi|anti, got {how!r}")
     left_schema = left.schema()
     left_cols = list(left_schema.names)
     left_types = {n: t for n, t in zip(left_schema.names,
                                        left_schema.types)}
     right_schema = right.schema()
-    cols = right_cols or [c for c in right_schema.names if c != on]
+    if how in ("semi", "anti"):
+        right_cols = []
+    cols = right_cols if right_cols is not None else [
+        c for c in right_schema.names if c != on
+    ]
     right_types = {n: t for n, t in zip(right_schema.names,
                                         right_schema.types)}
     out_names = left_cols + [
@@ -195,7 +223,17 @@ def repartition_join(left, right, on: str,
         if how == "inner":
             keep = match >= 0
             left_sel, match = left_sel[keep], match[keep]
+        elif how == "semi":
+            left_sel = left_sel[match >= 0]
+        elif how == "anti":
+            left_sel = left_sel[match < 0]
         left_rows = group.take(pa.array(left_sel, pa.int64()))
+        if how in ("semi", "anti"):
+            return pa.table({
+                name: (left_rows.column(on) if name == on
+                       else left_rows.column(f"_l_{name}"))
+                for name in left_cols
+            })
         right_rows = group.take(
             pa.array(match, pa.int64(), mask=match < 0)
         )

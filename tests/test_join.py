@@ -165,6 +165,44 @@ class TestJoins:
                 "a": 10.0, "b": None, "c": None, "d": None
             }
 
+    def test_semi_anti_both_strategies(self, ray_session):
+        """EXISTS/NOT EXISTS semantics in both strategies: semi
+        keeps matched left rows only (no right columns, duplicates
+        preserved), anti keeps the complement; NULL left keys match
+        nothing (semi drops, anti keeps); duplicate right keys do
+        not multiply rows."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import (
+            broadcast_join,
+            repartition_join,
+        )
+
+        left = pa.table({
+            "k": pa.array([1, 2, 3, 4, 2, None], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 2, 2, 5, None], pa.int64()),
+            "w": pa.array([1.0, 2.0, 2.5, 5.0, 9.9], pa.float64()),
+        })
+        lds = ray.data.from_arrow(left).repartition(3)
+        rds = ray.data.from_arrow(right)
+        for joiner in (
+            lambda how: broadcast_join(lds, right, on="k", how=how),
+            lambda how: repartition_join(lds, rds, on="k", how=how,
+                                         n_buckets=4),
+        ):
+            semi = joiner("semi").take_all()
+            assert sorted((r["k"], r["v"]) for r in semi) == [
+                (1, "a"), (2, "b"), (2, "e")
+            ]
+            assert all(set(r) == {"k", "v"} for r in semi)
+            anti = joiner("anti").take_all()
+            assert sorted(
+                (r["v"] for r in anti)
+            ) == ["c", "d", "f"]
+
     def test_bucket_ids_batch_independent(self):
         """A key's bucket depends on the VALUE only — never on which
         batch it arrived in (regression: integer batches switched to

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution", "revenue_by_nation",
-    "customers_no_orders",
+    "customers_no_orders", "customer_running_spend",
     "corpus_filter", "corpus_quantiles", "top_tokens",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",

@@ -1492,6 +1492,28 @@ def q_parts_ordered(sf_dir: str):
     ).sort("p_partkey")
 
 
+def q_customer_running_spend(sf_dir: str):
+    """Grouped cumulative window: per-customer running order total,
+    ordered by (orderdate, orderkey) — the
+    ``SUM() OVER (PARTITION BY … ORDER BY …)`` operator as one hash
+    shuffle + per-bucket segment cumsum (stages/temporal.py
+    ``grouped_running_sum``)."""
+    from .stages.temporal import grouped_running_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"],
+    )
+    run = grouped_running_sum(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+        "o_totalprice", out_col="running",
+    )
+    return run.select_columns(
+        ["o_orderkey", "o_custkey", "running"]
+    ).sort("o_orderkey")
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup across BOTH join strategies, oracle-checked.
 
@@ -1850,6 +1872,12 @@ ORACLE_SQL: Dict[str, str] = {
         "ELSE floor(15.0 / (CAST((SELECT max(hv) FROM kmin) AS DOUBLE) "
         "/ 4294967296.0) * 1000000.0 + 0.5) / 1000000.0 "
         "END AS kmv_estimate"
+    ),
+    "customer_running_spend": (
+        "SELECT o_orderkey, o_custkey, "
+        "floor(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS running FROM orders ORDER BY o_orderkey"
     ),
     "customers_no_orders": (
         "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey "
@@ -2271,6 +2299,7 @@ QUERIES = {
     "events_json_agg": q_events_json_agg,
     "revenue_by_nation": q_revenue_by_nation,
     "customers_no_orders": q_customers_no_orders,
+    "customer_running_spend": q_customer_running_spend,
     "parts_ordered": q_parts_ordered,
     "click_attribution": q_click_attribution,
     "top_parts_by_revenue": q_top_parts_by_revenue,

@@ -95,6 +95,57 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def grouped_running_sum(ds, key_col: str, order_cols: List[str],
+                        val_col: str, out_col: str = "running",
+                        n_buckets: int = 64):
+    """Cumulative per-key running total — the SQL window
+    ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols)`` with a
+    UNIQUE ordering (pass a tiebreaker in ``order_cols`` so ROWS and
+    RANGE frames coincide).
+
+    Standard skew-safe layout: ONE hash shuffle by
+    ``bucket_ids(key)``, then per-bucket Arrow sort by
+    ``(key, *order_cols)`` + a vectorized numpy segment cumsum —
+    never a per-key UDF. Addition order inside a key IS the sort
+    order, so results are deterministic; the ``_round6`` grid
+    absorbs the ~1e-10 float noise vs the SQL frame sum. Output =
+    input rows + ``out_col``.
+    """
+    def _cum(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_kbucket"])
+        if group.num_rows == 0:
+            return base.append_column(
+                out_col, pa.array([], pa.float64())
+            )
+        sort_keys = [(key_col, "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        g = base.sort_by(sort_keys)
+        keys = g.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        vals = g.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n = len(keys)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = keys[1:] != keys[:-1]
+        seg_start = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(seg_start, n))
+        cum = np.cumsum(vals)
+        base_off = np.repeat(cum[seg_start] - vals[seg_start], seg_len)
+        running = cum - base_off
+        return g.append_column(out_col, pa.array(
+            [_round6(v) for v in running], pa.float64()
+        ))
+
+    bucketed = _bucket_by(ds, key_col, n_buckets)
+    return bucketed.groupby("_kbucket").map_groups(
+        _cum, batch_format="pyarrow"
+    )
+
+
 def sliding_window_agg(ds, key_col: str = "event_type", ts_col: str = "ts",
                        value_col: str = "value", window_hours: int = 3,
                        n_buckets: int = 16):

@@ -92,3 +92,40 @@ class TestSlidingWindow:
             ("x", 5): (1, 8.0),   # hours 3-5: only hour 5 present
             ("y", 0): (1, 16.0),  # keys are windowed independently
         }
+
+
+class TestRunningSum:
+    def test_randomized_vs_duckdb_window(self, ray_session):
+        """Random keys/values across block layouts vs the SQL
+        cumulative window (unique ordering, round6 grid)."""
+        import random
+
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import grouped_running_sum
+
+        rng = random.Random(11)
+        n = 300
+        tbl = pa.table({
+            "k": pa.array([rng.randrange(20) for _ in range(n)],
+                          pa.int64()),
+            "o": pa.array(rng.sample(range(10_000), n), pa.int64()),
+            "v": pa.array([round(rng.uniform(-5, 50), 2)
+                           for _ in range(n)], pa.float64()),
+        })
+        con = duckdb.connect()
+        con.register("t", tbl)
+        expect = {
+            r[0]: r[1] for r in con.sql(
+                "SELECT o, floor(SUM(v) OVER (PARTITION BY k ORDER BY o)"
+                " * 1000000.0 + 0.5) / 1000000.0 FROM t"
+            ).fetchall()
+        }
+        for nblk in (1, 5):
+            ds = ray.data.from_arrow(tbl).repartition(nblk)
+            out = grouped_running_sum(ds, "k", ["o"], "v",
+                                      n_buckets=8).take_all()
+            assert len(out) == n
+            got = {r["o"]: r["running"] for r in out}
+            assert got == expect

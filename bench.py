@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution", "revenue_by_nation",
     "customers_no_orders", "customer_running_spend",
-    "corpus_filter", "corpus_quantiles", "top_tokens",
+    "corpus_filter", "corpus_quantiles", "tfidf_top_terms",
+    "top_tokens",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

@@ -740,6 +740,16 @@ def q_corpus_filter(sf_dir: str):
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Corpus TF-IDF, top-3 terms per doc — flat tf rows, one
+    vocab-scale df groupby, token-keyed repartition join (a web
+    vocabulary is never broadcast), bucketed per-doc top-k. See
+    stages/textstats.tfidf_top_terms."""
+    from .stages.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3).sort(["doc_id", "token"])
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1891,6 +1901,21 @@ ORACLE_SQL: Dict[str, str] = {
         "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) "
         "ORDER BY p_partkey"
     ),
+    "tfidf_top_terms": (
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS token FROM documents), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tk GROUP BY doc_id, token), "
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+        "s AS (SELECT doc_id, token, tf * ln(CAST((SELECT count(*) "
+        "FROM documents) AS DOUBLE) / df) AS raw "
+        "FROM tf JOIN df USING (token)) "
+        "SELECT doc_id, token, "
+        "floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY raw DESC, token ASC) <= 3 "
+        "ORDER BY doc_id, token"
+    ),
     "corpus_quantiles": (
         "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
         "CAST(unnest(quantile_disc(n_chars, "
@@ -2279,6 +2304,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "corpus_quantiles": q_corpus_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,

@@ -145,3 +145,112 @@ def doc_quality_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("n_words", pa.array(n_words, pa.int64()))
         .append_column("n_errs", pa.array(n_errs, pa.int64()))
     )
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, n_buckets: int = 64):
+    """Corpus TF-IDF: top-``k`` terms per document.
+
+    Three stages, all candidate/vocab-scale after the first:
+
+    1. ``map_batches``: per-doc term frequencies → flat
+       ``(doc_id, token, tf)`` rows (one row per DISTINCT doc-term).
+    2. document frequency = ONE ``groupby(token).count`` over those
+       rows (vocab-scale), then a token-keyed ``repartition_join``
+       back onto the tf rows — the no-memory-assumption path (a web
+       vocabulary does not fit a worker; never broadcast it).
+    3. score = tf · ln(N/df); per-doc top-k via the standard bucketed
+       shape — hash shuffle by doc bucket, per-bucket Arrow sort
+       ``(doc, score desc, token)`` + vectorized segment-rank mask
+       (never a per-doc UDF). Ordering uses the RAW score (ties break
+       by token); only the emitted score is gridded to 1e-6 so the
+       DuckDB twin's independent ``ln`` rounding cannot flip a hash.
+
+    N (corpus size) is a driver-side scalar count — metadata-cheap.
+    """
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import bucket_ids
+    from .join import repartition_join
+
+    n_docs = ds.count()
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        toks: list = []
+        tfs: list = []
+        id_vals = batch.column(id_col).to_pylist()
+        for did, text in zip(id_vals, batch.column(text_col).to_pylist()):
+            counts: dict = {}
+            for t in (text or "").split(" "):
+                counts[t] = counts.get(t, 0) + 1
+            ids.extend([did] * len(counts))
+            toks.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    tf = ds.map_batches(_tf, batch_format="pyarrow")
+    df = tf.groupby("token").aggregate(Count()).map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "df": pc.cast(b.column("count()"),
+                                          pa.int64())}),
+        batch_format="pyarrow",
+    )
+    scored = repartition_join(tf, df, on="token", n_buckets=n_buckets)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_dbucket", pa.array(
+            bucket_ids(batch.column(id_col), n_buckets), pa.int64()
+        ))
+
+    def _topk(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_dbucket"])
+        if group.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            })
+        tfs = base.column("tf").combine_chunks().to_numpy().astype(
+            np.float64)
+        dfs = base.column("df").combine_chunks().to_numpy().astype(
+            np.float64)
+        score = tfs * np.log(float(n_docs) / dfs)
+        with_score = base.append_column(
+            "_raw", pa.array(score, pa.float64())
+        )
+        g = with_score.sort_by([
+            (id_col, "ascending"), ("_raw", "descending"),
+            ("token", "ascending"),
+        ])
+        dids = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = len(dids)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = dids[1:] != dids[:-1]
+        seg_start = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(seg_start, n))
+        rank = np.arange(n) - np.repeat(seg_start, seg_len)
+        top = g.filter(pa.array(rank < k))
+        raw = top.column("_raw").combine_chunks().to_numpy()
+        return pa.table({
+            id_col: top.column(id_col),
+            "token": top.column("token"),
+            "score": pa.array(
+                [math.floor(v * 1000000.0 + 0.5) / 1000000.0
+                 for v in raw],
+                pa.float64(),
+            ),
+        })
+
+    return scored.map_batches(
+        _bucketize, batch_format="pyarrow"
+    ).groupby("_dbucket").map_groups(_topk, batch_format="pyarrow")

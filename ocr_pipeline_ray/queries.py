@@ -772,6 +772,29 @@ def q_corpus_quantiles(sf_dir: str):
     })
 
 
+def q_corpus_p10_cut(sf_dir: str):
+    """Percentile-cut quality gate: drop the shortest decile.
+
+    Composition shape for a 100-TB filter: ONE streaming pass
+    computes the exact p10 (histogram combine, stages/stats.py), the
+    threshold is a scalar closure, and the corpus filters at scan
+    speed on a second pruned pass — no shuffle anywhere.
+    """
+    from .stages.stats import exact_quantiles
+
+    p10 = exact_quantiles(
+        _docs(sf_dir, columns=["n_chars"]), "n_chars", [0.1]
+    ).column("value")[0].as_py()
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return docs.filter(expr=f"n_chars > {p10}").map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 def q_approx_distinct_tokens(sf_dir: str):
     """KMV (k-minimum-values) distinct-count sketch, ORACLE-CHECKED
     including the ESTIMATE itself.
@@ -1916,6 +1939,11 @@ ORACLE_SQL: Dict[str, str] = {
         "ORDER BY raw DESC, token ASC) <= 3 "
         "ORDER BY doc_id, token"
     ),
+    "corpus_p10_cut": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars > (SELECT quantile_disc(n_chars, 0.1) "
+        "FROM documents) ORDER BY doc_id"
+    ),
     "corpus_quantiles": (
         "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
         "CAST(unnest(quantile_disc(n_chars, "
@@ -2305,6 +2333,7 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "corpus_quantiles": q_corpus_quantiles,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "corpus_p10_cut": q_corpus_p10_cut,
     "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,

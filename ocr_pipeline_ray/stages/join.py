@@ -80,13 +80,19 @@ def broadcast_join(ds, right, on: str, right_cols: Optional[List[str]] = None,
         right_cols = []
     if isinstance(right, pa.Table):
         right_tbl = right
+        cols = right_cols if right_cols is not None else [
+            c for c in right_tbl.column_names if c != on
+        ]
     else:
+        # prune BEFORE driver-side collection: the broadcast (and
+        # the driver's transient copy) carry only key + needed cols
+        cols = right_cols if right_cols is not None else [
+            c for c in right.schema().names if c != on
+        ]
         right_tbl = pa.concat_tables(
-            right.iter_batches(batch_format="pyarrow", batch_size=None)
+            right.select_columns([on] + cols)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         )
-    cols = right_cols if right_cols is not None else [
-        c for c in right_tbl.column_names if c != on
-    ]
     # last occurrence per key wins (dict contract), deduped ONCE here
     keep = {k: i for i, k in enumerate(right_tbl.column(on).to_pylist())}
     if len(keep) != right_tbl.num_rows:

@@ -1930,13 +1930,13 @@ ORACLE_SQL: Dict[str, str] = {
         "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
         "FROM tk GROUP BY doc_id, token), "
         "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
-        "s AS (SELECT doc_id, token, tf * ln(CAST((SELECT count(*) "
-        "FROM documents) AS DOUBLE) / df) AS raw "
+        "s AS (SELECT doc_id, token, "
+        "floor(tf * ln(CAST((SELECT count(*) FROM documents) "
+        "AS DOUBLE) / df) * 1000000.0 + 0.5) / 1000000.0 AS score "
         "FROM tf JOIN df USING (token)) "
-        "SELECT doc_id, token, "
-        "floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score FROM s "
+        "SELECT doc_id, token, score FROM s "
         "QUALIFY row_number() OVER (PARTITION BY doc_id "
-        "ORDER BY raw DESC, token ASC) <= 3 "
+        "ORDER BY score DESC, token ASC) <= 3 "
         "ORDER BY doc_id, token"
     ),
     "corpus_p10_cut": (

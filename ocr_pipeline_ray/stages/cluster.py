@@ -167,7 +167,11 @@ def _propagate(edges, n_buckets: int, max_iter: int):
         {"min(label)": "label"},
     ).materialize()
 
-    for _ in range(max_iter):
+    # max_iter label updates, max_iter+1 fixpoint checks (the check
+    # runs BEFORE each update, so the final update gets its own
+    # check instead of a spurious non-convergence error)
+    converged = False
+    for it in range(max_iter + 1):
         # attach both endpoint labels to every edge (bucketed
         # co-shuffle joins — edge-scale, never corpus-scale)
         tagged = repartition_join(
@@ -180,6 +184,9 @@ def _propagate(edges, n_buckets: int, max_iter: int):
             on="v", n_buckets=n_buckets,
         ).materialize()
         if tagged.filter(expr="lu != lv").count() == 0:
+            converged = True
+            break
+        if it == max_iter:
             break
 
         def _msgs(batch: pa.Table) -> pa.Table:
@@ -208,7 +215,7 @@ def _propagate(edges, n_buckets: int, max_iter: int):
             ).select_columns(["node", "_root"]),
             {"_root": "label"},
         ).materialize()
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

@@ -105,12 +105,16 @@ def grouped_running_sum(ds, key_col: str, order_cols: List[str],
 
     Standard skew-safe layout: ONE hash shuffle by
     ``bucket_ids(key)``, then per-bucket Arrow sort by
-    ``(key, *order_cols)`` + a vectorized numpy segment cumsum —
-    never a per-key UDF. Addition order inside a key IS the sort
-    order, so results are deterministic; the ``_round6`` grid
-    absorbs the ~1e-10 float noise vs the SQL frame sum. Output =
-    input rows + ``out_col``.
+    ``(key, *order_cols)`` + a per-SEGMENT numpy cumsum (Python loop
+    count = keys per bucket, not rows — the as-of probe precedent).
+    The cumsum restarts at every key, so float error is
+    ulp(per-key prefix) ~1e-10 — a bucket-global cumsum difference
+    would instead carry ulp(bucket prefix) error that grows past the
+    1e-6 grid once a bucket holds a few thousand rows. Output =
+    input rows + ``out_col`` (``_round6`` grid).
     """
+    from ..functions.segments import key_segments
+
     def _cum(group: pa.Table) -> pa.Table:
         base = group.drop_columns(["_kbucket"])
         if group.num_rows == 0:
@@ -127,18 +131,14 @@ def grouped_running_sum(ds, key_col: str, order_cols: List[str],
         vals = g.column(val_col).combine_chunks().to_numpy(
             zero_copy_only=False
         ).astype(np.float64)
-        n = len(keys)
-        starts = np.ones(n, dtype=bool)
-        if n > 1:
-            starts[1:] = keys[1:] != keys[:-1]
-        seg_start = np.flatnonzero(starts)
-        seg_len = np.diff(np.append(seg_start, n))
-        cum = np.cumsum(vals)
-        base_off = np.repeat(cum[seg_start] - vals[seg_start], seg_len)
-        running = cum - base_off
-        return g.append_column(out_col, pa.array(
-            [_round6(v) for v in running], pa.float64()
-        ))
+        seg_start, seg_len = key_segments(keys)
+        running = np.empty_like(vals)
+        for s, ln in zip(seg_start, seg_len):
+            running[s:s + ln] = np.cumsum(vals[s:s + ln])
+        running = np.floor(running * 1000000.0 + 0.5) / 1000000.0
+        return g.append_column(
+            out_col, pa.array(running, pa.float64())
+        )
 
     bucketed = _bucket_by(ds, key_col, n_buckets)
     return bucketed.groupby("_kbucket").map_groups(

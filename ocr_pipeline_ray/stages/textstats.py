@@ -162,18 +162,18 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     3. score = tf · ln(N/df); per-doc top-k via the standard bucketed
        shape — hash shuffle by doc bucket, per-bucket Arrow sort
        ``(doc, score desc, token)`` + vectorized segment-rank mask
-       (never a per-doc UDF). Ordering uses the RAW score (ties break
-       by token); only the emitted score is gridded to 1e-6 so the
-       DuckDB twin's independent ``ln`` rounding cannot flip a hash.
+       (never a per-doc UDF). Ordering uses the 1e-6-GRIDDED score
+       (ties break by token) — the same grid the output carries — so
+       the DuckDB twin's independently rounded ``ln`` yields the same
+       selection whenever it yields the same gridded values.
 
     N (corpus size) is a driver-side scalar count — metadata-cheap.
     """
-    import math
-
     import numpy as np
     from ray.data.aggregate import Count
 
     from ..functions.hashing import bucket_ids
+    from ..functions.segments import key_segments, segment_ranks
     from .join import repartition_join
 
     n_docs = ds.count()
@@ -184,8 +184,12 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         tfs: list = []
         id_vals = batch.column(id_col).to_pylist()
         for did, text in zip(id_vals, batch.column(text_col).to_pylist()):
+            if text is None:
+                # SQL semantics: unnest(string_split(NULL)) emits no
+                # rows; '' emits the single token '' (both engines)
+                continue
             counts: dict = {}
-            for t in (text or "").split(" "):
+            for t in text.split(" "):
                 counts[t] = counts.get(t, 0) + 1
             ids.extend([did] * len(counts))
             toks.extend(counts.keys())
@@ -223,33 +227,20 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         dfs = base.column("df").combine_chunks().to_numpy().astype(
             np.float64)
         score = tfs * np.log(float(n_docs) / dfs)
+        score = np.floor(score * 1000000.0 + 0.5) / 1000000.0
         with_score = base.append_column(
-            "_raw", pa.array(score, pa.float64())
+            "score", pa.array(score, pa.float64())
         )
         g = with_score.sort_by([
-            (id_col, "ascending"), ("_raw", "descending"),
+            (id_col, "ascending"), ("score", "descending"),
             ("token", "ascending"),
         ])
         dids = g.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        n = len(dids)
-        starts = np.ones(n, dtype=bool)
-        if n > 1:
-            starts[1:] = dids[1:] != dids[:-1]
-        seg_start = np.flatnonzero(starts)
-        seg_len = np.diff(np.append(seg_start, n))
-        rank = np.arange(n) - np.repeat(seg_start, seg_len)
+        seg_start, seg_len = key_segments(dids)
+        rank = segment_ranks(seg_start, seg_len)
         top = g.filter(pa.array(rank < k))
-        raw = top.column("_raw").combine_chunks().to_numpy()
-        return pa.table({
-            id_col: top.column(id_col),
-            "token": top.column("token"),
-            "score": pa.array(
-                [math.floor(v * 1000000.0 + 0.5) / 1000000.0
-                 for v in raw],
-                pa.float64(),
-            ),
-        })
+        return top.select([id_col, "token", "score"])
 
     return scored.map_batches(
         _bucketize, batch_format="pyarrow"

@@ -56,3 +56,26 @@ class TestExactQuantiles:
         )
         with pytest.raises(ValueError):
             exact_quantiles(ds, "x", [0.5])
+
+
+class TestTfidfNullText:
+    def test_null_text_emits_no_rows(self, ray_session):
+        """SQL NULL semantics: a NULL text contributes no tf rows
+        (and no df inflation); empty string contributes token ''."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.textstats import tfidf_top_terms
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a", None, ""], pa.string()),
+        })
+        out = tfidf_top_terms(
+            ray.data.from_arrow(tbl), k=3, n_buckets=4
+        ).take_all()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["token"])
+        assert 2 not in by_doc
+        assert sorted(by_doc[1]) == ["a", "b"]
+        assert by_doc[3] == [""]

@@ -129,3 +129,38 @@ class TestRunningSum:
             assert len(out) == n
             got = {r["o"]: r["running"] for r in out}
             assert got == expect
+
+    def test_large_bucket_precision(self, ray_session):
+        """20k rows forced into ONE bucket: per-segment cumsum keeps
+        float error at ulp(per-key prefix); the bucket-global
+        cumsum-difference shape this replaced drifted past the 1e-6
+        grid at this size (review finding, empirically confirmed)."""
+        import random
+
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import grouped_running_sum
+
+        rng = random.Random(3)
+        n = 20_000
+        tbl = pa.table({
+            "k": pa.array([rng.randrange(50) for _ in range(n)],
+                          pa.int64()),
+            "o": pa.array(rng.sample(range(10 * n), n), pa.int64()),
+            "v": pa.array([round(rng.uniform(900.0, 555000.0), 2)
+                           for _ in range(n)], pa.float64()),
+        })
+        con = duckdb.connect()
+        con.register("t", tbl)
+        expect = {
+            r[0]: r[1] for r in con.sql(
+                "SELECT o, floor(SUM(v) OVER (PARTITION BY k ORDER BY o)"
+                " * 1000000.0 + 0.5) / 1000000.0 FROM t"
+            ).fetchall()
+        }
+        out = grouped_running_sum(
+            ray.data.from_arrow(tbl), "k", ["o"], "v", n_buckets=1
+        ).take_all()
+        got = {r["o"]: r["running"] for r in out}
+        assert got == expect

@@ -1149,17 +1149,20 @@ def q_media_decode(sf_dir: str):
 
     Synthesizes genuine binary media per document — a binary PGM
     image (dims and constant fill derived from doc_id), a mono 16-bit
-    PCM WAV (frame count and amplitude from doc_id), or an opaque
-    video payload — and runs the real actor-pool decoder
-    (``decode_pnm`` / ``decode_wav``, pure stdlib). The emitted
-    dimensions, duration, byte counts and content means are read from
-    the DECODED BYTES on the Ray side and recomputed from the doc_id
-    formulas on the DuckDB side: a header-faking decoder cannot pass.
-    Video rows pin the documented no-stdlib-codec stub error.
+    PCM WAV (frame count and amplitude from doc_id), a raw YUV4MPEG2
+    video (dims/frame count/luma fill from doc_id), or an opaque
+    codec-video payload — and runs the real actor-pool decoder
+    (``decode_pnm`` / ``decode_wav`` / ``decode_y4m``, pure stdlib).
+    The emitted dimensions, durations, byte counts and content means
+    are read from the DECODED BYTES on the Ray side and recomputed
+    from the doc_id formulas on the DuckDB side: a header-faking
+    decoder cannot pass. Opaque video rows (doc_id % 6 == 5) pin the
+    documented codec-formats-need-external-libs error.
     """
     from .stages.multimodal import (
         encode_pgm,
         encode_wav,
+        encode_y4m,
         media_feature_stage,
     )
 
@@ -1177,7 +1180,12 @@ def q_media_decode(sf_dir: str):
                 n_frames = 8 * (10 + i % 50)
                 payloads.append(encode_wav([i % 100] * n_frames))
                 kinds.append("audio")
+            elif i % 6 == 2:
+                w, h = 8 + 2 * (i % 13), 8 + 2 * ((i * 3) % 11)
+                payloads.append(encode_y4m(w, h, 2 + i % 7, i % 256))
+                kinds.append("video")
             else:
+                # i % 6 == 5: opaque codec-compressed stand-in
                 payloads.append((t or "").encode("utf-8"))
                 kinds.append("video")
         return pa.table({
@@ -2192,6 +2200,11 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM q"
     ),
     "media_decode": (
+        # vw/vh/vn: Y4M dims + frame count formulas (even dims, 4:2:0)
+        "WITH m AS (SELECT doc_id, text, "
+        "8 + 2 * (doc_id % 13) AS vw, "
+        "8 + 2 * ((doc_id * 3) % 11) AS vh, "
+        "2 + doc_id % 7 AS vn FROM documents) "
         "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "
@@ -2200,21 +2213,28 @@ ORACLE_SQL: Dict[str, str] = {
         "+ length(CAST(8 + (doc_id * 7) % 25 AS VARCHAR)) "
         "+ (8 + doc_id % 25) * (8 + (doc_id * 7) % 25) "
         "WHEN 1 THEN 44 + 2 * 8 * (10 + doc_id % 50) "
-        "ELSE CASE WHEN text = '' THEN 0 ELSE octet_length(encode(text)) "
+        "ELSE CASE WHEN doc_id % 6 = 2 THEN "
+        "37 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR)) "
+        "+ vn * (6 + (vw * vh * 3) // 2) "
+        "WHEN text = '' THEN 0 ELSE octet_length(encode(text)) "
         "END END AS BIGINT) AS payload_bytes, "
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 25 END "
-        "AS INTEGER) AS decoded_width, "
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 7) % 25 END "
-        "AS INTEGER) AS decoded_height, "
-        "CAST(CASE WHEN doc_id % 3 = 1 THEN 10 + doc_id % 50 END "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 25 "
+        "WHEN doc_id % 6 = 2 THEN vw END AS INTEGER) AS decoded_width, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 7) % 25 "
+        "WHEN doc_id % 6 = 2 THEN vh END AS INTEGER) AS decoded_height, "
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 10 + doc_id % 50 "
+        "WHEN doc_id % 6 = 2 THEN vn * 40 END "
         "AS INTEGER) AS decoded_duration_ms, "
-        "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE) "
-        "WHEN 1 THEN CAST(doc_id % 100 AS DOUBLE) END AS content_mean, "
-        "CASE WHEN doc_id % 3 = 2 THEN (CASE WHEN text = '' "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE) "
+        "WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 AS DOUBLE) "
+        "WHEN doc_id % 6 = 2 THEN CAST(doc_id % 256 AS DOUBLE) "
+        "END AS content_mean, "
+        "CASE WHEN doc_id % 6 = 5 THEN (CASE WHEN text = '' "
         "THEN 'empty payload' ELSE "
-        "'video decode not implemented: no stdlib codec (stub)' END) "
+        "'not a YUV4MPEG2 stream (codec formats unsupported "
+        "without external libs)' END) "
         "END AS decode_error "
-        "FROM documents"
+        "FROM m"
     ),
     "events_by_type_salted": (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "

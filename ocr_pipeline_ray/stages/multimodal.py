@@ -2,9 +2,12 @@
 
 Real pure-stdlib decoders cover the header+raw formats the container
 can handle without codec libraries: binary PNM images (PGM ``P5`` /
-PPM ``P6``) and PCM WAV audio (via the stdlib ``wave`` module). Video
-decode has no stdlib path, so video rows get a ``decode_error`` stub
-marker (the frame-sampling PLAN is real, the pixel decode is not).
+PPM ``P6``), PCM WAV audio (stdlib ``wave``), and raw YUV4MPEG2
+(``.y4m``) video — header + uncompressed frame planes, so frame
+count, dims, duration and luma statistics come from the actual
+bytes. Compressed/codec video (mp4/webm/…) still raises the
+documented no-codec error: that path needs external libraries this
+container does not have.
 The Ray-side plumbing is real and tested throughout: schema handling
 of opaque ``binary`` payload columns with typed metadata, actor-pool
 batch signature, small batch sizes for MB-scale rows, and the output
@@ -154,15 +157,112 @@ def decode_wav(payload: bytes) -> Dict:
     }
 
 
+# frame payload sizes per YUV4MPEG2 colorspace tag prefix (in luma
+# samples: frame_bytes = w*h * num / den)
+_Y4M_SUBSAMPLING = {
+    "C420": (3, 2),   # all 4:2:0 variants (jpeg/paldv/mpeg2/plain)
+    "C422": (2, 1),
+    "C444": (3, 1),
+    "Cmono": (1, 1),
+}
+
+
+def encode_y4m(width: int, height: int, n_frames: int, y_fill: int,
+               fps=(25, 1)) -> bytes:
+    """Raw YUV4MPEG2 stream: constant-luma C420jpeg frames
+    (chroma planes 128). Dims must be even (4:2:0 subsampling)."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 dims must be even")
+    num, den = fps
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{num}:{den} Ip A1:1 C420jpeg\n"
+    ).encode("ascii")
+    y = bytes([int(y_fill) & 0xFF]) * (width * height)
+    uv = bytes([128]) * (width * height // 2)
+    frame = b"FRAME\n" + y + uv
+    return header + frame * n_frames
+
+
+def decode_y4m(payload: bytes) -> Dict:
+    """Parse an uncompressed YUV4MPEG2 stream (pure stdlib+numpy).
+
+    Returns ``{width, height, fps_num, fps_den, n_frames,
+    duration_ms, luma_mean}`` — luma statistics read from the actual
+    Y planes. Raises ValueError for non-Y4M payloads (codec formats
+    need external libraries) and for malformed/truncated streams.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            "not a YUV4MPEG2 stream (codec formats unsupported "
+            "without external libs)"
+        )
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    width = height = 0
+    fps_num, fps_den = 0, 1
+    subsampling = _Y4M_SUBSAMPLING["C420"]  # spec default is 4:2:0
+    for token in payload[9:nl].decode("ascii", "replace").split():
+        try:
+            if token[0] == "W":
+                width = int(token[1:])
+            elif token[0] == "H":
+                height = int(token[1:])
+            elif token[0] == "F":
+                fps_num, fps_den = (int(x) for x in token[1:].split(":"))
+            elif token[0] == "C":
+                match = [v for k, v in _Y4M_SUBSAMPLING.items()
+                         if token.startswith(k)]
+                if not match:
+                    raise ValueError(
+                        f"unsupported Y4M colorspace {token!r}")
+                subsampling = match[0]
+        except (ValueError, IndexError) as exc:
+            raise ValueError(f"bad Y4M header token {token!r}") from (
+                exc if isinstance(exc, ValueError) else None
+            )
+    if width <= 0 or height <= 0 or fps_num <= 0 or fps_den <= 0:
+        raise ValueError("invalid Y4M dimensions/framerate")
+    num, den = subsampling
+    frame_bytes = width * height * num // den
+    luma = width * height
+    pos = nl + 1
+    n = len(payload)
+    n_frames = 0
+    luma_sum = 0
+    while pos < n:
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("garbage between Y4M frames")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > n:
+            raise ValueError("truncated Y4M frame")
+        y_plane = np.frombuffer(
+            payload, dtype=np.uint8, count=luma, offset=fnl + 1
+        )
+        luma_sum += int(y_plane.sum(dtype=np.int64))
+        n_frames += 1
+        pos = fnl + 1 + frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 * fps_den // fps_num,
+        "luma_mean": (luma_sum / (n_frames * luma)) if n_frames else 0.0,
+    }
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: payload binary → features + decoded metadata.
 
     ``__init__`` is where a codec/model loads (once per actor). The
-    real mode (default) decodes PNM images and WAV audio with the
-    pure-stdlib decoders above, emitting dimensions/duration/content
-    statistics read from the actual bytes; video has no stdlib codec
-    and reports a stub ``decode_error``. ``use_fake_decoder`` skips
-    decoding entirely (digest features only) for plumbing tests.
+    real mode (default) decodes PNM images, WAV audio and raw
+    YUV4MPEG2 video with the pure-stdlib decoders above, emitting
+    dimensions/duration/content statistics read from the actual
+    bytes; codec-compressed video reports the documented
+    ``decode_error``. ``use_fake_decoder`` skips decoding entirely
+    (digest features only) for plumbing tests.
     """
 
     def __init__(self, config: Optional[DecodeConfig] = None):
@@ -194,8 +294,9 @@ class MediaFeatureExtractor:
             )
             return (None, None, wav["duration_ms"], mean_amp, None)
         if kind == "video":
-            return (None, None, None, None,
-                    "video decode not implemented: no stdlib codec (stub)")
+            vid = decode_y4m(raw)
+            return (vid["width"], vid["height"], vid["duration_ms"],
+                    vid["luma_mean"], None)
         return (None, None, None, None, f"unknown media kind {kind!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

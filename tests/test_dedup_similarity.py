@@ -641,16 +641,19 @@ class TestMultimodal:
         from ocr_pipeline_ray.stages.multimodal import (
             encode_pgm,
             encode_wav,
+            encode_y4m,
             media_feature_stage,
         )
 
         tbl = pa.table({
-            "media_id": pa.array(["img", "wav", "vid", "bad"], pa.string()),
-            "kind": pa.array(["image", "audio", "video", "image"],
-                             pa.string()),
+            "media_id": pa.array(["img", "wav", "vid", "codec", "bad"],
+                                 pa.string()),
+            "kind": pa.array(["image", "audio", "video", "video",
+                              "image"], pa.string()),
             "payload": pa.array([
                 encode_pgm(6, 5, 42),
                 encode_wav([7] * 1600, framerate=8000),
+                encode_y4m(8, 6, 5, 99),
                 b"not decodable video bytes",
                 b"\x89PNG fake",
             ], pa.binary()),
@@ -666,11 +669,41 @@ class TestMultimodal:
         wav = by_id["wav"]
         assert wav["decoded_duration_ms"] == 200
         assert wav["content_mean"] == 7.0
-        assert by_id["vid"]["decode_error"] == (
-            "video decode not implemented: no stdlib codec (stub)"
-        )
+        vid = by_id["vid"]
+        assert (vid["decoded_width"], vid["decoded_height"]) == (8, 6)
+        assert vid["decoded_duration_ms"] == 200  # 5 frames @ 25 fps
+        assert vid["content_mean"] == 99.0
+        assert vid["decode_error"] is None
+        assert "YUV4MPEG2" in by_id["codec"]["decode_error"]
         assert "PNM" in by_id["bad"]["decode_error"]
         assert all(len(r["features"]) == 16 for r in rows)
+
+    def test_y4m_round_trip(self):
+        from ocr_pipeline_ray.stages.multimodal import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        vid = decode_y4m(encode_y4m(12, 8, 3, 200, fps=(30, 1)))
+        assert (vid["width"], vid["height"]) == (12, 8)
+        assert vid["n_frames"] == 3
+        assert vid["duration_ms"] == 100
+        assert vid["luma_mean"] == 200.0
+        # frame params after FRAME are tolerated; mono colorspace
+        mono = (b"YUV4MPEG2 W4 H2 F1:1 Cmono\n"
+                b"FRAME Xsome=param\n" + bytes([10] * 8))
+        v = decode_y4m(mono)
+        assert v["n_frames"] == 1 and v["luma_mean"] == 10.0
+        for bad in (
+            b"RIFF not video",
+            b"YUV4MPEG2 W0 H2 F1:1\nFRAME\n",
+            b"YUV4MPEG2 W4 H2 F1:1 C420\nFRAME\n\x00\x00",  # truncated
+            b"YUV4MPEG2 W4 H2 F1:1 C999x\nFRAME\n" + bytes(12),
+        ):
+            with pytest.raises(ValueError):
+                decode_y4m(bad)
+        with pytest.raises(ValueError):
+            encode_y4m(5, 4, 1, 0)  # odd width under 4:2:0
 
     def test_resize_plan(self, ray_session):
         import pyarrow as pa

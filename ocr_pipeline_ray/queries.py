@@ -353,6 +353,37 @@ def q_jaccard_dup_pairs(sf_dir: str):
     return jaccard_dup_pairs(_docs(sf_dir))
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: a NEW batch (odd doc_ids) kept only
+    where its content fingerprint is absent from the EXISTING corpus
+    (even doc_ids).
+
+    The daily-ingest shape at 100 TB: both sides reduce to
+    ``(fp[, id])`` rows before the anti join — content never moves —
+    and the repartition anti join makes no memory assumption about
+    the reference fingerprint store.
+    """
+    from .stages.join import repartition_join
+
+    def _odd_fp(batch: pa.Table) -> pa.Table:
+        b = fingerprint_fn(batch)
+        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 1)
+        b = b.filter(keep)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fp": b.column("fp")})
+
+    def _even_fp(batch: pa.Table) -> pa.Table:
+        b = fingerprint_fn(batch)
+        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)
+        return pa.table({"fp": b.filter(keep).column("fp")})
+
+    new_fp = _docs(sf_dir).map_batches(_odd_fp, batch_format="pyarrow")
+    old_fp = _docs(sf_dir).map_batches(_even_fp, batch_format="pyarrow")
+    return repartition_join(
+        new_fp, old_fp, on="fp", how="anti"
+    ).sort("doc_id")
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: transitive closure over the MinHash
     candidate pairs, cluster id = min doc_id of the component.
@@ -2031,6 +2062,12 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM sh"
     ),
     "minhash_dup_pairs": "WITH " + SIG_CTE + " " + CAND_SELECT,
+    "dedup_incremental": (
+        "SELECT doc_id, md5(text) AS fp FROM documents d "
+        "WHERE doc_id % 2 = 1 AND NOT EXISTS "
+        "(SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 "
+        "AND md5(e.text) = md5(d.text)) ORDER BY doc_id"
+    ),
     "dup_clusters": (
         "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
         + CC_CTE +
@@ -2358,6 +2395,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_canonical": q_dedup_canonical,
     "minhash_hot_buckets": q_minhash_hot_buckets,
     "lsh_recall": q_lsh_recall,

@@ -1550,14 +1550,16 @@ def q_parts_ordered(sf_dir: str):
     part = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )
-    li_keys = (
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                              columns=["l_partkey"])
-        .groupby("l_partkey").aggregate(Count())
-        .map_batches(
-            lambda b: pa.table({"p_partkey": b.column("l_partkey")}),
-            batch_format="pyarrow",
-        )
+    # per-block unique is enough (NO shuffle): broadcast_join dedupes
+    # the collected key set once on the driver anyway, and each block
+    # contributes at most |distinct keys| rows
+    li_keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    ).map_batches(
+        lambda b: pa.table({
+            "p_partkey": pc.unique(b.column("l_partkey"))
+        }),
+        batch_format="pyarrow",
     )
     return broadcast_join(
         part, li_keys, on="p_partkey", how="semi"

@@ -200,7 +200,10 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
             "tf": pa.array(tfs, pa.int64()),
         })
 
-    tf = ds.map_batches(_tf, batch_format="pyarrow")
+    # tf feeds BOTH the df groupby and the join probe side —
+    # materialize once (flat token-scale rows; the object store
+    # spills) instead of re-running the tokenize pass
+    tf = ds.map_batches(_tf, batch_format="pyarrow").materialize()
     df = tf.groupby("token").aggregate(Count()).map_batches(
         lambda b: pa.table({"token": b.column("token"),
                             "df": pc.cast(b.column("count()"),

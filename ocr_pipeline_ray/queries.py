@@ -803,6 +803,22 @@ def q_corpus_quantiles(sf_dir: str):
     })
 
 
+def q_lang_quantiles(sf_dir: str):
+    """Exact per-language doc-length quantiles (grouped
+    percentile_disc — stages/stats.grouped_quantiles)."""
+    from .stages.stats import grouped_quantiles
+
+    t = grouped_quantiles(
+        _docs(sf_dir, columns=["lang", "n_chars"]), "lang", "n_chars",
+        [0.25, 0.5, 0.9],
+    )
+    return pa.table({
+        "lang": t.column("key"),
+        "q": t.column("q"),
+        "value": pc.cast(t.column("value"), pa.int64()),
+    })
+
+
 def q_corpus_p10_cut(sf_dir: str):
     """Percentile-cut quality gate: drop the shortest decile.
 
@@ -1980,6 +1996,11 @@ ORACLE_SQL: Dict[str, str] = {
         "ORDER BY score DESC, token ASC) <= 3 "
         "ORDER BY doc_id, token"
     ),
+    "lang_quantiles": (
+        "SELECT lang, unnest([0.25, 0.5, 0.9]) AS q, "
+        "CAST(unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9])) "
+        "AS BIGINT) AS value FROM documents GROUP BY lang"
+    ),
     "corpus_p10_cut": (
         "SELECT doc_id, n_chars FROM documents "
         "WHERE n_chars > (SELECT quantile_disc(n_chars, 0.1) "
@@ -2393,6 +2414,7 @@ QUERIES = {
     "corpus_quantiles": q_corpus_quantiles,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_p10_cut": q_corpus_p10_cut,
+    "lang_quantiles": q_lang_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,

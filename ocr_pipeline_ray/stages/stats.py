@@ -75,3 +75,80 @@ def exact_quantiles(ds, col: str, qs: Sequence[float]) -> pa.Table:
         "q": pa.array(list(qs), pa.float64()),
         "value": values.take(pa.array(picks, pa.int64())),
     })
+
+
+def grouped_quantiles(ds, key_col: str, col: str,
+                      qs: Sequence[float]) -> pa.Table:
+    """Exact per-key ``percentile_disc`` quantiles.
+
+    Same contract and shape as :func:`exact_quantiles`, with the
+    histogram keyed by ``(key, value)``: one streaming pass, one
+    groupby over the per-key distinct-value histogram, driver-side
+    cumsum per key. Returns ``(key, q, value)`` rows sorted by
+    ``(key, q)``; keys whose column is all-null are omitted (SQL
+    aggregate semantics).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "key": batch.column(key_col),
+            "value": batch.column(col),
+        })
+        sub = sub.filter(pc.is_valid(sub.column("value")))
+        agg = sub.group_by(["key", "value"]).aggregate([([], "count_all")])
+        return pa.table({
+            "key": agg.column("key"),
+            "value": agg.column("value"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["key", "value"]).aggregate(Sum("n"))
+    )
+    tbls = [
+        t for t in counts.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)
+        if t.num_rows
+    ]
+    key_type = ds.schema().types[ds.schema().names.index(key_col)]
+    val_type = ds.schema().types[ds.schema().names.index(col)]
+    if not tbls:
+        return pa.table({
+            "key": pa.array([], key_type),
+            "q": pa.array([], pa.float64()),
+            "value": pa.array([], val_type),
+        })
+    hist = pa.concat_tables(tbls).sort_by(
+        [("key", "ascending"), ("value", "ascending")]
+    )
+    keys = hist.column("key").combine_chunks().to_numpy(
+        zero_copy_only=False)
+    values = hist.column("value").combine_chunks()
+    ns = hist.column("sum(n)").to_numpy(zero_copy_only=False)
+
+    from ..functions.segments import key_segments
+
+    seg_start, seg_len = key_segments(keys)
+    out_key_idx = []
+    out_q = []
+    out_val_idx = []
+    for s, ln in zip(seg_start, seg_len):
+        cum = np.cumsum(ns[s:s + ln])
+        n = int(cum[-1])
+        for q in qs:
+            r = max(0, math.ceil(q * n) - 1)
+            out_key_idx.append(int(s))
+            out_q.append(q)
+            out_val_idx.append(
+                int(s) + int(np.searchsorted(cum, r + 1, side="left"))
+            )
+    take = pa.array(out_val_idx, pa.int64())
+    return pa.table({
+        "key": hist.column("key").take(
+            pa.array(out_key_idx, pa.int64())),
+        "q": pa.array(out_q, pa.float64()),
+        "value": values.take(take),
+    })

@@ -79,3 +79,40 @@ class TestTfidfNullText:
         assert 2 not in by_doc
         assert sorted(by_doc[1]) == ["a", "b"]
         assert by_doc[3] == [""]
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb_per_group(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_quantiles
+
+        rng = random.Random(5)
+        n = 400
+        tbl = pa.table({
+            "g": pa.array([rng.choice(["a", "b", "c"])
+                           for _ in range(n)], pa.string()),
+            "x": pa.array(
+                [rng.randrange(0, 40) if rng.random() > 0.05 else None
+                 for _ in range(n)], pa.int64()),
+        })
+        qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        got = grouped_quantiles(
+            ray.data.from_arrow(tbl).repartition(4), "g", "x", qs
+        )
+        got_map = {
+            (k, q): v for k, q, v in zip(
+                got.column("key").to_pylist(),
+                got.column("q").to_pylist(),
+                got.column("value").to_pylist(),
+            )
+        }
+        con = duckdb.connect()
+        con.register("t", tbl)
+        expect = {}
+        for g, vals in con.sql(
+            f"SELECT g, quantile_disc(x, {qs}) FROM t GROUP BY g"
+        ).fetchall():
+            for q, v in zip(qs, vals):
+                expect[(g, q)] = v
+        assert got_map == expect

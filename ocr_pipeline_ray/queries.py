@@ -627,6 +627,44 @@ def q_top_tokens(sf_dir: str):
     )
 
 
+def q_token_pair_counts(sf_dir: str):
+    """Corpus top-20 adjacent token pairs — the statistic behind a
+    BPE tokenizer's first merge choice. Same shape as top_tokens:
+    map-side partial Counters over per-doc pair streams, one small
+    groupby, deterministic (count desc, pair asc) top-k."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            if text is None:
+                continue
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                p = a + " " + b
+                counts[p] = counts.get(p, 0) + 1
+        return pa.table({
+            "pair": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair").aggregate(Sum("n"))
+    )
+    return (
+        agg.map_batches(
+            lambda b: pa.table({
+                "pair": b.column("pair"),
+                "n": pc.cast(b.column("sum(n)"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(key=["n", "pair"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_extraction_flagship(sf_dir: str):
     """FLAGSHIP: the full extraction pipeline, oracle-checked.
 
@@ -2373,6 +2411,14 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
         ") GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50"
     ),
+    "token_pair_counts": (
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(list_transform("
+        "generate_series(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS pair FROM ("
+        "SELECT string_split(text, ' ') AS toks FROM documents)) "
+        "GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 20"
+    ),
     "extraction_flagship": (
         "WITH q AS (" + QUALITY_SQL + ") "
         "SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) AS url, "
@@ -2449,6 +2495,7 @@ QUERIES = {
     "training_pipeline": q_training_pipeline,
     "user_activity": q_user_activity,
     "top_tokens": q_top_tokens,
+    "token_pair_counts": q_token_pair_counts,
     "extraction_flagship": q_extraction_flagship,
     "extraction_wraps": q_extraction_wraps,
     "extraction_boilerplate": q_extraction_boilerplate,

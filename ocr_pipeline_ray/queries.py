@@ -1572,9 +1572,8 @@ def q_customers_no_orders(sf_dir: str):
     )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderpriority"],
-    ).filter(
-        expr="o_orderpriority == '1-URGENT'"
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
     ).map_batches(
         lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
         batch_format="pyarrow",
@@ -1647,9 +1646,11 @@ def q_revenue_by_nation(sf_dir: str):
 
     lineitem ⨝ orders runs as a ``repartition_join`` (both sides
     large at scale: one co-shuffle by crc32(orderkey) bucket,
-    whole-bucket dict probe); orders ⨝ customer ⨝ nation run as
-    ``broadcast_join`` (dimension tables: object-store broadcast,
-    per-worker cached). Revenue = sum(extendedprice·(1−discount))
+    whole-bucket dict probe); orders ⨝ (customer ⨝ nation) runs as
+    ONE ``broadcast_join`` — the two dimension tables are snowflaked
+    into a single (custkey → nation) map on the driver first (both
+    are dimension-scale), so the fact table is passed over once, not
+    twice. Revenue = sum(extendedprice·(1−discount))
     per nation with map-side partial combine; round3 grid so
     summation-order float noise (~1e-8 relative) sits far below the
     comparison granularity.
@@ -1664,11 +1665,13 @@ def q_revenue_by_nation(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     nation = nation.rename_columns(["c_nationkey", "n_name"])
+    cust_nation = cust.join(
+        nation, keys=["c_nationkey"]
+    ).select(["o_custkey", "n_name"])
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
-    orders = broadcast_join(orders, cust, on="o_custkey")
-    orders = broadcast_join(orders, nation, on="c_nationkey")
+    orders = broadcast_join(orders, cust_nation, on="o_custkey")
 
     def _orders_key(batch: pa.Table) -> pa.Table:
         return pa.table({

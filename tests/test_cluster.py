@@ -133,3 +133,40 @@ class TestCanonicalFilter:
         corpus = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
         kept = canonical_filter(corpus, clusters)
         assert sorted(r["doc_id"] for r in kept.take_all()) == [1, 2, 3]
+
+
+class TestStringKeys:
+    def test_fold_with_url_keys(self, ray_session):
+        """Keys can be strings (urls/fingerprints) — bucket hashing
+        and the union-find treat them opaquely; cluster id = min
+        lexicographic member."""
+        import ray.data
+
+        pairs = pa.table({
+            "d1": ["url/a", "url/b", "url/x"],
+            "d2": ["url/b", "url/c", "url/y"],
+        })
+        rows = _cc_rows(ray.data.from_arrow(pairs).repartition(2))
+        assert rows == [
+            ("url/a", "url/a"), ("url/b", "url/a"), ("url/c", "url/a"),
+            ("url/x", "url/x"), ("url/y", "url/x"),
+        ]
+
+
+class TestPropagateRandomized:
+    def test_propagate_agrees_with_fold_random_graph(self, ray_session):
+        """The no-memory-assumption fallback reaches the same
+        fixpoint as the fold on a random multi-block graph."""
+        import ray.data
+
+        # small on purpose: every propagate round costs a fixed
+        # handful of shuffles, so this stays a semantics check, not
+        # a perf test (the fold path carries the big random graph)
+        rng = random.Random(23)
+        edges = [(rng.randrange(24), rng.randrange(24))
+                 for _ in range(14)]
+        ds = ray.data.from_arrow(pa.table({
+            "d1": pa.array([a for a, _ in edges], pa.int64()),
+            "d2": pa.array([b for _, b in edges], pa.int64()),
+        })).repartition(3)
+        assert _cc_rows(ds, method="propagate") == _cc_rows(ds)

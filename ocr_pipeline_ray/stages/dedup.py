@@ -121,7 +121,7 @@ def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
 
     return (
         ds.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("_kbucket")
+        .groupby("_kbucket", num_partitions=n_buckets)
         .map_groups(_first_per_key, batch_format="pyarrow")
     )
 
@@ -257,7 +257,7 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     pairs = (
         exploded.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby("bucket", num_partitions=n_buckets)
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     # distinct pairs (a doc pair can collide in several bands)
@@ -609,7 +609,9 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "sh": pa.array(out_shs, pa.list_(pa.string())),
         })
 
-    attached = membership.union(doc_sh).groupby("bucket").map_groups(
+    attached = membership.union(doc_sh).groupby(
+        "bucket", num_partitions=n_buckets
+    ).map_groups(
         _attach, batch_format="pyarrow"
     )
 
@@ -637,7 +639,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "jaccard": pa.array(scores, pa.float64()),
         })
 
-    return attached.groupby("bucket").map_groups(
+    return attached.groupby("bucket", num_partitions=n_buckets).map_groups(
         _score, batch_format="pyarrow"
     )
 

@@ -254,7 +254,9 @@ def repartition_join(left, right, on: str,
             arrays.append(col)
         return pa.table(dict(zip(out_names, arrays)))
 
-    return tagged_left.union(tagged_right).groupby("_bucket").map_groups(
+    return tagged_left.union(tagged_right).groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(
         _join_bucket, batch_format="pyarrow"
     )
 
@@ -407,6 +409,8 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
             arrays.append(col)
         return pa.table(dict(zip(out_names, arrays)))
 
-    return tagged_left.union(tagged_right).groupby("_bucket").map_groups(
+    return tagged_left.union(tagged_right).groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(
         _probe, batch_format="pyarrow"
     )

@@ -90,7 +90,9 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
         ds.select_columns([user_col, ts_col, value_col, order_col]),
         user_col, n_buckets,
     )
-    return bucketed.groupby("_kbucket").map_groups(
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(
         _sessions, batch_format="pyarrow"
     )
 
@@ -141,7 +143,9 @@ def grouped_running_sum(ds, key_col: str, order_cols: List[str],
         )
 
     bucketed = _bucket_by(ds, key_col, n_buckets)
-    return bucketed.groupby("_kbucket").map_groups(
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(
         _cum, batch_format="pyarrow"
     )
 
@@ -238,6 +242,8 @@ def sliding_window_agg(ds, key_col: str = "event_type", ts_col: str = "ts",
         })
 
     bucketed = _bucket_by(hourly, key_col, n_buckets)
-    return bucketed.groupby("_kbucket").map_groups(
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(
         _slide, batch_format="pyarrow"
     )

@@ -247,4 +247,6 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return scored.map_batches(
         _bucketize, batch_format="pyarrow"
-    ).groupby("_dbucket").map_groups(_topk, batch_format="pyarrow")
+    ).groupby(
+        "_dbucket", num_partitions=n_buckets
+    ).map_groups(_topk, batch_format="pyarrow")

@@ -1305,23 +1305,24 @@ def q_events_by_type_salted(sf_dir: str):
     n_salt = 16
 
     def _partial(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        etype = batch.column("event_type").to_pylist()
-        users = batch.column("user_id").to_pylist()
-        values = batch.column("value").to_pylist()
-        counts: Dict = {}
-        sums: Dict = {}
-        for e, u, v in zip(etype, users, values):
-            key = (e, u % n_salt)
-            counts[key] = counts.get(key, 0) + 1
-            sums[key] = sums.get(key, 0.0) + v
-        keys = list(counts.keys())
+        # vectorized per-batch combine: salt column + one Arrow
+        # group_by (no Python row loop)
+        salt = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), n_salt - 1),
+            pa.int64(),
+        )
+        agg = pa.table({
+            "event_type": batch.column("event_type"),
+            "salt": salt,
+            "value": batch.column("value"),
+        }).group_by(["event_type", "salt"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
         return pa.table({
-            "event_type": pa.array([k[0] for k in keys], pa.string()),
-            "salt": pa.array([k[1] for k in keys], pa.int64()),
-            "n_events": pa.array([counts[k] for k in keys], pa.int64()),
-            "sum_value": pa.array([sums[k] for k in keys], pa.float64()),
+            "event_type": agg.column("event_type"),
+            "salt": agg.column("salt"),
+            "n_events": pc.cast(agg.column("count_all"), pa.int64()),
+            "sum_value": agg.column("value_sum"),
         })
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -1819,22 +1820,34 @@ def q_click_attribution(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Timestamp bucketing + grouped aggregate over the events table."""
+    """Timestamp bucketing + grouped aggregate over the events table.
+
+    Map-side partial combine: each batch reduces to one row per
+    (hour, event_type) BEFORE the shuffle, so the groupby moves
+    partials (keys × blocks rows), never raw events.
+    """
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
-    def _hour(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table({
-            "hour": hour,
+    def _partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({
+            "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
             "event_type": batch.column("event_type"),
             "value": batch.column("value"),
+        }).group_by(["hour", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return pa.table({
+            "hour": agg.column("hour"),
+            "event_type": agg.column("event_type"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+            "value": agg.column("value_sum"),
         })
 
     agg = (
-        ds.map_batches(_hour, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
-        .aggregate(Count(), Sum("value"))
+        .aggregate(Sum("n"), Sum("value"))
     )
 
     def _finish(batch: pa.Table) -> pa.Table:
@@ -1845,7 +1858,7 @@ def q_events_hourly(sf_dir: str):
         return pa.table({
             "hour": pc.cast(batch.column("hour"), pa.timestamp("us")),
             "event_type": batch.column("event_type"),
-            "n_events": pc.cast(batch.column("count()"), pa.int64()),
+            "n_events": pc.cast(batch.column("sum(n)"), pa.int64()),
             "sum_value": pa.array(sums, pa.float64()),
         })
 

@@ -559,18 +559,16 @@ def q_user_activity(sf_dir: str):
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_pylist()
-        values = batch.column("value").to_pylist()
-        counts: Dict[int, int] = {}
-        sums: Dict[int, float] = {}
-        for u, v in zip(users, values):
-            counts[u] = counts.get(u, 0) + 1
-            sums[u] = sums.get(u, 0.0) + v
-        keys = list(counts.keys())
+        agg = pa.table({
+            "user_id": batch.column("user_id"),
+            "value": batch.column("value"),
+        }).group_by(["user_id"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
         return pa.table({
-            "user_id": pa.array(keys, pa.int64()),
-            "n_events": pa.array([counts[k] for k in keys], pa.int64()),
-            "sum_value": pa.array([sums[k] for k in keys], pa.float64()),
+            "user_id": agg.column("user_id"),
+            "n_events": pc.cast(agg.column("count_all"), pa.int64()),
+            "sum_value": agg.column("value_sum"),
         })
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",

@@ -147,8 +147,10 @@ class _MainContentParser(HTMLParser):
         self._line_rtl = False
 
     # -- HTMLParser hooks ----------------------------------------------
+    # tag names arrive lowercase from BOTH drivers (the stdlib
+    # HTMLParser contract lowercases them; _fast_feed lowers
+    # explicitly), so the handlers do not re-lower
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
         if tag == "br":
             if self._line_open:
                 self._flush_line()
@@ -180,7 +182,6 @@ class _MainContentParser(HTMLParser):
         stack.append((tag, ignored, boiler, rtl))
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
         if tag == "a":
             if self.link_depth > 0:
                 self.link_depth -= 1
@@ -201,7 +202,7 @@ class _MainContentParser(HTMLParser):
                 break
 
     def handle_startendtag(self, tag, attrs):
-        if tag.lower() == "br":
+        if tag == "br":
             self._flush_line()
 
     def handle_data(self, data):
@@ -255,29 +256,36 @@ _RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title"})
 
 
 def _fast_feed(text: str, parser: "_MainContentParser") -> None:
-    import html as html_mod
+    from html import unescape
 
+    # hot-loop locals: attribute lookups out of the per-tag path
+    tag_search = _TAG_RE.search
+    name_match_fn = _NAME_RE.match
+    handle_data = parser.handle_data
+    handle_starttag = parser.handle_starttag
+    handle_endtag = parser.handle_endtag
     pos = 0
     n = len(text)
     lower: Optional[str] = None
     while True:
-        match = _TAG_RE.search(text, pos)
+        match = tag_search(text, pos)
         if not match:
             break
-        if match.start() > pos:
-            seg = text[pos:match.start()]
+        start = match.start()
+        if start > pos:
+            seg = text[pos:start]
             if "&" in seg:
-                seg = html_mod.unescape(seg)
-            parser.handle_data(seg)
+                seg = unescape(seg)
+            handle_data(seg)
         body = match.group(1)
         pos = match.end()
         first = body[0]
         if first == "!":
             continue  # comment / doctype / CDATA
         if first == "/":
-            parser.handle_endtag(body[1:].strip().lower())
+            handle_endtag(body[1:].strip().lower())
             continue
-        name_match = _NAME_RE.match(body)
+        name_match = name_match_fn(body)
         if not name_match:
             continue
         name = name_match.group(0).lower()
@@ -292,7 +300,7 @@ def _fast_feed(text: str, parser: "_MainContentParser") -> None:
                         val = (am.group(3) if am.group(3) is not None
                                else am.group(4))
                     attrs.append((am.group(1), val))
-        parser.handle_starttag(name, attrs)
+        handle_starttag(name, attrs)
         if name in _RAWTEXT_TAGS:
             if lower is None:
                 lower = text.lower()
@@ -301,13 +309,13 @@ def _fast_feed(text: str, parser: "_MainContentParser") -> None:
                 pos = n
             else:
                 gt = text.find(">", close)
-                parser.handle_endtag(name)
+                handle_endtag(name)
                 pos = n if gt == -1 else gt + 1
     if pos < n:
         seg = text[pos:]
         if "&" in seg:
-            seg = html_mod.unescape(seg)
-        parser.handle_data(seg)
+            seg = unescape(seg)
+        handle_data(seg)
 
 
 def extract_text_lines(

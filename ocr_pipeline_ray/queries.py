@@ -366,16 +366,18 @@ def q_dedup_incremental(sf_dir: str):
     from .stages.join import repartition_join
 
     def _odd_fp(batch: pa.Table) -> pa.Table:
-        b = fingerprint_fn(batch)
-        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 1)
-        b = b.filter(keep)
+        # parity filter BEFORE hashing: each scan md5s only its half
+        b = fingerprint_fn(batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1)
+        ))
         return pa.table({"doc_id": b.column("doc_id"),
                          "fp": b.column("fp")})
 
     def _even_fp(batch: pa.Table) -> pa.Table:
-        b = fingerprint_fn(batch)
-        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)
-        return pa.table({"fp": b.filter(keep).column("fp")})
+        b = fingerprint_fn(batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        ))
+        return pa.table({"fp": b.column("fp")})
 
     new_fp = _docs(sf_dir).map_batches(_odd_fp, batch_format="pyarrow")
     old_fp = _docs(sf_dir).map_batches(_even_fp, batch_format="pyarrow")
@@ -559,17 +561,9 @@ def q_user_activity(sf_dir: str):
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
-        agg = pa.table({
-            "user_id": batch.column("user_id"),
-            "value": batch.column("value"),
-        }).group_by(["user_id"]).aggregate(
-            [("value", "sum"), ([], "count_all")]
-        )
-        return pa.table({
-            "user_id": agg.column("user_id"),
-            "n_events": pc.cast(agg.column("count_all"), pa.int64()),
-            "sum_value": agg.column("value_sum"),
-        })
+        from .stages.stats import partial_sum_count
+
+        return partial_sum_count(batch, ["user_id"], "value")
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "value"])
@@ -1305,23 +1299,20 @@ def q_events_by_type_salted(sf_dir: str):
     def _partial(batch: pa.Table) -> pa.Table:
         # vectorized per-batch combine: salt column + one Arrow
         # group_by (no Python row loop)
+        from .stages.stats import partial_sum_count
+
         salt = pc.cast(
             pc.bit_wise_and(batch.column("user_id"), n_salt - 1),
             pa.int64(),
         )
-        agg = pa.table({
-            "event_type": batch.column("event_type"),
-            "salt": salt,
-            "value": batch.column("value"),
-        }).group_by(["event_type", "salt"]).aggregate(
-            [("value", "sum"), ([], "count_all")]
+        return partial_sum_count(
+            pa.table({
+                "event_type": batch.column("event_type"),
+                "salt": salt,
+                "value": batch.column("value"),
+            }),
+            ["event_type", "salt"], "value",
         )
-        return pa.table({
-            "event_type": agg.column("event_type"),
-            "salt": agg.column("salt"),
-            "n_events": pc.cast(agg.column("count_all"), pa.int64()),
-            "sum_value": agg.column("value_sum"),
-        })
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id", "value"])
@@ -1602,16 +1593,22 @@ def q_parts_ordered(sf_dir: str):
     part = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )
-    # per-block unique is enough (NO shuffle): broadcast_join dedupes
-    # the collected key set once on the driver anyway, and each block
-    # contributes at most |distinct keys| rows
-    li_keys = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
-    ).map_batches(
-        lambda b: pa.table({
-            "p_partkey": pc.unique(b.column("l_partkey"))
-        }),
-        batch_format="pyarrow",
+    # per-block unique FIRST (shrinks the shuffle input to
+    # blocks × per-block distinct), then a tiny global distinct so the
+    # driver-side broadcast collection is bounded by |distinct keys|,
+    # never blocks × distinct
+    li_keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+        )
+        .map_batches(
+            lambda b: pa.table({
+                "p_partkey": pc.unique(b.column("l_partkey"))
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("p_partkey").aggregate(Count())
+        .select_columns(["p_partkey"])
     )
     return broadcast_join(
         part, li_keys, on="p_partkey", how="semi"
@@ -1665,7 +1662,7 @@ def q_revenue_by_nation(sf_dir: str):
                            columns=["n_nationkey", "n_name"])
     nation = nation.rename_columns(["c_nationkey", "n_name"])
     cust_nation = cust.join(
-        nation, keys=["c_nationkey"]
+        nation, keys=["c_nationkey"], join_type="inner"
     ).select(["o_custkey", "n_name"])
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -1688,21 +1685,16 @@ def q_revenue_by_nation(sf_dir: str):
     def _partial(batch: pa.Table) -> pa.Table:
         # map-side partial combine: the shuffle carries ~25 rows per
         # block, not one per lineitem row
+        from .stages.stats import partial_sum_count
+
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        agg = pa.table({
-            "n_name": batch.column("n_name"),
-            "rev": rev,
-        }).group_by(["n_name"]).aggregate(
-            [("rev", "sum"), ([], "count_all")]
+        return partial_sum_count(
+            pa.table({"n_name": batch.column("n_name"), "rev": rev}),
+            ["n_name"], "rev", sum_name="rev", count_name="one",
         )
-        return pa.table({
-            "n_name": agg.column("n_name"),
-            "rev": agg.column("rev_sum"),
-            "one": pc.cast(agg.column("count_all"), pa.int64()),
-        })
 
     agg = (
         joined.map_batches(_partial, batch_format="pyarrow")
@@ -1828,19 +1820,18 @@ def q_events_hourly(sf_dir: str):
                                columns=["ts", "event_type", "value"])
 
     def _partial(batch: pa.Table) -> pa.Table:
-        agg = pa.table({
-            "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
-            "event_type": batch.column("event_type"),
-            "value": batch.column("value"),
-        }).group_by(["hour", "event_type"]).aggregate(
-            [("value", "sum"), ([], "count_all")]
+        from .stages.stats import partial_sum_count
+
+        return partial_sum_count(
+            pa.table({
+                "hour": pc.floor_temporal(batch.column("ts"),
+                                          unit="hour"),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }),
+            ["hour", "event_type"], "value",
+            sum_name="value", count_name="n",
         )
-        return pa.table({
-            "hour": agg.column("hour"),
-            "event_type": agg.column("event_type"),
-            "n": pc.cast(agg.column("count_all"), pa.int64()),
-            "value": agg.column("value_sum"),
-        })
 
     agg = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -2057,9 +2048,12 @@ ORACLE_SQL: Dict[str, str] = {
         "ORDER BY doc_id, token"
     ),
     "lang_quantiles": (
+        # HAVING mirrors the operator contract: a key whose value
+        # column is entirely NULL has no quantiles and is omitted
         "SELECT lang, unnest([0.25, 0.5, 0.9]) AS q, "
         "CAST(unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9])) "
-        "AS BIGINT) AS value FROM documents GROUP BY lang"
+        "AS BIGINT) AS value FROM documents GROUP BY lang "
+        "HAVING count(n_chars) > 0"
     ),
     "corpus_p10_cut": (
         "SELECT doc_id, n_chars FROM documents "

@@ -85,7 +85,11 @@ def pages_from_csv(paths, columns: Optional[List[str]] = None,
     convert = pa_csv.ConvertOptions(
         column_types={c: pa.string() for c in _WIRE_COLUMNS}
     )
-    ds = ray.data.read_csv(paths, convert_options=convert, **read_kwargs)
+    # extracted text legitimately contains newlines inside quoted
+    # fields; the pyarrow default would reject such rows
+    parse = pa_csv.ParseOptions(newlines_in_values=True)
+    ds = ray.data.read_csv(paths, convert_options=convert,
+                           parse_options=parse, **read_kwargs)
     return _project(
         ds.map_batches(_decode_wire, batch_format="pyarrow"), columns
     )

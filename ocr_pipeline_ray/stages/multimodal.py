@@ -157,14 +157,26 @@ def decode_wav(payload: bytes) -> Dict:
     }
 
 
-# frame payload sizes per YUV4MPEG2 colorspace tag prefix (in luma
-# samples: frame_bytes = w*h * num / den)
-_Y4M_SUBSAMPLING = {
-    "C420": (3, 2),   # all 4:2:0 variants (jpeg/paldv/mpeg2/plain)
+# frame payload sizes per YUV4MPEG2 colorspace (in luma samples:
+# frame_bytes = w*h * num / den). C420 subvariants (jpeg/paldv/
+# mpeg2/plain) share a plane layout and are prefix-matched; every
+# OTHER tag must match exactly — C444alpha etc. carry extra planes
+# and must be rejected, not misparsed.
+_Y4M_EXACT = {
     "C422": (2, 1),
     "C444": (3, 1),
     "Cmono": (1, 1),
 }
+_Y4M_420 = (3, 2)
+
+
+def _y4m_subsampling(token: str):
+    if token.startswith("C420"):
+        return _Y4M_420
+    sub = _Y4M_EXACT.get(token)
+    if sub is None:
+        raise ValueError(f"unsupported Y4M colorspace {token!r}")
+    return sub
 
 
 def encode_y4m(width: int, height: int, n_frames: int, y_fill: int,
@@ -201,8 +213,13 @@ def decode_y4m(payload: bytes) -> Dict:
         raise ValueError("truncated Y4M header")
     width = height = 0
     fps_num, fps_den = 0, 1
-    subsampling = _Y4M_SUBSAMPLING["C420"]  # spec default is 4:2:0
+    subsampling = _Y4M_420  # spec default is 4:2:0
     for token in payload[9:nl].decode("ascii", "replace").split():
+        if token[0] == "C":
+            # outside the numeric try: the unsupported-colorspace
+            # diagnostic must not be re-wrapped as a bad-token error
+            subsampling = _y4m_subsampling(token)
+            continue
         try:
             if token[0] == "W":
                 width = int(token[1:])
@@ -210,17 +227,8 @@ def decode_y4m(payload: bytes) -> Dict:
                 height = int(token[1:])
             elif token[0] == "F":
                 fps_num, fps_den = (int(x) for x in token[1:].split(":"))
-            elif token[0] == "C":
-                match = [v for k, v in _Y4M_SUBSAMPLING.items()
-                         if token.startswith(k)]
-                if not match:
-                    raise ValueError(
-                        f"unsupported Y4M colorspace {token!r}")
-                subsampling = match[0]
-        except (ValueError, IndexError) as exc:
-            raise ValueError(f"bad Y4M header token {token!r}") from (
-                exc if isinstance(exc, ValueError) else None
-            )
+        except ValueError:
+            raise ValueError(f"bad Y4M header token {token!r}") from None
     if width <= 0 or height <= 0 or fps_num <= 0 or fps_den <= 0:
         raise ValueError("invalid Y4M dimensions/framerate")
     num, den = subsampling

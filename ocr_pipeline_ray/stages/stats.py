@@ -85,8 +85,10 @@ def grouped_quantiles(ds, key_col: str, col: str,
     histogram keyed by ``(key, value)``: one streaming pass, one
     groupby over the per-key distinct-value histogram, driver-side
     cumsum per key. Returns ``(key, q, value)`` rows sorted by
-    ``(key, q)``; keys whose column is all-null are omitted (SQL
-    aggregate semantics).
+    ``(key, q)``. A key whose value column is entirely NULL has no
+    quantiles and is OMITTED (unlike SQL GROUP BY, which would keep
+    the group with NULL aggregates — the SQL twin needs
+    ``HAVING count(col) > 0`` to match).
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
@@ -152,3 +154,23 @@ def grouped_quantiles(ds, key_col: str, col: str,
         "q": pa.array(out_q, pa.float64()),
         "value": values.take(take),
     })
+
+
+def partial_sum_count(batch: pa.Table, keys: Sequence[str],
+                      value_col: str, sum_name: str = "sum_value",
+                      count_name: str = "n_events") -> pa.Table:
+    """Map-side partial combine: ONE vectorized Arrow ``group_by``
+    per batch reducing ``(keys → count, sum(value))`` — the shuffle
+    then carries keys × blocks rows, never raw rows. Shared by every
+    grouped-aggregate query (sum of partial counts/sums is exact;
+    float summation order changes only below the queries' 1e-6
+    grids)."""
+    import pyarrow.compute as pc
+
+    agg = batch.select(list(keys) + [value_col]).group_by(
+        list(keys)
+    ).aggregate([(value_col, "sum"), ([], "count_all")])
+    cols = {k: agg.column(k) for k in keys}
+    cols[count_name] = pc.cast(agg.column("count_all"), pa.int64())
+    cols[sum_name] = agg.column(f"{value_col}_sum")
+    return pa.table(cols)

@@ -702,6 +702,12 @@ class TestMultimodal:
         ):
             with pytest.raises(ValueError):
                 decode_y4m(bad)
+        # extended-plane colorspaces are REJECTED with the specific
+        # diagnostic, never prefix-misparsed as their base layout
+        with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+            decode_y4m(
+                b"YUV4MPEG2 W2 H2 F1:1 C444alpha\nFRAME\n" + bytes(16)
+            )
         with pytest.raises(ValueError):
             encode_y4m(5, 4, 1, 0)  # odd width under 4:2:0
 

@@ -27,13 +27,24 @@ import sys
 import time
 
 
-def _collect_inputs(inputs, recursive: bool = False) -> list:
+_FORMAT_EXTS = {
+    "parquet": (".parquet",),
+    "jsonl": (".json", ".jsonl"),
+    "csv": (".csv",),
+}
+
+
+def _collect_inputs(inputs, recursive: bool = False,
+                    fmt: str = "parquet") -> list:
     """Input discovery: files, dirs, comma lists, globs.
 
     ``recursive=True`` walks nested shard trees — the reference's
     ``input_sorted(recursive=True)`` / ``-r`` flag
-    (`/root/reference/ocr_pipeline.py:271-336,457-463`).
+    (`/root/reference/ocr_pipeline.py:271-336,457-463`). ``fmt``
+    picks the extension filter for directory scans (the reference's
+    ``file_ext`` config analogue).
     """
+    exts = _FORMAT_EXTS[fmt]
     paths = []
     for item in inputs:
         for sub in item.split(","):
@@ -43,13 +54,13 @@ def _collect_inputs(inputs, recursive: bool = False) -> list:
                         paths.extend(
                             os.path.join(root, f)
                             for f in files
-                            if f.endswith(".parquet")
+                            if f.endswith(exts)
                         )
                 else:
                     paths.extend(
                         os.path.join(sub, f)
                         for f in os.listdir(sub)
-                        if f.endswith(".parquet")
+                        if f.endswith(exts)
                     )
             elif any(ch in sub for ch in "*?["):
                 paths.extend(globmod.glob(sub))
@@ -60,6 +71,34 @@ def _collect_inputs(inputs, recursive: bool = False) -> list:
     return sorted(set(paths))
 
 
+def _ingest_to_parquet(paths, fmt: str, out_root: str, log) -> list:
+    """Wire-format corpora (JSONL/CSV) → parquet staging shards.
+
+    One-time conversion under ``<out>/_ingest_parquet`` so the
+    resumable partitioned run keeps its parquet-shard granularity;
+    an existing staging dir is REUSED (the conversion itself is the
+    resume unit — delete the dir to re-ingest).
+    """
+    from ocr_pipeline_ray.sources import pages_from_csv, pages_from_jsonl
+
+    staging = os.path.join(out_root, "_ingest_parquet")
+    if os.path.isdir(staging) and any(
+        f.endswith(".parquet") for f in os.listdir(staging)
+    ):
+        log.info("reusing ingested parquet staging at %s", staging)
+    else:
+        ds = (pages_from_jsonl(paths) if fmt == "jsonl"
+              else pages_from_csv(paths))
+        os.makedirs(staging, exist_ok=True)
+        ds.write_parquet(staging)
+        log.info("ingested %d %s file(s) → %s", len(paths), fmt, staging)
+    return sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ocr_pipeline_ray")
     parser.add_argument("inputs", nargs="+",
@@ -67,6 +106,12 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--out", required=True, help="output root")
     parser.add_argument("-c", "--config", default=None,
                         help="INI pipeline config (step_01..NN sections)")
+    parser.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+                        default="parquet",
+                        help="input format; jsonl/csv (wire encoding: "
+                             "base64 html, ISO timestamps) are ingested "
+                             "once into <out>/_ingest_parquet, then the "
+                             "normal resumable parquet flow runs")
     parser.add_argument("-r", "--recursive", action="store_true",
                         help="walk input directories recursively")
     parser.add_argument("--set", dest="overrides", action="append",
@@ -119,11 +164,15 @@ def main(argv=None) -> int:
     from ocr_pipeline_ray.pipelines.extraction import build_pipeline
     from ocr_pipeline_ray.state.lineage import LineageStore, run_partitioned
 
-    paths = _collect_inputs(args.inputs, recursive=args.recursive)
+    paths = _collect_inputs(args.inputs, recursive=args.recursive,
+                            fmt=args.format)
     if not paths:
-        print("no input parquet files found", file=sys.stderr)
+        print(f"no input {args.format} files found", file=sys.stderr)
         return 2
     log.info("%d input shard(s) discovered", len(paths))
+    if args.format != "parquet":
+        os.makedirs(args.out, exist_ok=True)
+        paths = _ingest_to_parquet(paths, args.format, args.out, log)
     run_ts = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
 
     if args.rescore:

@@ -297,3 +297,39 @@ class TestRescoreIniConfig:
         ds = ray.data.read_parquet(src)
         rows = build_pipeline(ds, steps=specs).take_all()
         assert rows and all("hit_ratio" in r for r in rows)
+
+
+class TestCliJsonlFormat:
+    def test_jsonl_ingest_run_matches_parquet_run(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        """--format jsonl: wire files ingest to parquet staging once,
+        then the normal resumable run produces the same totals as the
+        parquet path; a second run reuses the staging AND the
+        lineage."""
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.sources import pages_to_jsonl
+
+        wire = str(tmp_path / "wire")
+        pages_to_jsonl(ray.data.read_parquet(list(small_corpus)), wire)
+
+        out_j = str(tmp_path / "out_jsonl")
+        rc = main([wire, "-o", out_j, "--format", "jsonl"])
+        assert rc == 0
+        staging = os.path.join(out_j, "_ingest_parquet")
+        assert glob.glob(os.path.join(staging, "*.parquet"))
+
+        out_p = str(tmp_path / "out_parquet")
+        assert main([*small_corpus, "-o", out_p]) == 0
+
+        q = ("SELECT count(*) n, CAST(sum(n_words) AS BIGINT) w FROM "
+             "read_parquet('{}/pid=*/*.parquet')")
+        con = duckdb.connect()
+        assert (con.sql(q.format(out_j)).fetchone()
+                == con.sql(q.format(out_p)).fetchone())
+
+        # resume: staging + all partitions reused
+        rc = main([wire, "-o", out_j, "--format", "jsonl"])
+        assert rc == 0

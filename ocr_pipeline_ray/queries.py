@@ -386,6 +386,48 @@ def q_dedup_incremental(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark DECONTAMINATION: corpus docs sharing any 3-token
+    shingle with the benchmark set (here: doc_id < 10 stands in for
+    the eval suite), with the distinct-overlap count.
+
+    The 100-TB shape: the benchmark shingle set is tiny and
+    broadcast ONCE through the object store; every corpus batch does
+    one set intersection per doc — no shuffle, scan-speed.
+    """
+    import ray as ray_core
+
+    from .stages.dedup import _cached_get, shingles
+
+    bench_rows = (
+        _docs(sf_dir).filter(expr="doc_id < 10").take_all()
+    )
+    bench: set = set()
+    for r in bench_rows:
+        bench.update(shingles((r["text"] or "").split(" "), 3))
+    ref = ray_core.put(frozenset(bench))
+
+    def _overlap(batch: pa.Table) -> pa.Table:
+        bset = _cached_get(ref)
+        ids, counts = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            if did < 10 or text is None:
+                continue
+            n = len(set(shingles(text.split(" "), 3)) & bset)
+            if n >= 1:
+                ids.append(did)
+                counts.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_overlap": pa.array(counts, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(
+        _overlap, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: transitive closure over the MinHash
     candidate pairs, cluster id = min doc_id of the component.
@@ -2139,6 +2181,17 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM sh"
     ),
     "minhash_dup_pairs": "WITH " + SIG_CTE + " " + CAND_SELECT,
+    "decontaminate": (
+        "WITH " + SHINGLE_CTE + ", "
+        "bench AS (SELECT list(DISTINCT s) AS bs FROM ("
+        "SELECT unnest(shingles) AS s FROM sh WHERE doc_id < 10)), "
+        "corpus AS (SELECT doc_id, list_distinct(shingles) AS ds "
+        "FROM sh WHERE doc_id >= 10) "
+        "SELECT doc_id, CAST(len(list_intersect(ds, bs)) AS BIGINT) "
+        "AS n_overlap FROM corpus, bench "
+        "WHERE len(list_intersect(ds, bs)) >= 1 "
+        "ORDER BY doc_id"
+    ),
     "dedup_incremental": (
         "SELECT doc_id, md5(text) AS fp FROM documents d "
         "WHERE doc_id % 2 = 1 AND NOT EXISTS "
@@ -2482,6 +2535,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "dedup_incremental": q_dedup_incremental,
+    "decontaminate": q_decontaminate,
     "dedup_canonical": q_dedup_canonical,
     "minhash_hot_buckets": q_minhash_hot_buckets,
     "lsh_recall": q_lsh_recall,

@@ -262,3 +262,45 @@ class TestFusedUnfusedParity:
                 if col == "repl_stats":
                     va, vb = dict(va or []), dict(vb or [])
                 assert va == vb, (key, col)
+
+
+class TestFatPages:
+    def test_multi_mb_documents_small_batches(self, ray_session):
+        """Memory-aware path: multi-MB html rows flow through the
+        full chain with a small batch_size (the documented fat-page
+        knob) and stay byte-identical to the oracle."""
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.config import PipelineContext
+        from ocr_pipeline_ray.pipelines.extraction import build_pipeline
+        from ocr_pipeline_ray.schema import PAGES_SCHEMA
+
+        para = "lorem ipsum dolor sit amet " * 60_000   # ~1.6 MB
+        htmls = []
+        for i in range(6):
+            htmls.append(
+                "<html><body><nav>menu home</nav><main><p>"
+                f"doc {i} {para}</p></main>"
+                "<footer>copyright</footer></body></html>".encode()
+            )
+        tbl = pa.table({
+            "url": pa.array([f"doc://fat/{i}" for i in range(6)]),
+            "warc_ts": pa.array([1_700_000_000_000_000 + i
+                                 for i in range(6)],
+                                pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([""] * 6),
+            "lang": pa.array(["en"] * 6),
+        }, schema=PAGES_SCHEMA)
+        ds = ray.data.from_arrow(tbl).repartition(3).drop_columns(
+            ["text"]
+        )
+        ctx = PipelineContext(batch_size=2, quality_batch_size=2)
+        rows = build_pipeline(ds, ctx=ctx).take_all()
+        assert len(rows) == 6
+        for row in rows:
+            i = int(row["url"].rsplit("/", 1)[1])
+            expected = process_page(htmls[i])
+            assert row["extracted_text"] == expected["extracted_text"]
+            assert row["hit_ratio"] == expected["hit_ratio"]

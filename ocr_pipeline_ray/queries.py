@@ -48,8 +48,10 @@ from .stages.textstats import (
     doc_quality_fn,
     lang_id_fn,
     quality_heuristics_fn,
+    repetition_stats_fn,
     sanitize_fn,
     token_count_fn,
+    token_rarity,
 )
 
 # ordered replacement table used by the replace_chars demo queries
@@ -327,6 +329,18 @@ def q_quality_heuristics(sf_dir: str):
         ["doc_id", "n_chars_text", "n_tokens", "short_ratio",
          "stop_ratio", "mean_token_len"]
     )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals: duplicate/top bigram fractions."""
+    return _docs(sf_dir).map_batches(
+        repetition_stats_fn, batch_format="pyarrow"
+    )
+
+
+def q_token_rarity(sf_dir: str):
+    """CCNet-style corpus-frequency rarity: per-doc mean df."""
+    return token_rarity(_docs(sf_dir))
 
 
 def q_minhash_signatures(sf_dir: str):
@@ -2171,6 +2185,38 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
     ),
+    "repetition_stats": (
+        # bigrams of the single-space split; docs with <2 tokens have
+        # none and are dropped (mirrors repetition_stats_fn). Every
+        # fraction is ONE IEEE double division of exact ints, so the
+        # hash compare is bit-exact.
+        "WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') "
+        "AS toks FROM documents), "
+        "b AS (SELECT doc_id, toks[g] || ' ' || toks[g + 1] AS bg "
+        "FROM t, LATERAL unnest(range(1, len(toks))) AS r(g) "
+        "WHERE len(toks) >= 2), "
+        "g AS (SELECT doc_id, bg, count(*) AS c FROM b "
+        "GROUP BY doc_id, bg) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+        "1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) "
+        "AS dup_bigram_frac, "
+        "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) "
+        "AS top_bigram_frac FROM g GROUP BY doc_id"
+    ),
+    "token_rarity": (
+        # occurrence-weighted mean document frequency; every sum is
+        # exact int arithmetic, the final division is the single
+        # IEEE double op (bit-exact vs token_rarity's _finish)
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS tok FROM documents WHERE text IS NOT NULL), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t "
+        "GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok) "
+        "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+        "CAST(sum(tf.tf * df.df) AS DOUBLE) / "
+        "CAST(sum(tf.tf) AS BIGINT) AS mean_df "
+        "FROM tf JOIN df USING (tok) GROUP BY tf.doc_id"
+    ),
     "minhash_signatures": (
         "WITH " + SHINGLE_CTE + " "
         "SELECT doc_id, "
@@ -2523,6 +2569,8 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "lang_id": q_lang_id,
     "quality_heuristics": q_quality_heuristics,
+    "repetition_stats": q_repetition_stats,
+    "token_rarity": q_token_rarity,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

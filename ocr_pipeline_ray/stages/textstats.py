@@ -126,6 +126,175 @@ def quality_heuristics_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def repetition_stats_fn(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A — the published
+    duplicate-n-gram / top-n-gram filters used on MassiveWeb):
+
+    * ``n_bigrams``       — adjacent-token bigram occurrences (n_tokens-1)
+    * ``dup_bigram_frac`` — ``1 - distinct_bigrams / n_bigrams``
+    * ``top_bigram_frac`` — most-frequent-bigram count / n_bigrams
+
+    Docs with fewer than 2 tokens have no bigram and are dropped
+    (the SQL twin's ``len(toks) >= 2``). Fully vectorized and
+    shuffle-free: one split kernel, one element-wise join of the two
+    shifted flat token arrays, one dictionary-encode, one
+    ``np.unique`` over packed ``(doc, code)`` int64 keys — no Python
+    loop over rows, tokens, or bigrams. Floats are single IEEE
+    divisions, so the DuckDB oracle is bit-exact.
+    """
+    import numpy as np
+
+    flat, offsets, n_tokens = _token_lists(batch, text_col)
+    n_docs = len(n_tokens)
+    total = int(offsets[-1]) if n_docs else 0
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "n_bigrams": pa.array([], pa.int64()),
+        "dup_bigram_frac": pa.array([], pa.float64()),
+        "top_bigram_frac": pa.array([], pa.float64()),
+    })
+    if total < 2:
+        return empty
+    # bigram string at position p joins tokens p and p+1 of the flat
+    # array; positions where p is a doc's LAST token straddle two docs
+    # and are masked out (offsets are strictly increasing: even a
+    # null/empty text splits to one '' token, so no -1 indexing).
+    bigrams = pc.binary_join_element_wise(
+        flat.slice(0, total - 1), flat.slice(1, total - 1), " "
+    )
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_tokens)[:-1]
+    valid = np.ones(total - 1, dtype=bool)
+    valid[offsets[1:-1] - 1] = False
+    enc = pc.dictionary_encode(bigrams)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_dict = len(enc.dictionary)
+    keys = (doc_idx * n_dict + codes)[valid]
+    vdoc = doc_idx[valid]
+    uniq_keys, counts = np.unique(keys, return_counts=True)
+    udoc = uniq_keys // n_dict
+    distinct = np.bincount(udoc, minlength=n_docs)
+    top = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top, udoc, counts)
+    n_bg = np.bincount(vdoc, minlength=n_docs)
+    mask = n_bg > 0
+    if not mask.any():
+        return empty
+    n_bg_kept = n_bg[mask]
+    return pa.table({
+        id_col: batch.column(id_col).filter(pa.array(mask)),
+        "n_bigrams": pa.array(n_bg_kept, pa.int64()),
+        "dup_bigram_frac": pa.array(
+            1.0 - distinct[mask] / n_bg_kept, pa.float64()),
+        "top_bigram_frac": pa.array(top[mask] / n_bg_kept, pa.float64()),
+    })
+
+
+def tf_rows_fn(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text") -> pa.Table:
+    """Per-doc term frequencies as flat ``(id, token, tf)`` rows —
+    one row per DISTINCT doc-term, fully vectorized (dictionary-encode
+    the flat token array, one ``np.unique`` over packed
+    ``(doc, code)`` int64 keys; no Python loop over rows or tokens).
+
+    SQL semantics for degenerate text: a NULL text emits no rows
+    (``unnest(string_split(NULL))``); ``''`` emits the single token
+    ``''`` — matching DuckDB on both engines.
+    """
+    import numpy as np
+
+    b = batch.filter(pc.is_valid(batch.column(text_col)))
+    empty = pa.table({
+        id_col: pa.array([], batch.schema.field(id_col).type),
+        "token": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()),
+    })
+    if b.num_rows == 0:
+        return empty
+    flat, offsets, n_tokens = _token_lists(b, text_col)
+    doc_idx = np.repeat(np.arange(len(n_tokens), dtype=np.int64),
+                        n_tokens)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_dict = max(len(enc.dictionary), 1)
+    uniq, counts = np.unique(doc_idx * n_dict + codes,
+                             return_counts=True)
+    return pa.table({
+        id_col: b.column(id_col).take(pa.array(uniq // n_dict)),
+        "token": enc.dictionary.take(pa.array(uniq % n_dict)),
+        "tf": pa.array(counts, pa.int64()),
+    })
+
+
+def token_rarity(ds, id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 64):
+    """Corpus-frequency rarity signal: per-doc occurrence-weighted
+    mean document frequency (the CCNet-style "how common are this
+    document's words in the corpus" quality axis — Wenzek et al.
+    2020 use an LM; this is the published df-based variant).
+
+    Physical plan (all stages candidate/vocab-scale after the first,
+    nothing is ever broadcast — a web vocabulary does not fit one
+    worker):
+
+    1. ``map_batches(tf_rows_fn)`` → flat ``(doc, token, tf)`` rows.
+    2. df = ONE vocab-scale ``groupby(token).count`` (docs containing
+       the token), token-keyed ``repartition_join`` back onto tf rows.
+    3. per-doc sums via map-side int64 partial combine
+       (``np.add.at``) → small ``groupby(doc).sum`` → one IEEE
+       division ``sum(tf·df)/sum(tf)`` — bit-exact vs the SQL twin.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from .join import repartition_join
+
+    tf = ds.map_batches(
+        tf_rows_fn, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    ).materialize()
+    df = tf.groupby("token").aggregate(Count()).map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "df": pc.cast(b.column("count()"),
+                                          pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = repartition_join(tf, df, on="token", n_buckets=n_buckets)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tfv = batch.column("tf").combine_chunks().to_numpy()
+        dfv = batch.column("df").combine_chunks().to_numpy()
+        uniq, inv = np.unique(ids, return_inverse=True)
+        tfdf = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tfdf, inv, tfv * dfv)
+        tfs = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tfs, inv, tfv)
+        return pa.table({
+            id_col: pa.array(uniq, batch.schema.field(id_col).type),
+            "tfdf": pa.array(tfdf, pa.int64()),
+            "tfs": pa.array(tfs, pa.int64()),
+        })
+
+    agg = joined.map_batches(_partial, batch_format="pyarrow").groupby(
+        id_col
+    ).aggregate(Sum("tfdf", alias_name="tfdf"),
+                Sum("tfs", alias_name="tfs"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        tfdf = batch.column("tfdf").combine_chunks().to_numpy()
+        tfs = batch.column("tfs").combine_chunks().to_numpy()
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(tfs, pa.int64()),
+            "mean_df": pa.array(tfdf / tfs, pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def doc_quality_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Single-line-document quality scoring (StepEstimateOCR contract).
 
@@ -178,32 +347,13 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     n_docs = ds.count()
 
-    def _tf(batch: pa.Table) -> pa.Table:
-        ids: list = []
-        toks: list = []
-        tfs: list = []
-        id_vals = batch.column(id_col).to_pylist()
-        for did, text in zip(id_vals, batch.column(text_col).to_pylist()):
-            if text is None:
-                # SQL semantics: unnest(string_split(NULL)) emits no
-                # rows; '' emits the single token '' (both engines)
-                continue
-            counts: dict = {}
-            for t in text.split(" "):
-                counts[t] = counts.get(t, 0) + 1
-            ids.extend([did] * len(counts))
-            toks.extend(counts.keys())
-            tfs.extend(counts.values())
-        return pa.table({
-            id_col: pa.array(ids, batch.schema.field(id_col).type),
-            "token": pa.array(toks, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-        })
-
     # tf feeds BOTH the df groupby and the join probe side —
     # materialize once (flat token-scale rows; the object store
     # spills) instead of re-running the tokenize pass
-    tf = ds.map_batches(_tf, batch_format="pyarrow").materialize()
+    tf = ds.map_batches(
+        tf_rows_fn, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    ).materialize()
     df = tf.groupby("token").aggregate(Count()).map_batches(
         lambda b: pa.table({"token": b.column("token"),
                             "df": pc.cast(b.column("count()"),

@@ -116,3 +116,124 @@ class TestGroupedQuantiles:
             for q, v in zip(qs, vals):
                 expect[(g, q)] = v
         assert got_map == expect
+
+
+class TestRepetitionStats:
+    """Gopher-style duplicate/top bigram fractions (textstats)."""
+
+    def _run(self, texts):
+        from ocr_pipeline_ray.stages.textstats import repetition_stats_fn
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        out = repetition_stats_fn(tbl)
+        return {
+            d: (n, dup, top) for d, n, dup, top in zip(
+                out.column("doc_id").to_pylist(),
+                out.column("n_bigrams").to_pylist(),
+                out.column("dup_bigram_frac").to_pylist(),
+                out.column("top_bigram_frac").to_pylist(),
+            )
+        }
+
+    def test_known_values(self):
+        got = self._run([
+            "a b a b a",      # bigrams: ab ba ab ba -> 4 occ, 2 distinct
+            "x x x x",        # xx xx xx -> 3 occ, 1 distinct
+            "u v w",          # uv vw -> 2 occ, 2 distinct
+        ])
+        assert got[0] == (4, 1 - 2 / 4, 2 / 4)
+        assert got[1] == (3, 1 - 1 / 3, 3 / 3)
+        assert got[2] == (2, 0.0, 1 / 2)
+
+    def test_short_null_and_empty_docs_dropped(self):
+        # <2 tokens => no bigram => row dropped (matches the SQL twin)
+        got = self._run(["solo", None, "", "a b"])
+        assert set(got) == {3}
+        assert got[3] == (1, 0.0, 1.0)
+
+    def test_adjacent_single_token_docs_no_straddle(self):
+        # the bigram position between two docs must be masked out
+        got = self._run(["p", "q"])
+        assert got == {}
+
+    def test_empty_batch(self):
+        got = self._run([])
+        assert got == {}
+
+    def test_matches_duckdb_random(self, ray_session):
+        rng = random.Random(11)
+        vocab = ["a", "b", "c", "dd", "e"]
+        texts = [
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(0, 12)))
+            for _ in range(200)
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        from ocr_pipeline_ray.queries import ORACLE_SQL
+
+        expect = {
+            d: (n, dup, top) for d, n, dup, top in con.sql(
+                ORACLE_SQL["repetition_stats"]
+            ).fetchall()
+        }
+        got = self._run(texts)
+        assert got == expect
+
+
+class TestTokenRarity:
+    def test_null_and_empty_text(self, ray_session):
+        """NULL text emits no row; '' contributes the single token ''
+        (SQL string_split semantics on both engines)."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.textstats import token_rarity
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b a", None, "", "a c"], pa.string()),
+        })
+        out = token_rarity(ray.data.from_arrow(tbl), n_buckets=4)
+        got = {r["doc_id"]: (r["n_tokens"], r["mean_df"])
+               for r in out.take_all()}
+        # df: a->2 docs, b->1, c->1, ''->1
+        assert set(got) == {1, 3, 4}
+        assert got[1] == (3, (2 * 2 + 1 * 1) / 3)
+        assert got[3] == (1, 1.0)
+        assert got[4] == (2, (2 + 1) / 2)
+
+    def test_matches_duckdb_random(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.queries import ORACLE_SQL
+        from ocr_pipeline_ray.stages.textstats import token_rarity
+
+        rng = random.Random(23)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(1, 25)))
+            if rng.random() > 0.05 else None
+            for _ in range(300)
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        expect = {d: (n, m) for d, n, m in con.sql(
+            ORACLE_SQL["token_rarity"]).fetchall()}
+        out = token_rarity(
+            ray.data.from_arrow(tbl).repartition(5), n_buckets=8
+        )
+        got = {r["doc_id"]: (r["n_tokens"], r["mean_df"])
+               for r in out.take_all()}
+        assert got == expect

@@ -358,6 +358,34 @@ def q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def q_dedup_incremental_bloom(sf_dir: str):
+    """Incremental exact dedup with a Bloom semi-join reduction:
+    identical result to ``dedup_incremental`` (same oracle), but the
+    existing-corpus side is pre-filtered at scan speed by a Bloom
+    bitmap built over the new batch's fingerprints — the shuffle
+    into the exact anti join carries new-batch-scale rows, not
+    corpus-scale. See stages/dedup.py incremental_dedup_bloom.
+    """
+    from .stages.dedup import incremental_dedup_bloom
+
+    def _odd_fp(batch: pa.Table) -> pa.Table:
+        b = fingerprint_fn(batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1)
+        ))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fp": b.column("fp")})
+
+    def _even_fp(batch: pa.Table) -> pa.Table:
+        b = fingerprint_fn(batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        ))
+        return pa.table({"fp": b.column("fp")})
+
+    new_fp = _docs(sf_dir).map_batches(_odd_fp, batch_format="pyarrow")
+    old_fp = _docs(sf_dir).map_batches(_even_fp, batch_format="pyarrow")
+    return incremental_dedup_bloom(new_fp, old_fp).sort("doc_id")
+
+
 def q_jaccard_dup_pairs(sf_dir: str):
     """MinHash candidates verified by exact n-gram Jaccard >= 0.8.
 
@@ -2244,6 +2272,13 @@ ORACLE_SQL: Dict[str, str] = {
         "(SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 "
         "AND md5(e.text) = md5(d.text)) ORDER BY doc_id"
     ),
+    # Bloom semi-join reduction must be EXACT — same oracle
+    "dedup_incremental_bloom": (
+        "SELECT doc_id, md5(text) AS fp FROM documents d "
+        "WHERE doc_id % 2 = 1 AND NOT EXISTS "
+        "(SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 "
+        "AND md5(e.text) = md5(d.text)) ORDER BY doc_id"
+    ),
     "dup_clusters": (
         "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
         + CC_CTE +
@@ -2583,6 +2618,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "decontaminate": q_decontaminate,
     "dedup_canonical": q_dedup_canonical,
     "minhash_hot_buckets": q_minhash_hot_buckets,

@@ -148,6 +148,21 @@ def repartition_join(left, right, on: str,
         raise ValueError(
             f"how must be inner|left|semi|anti, got {how!r}")
     left_schema = left.schema()
+    if left_schema is None:
+        # empty schemaless left: the join output is empty for every
+        # join type this operator supports
+        return left
+    if right.schema() is None:
+        # empty schemaless right: anti keeps everything, inner/semi
+        # keep nothing; a left join needs right column types, which
+        # don't exist here
+        if how == "anti":
+            return left
+        if how in ("inner", "semi"):
+            return left.limit(0)
+        raise ValueError(
+            "left join against an empty schemaless right dataset: "
+            "right column types are unknown")
     left_cols = list(left_schema.names)
     left_types = {n: t for n, t in zip(left_schema.names,
                                        left_schema.types)}

@@ -752,3 +752,65 @@ class TestMultimodal:
         assert by_id["v1"]["frame_times_ms"] == [0, 1000, 2000, 3000, 4000, 5000]
         assert len(by_id["v2"]["frame_times_ms"]) == 32  # cap binds, re-spaced
         assert by_id["img"]["frame_times_ms"] == []
+
+
+class TestBloomIncremental:
+    def _fps(self, texts, with_id=True):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import fingerprint_fn
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        fp = fingerprint_fn(tbl)
+        cols = ["doc_id", "fp"] if with_id else ["fp"]
+        return ray.data.from_arrow(fp.select(cols)).repartition(3)
+
+    def test_bit_indices_match_int_parse(self):
+        import hashlib
+
+        import numpy as np
+
+        from ocr_pipeline_ray.stages.dedup import _fp_bit_indices
+
+        fps = [hashlib.md5(str(i).encode()).hexdigest()
+               for i in range(50)]
+        got = _fp_bit_indices(pa.array(fps, pa.string()), 1 << 20)
+        expect = np.array([
+            [int(fp[8 * i:8 * i + 8], 16) % (1 << 20) for i in range(4)]
+            for fp in fps
+        ])
+        assert (got == expect).all()
+
+    def test_exact_even_with_false_positives(self, ray_session):
+        """A deliberately tiny bitmap (64 bits) forces Bloom false
+        positives on the old side — the exact anti join must still
+        produce exactly the true-new rows."""
+        from ocr_pipeline_ray.stages.dedup import incremental_dedup_bloom
+
+        new_texts = [f"new doc {i}" for i in range(20)] + ["shared a",
+                                                           "shared b"]
+        old_texts = [f"old doc {i}" for i in range(40)] + ["shared a",
+                                                           "shared b"]
+        out = incremental_dedup_bloom(
+            self._fps(new_texts), self._fps(old_texts, with_id=False),
+            n_bits=64, n_buckets=4,
+        ).take_all()
+        assert sorted(r["doc_id"] for r in out) == list(range(20))
+
+    def test_empty_sides(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import incremental_dedup_bloom
+
+        # empty new side -> nothing survives
+        out = incremental_dedup_bloom(
+            self._fps([]), self._fps(["x"], with_id=False), n_bits=64
+        ).take_all()
+        assert out == []
+        # empty old side -> everything survives
+        out = incremental_dedup_bloom(
+            self._fps(["x", "y"]), self._fps([], with_id=False),
+            n_bits=64,
+        ).take_all()
+        assert sorted(r["doc_id"] for r in out) == [0, 1]

@@ -343,6 +343,51 @@ def q_token_rarity(sf_dir: str):
     return token_rarity(_docs(sf_dir))
 
 
+def _pii_augment(batch: pa.Table) -> pa.Table:
+    """Deterministically embed one email / phone / IPv4 per doc.
+
+    The synthetic documents contain no PII, so the redaction queries
+    plant it: doc_id-derived, reproducible in SQL with the same
+    string concatenation (bit_and == % for the non-negative ids).
+    """
+    ids = batch.column("doc_id")
+    ids_s = pc.cast(ids, pa.string())
+    x = pc.binary_join_element_wise(
+        pc.fill_null(batch.column("text"), ""),
+        " contact user", ids_s,
+        "@mail.example.com or +1-555-",
+        pc.cast(pc.add(ids, 1000000), pa.string()),
+        " at 10.",
+        pc.cast(pc.bit_wise_and(ids, 255), pa.string()),
+        ".0.",
+        pc.cast(pc.bit_wise_and(ids, 63), pa.string()),
+        "",
+    )
+    return pa.table({"doc_id": ids, "text": x})
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub: typed placeholders + per-doc hit counts.
+
+    Vectorized RE2 kernels (Arrow and DuckDB share the dialect), one
+    count+replace pass per pattern in contract order.
+    """
+    from .stages.pii import pii_redact_fn
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return pii_redact_fn(_pii_augment(batch)).drop_columns(["text"])
+
+    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow")
+
+
+def q_pii_summary(sf_dir: str):
+    """Corpus-level PII totals (ONE row, map-side partial combine)."""
+    from .stages.pii import pii_summary
+
+    aug = _docs(sf_dir).map_batches(_pii_augment, batch_format="pyarrow")
+    return pii_summary(aug)
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash band values (md5-based, 4 salts, 3-token shingles)."""
     return minhash_signatures(_docs(sf_dir))
@@ -1991,6 +2036,40 @@ CC_CTE = (
     "GROUP BY node)"
 )
 
+# PII oracle fragments: the augmented text (mirrors _pii_augment —
+# doc_id is non-negative so % == bit_and) and the sequential
+# count-then-redact chain over stages.pii.PII_PATTERNS, one CTE per
+# pattern so each count sees the text as already redacted by the
+# previous patterns (the operator's ordering contract).
+from .stages.pii import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
+
+_PII_AUG_CTE = (
+    "aug AS (SELECT doc_id, coalesce(text, '') || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' || "
+    "CAST(doc_id + 1000000 AS VARCHAR) || ' at 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 64 AS VARCHAR) AS x FROM documents)"
+)
+
+
+def _pii_chain_cte() -> str:
+    frags, prev, carried = [], "aug", []
+    for i, (name, pat, repl) in enumerate(_PII_PATTERNS, 1):
+        keep = ", ".join(f"n_{c}" for c in carried)
+        keep = keep + ", " if keep else ""
+        frags.append(
+            f"r{i} AS (SELECT doc_id, {keep}"
+            f"len(regexp_extract_all(x, '{pat}')) AS n_{name}, "
+            f"regexp_replace(x, '{pat}', '{repl}', 'g') AS x "
+            f"FROM {prev})"
+        )
+        prev = f"r{i}"
+        carried.append(name)
+    return ", ".join(frags)
+
+
+_PII_CHAIN_CTE = _pii_chain_cte()
+
 ORACLE_SQL: Dict[str, str] = {
     "replace_chars": (
         "SELECT doc_id, replace(replace(text, 'spark', 'ray'), "
@@ -2212,6 +2291,20 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks) AS stop_ratio, "
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
+    ),
+    "pii_redact": (
+        "WITH " + _PII_AUG_CTE + ", " + _PII_CHAIN_CTE +
+        " SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, "
+        "CAST(n_ip AS BIGINT) AS n_ip, "
+        "CAST(n_phone AS BIGINT) AS n_phone, x AS text_redacted FROM r3"
+    ),
+    "pii_summary": (
+        "WITH " + _PII_AUG_CTE + ", " + _PII_CHAIN_CTE +
+        " SELECT CAST(sum(n_email) AS BIGINT) AS n_email, "
+        "CAST(sum(n_ip) AS BIGINT) AS n_ip, "
+        "CAST(sum(n_phone) AS BIGINT) AS n_phone, "
+        "CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_docs_hit FROM r3"
     ),
     "repetition_stats": (
         # bigrams of the single-space split; docs with <2 tokens have
@@ -2606,6 +2699,8 @@ QUERIES = {
     "quality_heuristics": q_quality_heuristics,
     "repetition_stats": q_repetition_stats,
     "token_rarity": q_token_rarity,
+    "pii_redact": q_pii_redact,
+    "pii_summary": q_pii_summary,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

@@ -388,6 +388,64 @@ def q_pii_summary(sf_dir: str):
     return pii_summary(aug)
 
 
+def _url_augment(batch: pa.Table) -> pa.Table:
+    """Deterministic skewed url per doc: every 3rd doc lands on
+    ``host0`` (the hot host of the synthetic crawl), the rest spread
+    over 96 more hosts — mirrors the SQL CASE in the oracles."""
+    ids = batch.column("doc_id")
+    hot = pc.equal(_int_mod(ids, 3), 0)
+    host_id = pc.if_else(
+        hot, pa.scalar(0, pa.int64()), _int_mod(ids, 97)
+    )
+    url = pc.binary_join_element_wise(
+        "http://host", pc.cast(host_id, pa.string()),
+        ".example.com/p/", pc.cast(ids, pa.string()), "",
+    )
+    return batch.append_column("url", url)
+
+
+def _int_mod(col, d: int):
+    """Non-negative int64 modulo via truncating divide (Arrow has no
+    modulo kernel) — equals SQL ``%`` for the non-negative ids."""
+    q = pc.divide(col, pa.scalar(d, pa.int64()))
+    return pc.subtract(col, pc.multiply(q, pa.scalar(d, pa.int64())))
+
+
+# SQL twin of _url_augment's host id
+_HOST_ID_SQL = ("CASE WHEN doc_id % 3 = 0 THEN 0 "
+                "ELSE doc_id % 97 END")
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host rollup over the skewed synthetic crawl.
+
+    Map-side partial combine per block, then ONE small groupby —
+    the hot host (``host0``, a third of the corpus) enters the
+    shuffle as one row per block, not one per document.
+    """
+    from .stages.web import host_stats
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    )
+    return host_stats(ds, size_col="n_chars")
+
+
+def q_host_blocklist(sf_dir: str):
+    """Blocklist hygiene gate: drop docs on blocked hosts.
+
+    Broadcast ANTI join against a 10-host blocklist — the corpus
+    never shuffles; the blocklist ships once via the object store.
+    """
+    from .stages.web import blocklist_filter
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    )
+    blocked = [f"host{h}.example.com" for h in range(0, 97, 10)]
+    return blocklist_filter(ds, blocked).sort("doc_id")
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash band values (md5-based, 4 salts, 3-token shingles)."""
     return minhash_signatures(_docs(sf_dir))
@@ -2292,6 +2350,19 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
     ),
+    "host_stats": (
+        "SELECT 'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
+        "'.example.com' AS host, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_n_chars "
+        "FROM documents GROUP BY 1"
+    ),
+    "host_blocklist": (
+        "SELECT doc_id, 'http://host' || "
+        "CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
+        "'.example.com/p/' || CAST(doc_id AS VARCHAR) AS url "
+        "FROM documents WHERE (" + _HOST_ID_SQL + ") % 10 <> 0 "
+        "ORDER BY doc_id"
+    ),
     "pii_redact": (
         "WITH " + _PII_AUG_CTE + ", " + _PII_CHAIN_CTE +
         " SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, "
@@ -2701,6 +2772,8 @@ QUERIES = {
     "token_rarity": q_token_rarity,
     "pii_redact": q_pii_redact,
     "pii_summary": q_pii_summary,
+    "host_stats": q_host_stats,
+    "host_blocklist": q_host_blocklist,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

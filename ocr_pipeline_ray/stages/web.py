@@ -1,0 +1,115 @@
+"""Per-host web-corpus operators: host extraction, skew-safe host
+aggregates, broadcast blocklist filtering.
+
+The north-star workload partitions a Common-Crawl-style corpus by
+url and mitigates per-host skew explicitly (a handful of giant hosts
+dominate any real crawl). These operators make that first-class:
+
+* :func:`url_host_fn` — vectorized RE2 host extraction (one
+  ``pc.extract_regex`` kernel per batch, DuckDB-parity pattern).
+* :func:`host_stats` — per-host rollup with a MAP-SIDE PARTIAL
+  COMBINE: each block first reduces to one row per host seen in the
+  block (Arrow ``Table.group_by``), so the global shuffle carries
+  (hosts × blocks) partial rows instead of every document — the hot
+  host's traffic into the shuffle collapses from its document count
+  to its block count. Same shape as the salted/partial event
+  aggregates (`queries.q_user_activity`).
+* :func:`blocklist_filter` — drop documents whose host is on a
+  blocklist, as a broadcast ANTI join (`stages/join.broadcast_join`):
+  the blocklist ships to the object store ONCE (``ray.put`` inside
+  the join), every task reads it zero-copy, no shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2 subset shared by Arrow and DuckDB: scheme://host[:port]/...
+# (named group for Arrow's extract_regex; DuckDB uses group index 1)
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
+HOST_PATTERN_SQL = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host_fn(batch: pa.Table, url_col: str = "url",
+                out_col: str = "host") -> pa.Table:
+    """Append ``out_col`` = lowercased registrable host of ``url_col``.
+
+    Non-matching / null urls yield ''. One vectorized kernel chain,
+    no per-row Python.
+    """
+    urls = pc.fill_null(batch.column(url_col), "")
+    extracted = pc.extract_regex(urls, HOST_PATTERN)
+    host = pc.utf8_lower(
+        pc.fill_null(pc.struct_field(extracted, "host"), "")
+    )
+    return batch.append_column(out_col, host)
+
+
+def host_stats(ds, url_col: str = "url", size_col: Optional[str] = None):
+    """Per-host rollup: ``host, n_docs[, total_<size_col>]``.
+
+    Map-side partial combine (one partial row per host per block)
+    before the ONE small groupby shuffle — the skew-mitigation shape
+    for hot hosts.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = url_host_fn(batch, url_col)
+        aggs = [([], "count_all")]
+        if size_col is not None:
+            aggs.insert(0, (size_col, "sum"))
+        g = b.select(
+            ["host"] + ([size_col] if size_col else [])
+        ).group_by("host").aggregate(aggs)
+        cols = {"host": g.column("host"),
+                "n_docs": pc.cast(g.column("count_all"), pa.int64())}
+        if size_col is not None:
+            cols[f"total_{size_col}"] = pc.cast(
+                g.column(f"{size_col}_sum"), pa.int64())
+        return pa.table(cols)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    aggs = [Sum("n_docs")]
+    if size_col is not None:
+        aggs.append(Sum(f"total_{size_col}"))
+    out = partial.groupby("host").aggregate(*aggs)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        names = [
+            c[len("sum("):-1] if c.startswith("sum(") else c
+            for c in batch.column_names
+        ]
+        return batch.rename_columns(names)
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def blocklist_filter(ds, blocked_hosts: Union[List[str], pa.Table],
+                     url_col: str = "url", keep_host: bool = False):
+    """Drop rows whose url host is in ``blocked_hosts``.
+
+    Broadcast anti join: the blocklist (a list of hosts or a table
+    with a ``host`` column) is shipped once via the object store and
+    probed per batch with a vectorized ``index_in`` — the corpus
+    never shuffles. The UT1/robots-style hygiene gate of a crawl
+    pipeline.
+    """
+    from .join import broadcast_join
+
+    if not isinstance(blocked_hosts, pa.Table):
+        blocked_hosts = pa.table({
+            "host": pa.array(sorted(set(blocked_hosts)), pa.string()),
+        })
+    with_host = ds.map_batches(
+        lambda b: url_host_fn(b, url_col), batch_format="pyarrow"
+    )
+    out = broadcast_join(with_host, blocked_hosts, on="host", how="anti")
+    if keep_host:
+        return out
+    return out.map_batches(
+        lambda b: b.drop_columns(["host"]), batch_format="pyarrow"
+    )

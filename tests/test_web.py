@@ -1,0 +1,82 @@
+"""Host extraction, skew-safe host stats, blocklist filter."""
+
+import pyarrow as pa
+
+from ocr_pipeline_ray.stages.web import (
+    blocklist_filter,
+    host_stats,
+    url_host_fn,
+)
+
+
+def _tbl(urls, **extra):
+    cols = {"url": pa.array(urls, pa.string())}
+    for k, v in extra.items():
+        cols[k] = v
+    return pa.table(cols)
+
+
+class TestUrlHost:
+    def test_basic_and_edges(self):
+        out = url_host_fn(_tbl([
+            "http://a.example.com/p/1",
+            "https://B.Example.ORG:8443/x?y#z",
+            "ftp://files.net",
+            "no-scheme/path",
+            None,
+            "http://host?query",
+        ]))
+        assert out.column("host").to_pylist() == [
+            "a.example.com", "b.example.org", "files.net",
+            "", "", "host",
+        ]
+
+
+class TestHostStats:
+    def test_partial_combine_matches_naive(self, ray_session):
+        import ray.data
+
+        urls = [f"http://h{i % 3}.x/p/{i}" for i in range(30)]
+        sizes = pa.array([i * 10 for i in range(30)], pa.int64())
+        ds = ray.data.from_arrow(
+            _tbl(urls, n_chars=sizes)
+        ).repartition(7)
+        rows = sorted(
+            host_stats(ds, size_col="n_chars").take_all(),
+            key=lambda r: r["host"],
+        )
+        assert [r["host"] for r in rows] == ["h0.x", "h1.x", "h2.x"]
+        assert all(r["n_docs"] == 10 for r in rows)
+        # sum over i*10 per residue class
+        for j, r in enumerate(rows):
+            assert r["total_n_chars"] == sum(
+                i * 10 for i in range(30) if i % 3 == j
+            )
+
+    def test_count_only(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(_tbl(["http://a.x/1", "http://a.x/2"]))
+        rows = host_stats(ds).take_all()
+        assert rows == [{"host": "a.x", "n_docs": 2}]
+
+
+class TestBlocklist:
+    def test_filter_drops_blocked(self, ray_session):
+        import ray.data
+
+        urls = [f"http://h{i % 4}.x/p/{i}" for i in range(16)]
+        ds = ray.data.from_arrow(
+            _tbl(urls, doc_id=pa.array(range(16), pa.int64()))
+        ).repartition(3)
+        out = blocklist_filter(ds, ["h1.x", "h3.x"]).take_all()
+        ids = sorted(r["doc_id"] for r in out)
+        assert ids == [i for i in range(16) if i % 4 in (0, 2)]
+        assert all("host" not in r for r in out)
+
+    def test_keep_host_and_empty_blocklist(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(_tbl(["http://a.x/1"]))
+        out = blocklist_filter(ds, [], keep_host=True).take_all()
+        assert out == [{"url": "http://a.x/1", "host": "a.x"}]

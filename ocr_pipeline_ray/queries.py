@@ -446,6 +446,32 @@ def q_host_blocklist(sf_dir: str):
     return blocklist_filter(ds, blocked).sort("doc_id")
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph dedup with doc reassembly.
+
+    Each doc is wrapped in synthetic boilerplate: a semi-shared
+    header (one of 40) and a corpus-wide footer (the hot key — one
+    md5 group holding every doc). First occurrence wins corpus-wide;
+    docs are rebuilt from surviving paragraphs. Two paragraph-sized
+    shuffles, no per-key UDFs.
+    """
+    from .stages.dedup import paragraph_dedup
+
+    sep = "\n\n"
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        t = pc.binary_join_element_wise(
+            "shared ", pc.cast(_int_mod(ids, 40), pa.string()), sep,
+            pc.fill_null(batch.column("text"), ""), sep,
+            "common footer", "",
+        )
+        return pa.table({"doc_id": ids, "text": t})
+
+    aug = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    return paragraph_dedup(aug, sep=sep).sort("doc_id")
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash band values (md5-based, 4 salts, 3-token shingles)."""
     return minhash_signatures(_docs(sf_dir))
@@ -2350,6 +2376,23 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
     ),
+    "paragraph_dedup": (
+        "WITH aug AS (SELECT doc_id, 'shared ' || "
+        "CAST(doc_id % 40 AS VARCHAR) || chr(10) || chr(10) || "
+        "coalesce(text, '') || chr(10) || chr(10) || 'common footer' "
+        "AS t FROM documents), "
+        "p AS (SELECT doc_id, g - 1 AS para_idx, paras[g] AS para "
+        "FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) "
+        "AS paras FROM aug), "
+        "LATERAL unnest(range(1, len(paras) + 1)) AS r(g)), "
+        "f AS (SELECT doc_id, para_idx, para, row_number() OVER "
+        "(PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn "
+        "FROM p) "
+        "SELECT doc_id, string_agg(para, chr(10) || chr(10) "
+        "ORDER BY para_idx) AS text_dedup, "
+        "CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
+    ),
     "host_stats": (
         "SELECT 'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
         "'.example.com' AS host, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -2774,6 +2817,7 @@ QUERIES = {
     "pii_summary": q_pii_summary,
     "host_stats": q_host_stats,
     "host_blocklist": q_host_blocklist,
+    "paragraph_dedup": q_paragraph_dedup,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

@@ -894,3 +894,108 @@ def incremental_dedup_bloom(new_fp_ds, old_fp_ds,
     return repartition_join(
         new_fp_ds, old_cand, on="fp", how="anti", n_buckets=n_buckets
     )
+
+
+# ------------------------------------------------- paragraph dedup
+
+def explode_paragraphs_fn(batch: pa.Table, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          sep: str = "\n\n") -> pa.Table:
+    """Explode docs into ``(doc_id, para_idx, para, fp)`` rows.
+
+    Vectorized split (one Arrow kernel) + numpy repeat/arange for the
+    ids; only the md5 itself is a per-paragraph loop (no Arrow md5
+    kernel — same tradeoff as :func:`fingerprint_fn`).
+    """
+    import numpy as np
+
+    col = pc.fill_null(batch.column(text_col), "")
+    parts = pc.split_pattern(col, sep).combine_chunks()
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.chunk(0) if parts.num_chunks else pa.array(
+            [], pa.list_(pa.string()))
+    offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = parts.values
+    n_per_doc = np.diff(offsets)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(ids, n_per_doc)
+    para_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offsets[:-1], n_per_doc)
+    fps = [_md5(p) for p in flat.to_pylist()]
+    return pa.table({
+        id_col: pa.array(doc_ids, pa.int64()),
+        "para_idx": pa.array(para_idx, pa.int64()),
+        "para": flat,
+        "fp": pa.array(fps, pa.string()),
+    })
+
+
+def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n\n", n_buckets: int = 64):
+    """CCNet-style paragraph-level exact dedup with doc reassembly.
+
+    Corpus-wide first-wins on md5(paragraph): the FIRST occurrence in
+    ``(doc_id, para_idx)`` order survives, every later copy of the
+    same paragraph (boilerplate footers, syndicated intros) is
+    dropped, and documents are rebuilt from their surviving
+    paragraphs (docs left with zero paragraphs disappear).
+
+    Scale shape — exactly TWO shuffles of paragraph-sized rows:
+
+    1. first-wins on ``fp`` via :func:`dedup_first` (bucketed
+       whole-bucket sort + boundary mask — a corpus-wide footer is a
+       hot key; it lands in one bucket and costs one sort, never a
+       per-key UDF);
+    2. reassembly co-locates each doc's survivors by
+       ``crc32(doc_id) % n_buckets``; inside the bucket one Arrow
+       sort + a ``ListArray``/``binary_join`` segment-concat rebuilds
+       every doc vectorized.
+
+    Content moves at paragraph granularity both times — no
+    doc-sized amplification.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    paras = ds.map_batches(
+        lambda b: explode_paragraphs_fn(b, id_col, text_col, sep),
+        batch_format="pyarrow",
+    )
+    kept = dedup_first(paras, key_col="fp",
+                       order_col=[id_col, "para_idx"],
+                       n_buckets=n_buckets)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = bucket_ids(batch.column(id_col), n_buckets)
+        return batch.append_column(
+            "_dbucket", pa.array(buckets, pa.int64()))
+
+    def _reassemble(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending"),
+                           ("para_idx", "ascending")])
+        ids = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "text_dedup": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+            })
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offsets = np.r_[starts, len(ids)].astype(np.int32)
+        paras_col = g.column("para").combine_chunks()
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      paras_col)
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "text_dedup": pc.binary_join(la, sep),
+            "n_kept": pa.array(np.diff(offsets).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (
+        kept.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("_dbucket", num_partitions=n_buckets)
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )

@@ -1,5 +1,7 @@
 """Dedup + similarity operators on corpora with KNOWN duplicates."""
 
+import random
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -814,3 +816,57 @@ class TestBloomIncremental:
             n_bits=64,
         ).take_all()
         assert sorted(r["doc_id"] for r in out) == [0, 1]
+
+
+class TestParagraphDedup:
+    def _run(self, texts, n_blocks=3, n_buckets=4):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import paragraph_dedup
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        out = paragraph_dedup(
+            ray.data.from_arrow(tbl).repartition(n_blocks),
+            n_buckets=n_buckets,
+        ).take_all()
+        return {r["doc_id"]: (r["text_dedup"], r["n_kept"])
+                for r in out}
+
+    def test_first_wins_and_reassembly(self, ray_session):
+        got = self._run([
+            "A\n\nB\n\nC",   # all first occurrences
+            "B\n\nD",        # B dup -> D only
+            "A\n\nB",        # fully duplicate -> doc dropped
+            "E\n\nE",        # intra-doc dup -> one E
+        ])
+        assert got == {
+            0: ("A\n\nB\n\nC", 3),
+            1: ("D", 1),
+            3: ("E", 1),
+        }
+
+    def test_null_and_empty_docs(self, ray_session):
+        got = self._run([None, "", "X"])
+        # null->'' and '' both explode to the single empty paragraph;
+        # the first (doc 0) wins, doc 1 disappears
+        assert got == {0: ("", 1), 2: ("X", 1)}
+
+    @pytest.mark.parametrize("n_blocks", [1, 7])
+    def test_block_layout_invariant(self, ray_session, n_blocks):
+        rng = random.Random(11)
+        pool = [f"para {i}" for i in range(12)]
+        texts = [
+            "\n\n".join(rng.choice(pool)
+                        for _ in range(rng.randrange(1, 5)))
+            for _ in range(40)
+        ]
+        base = self._run(texts, n_blocks=3, n_buckets=4)
+        other = self._run(texts, n_blocks=n_blocks, n_buckets=8)
+        assert base == other
+        # global invariant: every distinct paragraph survives exactly once
+        total_kept = sum(k for _, k in base.values())
+        distinct = len({p for t in texts for p in t.split("\n\n")})
+        assert total_kept == distinct

@@ -472,6 +472,20 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(aug, sep=sep).sort("doc_id")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """EXACT frequent tokens (>= 3.3% of all corpus tokens).
+
+    Candidates from a per-block local threshold (shuffle carries only
+    locally-heavy tokens — never the vocabulary), exact counts from a
+    second candidate-only pass, integer threshold arithmetic.
+    """
+    from .stages.stats import heavy_hitters
+
+    return heavy_hitters(
+        _docs(sf_dir), min_frac_num=33, min_frac_den=1000
+    ).sort(["n", "token"], descending=[True, False])
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash band values (md5-based, 4 salts, 3-token shingles)."""
     return minhash_signatures(_docs(sf_dir))
@@ -2376,6 +2390,15 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
     ),
+    "heavy_hitters": (
+        "WITH t AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents WHERE text IS NOT NULL), "
+        "tot AS (SELECT count(*) AS nt FROM t) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS n "
+        "FROM t, tot GROUP BY token, tot.nt "
+        "HAVING count(*) * 1000 >= 33 * tot.nt "
+        "ORDER BY n DESC, token"
+    ),
     "paragraph_dedup": (
         "WITH aug AS (SELECT doc_id, 'shared ' || "
         "CAST(doc_id % 40 AS VARCHAR) || chr(10) || chr(10) || "
@@ -2818,6 +2841,7 @@ QUERIES = {
     "host_stats": q_host_stats,
     "host_blocklist": q_host_blocklist,
     "paragraph_dedup": q_paragraph_dedup,
+    "heavy_hitters": q_heavy_hitters,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

@@ -174,3 +174,118 @@ def partial_sum_count(batch: pa.Table, keys: Sequence[str],
     cols[count_name] = pc.cast(agg.column("count_all"), pa.int64())
     cols[sum_name] = agg.column(f"{value_col}_sum")
     return pa.table(cols)
+
+
+# per-block total marker for heavy_hitters: contains spaces, so no
+# space-split token can ever equal it
+_TOTAL_SENTINEL = " __block_total__ "
+
+
+def heavy_hitters(ds, text_col: str = "text",
+                  min_frac_num: int = 5, min_frac_den: int = 1000,
+                  max_candidates: int = 2_000_000):
+    """EXACT frequent tokens: every token with corpus frequency
+    ``>= min_frac_num/min_frac_den`` of all tokens, with its exact
+    count. Two streaming passes, shuffle bounded by the CANDIDATE
+    set — never the vocabulary.
+
+    The scale story vs the full-vocab partial combine
+    (`queries.q_top_tokens`): that shape shuffles (vocab × blocks)
+    partial rows; here pass 1 applies the LOCAL threshold
+    ``count_b * den >= num * n_b`` inside each block (a token with
+    global fraction >= num/den must clear it in at least one block —
+    if it missed everywhere, summing gives count < (num/den) * N,
+    contradiction), so only locally-heavy tokens (at most den/num
+    per block) plus one total-row per block ever leave the block.
+    Pass 2 broadcasts the deduped candidate set (``ray.put`` once,
+    ``pc.is_in`` per batch) and counts ONLY candidates exactly via
+    the usual partial-combine groupby, then filters by the exact
+    global threshold ``count * den >= num * N``. All integer
+    arithmetic — no float threshold drift vs the SQL oracle.
+
+    The candidate set is driver-held between passes (bounded by
+    ``blocks * den/num``); ``max_candidates`` turns a mis-sized
+    threshold into a loud error instead of a silent OOM.
+
+    Null texts are skipped; empty texts count one '' token (DuckDB
+    ``string_split`` parity).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _tokens(batch: pa.Table) -> pa.Array:
+        col = batch.column(text_col)
+        col = col.filter(pc.is_valid(col))
+        parts = pc.split_pattern(col, " ").combine_chunks()
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.chunk(0) if parts.num_chunks else pa.array(
+                [], pa.list_(pa.string()))
+        return parts.values
+
+    def _local_heavy(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        n_b = len(toks)
+        if n_b == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = pa.table({"token": toks}).group_by("token").aggregate(
+            [([], "count_all")])
+        cnt = pc.cast(g.column("count_all"), pa.int64())
+        keep = pc.greater_equal(
+            pc.multiply(cnt, pa.scalar(min_frac_den, pa.int64())),
+            pa.scalar(min_frac_num * n_b, pa.int64()),
+        )
+        out = pa.table({"token": g.column("token"), "cnt": cnt}
+                       ).filter(keep)
+        # the per-block token total rides along under a sentinel key
+        # that cannot collide with a real token (tokens are
+        # space-split, the sentinel contains spaces); Ray's
+        # sort-based aggregate cannot shuffle a null key
+        return pa.concat_tables([out, pa.table({
+            "token": pa.array([_TOTAL_SENTINEL], pa.string()),
+            "cnt": pa.array([n_b], pa.int64()),
+        })])
+
+    partial = ds.map_batches(_local_heavy, batch_format="pyarrow")
+    merged = partial.groupby("token").aggregate(Sum("cnt")).take_all()
+    n_total = 0
+    cand = []
+    for row in merged:
+        if row["token"] == _TOTAL_SENTINEL:
+            n_total = row["sum(cnt)"]
+        else:
+            cand.append(row["token"])
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: {len(cand)} candidates exceed "
+            f"max_candidates={max_candidates}; raise the threshold "
+            f"or the cap")
+    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
+
+    def _count_cand(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        toks = toks.filter(pc.is_in(toks, value_set=ray.get(cand_ref)))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"token": toks}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "token": g.column("token"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    exact = ds.map_batches(_count_cand, batch_format="pyarrow"
+                           ).groupby("token").aggregate(Sum("n"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)")
+        keep = pc.greater_equal(
+            pc.multiply(n, pa.scalar(min_frac_den, pa.int64())),
+            pa.scalar(min_frac_num * n_total, pa.int64()),
+        )
+        return pa.table({"token": batch.column("token"),
+                         "n": pc.cast(n, pa.int64())}).filter(keep)
+
+    return exact.map_batches(_finish, batch_format="pyarrow")

@@ -237,3 +237,56 @@ class TestTokenRarity:
         got = {r["doc_id"]: (r["n_tokens"], r["mean_df"])
                for r in out.take_all()}
         assert got == expect
+
+
+class TestHeavyHitters:
+    def _run(self, texts, num, den, n_blocks=3, **kw):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import heavy_hitters
+
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(texts, pa.string()),
+        })).repartition(n_blocks)
+        return {r["token"]: r["n"]
+                for r in heavy_hitters(ds, min_frac_num=num,
+                                       min_frac_den=den, **kw).take_all()}
+
+    def _exact(self, texts, num, den):
+        toks = [t for x in texts if x is not None for t in x.split(" ")]
+        from collections import Counter
+        c = Counter(toks)
+        return {t: n for t, n in c.items()
+                if n * den >= num * len(toks)}
+
+    def test_matches_exact_counts(self, ray_session):
+        rng = random.Random(5)
+        # zipf-ish: token i appears ~ 1/(i+1)
+        texts = [
+            " ".join(f"w{min(int(1 / max(rng.random(), 1e-9)), 20)}"
+                     for _ in range(rng.randrange(3, 15)))
+            for _ in range(200)
+        ]
+        for num, den in [(1, 100), (5, 100), (20, 100)]:
+            assert self._run(texts, num, den) == \
+                self._exact(texts, num, den)
+
+    def test_completeness_across_skewed_blocks(self, ray_session):
+        # heavy token concentrated in ONE block: the local threshold
+        # must still surface it (it is locally heavy there)
+        texts = ["hot " * 50] + ["cold%d x" % i for i in range(50)]
+        got = self._run(texts, 10, 100, n_blocks=5)
+        assert got == self._exact(texts, 10, 100)
+        assert "hot" in got
+
+    def test_block_layout_invariant(self, ray_session):
+        texts = ["a b c a", "a d", "b b e"] * 10
+        one = self._run(texts, 10, 100, n_blocks=1)
+        many = self._run(texts, 10, 100, n_blocks=8)
+        assert one == many == self._exact(texts, 10, 100)
+
+    def test_candidate_cap_is_loud(self, ray_session):
+        texts = [" ".join(f"u{i}_{j}" for j in range(20))
+                 for i in range(10)]
+        with pytest.raises(ValueError, match="max_candidates"):
+            self._run(texts, 1, 10**9, max_candidates=10)

@@ -486,6 +486,35 @@ def q_heavy_hitters(sf_dir: str):
     ).sort(["n", "token"], descending=[True, False])
 
 
+def q_inverted_index(sf_dir: str):
+    """Exact inverted index: token → (df, doc_ids, tfs) postings.
+
+    Map-side (token, doc_id, tf) combine, bucketed whole-bucket
+    posting-list build (one sort + ListArray per bucket — never a
+    per-token UDF), deterministic 16-posting cap with the full df
+    and a truncated flag (no silent loss).
+    """
+    from .stages.index import inverted_index
+
+    idx = inverted_index(_docs(sf_dir), max_postings=16)
+
+    def _csv(batch: pa.Table) -> pa.Table:
+        # the driver's value-hash compares scalars — CSV-encode the
+        # posting lists (the operator itself emits real list columns)
+        def _join(col):
+            return pc.binary_join(
+                pc.cast(col, pa.list_(pa.string())), ",")
+        return pa.table({
+            "token": batch.column("token"),
+            "df": batch.column("df"),
+            "doc_ids_csv": _join(batch.column("doc_ids")),
+            "tfs_csv": _join(batch.column("tfs")),
+            "truncated": batch.column("truncated"),
+        })
+
+    return idx.map_batches(_csv, batch_format="pyarrow").sort("token")
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash band values (md5-based, 4 salts, 3-token shingles)."""
     return minhash_signatures(_docs(sf_dir))
@@ -2390,6 +2419,19 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
     ),
+    "inverted_index": (
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS token FROM documents WHERE text IS NOT NULL), "
+        "tf AS (SELECT token, doc_id, count(*) AS tf FROM t "
+        "GROUP BY token, doc_id) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS df, "
+        "array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',') "
+        "AS doc_ids_csv, "
+        "array_to_string((list(tf ORDER BY doc_id))[1:16], ',') "
+        "AS tfs_csv, "
+        "count(*) > 16 AS truncated "
+        "FROM tf GROUP BY token ORDER BY token"
+    ),
     "heavy_hitters": (
         "WITH t AS (SELECT unnest(string_split(text, ' ')) AS token "
         "FROM documents WHERE text IS NOT NULL), "
@@ -2842,6 +2884,7 @@ QUERIES = {
     "host_blocklist": q_host_blocklist,
     "paragraph_dedup": q_paragraph_dedup,
     "heavy_hitters": q_heavy_hitters,
+    "inverted_index": q_inverted_index,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

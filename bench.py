@@ -37,8 +37,10 @@ BENCH_QUERIES = [
     "replace_chars", "sanitize_chars", "token_count", "quality_report",
     "dedup_exact", "dedup_first_rows", "minhash_signatures",
     "minhash_dup_pairs", "dup_clusters", "dedup_canonical",
-    "jaccard_dup_pairs", "simhash",
+    "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",
+    "paragraph_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
+    "pii_redact", "host_stats", "heavy_hitters", "inverted_index",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution", "revenue_by_nation",
     "customers_no_orders", "customer_running_spend",

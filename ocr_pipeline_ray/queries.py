@@ -540,21 +540,28 @@ def q_dedup_incremental_bloom(sf_dir: str):
     """
     from .stages.dedup import incremental_dedup_bloom
 
-    def _odd_fp(batch: pa.Table) -> pa.Table:
-        b = fingerprint_fn(batch.filter(
-            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1)
-        ))
+    def _fp(batch: pa.Table) -> pa.Table:
+        b = fingerprint_fn(batch)
         return pa.table({"doc_id": b.column("doc_id"),
                          "fp": b.column("fp")})
 
-    def _even_fp(batch: pa.Table) -> pa.Table:
-        b = fingerprint_fn(batch.filter(
-            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
-        ))
-        return pa.table({"fp": b.column("fp")})
+    # md5 the corpus ONCE; the materialized fp table is
+    # metadata-sized (id + 32-hex per doc), then both sides are
+    # scan-speed filters over it
+    fps = _docs(sf_dir).map_batches(
+        _fp, batch_format="pyarrow").materialize()
 
-    new_fp = _docs(sf_dir).map_batches(_odd_fp, batch_format="pyarrow")
-    old_fp = _docs(sf_dir).map_batches(_even_fp, batch_format="pyarrow")
+    def _odd(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1))
+
+    def _even(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        ).select(["fp"])
+
+    new_fp = fps.map_batches(_odd, batch_format="pyarrow")
+    old_fp = fps.map_batches(_even, batch_format="pyarrow")
     return incremental_dedup_bloom(new_fp, old_fp).sort("doc_id")
 
 

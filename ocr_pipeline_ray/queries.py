@@ -486,6 +486,46 @@ def q_heavy_hitters(sf_dir: str):
     ).sort(["n", "token"], descending=[True, False])
 
 
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization over five messy variants per doc.
+
+    Uppercase scheme/host, default ports, fragments, utm_* params and
+    bare root slashes are planted by doc_id formula; the ORACLE
+    derives the expected canonical url INDEPENDENTLY from the same
+    formulas (not by re-running the regex chain), so a rewrite bug
+    cannot cancel out.
+    """
+    from .stages.web import canonicalize_url_fn
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        ids_s = pc.cast(ids, pa.string())
+        hid = pc.cast(_int_mod(ids, 97), pa.string())
+        v = _int_mod(ids, 5)
+
+        def _join(*parts):
+            return pc.binary_join_element_wise(*parts, "")
+
+        u0 = _join("HTTP://Host", hid, ".Example.COM:80/p/", ids_s,
+                   "#sec")
+        u1 = _join("https://host", hid, ".example.com:443/")
+        u2 = _join("https://host", hid, ".example.com/p/", ids_s,
+                   "?utm_source=feed&utm_medium=rss")
+        u3 = _join("http://host", hid, ".example.com/p/", ids_s,
+                   "?a=1&utm_x=2")
+        u4 = _join("http://host", hid, ".example.com/p/", ids_s)
+        url = pc.if_else(
+            pc.equal(v, 0), u0,
+            pc.if_else(pc.equal(v, 1), u1,
+                       pc.if_else(pc.equal(v, 2), u2,
+                                  pc.if_else(pc.equal(v, 3), u3, u4))))
+        return pa.table({"doc_id": ids, "url": url})
+
+    aug = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return aug.map_batches(canonicalize_url_fn, batch_format="pyarrow")
+
+
 def q_inverted_index(sf_dir: str):
     """Exact inverted index: token → (df, doc_ids, tfs) postings.
 
@@ -2426,6 +2466,27 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len "
         "FROM t"
     ),
+    "url_canonicalize": (
+        "WITH b AS (SELECT doc_id, doc_id % 5 AS v, "
+        "CAST(doc_id AS VARCHAR) AS ids, "
+        "CAST(doc_id % 97 AS VARCHAR) AS hid FROM documents) "
+        "SELECT doc_id, "
+        "CASE v WHEN 0 THEN 'HTTP://Host' || hid || "
+        "'.Example.COM:80/p/' || ids || '#sec' "
+        "WHEN 1 THEN 'https://host' || hid || '.example.com:443/' "
+        "WHEN 2 THEN 'https://host' || hid || '.example.com/p/' || ids "
+        "|| '?utm_source=feed&utm_medium=rss' "
+        "WHEN 3 THEN 'http://host' || hid || '.example.com/p/' || ids "
+        "|| '?a=1&utm_x=2' "
+        "ELSE 'http://host' || hid || '.example.com/p/' || ids "
+        "END AS url, "
+        "CASE v WHEN 1 THEN 'https://host' || hid || '.example.com' "
+        "WHEN 2 THEN 'https://host' || hid || '.example.com/p/' || ids "
+        "WHEN 3 THEN 'http://host' || hid || '.example.com/p/' || ids "
+        "|| '?a=1' "
+        "ELSE 'http://host' || hid || '.example.com/p/' || ids "
+        "END AS url_canon FROM b"
+    ),
     "inverted_index": (
         "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) "
         "AS token FROM documents WHERE text IS NOT NULL), "
@@ -2892,6 +2953,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
+    "url_canonicalize": q_url_canonicalize,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

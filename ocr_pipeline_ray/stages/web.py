@@ -113,3 +113,57 @@ def blocklist_filter(ds, blocked_hosts: Union[List[str], pa.Table],
     return out.map_batches(
         lambda b: b.drop_columns(["host"]), batch_format="pyarrow"
     )
+
+
+# URL canonicalization: scheme/host lowercasing rebuild FIRST (so the
+# lowercase-anchored rewrite patterns below see canonical case), then
+# ordered RE2 rewrites (Arrow and DuckDB share both the match and the
+# \1-backreference rewrite dialect). Order is the contract.
+CANON_STEPS = [
+    # 1. fragment
+    (r"#.*$", ""),
+    # 2. utm_* tracking params followed by another param (the +
+    #    swallows consecutive ones)
+    (r"([?&])(utm_[A-Za-z0-9_]+=[^&]*&)+", r"\1"),
+    # 3. trailing utm_* param
+    (r"[?&]utm_[A-Za-z0-9_]+=[^&]*$", ""),
+    # 4./5. default ports
+    (r"^(http://[^/?#]*):80([/?].*)?$", r"\1\2"),
+    (r"^(https://[^/?#]*):443([/?].*)?$", r"\1\2"),
+    # 6. bare root slash
+    (r"^(https?://[^/?#]+)/$", r"\1"),
+]
+
+_SPLIT_PATTERN = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+    r"(?P<host>[^/?#]*)(?P<rest>.*)$"
+)
+SPLIT_PATTERN_SQL = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+
+def canonicalize_url_fn(batch: pa.Table, url_col: str = "url",
+                        out_col: str = "url_canon") -> pa.Table:
+    """Append ``out_col`` = canonical form of ``url_col``.
+
+    Lowercases scheme+host (path/query case is preserved — it is
+    significant), then drops fragments and utm_* tracking params and
+    strips default ports and the bare root slash. All vectorized RE2
+    kernels; rows without a scheme://host shape skip the rebuild but
+    still pass through the rewrite steps. The crawl-dedup key
+    normalizer: exact dedup on ``url_canon`` merges the superficial
+    variants of one page.
+    """
+    u = pc.fill_null(batch.column(url_col), "")
+    parts = pc.extract_regex(u, _SPLIT_PATTERN)
+    ok = pc.is_valid(parts)
+    rebuilt = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "scheme"), "")),
+        "://",
+        pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "host"), "")),
+        pc.fill_null(pc.struct_field(parts, "rest"), ""),
+        "",
+    )
+    u = pc.if_else(ok, rebuilt, u)
+    for pattern, repl in CANON_STEPS:
+        u = pc.replace_substring_regex(u, pattern, repl)
+    return batch.append_column(out_col, u)

@@ -80,3 +80,49 @@ class TestBlocklist:
         ds = ray.data.from_arrow(_tbl(["http://a.x/1"]))
         out = blocklist_filter(ds, [], keep_host=True).take_all()
         assert out == [{"url": "http://a.x/1", "host": "a.x"}]
+
+
+class TestCanonicalizeUrl:
+    def _canon(self, urls):
+        from ocr_pipeline_ray.stages.web import canonicalize_url_fn
+
+        return canonicalize_url_fn(_tbl(urls)).column(
+            "url_canon").to_pylist()
+
+    def test_steps(self):
+        assert self._canon([
+            "HTTP://Ex.COM:80/a?utm_source=x&b=2#frag",
+            "https://a.b:443/",
+            "https://a.b/p?utm_a=1&utm_b=2",
+            "http://h/p?a=1&utm_x=9&utm_y=8",
+            "http://h.co:8080/x",          # non-default port kept
+            "https://h.co/Path/Case?Q=V",  # path/query case preserved
+            "not a url",
+            None,
+        ]) == [
+            "http://ex.com/a?b=2",
+            "https://a.b",
+            "https://a.b/p",
+            "http://h/p?a=1",
+            "http://h.co:8080/x",
+            "https://h.co/Path/Case?Q=V",
+            "not a url",
+            "",
+        ]
+
+    def test_idempotent(self):
+        once = self._canon([
+            "HTTP://Ex.COM:80/a?utm_source=x&b=2#frag",
+            "https://a.b:443/",
+        ])
+        assert self._canon(once) == once
+
+    def test_dedup_key_merges_variants(self):
+        # the whole point: superficial variants collapse to one key
+        variants = [
+            "http://site.com/page",
+            "HTTP://SITE.com/page#top",
+            "http://site.com:80/page",
+            "http://site.com/page?utm_campaign=x",
+        ]
+        assert len(set(self._canon(variants))) == 1

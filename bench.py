@@ -34,7 +34,8 @@ BENCH_ROOT = "/tmp/ocr_ray_bench"
 
 # queries timed in the full bench (one per operator family)
 BENCH_QUERIES = [
-    "replace_chars", "sanitize_chars", "token_count", "quality_report",
+    "replace_chars", "sanitize_chars", "nfc_normalize", "token_count",
+    "quality_report",
     "dedup_exact", "dedup_first_rows", "minhash_signatures",
     "minhash_dup_pairs", "dup_clusters", "dedup_canonical",
     "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",

@@ -526,6 +526,29 @@ def q_url_canonicalize(sf_dir: str):
     return aug.map_batches(canonicalize_url_fn, batch_format="pyarrow")
 
 
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC normalization with a vectorized ASCII fast path.
+
+    The synthetic corpus text is pure ASCII (NFC by definition), so the
+    query first plants decomposed accents deterministically ('e' ->
+    'e' + U+0301 combining acute) and then normalizes: rows containing
+    'e' exercise the Python compose path, the rest ride the zero-copy
+    ASCII identity path. The ORACLE applies DuckDB's independent
+    ``nfc_normalize`` implementation to the same decomposed input, so
+    the compose table itself is load-bearing.
+    """
+    from .stages.normalize import nfc_normalize_fn
+
+    def _decompose(batch: pa.Table) -> pa.Table:
+        txt = pc.replace_substring(batch.column("text"), "e", "e\u0301")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": txt})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _decompose, batch_format="pyarrow")
+    ds = ds.map_batches(nfc_normalize_fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_nfc"])
+
+
 def q_inverted_index(sf_dir: str):
     """Exact inverted index: token → (df, doc_ids, tfs) postings.
 
@@ -2487,6 +2510,11 @@ ORACLE_SQL: Dict[str, str] = {
         "ELSE 'http://host' || hid || '.example.com/p/' || ids "
         "END AS url_canon FROM b"
     ),
+    "nfc_normalize": (
+        "SELECT doc_id, "
+        "nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS text_nfc "
+        "FROM documents"
+    ),
     "inverted_index": (
         "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) "
         "AS token FROM documents WHERE text IS NOT NULL), "
@@ -2954,6 +2982,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
     "url_canonicalize": q_url_canonicalize,
+    "nfc_normalize": q_nfc_normalize,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

@@ -161,6 +161,46 @@ def finalize_text_fn(batch: pa.Table) -> pa.Table:
     return out
 
 
+def nfc_normalize_fn(batch: pa.Table, col: str = "text",
+                     out_col: str = "text_nfc") -> pa.Table:
+    """Append ``out_col`` = Unicode NFC normalization of ``col``.
+
+    Corpus-cleaning prerequisite for exact dedup / shingling: the
+    same page crawled twice can differ only in composed-vs-decomposed
+    accents (``e`` + U+0301 vs ``é``), which defeats byte-level
+    fingerprints. Semantics are Python ``unicodedata.normalize('NFC')``
+    == DuckDB ``nfc_normalize`` (verified; pyarrow's ``utf8_normalize``
+    is NOT used — its utf8proc build decomposes instead of composing).
+
+    Scale shape: row-local, no shuffle. The hot path is vectorized via
+    an ASCII fast path — ``pc.string_is_ascii`` masks the (dominant on
+    web text) pure-ASCII rows, which are NFC by definition and pass
+    through zero-copy; only the non-ASCII minority round-trips through
+    Python, scattered back with ``replace_with_mask``.
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    needs = pc.fill_null(
+        pc.and_(pc.is_valid(arr), pc.invert(pc.string_is_ascii(arr))),
+        False,
+    )
+    if pc.any(needs).as_py():
+        subset = arr.filter(needs)
+        normed = pa.array(
+            [unicodedata.normalize("NFC", s) for s in subset.to_pylist()],
+            pa.string(),
+        )
+        out = pc.replace_with_mask(arr, needs, normed)
+    else:
+        out = arr
+    return batch.append_column(out_col, out)
+
+
 def merge_repl_stats(ds) -> Dict[str, int]:
     """Corpus-level replacement-statistic merge (A3).
 

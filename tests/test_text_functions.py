@@ -290,3 +290,42 @@ class TestIdsAndHelpers:
 
         ts = time.struct_time((2026, 1, 2, 13, 45, 0, 0, 0, 0))
         assert wtr_filename("mydir", ts) == "mydir_2026-01-02_13-45.wtr"
+
+
+class TestNfcNormalize:
+    """Unicode NFC stage fn: ASCII fast path + Python compose path."""
+
+    def _run(self, texts):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages.normalize import nfc_normalize_fn
+
+        batch = pa.table({"text": pa.array(texts, pa.string())})
+        return nfc_normalize_fn(batch).column("text_nfc").to_pylist()
+
+    def test_composes_decomposed_accents(self):
+        assert self._run(["cafe\u0301"]) == ["caf\u00e9"]
+
+    def test_ascii_rows_pass_through_identity(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages.normalize import nfc_normalize_fn
+
+        batch = pa.table({"text": pa.array(["plain ascii", "more"], pa.string())})
+        out = nfc_normalize_fn(batch)
+        # All-ASCII batch takes the zero-copy branch: same backing array.
+        assert out.column("text_nfc").combine_chunks() == batch.column(
+            "text").combine_chunks()
+
+    def test_mixed_batch_with_nulls(self):
+        import unicodedata
+
+        texts = ["ascii", None, "über", "", "ñ"]
+        want = [
+            None if t is None else unicodedata.normalize("NFC", t)
+            for t in texts
+        ]
+        assert self._run(texts) == want
+
+    def test_already_nfc_nonascii_unchanged(self):
+        assert self._run(["café über"]) == ["café über"]

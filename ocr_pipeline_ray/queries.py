@@ -2135,6 +2135,46 @@ def q_click_attribution(sf_dir: str):
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_campaign_attribution(sf_dir: str):
+    """Range (interval) join, banded SHUFFLE strategy, oracle-checked
+    against a DuckDB ``BETWEEN`` join: every event × every campaign
+    window containing its timestamp — one row PER MATCHING PAIR.
+
+    Campaigns are 24 deterministic 54-hour windows starting every 30
+    hours through Jan 2024, so consecutive windows overlap by 24h and
+    most events belong to exactly two — multi-match is load-bearing.
+    The engine path cuts time into 1-day bands, replicates each window
+    to the 3 bands it overlaps and co-shuffles (no memory assumption,
+    no all-pairs scan); the pytest differential also covers the
+    broadcast strategy.
+    """
+    import datetime as dt
+
+    from .stages.join import range_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"])
+    base = dt.datetime(2024, 1, 1)
+    camp = pa.table({
+        "campaign_id": pa.array(range(24), pa.int64()),
+        "start_ts": pa.array(
+            [base + dt.timedelta(hours=30 * k) for k in range(24)],
+            pa.timestamp("us")),
+        "end_ts": pa.array(
+            [base + dt.timedelta(hours=30 * k + 54) for k in range(24)],
+            pa.timestamp("us")),
+    })
+    joined = range_join(
+        ev, ray.data.from_arrow(camp),
+        value_col="ts", lo_col="start_ts", hi_col="end_ts",
+        right_cols=["campaign_id"], how="inner",
+        strategy="shuffle", band_width=86400e6, n_buckets=32,
+    )
+    return joined.select_columns(["event_id", "campaign_id",
+                                  "event_type"])
+
+
 def q_events_hourly(sf_dir: str):
     """Timestamp bucketing + grouped aggregate over the events table.
 
@@ -2509,6 +2549,15 @@ ORACLE_SQL: Dict[str, str] = {
         "|| '?a=1' "
         "ELSE 'http://host' || hid || '.example.com/p/' || ids "
         "END AS url_canon FROM b"
+    ),
+    "campaign_attribution": (
+        "WITH camp AS (SELECT k AS campaign_id, "
+        "TIMESTAMP '2024-01-01' + to_hours(30 * k) AS start_ts, "
+        "TIMESTAMP '2024-01-01' + to_hours(30 * k + 54) AS end_ts "
+        "FROM (SELECT unnest(range(24)) AS k)) "
+        "SELECT event_id, campaign_id, event_type "
+        "FROM events JOIN camp "
+        "ON events.ts BETWEEN camp.start_ts AND camp.end_ts"
     ),
     "nfc_normalize": (
         "SELECT doc_id, "
@@ -2983,6 +3032,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "url_canonicalize": q_url_canonicalize,
     "nfc_normalize": q_nfc_normalize,
+    "campaign_attribution": q_campaign_attribution,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

@@ -341,3 +341,131 @@ class TestJoins:
             right_cols=["w"],
         ).take_all()
         assert set(rows[0].keys()) == {"k", "v", "w"}
+
+
+class TestRangeJoin:
+    """range_join vs a DuckDB BETWEEN-join differential."""
+
+    def _sides(self, seed=7, n_left=200, n_right=23):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        left = pa.table({
+            "eid": pa.array(range(n_left), pa.int64()),
+            "val": pa.array(
+                [None if i % 37 == 0 else float(x) for i, x in
+                 enumerate(rng.uniform(0, 1000, n_left))],
+                pa.float64()),
+        })
+        lo = rng.uniform(0, 950, n_right)
+        right = pa.table({
+            "iid": pa.array(range(n_right), pa.int64()),
+            "lo": pa.array(
+                [None if i == 5 else float(x)
+                 for i, x in enumerate(lo)], pa.float64()),
+            "hi": pa.array(
+                [None if i == 9 else float(x + w) for i, (x, w) in
+                 enumerate(zip(lo, rng.uniform(0, 120, n_right)))],
+                pa.float64()),
+        })
+        return left, right
+
+    def _oracle(self, left, right, how):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        sql = {
+            "inner": ("SELECT eid, iid FROM l JOIN r "
+                      "ON l.val BETWEEN r.lo AND r.hi"),
+            "left": ("SELECT eid, iid FROM l LEFT JOIN r "
+                     "ON l.val BETWEEN r.lo AND r.hi"),
+            "semi": ("SELECT eid FROM l WHERE EXISTS (SELECT 1 FROM r "
+                     "WHERE l.val BETWEEN r.lo AND r.hi)"),
+            "anti": ("SELECT eid FROM l WHERE NOT EXISTS (SELECT 1 "
+                     "FROM r WHERE l.val BETWEEN r.lo AND r.hi)"),
+        }[how]
+        rows = con.execute(sql).fetchall()
+        con.close()
+        if how in ("semi", "anti"):
+            return sorted(r[0] for r in rows)
+        return sorted((r[0], r[1]) for r in rows)
+
+    @pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_matches_duckdb(self, ray_session, strategy, how):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import range_join
+
+        left, right = self._sides()
+        got = range_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            value_col="val", lo_col="lo", hi_col="hi",
+            how=how, strategy=strategy, band_width=100.0,
+            n_buckets=8,
+        ).take_all()
+        if how in ("semi", "anti"):
+            assert sorted(r["eid"] for r in got) == \
+                self._oracle(left, right, how)
+        else:
+            assert sorted(
+                (r["eid"], r["iid"]) for r in got
+            ) == self._oracle(left, right, how)
+
+    def test_strategies_agree_timestamps(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import range_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = pa.table({
+            "eid": pa.array(range(50), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=3 * i) for i in range(50)],
+                pa.timestamp("us")),
+        })
+        right = pa.table({
+            "cid": pa.array(range(6), pa.int64()),
+            "start": pa.array(
+                [base + dt.timedelta(hours=20 * k) for k in range(6)],
+                pa.timestamp("us")),
+            "end": pa.array(
+                [base + dt.timedelta(hours=20 * k + 30)
+                 for k in range(6)], pa.timestamp("us")),
+        })
+        out = {}
+        for strategy in ("broadcast", "shuffle"):
+            got = range_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right),
+                value_col="ts", lo_col="start", hi_col="end",
+                strategy=strategy, band_width=36 * 3600 * 1e6,
+            ).take_all()
+            out[strategy] = sorted((r["eid"], r["cid"]) for r in got)
+        assert out["broadcast"] == out["shuffle"]
+        # overlapping windows: some events in 2 campaigns
+        from collections import Counter
+        per_event = Counter(e for e, _ in out["broadcast"])
+        assert max(per_event.values()) >= 2
+
+    def test_band_width_invariance(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import range_join
+
+        left, right = self._sides(seed=11)
+        results = []
+        for bw in (17.0, 100.0, 5000.0):
+            got = range_join(
+                ray.data.from_arrow(left).repartition(5),
+                ray.data.from_arrow(right).repartition(2),
+                value_col="val", lo_col="lo", hi_col="hi",
+                strategy="shuffle", band_width=bw, n_buckets=8,
+            ).take_all()
+            results.append(sorted((r["eid"], r["iid"]) for r in got))
+        assert results[0] == results[1] == results[2]

@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "pii_redact", "host_stats", "heavy_hitters", "inverted_index",
     "events_hourly", "events_by_type_salted", "user_sessions",
-    "events_sliding_window", "click_attribution", "revenue_by_nation",
+    "events_sliding_window", "click_attribution",
+    "campaign_attribution", "sequence_packing", "revenue_by_nation",
     "customers_no_orders", "customer_running_spend",
     "corpus_filter", "corpus_quantiles", "tfidf_top_terms",
     "top_tokens",

@@ -2135,6 +2135,30 @@ def q_click_attribution(sf_dir: str):
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_sequence_packing(sf_dir: str):
+    """Training-data sequence packing plan, oracle-checked against a
+    DuckDB global-window cumsum: each doc's coordinates in the
+    contiguous 512-token packing stream (cum_before / seq_id /
+    seq_offset / windows straddled), ordered by doc_id.
+
+    Engine shape is the distributed prefix-sum: per-band partial sums
+    → tiny driver prefix over the band histogram → one co-shuffle by
+    band bucket with whole-bucket rebased cumsums. The oracle's
+    ``sum() OVER (ORDER BY doc_id)`` is the sequential twin.
+    """
+    from .stages.pack import sequence_packing
+    from .stages.textstats import token_count_fn
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_count_fn, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    packed = sequence_packing(ds, seq_len=512, band_size=64,
+                              n_buckets=16)
+    return packed.select_columns(
+        ["doc_id", "n_tokens", "cum_before", "seq_id", "seq_offset",
+         "n_windows"])
+
+
 def q_campaign_attribution(sf_dir: str):
     """Range (interval) join, banded SHUFFLE strategy, oracle-checked
     against a DuckDB ``BETWEEN`` join: every event × every campaign
@@ -2549,6 +2573,21 @@ ORACLE_SQL: Dict[str, str] = {
         "|| '?a=1' "
         "ELSE 'http://host' || hid || '.example.com/p/' || ids "
         "END AS url_canon FROM b"
+    ),
+    "sequence_packing": (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cum_before FROM t) "
+        "SELECT doc_id, n_tokens, cum_before, "
+        "cum_before // 512 AS seq_id, "
+        "cum_before % 512 AS seq_offset, "
+        "CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE "
+        "(cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1 "
+        "END AS BIGINT) AS n_windows FROM c"
     ),
     "campaign_attribution": (
         "WITH camp AS (SELECT k AS campaign_id, "
@@ -3033,6 +3072,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "nfc_normalize": q_nfc_normalize,
     "campaign_attribution": q_campaign_attribution,
+    "sequence_packing": q_sequence_packing,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

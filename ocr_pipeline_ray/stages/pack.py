@@ -1,0 +1,133 @@
+"""Sequence packing: the training-data window-assignment operator.
+
+LLM pre-training concatenates documents in a fixed order and chunks
+the token stream into fixed-length windows (contiguous-fill packing).
+The per-document packing plan — where each document's tokens land —
+is a pure function of the GLOBAL running token count before the
+document, which makes this the canonical distributed PREFIX-SUM
+shape:
+
+1. one streaming pass reduces each batch to per-BAND partial token
+   sums (band = ``id // band_size`` — value-range banding, so the
+   result is layout-independent);
+2. the driver prefix-sums the tiny (band, sum) table — bands number
+   ``id_range / band_size``, a few thousand rows even at 10^12 docs
+   with a sane ``band_size``, the same bounded-cardinality contract
+   as ``stages/stats.exact_quantiles``;
+3. a second pass co-shuffles rows by ``bucket_ids(band)`` and each
+   whole-BUCKET UDF sorts its band runs by id once and adds the
+   band's global offset to a local numpy cumsum — one UDF per
+   bucket, never per document.
+
+The corpus is touched twice, streaming both times; the only
+materialized object is the band histogram. Output columns per doc:
+``cum_before`` (tokens before this doc in the global stream),
+``seq_id`` (window index of its first token), ``seq_offset``
+(position inside that window) and ``n_windows`` (how many windows
+the doc straddles). Downstream shard writers can emit actual packed
+token buffers from this plan without any further shuffle: every
+document knows exactly where it lands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import bucket_ids
+
+
+def sequence_packing(ds, seq_len: int, id_col: str = "doc_id",
+                     tokens_col: str = "n_tokens",
+                     band_size: int = 8192, n_buckets: int = 64):
+    """Assign every row its packed-window coordinates.
+
+    ``ds`` must carry unique integer ``id_col`` (the global packing
+    order) and an int64 ``tokens_col``. Returns a Dataset with the
+    input columns plus ``cum_before``/``seq_id``/``seq_offset``/
+    ``n_windows`` (all int64). Zero-token docs get ``n_windows=0``
+    but keep their stream position.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be > 0")
+    if band_size <= 0:
+        raise ValueError("band_size must be > 0")
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _band_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy()
+        toks = batch.column(tokens_col).combine_chunks().to_numpy()
+        band = ids // band_size
+        ub, inv = np.unique(band, return_inverse=True)
+        sums = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sums, inv, toks.astype(np.int64))
+        return pa.table({
+            "_band": pa.array(ub, pa.int64()),
+            "_tok": pa.array(sums, pa.int64()),
+        })
+
+    band_tbl = (
+        ds.select_columns([id_col, tokens_col])
+        .map_batches(_band_partial, batch_format="pyarrow")
+        .groupby("_band").aggregate(Sum("_tok", alias_name="tok"))
+        .sort("_band")
+        .to_pandas()  # tiny: one row per band
+    )
+    bands = band_tbl["_band"].to_numpy()
+    band_offset = np.concatenate(
+        ([0], np.cumsum(band_tbl["tok"].to_numpy())[:-1])
+    ).astype(np.int64)
+    offsets = dict(zip(bands.tolist(), band_offset.tolist()))
+
+    def _with_band(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy()
+        band = (ids // band_size).astype(np.int64)
+        return batch.append_column(
+            "_bucket", pa.array(bucket_ids(pa.array(band, pa.int64()),
+                                           n_buckets), pa.int64())
+        ).append_column("_band", pa.array(band, pa.int64()))
+
+    def _pack_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).combine_chunks().to_numpy()
+        toks = group.column(tokens_col).combine_chunks().to_numpy() \
+            .astype(np.int64)
+        band = group.column("_band").combine_chunks().to_numpy()
+        # sort by (band, id): band runs become contiguous and each
+        # run is already in packing order
+        order = np.lexsort((ids, band))
+        sb, st = band[order], toks[order]
+        cum = np.zeros(len(order), dtype=np.int64)
+        if len(order):
+            run_starts = np.concatenate(
+                ([0], np.nonzero(sb[1:] != sb[:-1])[0] + 1))
+            csum = np.cumsum(st) - st  # within-bucket exclusive cumsum
+            # rebase each band run to its own global offset
+            base = csum[run_starts]
+            rebased = csum - np.repeat(
+                base, np.diff(np.concatenate((run_starts, [len(sb)]))))
+            cum = rebased + np.array(
+                [offsets[b] for b in sb[run_starts].tolist()],
+                dtype=np.int64,
+            ).repeat(np.diff(np.concatenate((run_starts, [len(sb)]))))
+        seq_id = cum // seq_len
+        seq_off = cum % seq_len
+        last = np.where(st > 0, (cum + st - 1) // seq_len, seq_id)
+        n_windows = np.where(st > 0, last - seq_id + 1, 0)
+        out = group.take(pa.array(order, pa.int64())).drop_columns(
+            ["_bucket", "_band"])
+        return (
+            out.append_column("cum_before", pa.array(cum, pa.int64()))
+            .append_column("seq_id", pa.array(seq_id, pa.int64()))
+            .append_column("seq_offset", pa.array(seq_off, pa.int64()))
+            .append_column("n_windows",
+                           pa.array(n_windows.astype(np.int64),
+                                    pa.int64()))
+        )
+
+    return (
+        ds.map_batches(_with_band, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=min(n_buckets, 64))
+        .map_groups(_pack_bucket, batch_format="pyarrow")
+    )

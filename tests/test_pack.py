@@ -1,0 +1,80 @@
+"""Sequence packing: distributed prefix-sum vs a DuckDB window twin."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_tbl(seed=3, n=300, id_stride=7):
+    rng = np.random.default_rng(seed)
+    # non-contiguous, shuffled ids: packing order is BY ID, not by
+    # input layout
+    ids = (np.arange(n) * id_stride + 11).astype(np.int64)
+    rng.shuffle(ids)
+    toks = rng.integers(0, 900, n).astype(np.int64)
+    toks[rng.integers(0, n, 5)] = 0  # zero-token docs keep position
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(toks, pa.int64()),
+    })
+
+
+def _oracle(tbl, seq_len):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("d", tbl)
+    rows = con.execute(f"""
+        WITH c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+          FROM d)
+        SELECT doc_id, cum_before, cum_before // {seq_len},
+               cum_before % {seq_len},
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (cum_before + n_tokens - 1) // {seq_len}
+                         - cum_before // {seq_len} + 1 END
+        FROM c ORDER BY doc_id
+    """).fetchall()
+    con.close()
+    return rows
+
+
+class TestSequencePacking:
+    @pytest.mark.parametrize("layout", [1, 4])
+    @pytest.mark.parametrize("band_size", [64, 8192])
+    def test_matches_window_oracle(self, ray_session, layout, band_size):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.pack import sequence_packing
+
+        tbl = _docs_tbl()
+        got = sequence_packing(
+            ray.data.from_arrow(tbl).repartition(layout),
+            seq_len=512, band_size=band_size, n_buckets=8,
+        ).take_all()
+        got_rows = sorted(
+            (r["doc_id"], r["cum_before"], r["seq_id"],
+             r["seq_offset"], r["n_windows"]) for r in got
+        )
+        assert got_rows == _oracle(tbl, 512)
+
+    def test_stream_is_gapless(self, ray_session):
+        """Window coordinates tile the token stream exactly."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.pack import sequence_packing
+
+        tbl = _docs_tbl(seed=9)
+        rows = sequence_packing(
+            ray.data.from_arrow(tbl).repartition(3), seq_len=256,
+            band_size=128, n_buckets=8,
+        ).take_all()
+        rows.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows:
+            assert r["cum_before"] == expect
+            assert r["seq_id"] * 256 + r["seq_offset"] == expect
+            expect += r["n_tokens"]

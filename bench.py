@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "events_sliding_window", "click_attribution",
     "campaign_attribution", "sequence_packing", "revenue_by_nation",
     "customers_no_orders", "customer_running_spend",
-    "corpus_filter", "corpus_quantiles", "tfidf_top_terms",
+    "corpus_filter", "corpus_quantiles", "profile_table",
+    "tfidf_top_terms",
     "top_tokens",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",

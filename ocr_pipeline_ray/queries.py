@@ -2135,6 +2135,19 @@ def q_click_attribution(sf_dir: str):
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_profile_table(sf_dir: str):
+    """One-pass per-column profile of the documents table — counts,
+    nulls, min/max, numeric mean, md5-KMV distinct estimate — every
+    statistic (including the sketch VALUE) oracle-checked against a
+    per-column SQL twin. One streaming pass, driver merges only
+    blocks × columns tiny partial rows."""
+    from .stages.profile import profile_table
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars", "lang", "source"])
+    return profile_table(ds, numeric_cols=["doc_id", "n_chars"],
+                         string_cols=["lang", "source"], kmv_k=64)
+
+
 def q_sequence_packing(sf_dir: str):
     """Training-data sequence packing plan, oracle-checked against a
     DuckDB global-window cumsum: each doc's coordinates in the
@@ -2331,7 +2344,49 @@ def _pii_chain_cte() -> str:
 
 _PII_CHAIN_CTE = _pii_chain_cte()
 
+def _profile_sql_col(col: str, numeric: bool) -> str:
+    """One UNION-ALL arm of the profile_table oracle: the SQL twin of
+    stages/profile.profile_table for a single column, including the
+    md5-KMV distinct sketch (k=64) computed bit-for-bit."""
+    kmv = (
+        "(WITH h AS (SELECT DISTINCT CAST(('0x' || "
+        "substr(md5(CAST({c} AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv "
+        "FROM documents WHERE {c} IS NOT NULL), "
+        "kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 64) "
+        "SELECT CASE WHEN count(*) < 64 "
+        "THEN CAST(count(*) AS DOUBLE) "
+        "ELSE floor(63.0 / (CAST(max(hv) AS DOUBLE) / 4294967296.0) "
+        "* 1000000.0 + 0.5) / 1000000.0 END FROM kmin)"
+    ).format(c=col)
+    if numeric:
+        stats = (
+            "CAST(min({c}) AS DOUBLE) AS vmin, "
+            "CAST(max({c}) AS DOUBLE) AS vmax, "
+            "floor(avg({c}) * 1000000.0 + 0.5) / 1000000.0 AS mean, "
+            "CAST(NULL AS VARCHAR) AS smin, "
+            "CAST(NULL AS VARCHAR) AS smax"
+        ).format(c=col)
+    else:
+        stats = (
+            "CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS "
+            "vmax, CAST(NULL AS DOUBLE) AS mean, "
+            "min({c}) AS smin, max({c}) AS smax"
+        ).format(c=col)
+    return (
+        f"SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) FILTER (WHERE {col} IS NULL) AS BIGINT) "
+        f"AS n_nulls, " + stats
+        + f", {kmv} AS n_distinct_kmv FROM documents"
+    )
+
+
+PROFILE_SQL = " UNION ALL ".join(
+    [_profile_sql_col(c, True) for c in ("doc_id", "n_chars")]
+    + [_profile_sql_col(c, False) for c in ("lang", "source")]
+)
+
 ORACLE_SQL: Dict[str, str] = {
+    "profile_table": PROFILE_SQL,
     "replace_chars": (
         "SELECT doc_id, replace(replace(text, 'spark', 'ray'), "
         "'table', 'tbl') AS text_norm FROM documents"
@@ -3073,6 +3128,7 @@ QUERIES = {
     "nfc_normalize": q_nfc_normalize,
     "campaign_attribution": q_campaign_attribution,
     "sequence_packing": q_sequence_packing,
+    "profile_table": q_profile_table,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

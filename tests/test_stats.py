@@ -290,3 +290,53 @@ class TestHeavyHitters:
                  for i in range(10)]
         with pytest.raises(ValueError, match="max_candidates"):
             self._run(texts, 1, 10**9, max_candidates=10)
+
+
+class TestProfileTable:
+    def test_nulls_and_empty_columns(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.profile import profile_table
+
+        tbl = pa.table({
+            "x": pa.array([1, None, 3, None, 5], pa.int64()),
+            "s": pa.array(["b", "a", None, "c", "a"], pa.string()),
+            "empty": pa.array([None] * 5, pa.string()),
+        })
+        out = profile_table(
+            ray.data.from_arrow(tbl).repartition(3),
+            numeric_cols=["x"], string_cols=["s", "empty"], kmv_k=8,
+        ).to_pydict()
+        prof = {c: i for i, c in enumerate(out["col"])}
+        i = prof["x"]
+        assert out["n_rows"][i] == 5 and out["n_nulls"][i] == 2
+        assert out["vmin"][i] == 1.0 and out["vmax"][i] == 5.0
+        assert out["mean"][i] == 3.0
+        assert out["n_distinct_kmv"][i] == 3.0  # < k → exact
+        i = prof["s"]
+        assert out["smin"][i] == "a" and out["smax"][i] == "c"
+        assert out["n_distinct_kmv"][i] == 3.0
+        i = prof["empty"]
+        assert out["n_nulls"][i] == 5
+        assert out["smin"][i] is None
+        assert out["n_distinct_kmv"][i] == 0.0
+
+    def test_layout_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.profile import profile_table
+
+        rng = np.random.default_rng(5)
+        tbl = pa.table({
+            "v": pa.array(rng.integers(0, 500, 400), pa.int64()),
+        })
+        outs = []
+        for layout in (1, 7):
+            outs.append(profile_table(
+                ray.data.from_arrow(tbl).repartition(layout),
+                numeric_cols=["v"], string_cols=[], kmv_k=16,
+            ).to_pydict())
+        assert outs[0] == outs[1]

@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",
     "paragraph_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
-    "pii_redact", "host_stats", "heavy_hitters", "inverted_index",
+    "pii_redact", "host_stats", "host_cap", "heavy_hitters",
+    "inverted_index",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "events_sliding_window", "click_attribution",
     "campaign_attribution", "sequence_packing", "revenue_by_nation",

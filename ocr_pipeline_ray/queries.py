@@ -446,6 +446,23 @@ def q_host_blocklist(sf_dir: str):
     return blocklist_filter(ds, blocked).sort("doc_id")
 
 
+def q_host_cap(sf_dir: str):
+    """Domain balancing: keep at most 5 docs per host (smallest
+    doc_id wins) over the skewed synthetic crawl — the hot host
+    (1/3 of the corpus) is cut to 5 like everyone else. One
+    key-hash-bucketed shuffle, whole-bucket sort + rank mask; oracle
+    is the ``row_number() OVER (PARTITION BY host)`` twin."""
+    from .stages.dedup import group_cap
+    from .stages.web import url_host_fn
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(url_host_fn, batch_format="pyarrow")
+    capped = group_cap(ds, key_col="host", order_col="doc_id", k=5,
+                       n_buckets=32)
+    return capped.select_columns(["doc_id", "host"])
+
+
 def q_paragraph_dedup(sf_dir: str):
     """CCNet-style paragraph dedup with doc reassembly.
 
@@ -2703,6 +2720,13 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(sum(n_chars) AS BIGINT) AS total_n_chars "
         "FROM documents GROUP BY 1"
     ),
+    "host_cap": (
+        "SELECT doc_id, host FROM ("
+        "SELECT doc_id, 'host' || CAST(" + _HOST_ID_SQL
+        + " AS VARCHAR) || '.example.com' AS host FROM documents) "
+        "QUALIFY row_number() OVER "
+        "(PARTITION BY host ORDER BY doc_id) <= 5"
+    ),
     "host_blocklist": (
         "SELECT doc_id, 'http://host' || "
         "CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
@@ -3129,6 +3153,7 @@ QUERIES = {
     "campaign_attribution": q_campaign_attribution,
     "sequence_packing": q_sequence_packing,
     "profile_table": q_profile_table,
+    "host_cap": q_host_cap,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

@@ -126,6 +126,68 @@ def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
     )
 
 
+def group_cap(ds, key_col: str, order_col="doc_id", k: int = 1,
+              n_buckets: int = 128):
+    """Keep at most ``k`` rows per key — the domain-balancing gate
+    ("at most K pages per host"), CCNet/C4 style.
+
+    Generalizes :func:`dedup_first` (k=1) with the same scale shape:
+    ONE shuffle hash-partitioned by ``bucket_ids(key)`` — never a
+    groupby on the raw key — then each whole-bucket UDF does a single
+    Arrow sort by (key, order...) and a vectorized within-run rank
+    mask. Per-key cost is one numpy comparison regardless of key
+    count; the hot key's rows all land in one bucket, which bounds
+    that bucket's sort, not the shuffle.
+
+    Winners are the k smallest by ``order_col`` (string or list;
+    pass enough columns for a unique order when determinism matters).
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    order_cols = [order_col] if isinstance(order_col, str) \
+        else list(order_col)
+
+    from ..functions.hashing import bucket_ids
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = bucket_ids(batch.column(key_col), n_buckets)
+        return batch.append_column(
+            "_kbucket", pa.array(buckets, pa.int64()))
+
+    sort_keys = [(key_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def _cap_per_key(group: pa.Table) -> pa.Table:
+        g = group.sort_by(sort_keys)
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns(["_kbucket"])
+        keys = g.column(key_col)
+        neq = pc.fill_null(
+            pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1)),
+            True,
+        )
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = neq.to_numpy(zero_copy_only=False)
+        start_idx = np.flatnonzero(starts)
+        # within-key rank = position minus the run's start position
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            start_idx,
+            np.diff(np.concatenate((start_idx, [n]))),
+        )
+        return g.filter(pa.array(rank < k)).drop_columns(["_kbucket"])
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("_kbucket", num_partitions=n_buckets)
+        .map_groups(_cap_per_key, batch_format="pyarrow")
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 def shingles(tokens: List[str], k: int = 3) -> List[str]:

@@ -870,3 +870,62 @@ class TestParagraphDedup:
         total_kept = sum(k for _, k in base.values())
         distinct = len({p for t in texts for p in t.split("\n\n")})
         assert total_kept == distinct
+
+
+class TestGroupCap:
+    def _tbl(self):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        keys = rng.integers(0, 9, 120)
+        return pa.table({
+            "k": pa.array([f"h{x}" for x in keys], pa.string()),
+            "o": pa.array(rng.permutation(120).astype("int64")),
+            "payload": pa.array(range(120), pa.int64()),
+        })
+
+    @pytest.mark.parametrize("layout", [1, 5])
+    def test_keeps_k_smallest_per_key(self, ray_session, layout):
+        from collections import defaultdict
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import group_cap
+
+        tbl = self._tbl()
+        got = group_cap(
+            ray.data.from_arrow(tbl).repartition(layout),
+            key_col="k", order_col="o", k=3, n_buckets=8,
+        ).take_all()
+        expect = defaultdict(list)
+        for k, o in zip(tbl.column("k").to_pylist(),
+                        tbl.column("o").to_pylist()):
+            expect[k].append(o)
+        want = {k: sorted(v)[:3] for k, v in expect.items()}
+        seen = defaultdict(list)
+        for r in got:
+            seen[r["k"]].append(r["o"])
+        assert {k: sorted(v) for k, v in seen.items()} == want
+
+    def test_k1_equals_dedup_first(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import dedup_first, group_cap
+
+        tbl = self._tbl()
+        a = group_cap(ray.data.from_arrow(tbl), key_col="k",
+                      order_col=["o", "payload"], k=1).take_all()
+        b = dedup_first(ray.data.from_arrow(tbl), key_col="k",
+                        order_col=["o", "payload"]).take_all()
+        key = lambda r: (r["k"], r["o"], r["payload"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+    def test_cap_larger_than_group_keeps_all(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import group_cap
+
+        tbl = self._tbl()
+        got = group_cap(ray.data.from_arrow(tbl), key_col="k",
+                        order_col="o", k=1000).take_all()
+        assert len(got) == tbl.num_rows

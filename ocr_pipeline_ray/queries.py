@@ -2152,6 +2152,17 @@ def q_click_attribution(sf_dir: str):
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_bpe_merges(sf_dir: str):
+    """First 6 BPE merges learned over the corpus (rows-only: the
+    trainer is iterative — round 1's statistic is oracle-pinned by
+    ``token_pair_counts``; rounds 2+ are pinned to a sequential
+    reference trainer in pytest). The corpus streams ONCE into the
+    word histogram; every round runs over the bounded histogram."""
+    from .stages.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, columns=["text"]), n_merges=6)
+
+
 def q_profile_table(sf_dir: str):
     """One-pass per-column profile of the documents table — counts,
     nulls, min/max, numeric mean, md5-KMV distinct estimate — every
@@ -3154,6 +3165,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "profile_table": q_profile_table,
     "host_cap": q_host_cap,
+    "bpe_merges": q_bpe_merges,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

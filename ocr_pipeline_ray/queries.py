@@ -2152,6 +2152,18 @@ def q_click_attribution(sf_dir: str):
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-proportional deterministic sample: keep a doc with
+    probability min(1, n_chars/4000), coin = md5(doc_id) — pure
+    integer comparison so the threshold reproduces bit-for-bit in
+    SQL. Row-local, prunes at scan speed, no shuffle."""
+    from .stages.stats import weighted_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, key_col="doc_id",
+                           weight_col="n_chars", scale=4000)
+
+
 def q_bpe_merges(sf_dir: str):
     """First 6 BPE merges learned over the corpus (rows-only: the
     trainer is iterative — round 1's statistic is oracle-pinned by
@@ -2731,6 +2743,11 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(sum(n_chars) AS BIGINT) AS total_n_chars "
         "FROM documents GROUP BY 1"
     ),
+    "weighted_sample": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+        "1, 8)) AS UBIGINT) * 4000 < n_chars * 4294967296"
+    ),
     "host_cap": (
         "SELECT doc_id, host FROM ("
         "SELECT doc_id, 'host' || CAST(" + _HOST_ID_SQL
@@ -3166,6 +3183,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "host_cap": q_host_cap,
     "bpe_merges": q_bpe_merges,
+    "weighted_sample": q_weighted_sample,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "approx_distinct_tokens": q_approx_distinct_tokens,

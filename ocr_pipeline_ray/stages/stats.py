@@ -289,3 +289,36 @@ def heavy_hitters(ds, text_col: str = "text",
                          "n": pc.cast(n, pa.int64())}).filter(keep)
 
     return exact.map_batches(_finish, batch_format="pyarrow")
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, scale: int):
+    """Deterministic weighted Bernoulli sample: keep a row with
+    probability ``min(1, weight / scale)`` — no RNG, reproducible
+    across runs and block layouts, dup-safe (same key → same fate).
+
+    The coin is ``md5(key)[:8]`` mapped to [0, 1): a row survives iff
+    ``hash_32 * scale < weight * 2^32`` (pure int64 comparison — no
+    float rounding ambiguity at the threshold). Row-local predicate:
+    prunes at scan speed, no shuffle, exactly reproducible in SQL.
+
+    This is the quality-proportional carve ("sample long/high-score
+    docs more") complementing the uniform stratified sample
+    (`queries.q_stratified_sample`).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        hs = np.fromiter(
+            (int(hashlib.md5(str(k).encode("utf-8")).hexdigest()[:8],
+                 16) for k in keys),
+            dtype=np.uint64, count=len(keys),
+        ).astype(np.int64)
+        w = batch.column(weight_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hs * int(scale) < w * 4294967296
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

@@ -324,10 +324,12 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     1. ``map_batches``: per-doc term frequencies → flat
        ``(doc_id, token, tf)`` rows (one row per DISTINCT doc-term).
-    2. document frequency = ONE ``groupby(token).count`` over those
-       rows (vocab-scale), then a token-keyed ``repartition_join``
-       back onto the tf rows — the no-memory-assumption path (a web
-       vocabulary does not fit a worker; never broadcast it).
+    2. ONE token-bucket shuffle co-locates every row of a token, so
+       document frequency is computed INSIDE the whole-bucket UDF
+       (dictionary-encode + bincount) and attached in place — df
+       groupby and df join fused into a single exchange; the
+       vocabulary is never broadcast (a web vocabulary does not fit
+       a worker) and the tf rows move exactly once for scoring.
     3. score = tf · ln(N/df); per-doc top-k via the standard bucketed
        shape — hash shuffle by doc bucket, per-bucket Arrow sort
        ``(doc, score desc, token)`` + vectorized segment-rank mask
@@ -339,28 +341,37 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     N (corpus size) is a driver-side scalar count — metadata-cheap.
     """
     import numpy as np
-    from ray.data.aggregate import Count
 
     from ..functions.hashing import bucket_ids
     from ..functions.segments import key_segments, segment_ranks
-    from .join import repartition_join
 
     n_docs = ds.count()
 
-    # tf feeds BOTH the df groupby and the join probe side —
-    # materialize once (flat token-scale rows; the object store
-    # spills) instead of re-running the tokenize pass
     tf = ds.map_batches(
         tf_rows_fn, batch_format="pyarrow",
         fn_kwargs={"id_col": id_col, "text_col": text_col},
-    ).materialize()
-    df = tf.groupby("token").aggregate(Count()).map_batches(
-        lambda b: pa.table({"token": b.column("token"),
-                            "df": pc.cast(b.column("count()"),
-                                          pa.int64())}),
-        batch_format="pyarrow",
     )
-    scored = repartition_join(tf, df, on="token", n_buckets=n_buckets)
+
+    def _tok_bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_tbucket", pa.array(
+            bucket_ids(batch.column("token"), n_buckets), pa.int64()))
+
+    def _df_attach(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_tbucket"])
+        if base.num_rows == 0:
+            return base.append_column("df", pa.array([], pa.int64()))
+        codes = pc.dictionary_encode(
+            base.column("token").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes)
+        return base.append_column(
+            "df", pa.array(counts[codes], pa.int64()))
+
+    scored = (
+        tf.map_batches(_tok_bucketize, batch_format="pyarrow")
+        .groupby("_tbucket", num_partitions=n_buckets)
+        .map_groups(_df_attach, batch_format="pyarrow")
+    )
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column("_dbucket", pa.array(

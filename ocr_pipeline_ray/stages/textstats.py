@@ -227,6 +227,44 @@ def tf_rows_fn(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def attach_df_by_token_bucket(tf, n_buckets: int = 64):
+    """Attach document frequency to flat ``(id, token, tf)`` rows in
+    ONE exchange: hash-bucket by token (so every row of a token lands
+    in one group), then compute df INSIDE the whole-bucket UDF
+    (dictionary-encode + bincount over the rows, which are one per
+    distinct doc-term) and append it in place.
+
+    This fuses the vocab-scale ``groupby(token).count`` and the
+    token-keyed join back onto the tf rows — the tf rows move exactly
+    once and the vocabulary is never broadcast (a web vocabulary does
+    not fit one worker).
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    def _tok_bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_tbucket", pa.array(
+            bucket_ids(batch.column("token"), n_buckets), pa.int64()))
+
+    def _df_attach(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_tbucket"])
+        if base.num_rows == 0:
+            return base.append_column("df", pa.array([], pa.int64()))
+        codes = pc.dictionary_encode(
+            base.column("token").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes)
+        return base.append_column(
+            "df", pa.array(counts[codes], pa.int64()))
+
+    return (
+        tf.map_batches(_tok_bucketize, batch_format="pyarrow")
+        .groupby("_tbucket", num_partitions=n_buckets)
+        .map_groups(_df_attach, batch_format="pyarrow")
+    )
+
+
 def token_rarity(ds, id_col: str = "doc_id", text_col: str = "text",
                  n_buckets: int = 64):
     """Corpus-frequency rarity signal: per-doc occurrence-weighted
@@ -239,28 +277,20 @@ def token_rarity(ds, id_col: str = "doc_id", text_col: str = "text",
     worker):
 
     1. ``map_batches(tf_rows_fn)`` → flat ``(doc, token, tf)`` rows.
-    2. df = ONE vocab-scale ``groupby(token).count`` (docs containing
-       the token), token-keyed ``repartition_join`` back onto tf rows.
+    2. df computed and attached in ONE token-bucket shuffle
+       (``attach_df_by_token_bucket`` — df groupby and df join fused).
     3. per-doc sums via map-side int64 partial combine
        (``np.add.at``) → small ``groupby(doc).sum`` → one IEEE
        division ``sum(tf·df)/sum(tf)`` — bit-exact vs the SQL twin.
     """
     import numpy as np
-    from ray.data.aggregate import Count, Sum
-
-    from .join import repartition_join
+    from ray.data.aggregate import Sum
 
     tf = ds.map_batches(
         tf_rows_fn, batch_format="pyarrow",
         fn_kwargs={"id_col": id_col, "text_col": text_col},
-    ).materialize()
-    df = tf.groupby("token").aggregate(Count()).map_batches(
-        lambda b: pa.table({"token": b.column("token"),
-                            "df": pc.cast(b.column("count()"),
-                                          pa.int64())}),
-        batch_format="pyarrow",
     )
-    joined = repartition_join(tf, df, on="token", n_buckets=n_buckets)
+    joined = attach_df_by_token_bucket(tf, n_buckets=n_buckets)
 
     def _partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).combine_chunks().to_numpy(
@@ -324,12 +354,10 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     1. ``map_batches``: per-doc term frequencies → flat
        ``(doc_id, token, tf)`` rows (one row per DISTINCT doc-term).
-    2. ONE token-bucket shuffle co-locates every row of a token, so
-       document frequency is computed INSIDE the whole-bucket UDF
-       (dictionary-encode + bincount) and attached in place — df
-       groupby and df join fused into a single exchange; the
-       vocabulary is never broadcast (a web vocabulary does not fit
-       a worker) and the tf rows move exactly once for scoring.
+    2. df computed and attached in ONE token-bucket shuffle
+       (``attach_df_by_token_bucket`` — df groupby and df join fused;
+       the vocabulary is never broadcast and the tf rows move exactly
+       once before scoring).
     3. score = tf · ln(N/df); per-doc top-k via the standard bucketed
        shape — hash shuffle by doc bucket, per-bucket Arrow sort
        ``(doc, score desc, token)`` + vectorized segment-rank mask
@@ -351,27 +379,7 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         tf_rows_fn, batch_format="pyarrow",
         fn_kwargs={"id_col": id_col, "text_col": text_col},
     )
-
-    def _tok_bucketize(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_tbucket", pa.array(
-            bucket_ids(batch.column("token"), n_buckets), pa.int64()))
-
-    def _df_attach(group: pa.Table) -> pa.Table:
-        base = group.drop_columns(["_tbucket"])
-        if base.num_rows == 0:
-            return base.append_column("df", pa.array([], pa.int64()))
-        codes = pc.dictionary_encode(
-            base.column("token").combine_chunks()
-        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.bincount(codes)
-        return base.append_column(
-            "df", pa.array(counts[codes], pa.int64()))
-
-    scored = (
-        tf.map_batches(_tok_bucketize, batch_format="pyarrow")
-        .groupby("_tbucket", num_partitions=n_buckets)
-        .map_groups(_df_attach, batch_format="pyarrow")
-    )
+    scored = attach_df_by_token_bucket(tf, n_buckets=n_buckets)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column("_dbucket", pa.array(

@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_first_rows", "minhash_signatures",
     "minhash_dup_pairs", "dup_clusters", "dedup_canonical",
     "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",
-    "paragraph_dedup",
+    "paragraph_dedup", "substring_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "pii_redact", "host_stats", "host_cap", "heavy_hitters",
     "inverted_index",

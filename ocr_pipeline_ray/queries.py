@@ -489,6 +489,18 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(aug, sep=sep).sort("doc_id")
 
 
+def q_substring_dedup(sf_dir: str):
+    """ExactSubstr duplicate-span removal (Lee et al. 2022) at
+    token granularity: every token covered by a 5-token window whose
+    exact text occurs >= 2 times corpus-wide is removed; docs rebuilt
+    from surviving tokens. Two window-row shuffles, rebuild fully
+    vectorized (diff-array coverage + ListArray/binary_join)."""
+    from .stages.dedup import substring_dedup
+
+    return substring_dedup(_docs(sf_dir), w=5, n_buckets=32).sort(
+        "doc_id")
+
+
 def q_heavy_hitters(sf_dir: str):
     """EXACT frequent tokens (>= 3.3% of all corpus tokens).
 
@@ -2737,6 +2749,33 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n_kept "
         "FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
     ),
+    "substring_dedup": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) "
+        "AS i FROM t), "
+        "w AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') "
+        "AS gram FROM w0), "
+        "dup AS (SELECT gram FROM w GROUP BY gram "
+        "HAVING count(*) >= 2), "
+        "cov AS (SELECT DISTINCT d.doc_id, d.i + o.o AS p "
+        "FROM (SELECT w.doc_id, w.i FROM w JOIN dup USING (gram)) d "
+        "CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o), "
+        "tok AS (SELECT doc_id, unnest(toks) AS tok, "
+        "unnest(range(1, len(toks) + 1)) AS pos FROM t), "
+        "kept AS (SELECT k.doc_id, k.tok, k.pos FROM tok k "
+        "LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.pos "
+        "WHERE c.p IS NULL), "
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+        "AS clean_text, count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+        "ELSE coalesce(a.clean_text, '') END AS clean_text, "
+        "CAST(CASE WHEN d.text IS NULL THEN 0 "
+        "ELSE len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) "
+        "END AS BIGINT) AS n_removed "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) "
+        "ORDER BY doc_id"
+    ),
     "host_stats": (
         "SELECT 'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
         "'.example.com' AS host, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -3174,6 +3213,7 @@ QUERIES = {
     "host_stats": q_host_stats,
     "host_blocklist": q_host_blocklist,
     "paragraph_dedup": q_paragraph_dedup,
+    "substring_dedup": q_substring_dedup,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
     "url_canonicalize": q_url_canonicalize,

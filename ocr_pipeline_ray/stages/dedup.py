@@ -1061,3 +1061,199 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("_dbucket", num_partitions=n_buckets)
         .map_groups(_reassemble, batch_format="pyarrow")
     )
+
+
+def window_gram_rows_fn(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text", w: int = 5) -> pa.Table:
+    """Explode docs into ``(gram, doc_id, pos)`` rows — one row per
+    ``w``-token window (``pos`` = 0-based start-token index).
+
+    Fully vectorized: one split kernel, then the gram strings come
+    from a single ``binary_join_element_wise`` over ``w`` shifted
+    slices of the flat token array; windows straddling a document
+    boundary are masked out. NULL texts emit no rows.
+    """
+    import numpy as np
+
+    from .textstats import _token_lists
+
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    b = batch.filter(pc.is_valid(batch.column(text_col)))
+    empty = pa.table({
+        "gram": pa.array([], pa.string()),
+        id_col: pa.array([], batch.schema.field(id_col).type),
+        "pos": pa.array([], pa.int64()),
+    })
+    if b.num_rows == 0:
+        return empty
+    flat, offsets, n_tokens = _token_lists(b, text_col)
+    n_starts = int(offsets[-1]) - w + 1
+    if n_starts <= 0:
+        return empty
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(i, n_starts) for i in range(w)], " ")
+    doc_idx = np.repeat(np.arange(len(n_tokens), dtype=np.int64),
+                        n_tokens)[:n_starts]
+    pos = np.arange(n_starts, dtype=np.int64) - offsets[doc_idx]
+    valid = pos + w <= n_tokens[doc_idx]
+    return pa.table({
+        "gram": grams.filter(pa.array(valid)),
+        id_col: b.column(id_col).take(pa.array(doc_idx[valid],
+                                               pa.int64())),
+        "pos": pa.array(pos[valid], pa.int64()),
+    })
+
+
+def duplicate_span_starts(gram_rows, id_col: str = "doc_id",
+                          n_buckets: int = 64):
+    """``(gram, doc_id, pos)`` rows → the ``(doc_id, pos)`` starts of
+    windows whose exact gram occurs ≥ 2 times corpus-wide.
+
+    ONE gram-bucket shuffle (the bucket co-locates every occurrence
+    of a gram), occurrence counts computed INSIDE the whole-bucket
+    UDF (dictionary-encode + bincount) — the gram vocabulary is never
+    broadcast or collected, and exact STRING identity (not a hash) is
+    compared, so there are no collision false-positives.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_gbucket", pa.array(
+            bucket_ids(batch.column("gram"), n_buckets), pa.int64()))
+
+    def _dups(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_gbucket"])
+        if base.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], base.schema.field(id_col).type),
+                "pos": pa.array([], pa.int64()),
+            })
+        codes = pc.dictionary_encode(
+            base.column("gram").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes)
+        return base.filter(
+            pa.array(counts[codes] >= 2)).select([id_col, "pos"])
+
+    return gram_rows.map_batches(
+        _bucketize, batch_format="pyarrow"
+    ).groupby("_gbucket", num_partitions=n_buckets).map_groups(
+        _dups, batch_format="pyarrow")
+
+
+def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    w: int = 5, n_buckets: int = 64):
+    """EXACT duplicate-substring removal at token granularity (the
+    ExactSubstr operator of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", recast for Ray Data): every
+    token covered by any ``w``-token window whose exact text occurs
+    ≥ 2 times in the corpus is removed, and each document is rebuilt
+    from its surviving tokens.
+
+    Output: ``(doc_id, clean_text, n_removed)``. NULL text stays NULL
+    (no windows); a fully-covered doc comes back as ``''``.
+
+    Scale shape — two shuffles, both of window/start-sized rows:
+
+    1. :func:`window_gram_rows_fn` explodes (vectorized) →
+       :func:`duplicate_span_starts` marks duplicated windows in one
+       gram-bucket exchange.
+    2. Rebuild co-shuffle: docs and their duplicate starts co-locate
+       by ``crc32(doc_id) % n_buckets``; inside the bucket a
+       range-update diff array (``np.add.at`` at ``start`` / +1,
+       ``start + w`` / −1, cumsum > 0) marks covered tokens and a
+       ``ListArray`` + ``binary_join`` reassembles every doc with no
+       per-doc Python loop.
+
+    Honest cost note: the gram rows carry the exact w-token STRING,
+    so stage 1 shuffles ~w× the text volume — inherent to exact
+    substring dedup (the suffix-array formulation ships the whole
+    corpus into the sort too). :func:`winnow_fingerprint_fn` is the
+    sampled alternative when approximate span coverage is enough.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+    from .textstats import _segment_sum, _token_lists
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    union_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        (id_col, types[id_col]), (text_col, types[text_col]),
+        ("pos", pa.int64()),
+    ])
+
+    gram_rows = ds.map_batches(
+        window_gram_rows_fn, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "w": w},
+    )
+    starts = duplicate_span_starts(gram_rows, id_col=id_col,
+                                   n_buckets=n_buckets)
+
+    def _tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "_bucket": pa.array(
+                    bucket_ids(batch.column(id_col), n_buckets),
+                    pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int32)),
+                id_col: batch.column(id_col),
+                text_col: (batch.column(text_col) if side == 0
+                           else pa.nulls(n, types[text_col])),
+                "pos": (batch.column("pos") if side == 1
+                        else pa.nulls(n, pa.int64())),
+            }, schema=union_schema)
+        return _fn
+
+    tagged = ds.select_columns([id_col, text_col]).map_batches(
+        _tag(0), batch_format="pyarrow"
+    ).union(starts.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        sides = group.column("_side").combine_chunks().to_numpy()
+        docs = group.filter(pa.array(sides == 0))
+        sts = group.filter(pa.array(sides == 1))
+        if docs.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], types[id_col]),
+                "clean_text": pa.array([], pa.string()),
+                "n_removed": pa.array([], pa.int64()),
+            })
+        text_valid = pc.is_valid(
+            docs.column(text_col)).combine_chunks()
+        flat, offsets, n_tokens = _token_lists(docs, text_col)
+        total = int(offsets[-1])
+        diff = np.zeros(total + w, np.int64)
+        if sts.num_rows:
+            drow = pc.index_in(
+                sts.column(id_col),
+                value_set=docs.column(id_col).combine_chunks(),
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            abs_pos = offsets[drow] + sts.column(
+                "pos").combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            np.add.at(diff, abs_pos, 1)
+            np.add.at(diff, abs_pos + w, -1)
+        kept = np.cumsum(diff[:total]) <= 0
+        kept_counts = _segment_sum(kept.astype(np.int64), offsets)
+        new_offsets = np.concatenate(
+            [[0], np.cumsum(kept_counts)]).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            flat.filter(pa.array(kept)))
+        clean = pc.if_else(text_valid, pc.binary_join(la, " "),
+                           pa.nulls(docs.num_rows, pa.string()))
+        return pa.table({
+            id_col: docs.column(id_col),
+            "clean_text": clean,
+            "n_removed": pa.array(
+                (n_tokens - kept_counts).astype(np.int64), pa.int64()),
+        })
+
+    return tagged.groupby("_bucket", num_partitions=n_buckets).map_groups(
+        _rebuild, batch_format="pyarrow")

@@ -929,3 +929,90 @@ class TestGroupCap:
         got = group_cap(ray.data.from_arrow(tbl), key_col="k",
                         order_col="o", k=1000).take_all()
         assert len(got) == tbl.num_rows
+
+
+class TestSubstringDedup:
+    """ExactSubstr-style duplicate-span removal (token granularity)."""
+
+    ROWS = [
+        (1, "a b c d e f g h"),             # shares "a b c d e" w/ 2
+        (2, "x a b c d e y z"),
+        (3, None),                          # NULL stays NULL
+        (4, ""),                            # single '' token, kept
+        (5, "p q r"),                       # shorter than w: untouched
+        (6, "a b c d e a b c d e"),         # internal repeat: all gone
+        (7, "unique tokens only here now"),
+    ]
+
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data
+
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in self.ROWS], pa.int64()),
+            "text": pa.array([r[1] for r in self.ROWS], pa.string()),
+        })
+        return ray.data.from_arrow(tbl)
+
+    def test_spans_removed(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import substring_dedup
+
+        got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in substring_dedup(self._ds(), w=5,
+                                        n_buckets=4).take_all()}
+        assert got == {
+            1: ("f g h", 5),
+            2: ("x y z", 5),
+            3: (None, 0),
+            4: ("", 0),
+            5: ("p q r", 0),
+            6: ("", 10),
+            7: ("unique tokens only here now", 0),
+        }
+
+    def test_no_duplicates_is_identity(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import substring_dedup
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["one two three four five six",
+                              "seven eight nine ten eleven twelve"]),
+        })
+        got = substring_dedup(ray.data.from_arrow(tbl), w=5,
+                              n_buckets=4).sort("doc_id").take_all()
+        assert [r["clean_text"] for r in got] == [
+            "one two three four five six",
+            "seven eight nine ten eleven twelve"]
+        assert [r["n_removed"] for r in got] == [0, 0]
+
+    def test_overlapping_windows_merge_coverage(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import substring_dedup
+
+        # docs share a 6-token run -> two overlapping dup 5-windows
+        # in each; coverage merges to the full 6 tokens
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["k l m n o p QQ", "RR k l m n o p"]),
+        })
+        got = substring_dedup(ray.data.from_arrow(tbl), w=5,
+                              n_buckets=4).sort("doc_id").take_all()
+        assert [(r["clean_text"], r["n_removed"]) for r in got] == [
+            ("QQ", 6), ("RR", 6)]
+
+    def test_w_validation(self, ray_session):
+        import pyarrow as pa
+
+        import pytest as _pytest
+
+        from ocr_pipeline_ray.stages.dedup import window_gram_rows_fn
+
+        tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "text": pa.array(["a b"], pa.string())})
+        with _pytest.raises(ValueError):
+            window_gram_rows_fn(tbl, w=1)

@@ -1840,6 +1840,20 @@ def q_user_sessions(sf_dir: str):
     return sessionize(ds, gap_minutes=30.0)
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gaps (the LAG window): count / max /
+    total of microsecond gaps between consecutive events per user.
+    ONE user-bucket shuffle + vectorized numpy diff/reduceat — all
+    int64, bit-exact vs the DuckDB lag() OVER twin."""
+    from .stages.temporal import event_gaps
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    )
+    return event_gaps(ds).sort("user_id")
+
+
 def q_events_sliding_window(sf_dir: str):
     """Trailing 3-hour sliding-window aggregate per event type.
 
@@ -3142,6 +3156,17 @@ ORACLE_SQL: Dict[str, str] = {
         "AS duration_us "
         "FROM s GROUP BY user_id, sess"
     ),
+    "event_gaps": (
+        "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+        "FROM events), "
+        "g AS (SELECT user_id, date_diff('microsecond', pts, ts) "
+        "AS gap FROM o WHERE pts IS NOT NULL) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+        "CAST(sum(gap) AS BIGINT) AS total_gap_us "
+        "FROM g GROUP BY user_id ORDER BY user_id"
+    ),
     "events_sliding_window": (
         "WITH hourly AS (SELECT event_type, "
         "date_trunc('hour', ts) AS hour, count(*) AS n, sum(value) AS sv "
@@ -3259,6 +3284,7 @@ QUERIES = {
     "click_attribution": q_click_attribution,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "user_sessions": q_user_sessions,
+    "event_gaps": q_event_gaps,
     "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,
     "media_features": q_media_features,

@@ -247,3 +247,57 @@ def sliding_window_agg(ds, key_col: str = "event_type", ts_col: str = "ts",
     ).map_groups(
         _slide, batch_format="pyarrow"
     )
+
+
+def event_gaps(ds, user_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id", n_buckets: int = 64):
+    """Per-user inter-event gaps (the LAG window): for every user with
+    ≥ 2 events, the count / max / total of the microsecond gaps
+    between consecutive events ordered by ``(ts, order_col)``.
+
+    Output: ``(user_id, n_gaps, max_gap_us, total_gap_us)`` — all
+    int64, so the DuckDB ``lag() OVER`` twin is bit-exact. Standard
+    skew-safe layout: ONE user-hash-bucket shuffle, then a single
+    Arrow sort + vectorized numpy diff/segment math per whole bucket.
+    """
+
+    def _gaps(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            user_col: pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+            "total_gap_us": pa.array([], pa.int64()),
+        })
+        if group.num_rows < 2:
+            return empty
+        g = group.sort_by([(user_col, "ascending"),
+                           (ts_col, "ascending"),
+                           (order_col, "ascending")])
+        users = g.column(user_col).combine_chunks().to_numpy()
+        ts = g.column(ts_col).combine_chunks().to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        same = users[1:] == users[:-1]
+        if not same.any():
+            return empty
+        gaps = (ts[1:] - ts[:-1])[same]
+        gusers = users[1:][same]
+        # consecutive runs per user (input sorted by user)
+        starts = np.flatnonzero(
+            np.r_[True, gusers[1:] != gusers[:-1]])
+        ends = np.append(starts[1:], len(gusers))
+        return pa.table({
+            user_col: pa.array(gusers[starts], pa.int64()),
+            "n_gaps": pa.array(ends - starts, pa.int64()),
+            "max_gap_us": pa.array(
+                np.maximum.reduceat(gaps, starts), pa.int64()),
+            "total_gap_us": pa.array(
+                np.add.reduceat(gaps, starts), pa.int64()),
+        })
+
+    bucketed = _bucket_by(
+        ds.select_columns([user_col, ts_col, order_col]),
+        user_col, n_buckets,
+    )
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_gaps, batch_format="pyarrow")

@@ -164,3 +164,26 @@ class TestRunningSum:
         ).take_all()
         got = {r["o"]: r["running"] for r in out}
         assert got == expect
+
+
+class TestEventGaps:
+    def test_gaps_per_user(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import event_gaps
+
+        us = pa.timestamp("us")
+        tbl = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "ts": pa.array([0, 5_000_000, 5_000_000, 9, 100, 40],
+                           us),
+            "event_id": pa.array([10, 12, 11, 1, 2, 3], pa.int64()),
+        })
+        got = {r["user_id"]: (r["n_gaps"], r["max_gap_us"],
+                              r["total_gap_us"])
+               for r in event_gaps(ray.data.from_arrow(tbl),
+                                   n_buckets=4).take_all()}
+        # user 1: order by (ts, event_id) -> gaps 5_000_000 then 0
+        # user 2: single event -> absent; user 3: 40 -> 100 gap 60
+        assert got == {1: (2, 5_000_000, 5_000_000), 3: (1, 60, 60)}

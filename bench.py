@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "paragraph_dedup", "substring_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "pii_redact", "host_stats", "host_cap", "heavy_hitters",
-    "inverted_index",
+    "inverted_index", "pagerank",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "event_gaps",
     "events_sliding_window", "click_attribution",

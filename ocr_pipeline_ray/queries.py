@@ -489,6 +489,51 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(aug, sep=sep).sort("doc_id")
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed integer PageRank (3 power iterations, d=0.85) over
+    a deterministic synthetic link graph on the documents table
+    (doc i links to (7i+1)%N, plus (13i+2)%N when i%3>=1, plus
+    (29i+5)%N when i%3==2 — 1..3 outlinks, parallel edges possible).
+
+    All-int64 arithmetic (scaled ranks, integer division) makes the
+    fixed-iteration result bit-exact vs the DuckDB join-chain twin —
+    summation order cannot perturb it. Per iteration: rank join +
+    out-degree fused into ONE src-bucket exchange, then one
+    contribution-sum groupby with map-side partial combine.
+    """
+    import numpy as np
+
+    from .stages.graph import pagerank_int
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m1, m2 = ids % 3 >= 1, ids % 3 == 2
+        src = np.concatenate([ids, ids[m1], ids[m2]])
+        dst = np.concatenate([(ids * 7 + 1) % n,
+                              (ids[m1] * 13 + 2) % n,
+                              (ids[m2] * 29 + 5) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def _as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id")})
+
+    nodes = docs.map_batches(_as_node, batch_format="pyarrow")
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    ranks = pagerank_int(nodes, edges, iters=3, n_buckets=32)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "rank_score": batch.column("rank")})
+
+    return ranks.map_batches(_rename, batch_format="pyarrow").sort(
+        "doc_id")
+
+
 def q_substring_dedup(sf_dir: str):
     """ExactSubstr duplicate-span removal (Lee et al. 2022) at
     token granularity: every token covered by a 5-token window whose
@@ -2763,6 +2808,36 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n_kept "
         "FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
     ),
+    "pagerank": (
+        "WITH nn AS (SELECT count(*) AS c FROM documents), "
+        "nodes AS (SELECT doc_id AS node FROM documents), "
+        "edges AS ("
+        "SELECT node AS src, (node*7+1) % nn.c AS dst FROM nodes, nn "
+        "UNION ALL SELECT node, (node*13+2) % nn.c FROM nodes, nn "
+        "WHERE node % 3 >= 1 "
+        "UNION ALL SELECT node, (node*29+5) % nn.c FROM nodes, nn "
+        "WHERE node % 3 = 2), "
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src), "
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r "
+        "FROM nodes), "
+        "s1 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s "
+        "FROM edges e JOIN r0 r ON r.node = e.src "
+        "JOIN deg g ON g.src = e.src GROUP BY e.dst), "
+        "r1 AS (SELECT n2.node, 150000000 + 85 * coalesce(s1.s, 0) "
+        "// 100 AS r FROM nodes n2 LEFT JOIN s1 USING (node)), "
+        "s2 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s "
+        "FROM edges e JOIN r1 r ON r.node = e.src "
+        "JOIN deg g ON g.src = e.src GROUP BY e.dst), "
+        "r2 AS (SELECT n2.node, 150000000 + 85 * coalesce(s2.s, 0) "
+        "// 100 AS r FROM nodes n2 LEFT JOIN s2 USING (node)), "
+        "s3 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s "
+        "FROM edges e JOIN r2 r ON r.node = e.src "
+        "JOIN deg g ON g.src = e.src GROUP BY e.dst), "
+        "r3 AS (SELECT n2.node, 150000000 + 85 * coalesce(s3.s, 0) "
+        "// 100 AS r FROM nodes n2 LEFT JOIN s3 USING (node)) "
+        "SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_score "
+        "FROM r3 ORDER BY node"
+    ),
     "substring_dedup": (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
         "FROM documents), "
@@ -3239,6 +3314,7 @@ QUERIES = {
     "host_blocklist": q_host_blocklist,
     "paragraph_dedup": q_paragraph_dedup,
     "substring_dedup": q_substring_dedup,
+    "pagerank": q_pagerank,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
     "url_canonicalize": q_url_canonicalize,

@@ -1,0 +1,191 @@
+"""Link-graph operators: distributed integer PageRank.
+
+A webtext pipeline's documents form a link graph (page → outlink);
+rank-style centrality is the classic signal over it (Page et al.
+1999). The fixpoint is approximated by a FIXED number of power
+iterations so the result is deterministic and SQL-expressible, and
+all arithmetic is **int64** (scaled ranks, integer division) so
+summation order cannot perturb the result — the DuckDB oracle is
+bit-exact, unlike any float formulation.
+
+Semantics per iteration (damping d = d_num/d_den, start rank ``r0``):
+
+    contrib(u→v)  = R(u) // outdeg(u)          (edge multiset degree)
+    R'(v)         = (r0 * (d_den - d_num)) // d_den
+                    + (d_num * Σ contrib(·→v)) // d_den
+
+Dangling nodes (no outlinks) simply don't propagate — the standard
+simplified formulation. Nodes with no inlinks get the base term.
+
+Scale shape — **one exchange per iteration, plus one final**, nothing
+ever broadcast (a web-scale rank vector does not fit one worker):
+
+* ``bucket_ids`` is the same hash for a node id whether it appears as
+  a contribution target, a rank row, or an edge ``src`` — so "sum the
+  incoming partials per node", "compute the new rank", "join ranks
+  onto edges by src" and "emit next contributions" all happen INSIDE
+  one whole-bucket UDF on one co-shuffle (iteration fusion: the
+  classic join + aggregate pair collapses into a single exchange).
+* The tagged edge rows and the node-universe zero rows are
+  loop-invariant: materialized ONCE (edge-/node-scale, object store
+  spills) and re-union'd per iteration, never recomputed from source.
+* Between exchanges only ``(dst, partial)`` contribution rows move,
+  pre-combined map-side (``np.add.at``) so the exchange carries at
+  most one row per distinct dst per batch — not one per edge.
+
+The remaining per-iteration cost is the edge rows flowing through
+each exchange — inherent to rank propagation over a Dataset (a
+Pregel-style engine pins edge partitions in stateful workers; Ray
+Data's equivalent would hold edges in an actor pool, traded off here
+for the engine's uniform shuffle-operator shape and fault model).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
+                 src_col: str = "src", dst_col: str = "dst",
+                 r0: int = 10 ** 9, d_num: int = 85, d_den: int = 100,
+                 n_buckets: int = 32):
+    """Integer power-iteration PageRank over an edge Dataset.
+
+    ``nodes``: Dataset with int64 ``node_col`` (the node universe);
+    ``edges``: Dataset with int64 ``src_col`` / ``dst_col`` (a
+    multiset — parallel edges count twice; every src/dst must be in
+    ``nodes``). Returns ``(node, rank)`` int64 rows after ``iters``
+    iterations.
+    """
+    from ..functions.hashing import bucket_ids
+
+    base = (r0 * (d_den - d_num)) // d_den
+
+    # union row: edges (side 0, _key=src), node-universe zeros /
+    # contribution partials (side 1, _key=node, val=partial)
+    union_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), (dst_col, pa.int64()),
+        ("val", pa.int64()),
+    ])
+
+    def _tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = pc.cast(batch.column(src_col), pa.int64())
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.zeros(n, np.int32)),
+            "_key": key,
+            dst_col: pc.cast(batch.column(dst_col), pa.int64()),
+            "val": pa.nulls(n, pa.int64()),
+        }, schema=union_schema)
+
+    def _tag_zeros(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = pc.cast(batch.column(node_col), pa.int64())
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.ones(n, np.int32)),
+            "_key": key,
+            dst_col: pa.nulls(n, pa.int64()),
+            "val": pa.array(np.zeros(n, np.int64)),
+        }, schema=union_schema)
+
+    def _partial_tagged(batch: pa.Table) -> pa.Table:
+        """Map-side combine of contribution rows → tagged side-1
+        partials for the next exchange."""
+        ids = batch.column(node_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vals = batch.column("contrib").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, vals)
+        key = pa.array(uniq, pa.int64())
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.ones(len(uniq), np.int32)),
+            "_key": key,
+            dst_col: pa.nulls(len(uniq), pa.int64()),
+            "val": pa.array(sums, pa.int64()),
+        }, schema=union_schema)
+
+    def _node_ranks(group: pa.Table, first: bool):
+        """Within one bucket: per-node rank from the side-1 partials
+        (all partials of a node land in its bucket)."""
+        sides = group.column("_side").combine_chunks().to_numpy()
+        part_t = group.filter(pa.array(sides == 1))
+        keys = part_t.column("_key").combine_chunks()
+        codes_arr = pc.dictionary_encode(keys)
+        codes = codes_arr.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        node_ids = codes_arr.dictionary.to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(node_ids), np.int64)
+        np.add.at(sums, codes, part_t.column("val").combine_chunks()
+                  .to_numpy(zero_copy_only=False))
+        if first:
+            ranks = np.full(len(node_ids), r0, np.int64)
+        else:
+            ranks = base + (d_num * sums) // d_den
+        return node_ids, ranks, sides, group
+
+    def _make_step(first: bool):
+        def _step(group: pa.Table) -> pa.Table:
+            empty = pa.table({node_col: pa.array([], pa.int64()),
+                              "contrib": pa.array([], pa.int64())})
+            if group.num_rows == 0:
+                return empty
+            node_ids, ranks, sides, g = _node_ranks(group, first)
+            edges_t = g.filter(pa.array(sides == 0))
+            if edges_t.num_rows == 0:
+                return empty
+            srcs = edges_t.column("_key").combine_chunks()
+            pos = pc.index_in(
+                srcs, value_set=pa.array(node_ids, pa.int64())
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            ecodes = pc.dictionary_encode(srcs).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            deg = np.bincount(ecodes)
+            contrib = ranks[pos] // deg[ecodes]
+            return pa.table({
+                node_col: edges_t.column(dst_col),
+                "contrib": pa.array(contrib, pa.int64()),
+            })
+        return _step
+
+    def _make_final(first: bool):
+        def _final(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({node_col: pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.int64())})
+            node_ids, ranks, _, _ = _node_ranks(group, first)
+            return pa.table({
+                node_col: pa.array(node_ids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            })
+        return _final
+
+    # loop-invariant sides cached ONCE; re-union'd per iteration
+    tagged_edges = edges.map_batches(
+        _tag_edges, batch_format="pyarrow").materialize()
+    tagged_zeros = nodes.select_columns([node_col]).map_batches(
+        _tag_zeros, batch_format="pyarrow").materialize()
+
+    partials = tagged_zeros
+    for i in range(iters):
+        partials = tagged_edges.union(partials).groupby(
+            "_bucket", num_partitions=n_buckets
+        ).map_groups(
+            _make_step(first=(i == 0)), batch_format="pyarrow"
+        ).map_batches(_partial_tagged, batch_format="pyarrow")
+        if i + 1 < iters:
+            partials = partials.union(tagged_zeros)
+    if iters == 0:
+        return tagged_zeros.groupby(
+            "_bucket", num_partitions=n_buckets
+        ).map_groups(_make_final(first=True), batch_format="pyarrow")
+    return partials.union(tagged_zeros).groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_make_final(first=False), batch_format="pyarrow")

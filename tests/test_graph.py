@@ -1,0 +1,57 @@
+"""Distributed integer PageRank (stages/graph.py)."""
+
+import os
+import sys
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class TestPagerankInt:
+    def _graph(self):
+        import ray.data
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1, 2, 3], pa.int64())}))
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([0, 0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 2, 0, 2], pa.int64()),
+        }))
+        return nodes, edges
+
+    def test_three_iterations_hand_computed(self, ray_session):
+        from ocr_pipeline_ray.stages.graph import pagerank_int
+
+        nodes, edges = self._graph()
+        got = {r["node"]: r["rank"] for r in pagerank_int(
+            nodes, edges, iters=3, n_buckets=4).take_all()}
+        # integer power iteration by hand (r0=1e9, d=85/100):
+        # contrib = rank // outdeg; rank' = 150000000 + 85*sum // 100
+        assert got == {0: 1162562500, 1: 1035593750,
+                       2: 1651843750, 3: 150000000}
+
+    def test_zero_iterations_is_initial(self, ray_session):
+        from ocr_pipeline_ray.stages.graph import pagerank_int
+
+        nodes, edges = self._graph()
+        got = {r["node"]: r["rank"] for r in pagerank_int(
+            nodes, edges, iters=0, n_buckets=4).take_all()}
+        assert got == {v: 10 ** 9 for v in range(4)}
+
+    def test_parallel_edges_count_twice(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import pagerank_int
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1], pa.int64())}))
+        # 0 -> 1 twice: deg(0)=2, each edge carries rank//2
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([0, 0], pa.int64()),
+            "dst": pa.array([1, 1], pa.int64()),
+        }))
+        got = {r["node"]: r["rank"] for r in pagerank_int(
+            nodes, edges, iters=1, n_buckets=2).take_all()}
+        assert got == {0: 150000000,
+                       1: 150000000 + (85 * (10 ** 9)) // 100}

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "pii_redact", "host_stats", "host_cap", "heavy_hitters",
     "inverted_index", "pagerank",
     "events_hourly", "events_by_type_salted", "user_sessions",
-    "event_gaps",
+    "event_gaps", "events_rollup", "events_pivot",
     "events_sliding_window", "click_attribution",
     "campaign_attribution", "sequence_packing", "revenue_by_nation",
     "customers_no_orders", "customer_running_spend",

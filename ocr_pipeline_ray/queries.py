@@ -1899,6 +1899,75 @@ def q_event_gaps(sf_dir: str):
     return event_gaps(ds).sort("user_id")
 
 
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) with GROUPING() ids: one
+    output row per (type, day), per type, and the grand total. The
+    measure is int64 value-cents, so partial combines at every level
+    sum order-free and the DuckDB ROLLUP twin is bit-exact."""
+    import numpy as np
+
+    from .stages.rollup import rollup_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    prep = ds.map_batches(_prep, batch_format="pyarrow")
+    rolled = rollup_agg(prep, keys=["event_type", "day"],
+                        value_col="cents")
+
+    # Ray's sort range-partitioner mis-partitions (duplicates rows)
+    # or crashes when a sort KEY contains nulls, and rollup subtotal
+    # rows are null by design — sort on null-filled helper keys and
+    # drop them (tests/test_rollup.py pins the hazard).
+    def _sortable(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_et_ord", pc.fill_null(batch.column("event_type"), "")
+        ).append_column(
+            "_day_ord", pc.fill_null(
+                pc.cast(batch.column("day"), pa.int64()), -1))
+
+    return rolled.map_batches(_sortable, batch_format="pyarrow").sort(
+        ["gid", "_et_ord", "_day_ord"]
+    ).drop_columns(["_et_ord", "_day_ord"])
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT: one row per day, one int64 count column per event type
+    (fixed column set, strict — an unseen type raises, never a silent
+    drop). Map-side (day, type) partials → one day-bucket shuffle →
+    vectorized matrix fill."""
+    from .stages.rollup import pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "event_type": batch.column("event_type"),
+        })
+
+    prep = ds.map_batches(_prep, batch_format="pyarrow")
+    return pivot_counts(
+        prep, row_col="day", col_col="event_type",
+        col_values=["click", "error", "purchase", "signup", "view"],
+    ).sort("day")
+
+
 def q_events_sliding_window(sf_dir: str):
     """Trailing 3-hour sliding-window aggregate per event type.
 
@@ -3242,6 +3311,31 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(sum(gap) AS BIGINT) AS total_gap_us "
         "FROM g GROUP BY user_id ORDER BY user_id"
     ),
+    "events_rollup": (
+        "WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM events) "
+        "SELECT event_type, day, "
+        "CAST(2 * grouping(event_type) + grouping(day) AS BIGINT) "
+        "AS gid, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(cents) AS BIGINT) AS sum_val "
+        "FROM e GROUP BY ROLLUP(event_type, day) "
+        "ORDER BY gid, event_type, day"
+    ),
+    "events_pivot": (
+        "SELECT date_trunc('day', ts) AS day, "
+        "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) "
+        "AS n_click, "
+        "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) "
+        "AS n_error, "
+        "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) "
+        "AS n_purchase, "
+        "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) "
+        "AS n_signup, "
+        "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) "
+        "AS n_view "
+        "FROM events GROUP BY 1 ORDER BY day"
+    ),
     "events_sliding_window": (
         "WITH hourly AS (SELECT event_type, "
         "date_trunc('hour', ts) AS hour, count(*) AS n, sum(value) AS sv "
@@ -3361,6 +3455,8 @@ QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "user_sessions": q_user_sessions,
     "event_gaps": q_event_gaps,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
     "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,
     "media_features": q_media_features,

@@ -534,6 +534,45 @@ def q_pagerank(sf_dir: str):
         "doc_id")
 
 
+def q_pagerank_pregel(sf_dir: str):
+    """Same graph, same int64 PageRank semantics and oracle as
+    q_pagerank, Pregel physical plan: edges partitioned once into
+    shard actors (never re-shuffled); per iteration only node-scale
+    contribution partials flow point-to-point between shards — no
+    sort barrier per iteration."""
+    import numpy as np
+
+    from .stages.graph import pagerank_pregel
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m1, m2 = ids % 3 >= 1, ids % 3 == 2
+        src = np.concatenate([ids, ids[m1], ids[m2]])
+        dst = np.concatenate([(ids * 7 + 1) % n,
+                              (ids[m1] * 13 + 2) % n,
+                              (ids[m2] * 29 + 5) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def _as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id")})
+
+    nodes = docs.map_batches(_as_node, batch_format="pyarrow")
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    ranks = pagerank_pregel(nodes, edges, iters=3, n_shards=8)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "rank_score": batch.column("rank")})
+
+    return ranks.map_batches(_rename, batch_format="pyarrow").sort(
+        "doc_id")
+
+
 def q_substring_dedup(sf_dir: str):
     """ExactSubstr duplicate-span removal (Lee et al. 2022) at
     token granularity: every token covered by a 5-token window whose
@@ -3384,6 +3423,9 @@ ORACLE_SQL: Dict[str, str] = {
     # embedding_near_dup_lsh
 }
 
+# same graph, same semantics, different physical plan — one SQL twin
+ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
+
 QUERIES = {
     "replace_chars": q_replace_chars,
     "replace_chars_stats": q_replace_chars_stats,
@@ -3409,6 +3451,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "substring_dedup": q_substring_dedup,
     "pagerank": q_pagerank,
+    "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
     "url_canonicalize": q_url_canonicalize,

@@ -34,10 +34,13 @@ ever broadcast (a web-scale rank vector does not fit one worker):
   most one row per distinct dst per batch — not one per edge.
 
 The remaining per-iteration cost is the edge rows flowing through
-each exchange — inherent to rank propagation over a Dataset (a
-Pregel-style engine pins edge partitions in stateful workers; Ray
-Data's equivalent would hold edges in an actor pool, traded off here
-for the engine's uniform shuffle-operator shape and fault model).
+each exchange — inherent to rank propagation over a Dataset. The
+module therefore ships TWO physical plans with identical int64
+semantics: :func:`pagerank_int` (uniform Dataset shuffle operators,
+Ray's fault model for free) and :func:`pagerank_pregel` (edges
+pinned ONCE in shard actors, per-iteration point-to-point node-scale
+partial routing — no sort barrier; the shape a real iterative rank
+job wants, at the cost of actor lifecycle management).
 """
 
 from __future__ import annotations
@@ -189,3 +192,172 @@ def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
     return partials.union(tagged_zeros).groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_make_final(first=False), batch_format="pyarrow")
+
+def _route_by_bucket(tbl, key_col, k):
+    from ..functions.hashing import bucket_ids
+
+    b = bucket_ids(tbl.column(key_col), k)
+    return tuple(
+        tbl.filter(pa.array(b == i)) for i in range(k)
+    )
+
+
+# ray.remote(num_returns=k) task wrapper created inside pagerank_pregel
+
+
+class _PagerankShard:
+    """One shard: owns ranks for its node bucket + edges by src."""
+
+    def __init__(self, shard_id, n_shards, r0, d_num, d_den):
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        self.r0 = r0
+        self.d_num = d_num
+        self.d_den = d_den
+        self.base = (r0 * (d_den - d_num)) // d_den
+        self._edge_parts = []
+        self._node_parts = []
+        self.nodes = None      # np.int64 sorted unique node ids
+        self.ranks = None      # np.int64 aligned to self.nodes
+        self._src = None       # np int64 edge srcs (positions into nodes)
+        self._dst = None       # np int64 edge dsts (raw ids)
+        self._deg = None       # per-edge degree of its src
+        self._incoming = []    # partial tables for the current round
+
+    def ingest_edges(self, tbl: pa.Table):
+        if tbl.num_rows:
+            self._edge_parts.append(tbl)
+
+    def ingest_nodes(self, tbl: pa.Table):
+        if tbl.num_rows:
+            self._node_parts.append(tbl)
+
+    def build(self):
+        nodes = (
+            pa.concat_tables(self._node_parts).column("node")
+            .combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            if self._node_parts else np.empty(0, np.int64)
+        )
+        self.nodes = np.unique(nodes)
+        self.ranks = np.full(len(self.nodes), self.r0, np.int64)
+        if self._edge_parts:
+            e = pa.concat_tables(self._edge_parts)
+            src = e.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            self._dst = e.column("dst").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            self._src = np.searchsorted(self.nodes, src)
+            # degree per src (multiset)
+            deg_per_node = np.bincount(
+                self._src, minlength=len(self.nodes))
+            self._deg = deg_per_node[self._src]
+        else:
+            self._src = np.empty(0, np.int64)
+            self._dst = np.empty(0, np.int64)
+            self._deg = np.empty(0, np.int64)
+        self._edge_parts = self._node_parts = None
+        return len(self.nodes)
+
+    def contribute(self):
+        """Emit per-target-shard (node, partial) tables; num_returns
+        = n_shards on the caller side."""
+        from ..functions.hashing import bucket_ids
+
+        contrib = self.ranks[self._src] // self._deg
+        # combine per dst locally
+        uniq, inv = np.unique(self._dst, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, contrib)
+        tbl = pa.table({"node": pa.array(uniq, pa.int64()),
+                        "partial": pa.array(sums, pa.int64())})
+        parts = _route_by_bucket(tbl, "node", self.n_shards)
+        return parts if self.n_shards > 1 else parts[0]
+
+    def receive(self, part: pa.Table):
+        self._incoming.append(part)
+
+    def apply(self):
+        sums = np.zeros(len(self.nodes), np.int64)
+        for p in self._incoming:
+            ids = p.column("node").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vals = p.column("partial").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(self.nodes, ids)
+            np.add.at(sums, pos, vals)
+        self._incoming = []
+        self.ranks = self.base + (self.d_num * sums) // self.d_den
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "rank": pa.array(self.ranks, pa.int64())})
+
+
+def pagerank_pregel(nodes, edges, iters: int = 3,
+                    node_col: str = "node", src_col: str = "src",
+                    dst_col: str = "dst", r0: int = 10 ** 9,
+                    d_num: int = 85, d_den: int = 100,
+                    n_shards: int = 8):
+    """Actor-pinned (Pregel-style) integer PageRank — identical math
+    to :func:`pagerank_int`, different physical plan: edges are
+    partitioned ONCE into shard actors and never move again; per
+    iteration only node-scale contribution partials flow point-to-
+    point between shards (no sort barrier, no re-shuffle of edges).
+    The Dataset formulation (:func:`pagerank_int`) remains the
+    uniform-operator default; this is the iterate-fast path and the
+    shape a real rank job at scale wants.
+    """
+    import ray
+
+    shard_cls = ray.remote(_PagerankShard)
+    shards = [shard_cls.remote(i, n_shards, r0, d_num, d_den)
+              for i in range(n_shards)]
+
+    @ray.remote(num_returns=n_shards)
+    def route_edges(tbl: pa.Table):
+        t = pa.table({
+            "src": pc.cast(tbl.column(src_col), pa.int64()),
+            "dst": pc.cast(tbl.column(dst_col), pa.int64()),
+        })
+        parts = _route_by_bucket(t, "src", n_shards)
+        return parts if n_shards > 1 else parts[0]
+
+    @ray.remote(num_returns=n_shards)
+    def route_nodes(tbl: pa.Table):
+        t = pa.table({
+            "node": pc.cast(tbl.column(node_col), pa.int64())})
+        parts = _route_by_bucket(t, "node", n_shards)
+        return parts if n_shards > 1 else parts[0]
+
+    pending = []
+    for bundle in edges.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            parts = route_edges.remote(block_ref)
+            parts = parts if isinstance(parts, list) else [parts]
+            for i, ref in enumerate(parts):
+                pending.append(shards[i].ingest_edges.remote(ref))
+    for bundle in nodes.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            parts = route_nodes.remote(block_ref)
+            parts = parts if isinstance(parts, list) else [parts]
+            for i, ref in enumerate(parts):
+                pending.append(shards[i].ingest_nodes.remote(ref))
+    ray.get(pending)
+    ray.get([s.build.remote() for s in shards])
+
+    for _ in range(iters):
+        recv = []
+        for s in shards:
+            parts = s.contribute.options(
+                num_returns=n_shards).remote()
+            parts = parts if isinstance(parts, list) else [parts]
+            for i, ref in enumerate(parts):
+                recv.append(shards[i].receive.remote(ref))
+        ray.get(recv)
+        ray.get([s.apply.remote() for s in shards])
+
+    import ray.data
+
+    return ray.data.from_arrow_refs(
+        [s.result.remote() for s in shards])

@@ -55,3 +55,54 @@ class TestPagerankInt:
             nodes, edges, iters=1, n_buckets=2).take_all()}
         assert got == {0: 150000000,
                        1: 150000000 + (85 * (10 ** 9)) // 100}
+
+
+class TestPagerankPregel:
+    def test_equals_dataset_path_hand_graph(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import (pagerank_int,
+                                                   pagerank_pregel)
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1, 2, 3], pa.int64())}))
+        edges_tbl = pa.table({
+            "src": pa.array([0, 0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 2, 0, 2], pa.int64()),
+        })
+        a = {r["node"]: r["rank"] for r in pagerank_int(
+            nodes, ray.data.from_arrow(edges_tbl), iters=3,
+            n_buckets=4).take_all()}
+        nodes2 = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1, 2, 3], pa.int64())}))
+        b = {r["node"]: r["rank"] for r in pagerank_pregel(
+            nodes2, ray.data.from_arrow(edges_tbl), iters=3,
+            n_shards=3).take_all()}
+        assert a == b == {0: 1162562500, 1: 1035593750,
+                          2: 1651843750, 3: 150000000}
+
+    def test_equals_dataset_path_random_graph(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import (pagerank_int,
+                                                   pagerank_pregel)
+
+        rng = np.random.RandomState(11)
+        n = 60
+        src = rng.randint(0, n, 300).astype(np.int64)
+        dst = rng.randint(0, n, 300).astype(np.int64)
+        nodes_tbl = pa.table({"node": pa.array(np.arange(n),
+                                               pa.int64())})
+        edges_tbl = pa.table({"src": pa.array(src, pa.int64()),
+                              "dst": pa.array(dst, pa.int64())})
+        a = {r["node"]: r["rank"] for r in pagerank_int(
+            ray.data.from_arrow(nodes_tbl),
+            ray.data.from_arrow(edges_tbl), iters=2,
+            n_buckets=4).take_all()}
+        b = {r["node"]: r["rank"] for r in pagerank_pregel(
+            ray.data.from_arrow(nodes_tbl),
+            ray.data.from_arrow(edges_tbl), iters=2,
+            n_shards=5).take_all()}
+        assert a == b
+        assert len(a) == n

@@ -990,6 +990,73 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Full-corpus distributed k-means (Lloyd's) cluster assignment.
+
+    The shuffle-free broadcast-partials shape: per iteration ONE
+    map_batches pass emits k-row int64 partial sums per block, the
+    driver merges k tiny rows, and the next centroid matrix is
+    closure-broadcast. Pure integer arithmetic (floor-quantized
+    vectors, trunc-div centroid update) makes the assignment
+    bit-exact vs the chained-CTE DuckDB twin — like ``pagerank``,
+    summation order cannot perturb it.
+    """
+    from .stages.kmeans import kmeans_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    assign, _ = kmeans_int(ds, k=KMEANS_K, iters=KMEANS_ITERS,
+                           scale=KMEANS_SCALE)
+    return assign
+
+
+def _kmeans_sql(k: int, iters: int, scale: int) -> str:
+    """Chained-CTE Lloyd twin: v = floor-quantized exploded vectors;
+    per iteration an argmin-assign CTE (row_number over summed int
+    squared-L2, ties -> lowest cluster) and a trunc-div centroid
+    CTE (empty clusters COALESCE to the previous centroid)."""
+
+    def _it(i: int) -> str:
+        return (
+            f"a{i} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT v.vec_id, c.cluster, row_number() OVER ("
+            f"PARTITION BY v.vec_id "
+            f"ORDER BY sum((v.x - c.x)*(v.x - c.x)), c.cluster) AS rn "
+            f"FROM v JOIN c{i} c USING (d) "
+            f"GROUP BY v.vec_id, c.cluster) WHERE rn = 1), "
+            f"c{i + 1} AS (SELECT c.cluster, c.d, COALESCE(m.x, c.x) AS x "
+            f"FROM c{i} c LEFT JOIN ("
+            f"SELECT a.cluster, v.d, sum(v.x) // count(*) AS x "
+            f"FROM a{i} a JOIN v USING (vec_id) "
+            f"GROUP BY a.cluster, v.d) m "
+            f"ON m.cluster = c.cluster AND m.d = c.d)"
+        )
+
+    chain = ", ".join(_it(i) for i in range(iters))
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS d, "
+        f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) "
+        "AS BIGINT) AS x FROM embeddings), "
+        "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cluster FROM (SELECT DISTINCT vec_id FROM v "
+        f"ORDER BY vec_id LIMIT {k})), "
+        "c0 AS (SELECT i.cluster, v.d, v.x FROM init i "
+        f"JOIN v USING (vec_id)), {chain} "
+        "SELECT vec_id, cluster FROM ("
+        "SELECT v.vec_id, c.cluster, row_number() OVER ("
+        "PARTITION BY v.vec_id "
+        "ORDER BY sum((v.x - c.x)*(v.x - c.x)), c.cluster) AS rn "
+        f"FROM v JOIN c{iters} c USING (d) "
+        "GROUP BY v.vec_id, c.cluster) WHERE rn = 1"
+    )
+
+
 def q_user_activity(sf_dir: str):
     """Per-user event aggregate with map-side partial combining.
 
@@ -3426,6 +3493,8 @@ ORACLE_SQL: Dict[str, str] = {
 # same graph, same semantics, different physical plan — one SQL twin
 ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
+ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
+
 QUERIES = {
     "replace_chars": q_replace_chars,
     "replace_chars_stats": q_replace_chars_stats,
@@ -3451,6 +3520,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "substring_dedup": q_substring_dedup,
     "pagerank": q_pagerank,
+    "kmeans_assign": q_kmeans_assign,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

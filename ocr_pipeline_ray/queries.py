@@ -990,6 +990,57 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+LM_MIN_COUNT = 2
+LM_SCALE = 1_000_000
+
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style bigram-LM document scoring (integer-exact).
+
+    Train = one corpus pass of map-side Counters into two small
+    groupbys (unigram counts + min_count-pruned bigram model); score
+    = one broadcast-model corpus pass, zero shuffles. ``mean_ipp``
+    is the add-one-smoothed mean inverse conditional probability
+    ×1e6 in pure int64 — the perplexity-gate signal without the
+    float-log hash hazard (see stages/lm.py; a no-memory-assumption
+    ``join="shuffle"`` twin is equivalence-tested in pytest).
+    """
+    from .stages.lm import lm_score, train_bigram_lm
+
+    ds = _docs(sf_dir)
+    uni, bi, vocab = train_bigram_lm(ds, min_count=LM_MIN_COUNT)
+    return lm_score(ds, uni, bi, vocab, scale=LM_SCALE)
+
+
+def _lm_score_sql(min_count: int, scale: int) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents), "
+        "big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM toks, "
+        "LATERAL unnest(generate_series(1, len(t) - 1)) AS r(i)), "
+        "uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents) GROUP BY token), "
+        "v AS (SELECT count(*) AS vs FROM uni), "
+        "bic AS (SELECT w1 || ' ' || w2 AS pair, "
+        "CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2 "
+        f"HAVING count(*) >= {min_count}), "
+        "scored AS (SELECT b.doc_id, "
+        f"((u.c + v.vs) * {scale}) // (COALESCE(bc.c12, 0) + 1) AS ipp, "
+        "CASE WHEN bc.c12 IS NULL THEN 1 ELSE 0 END AS oov "
+        "FROM big b "
+        "LEFT JOIN bic bc ON bc.pair = b.w1 || ' ' || b.w2 "
+        "JOIN uni u ON u.token = b.w1 CROSS JOIN v), "
+        "per_doc AS (SELECT doc_id, count(*) AS nb, sum(oov) AS noov, "
+        "sum(ipp) AS ssum FROM scored GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(COALESCE(p.noov, 0) AS BIGINT) AS n_oov, "
+        "CAST(CASE WHEN p.nb IS NULL THEN -1 ELSE p.ssum // p.nb END "
+        "AS BIGINT) AS mean_ipp "
+        "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_SCALE = 1_000_000
@@ -3494,6 +3545,7 @@ ORACLE_SQL: Dict[str, str] = {
 ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
+ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
 
 QUERIES = {
     "replace_chars": q_replace_chars,
@@ -3521,6 +3573,7 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "pagerank": q_pagerank,
     "kmeans_assign": q_kmeans_assign,
+    "lm_score": q_lm_score,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

@@ -990,6 +990,46 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_skew_join_enrich(sf_dir: str):
+    """Skew-aware hybrid join: documents enriched with per-lang totals.
+
+    ``lang`` is the skewed key (~40% of the corpus is 'en'): a plain
+    repartition join lands nearly half the rows in one bucket. The
+    skew join detects hot keys with an exact map-side histogram,
+    routes the hot mass through a zero-shuffle broadcast join, and
+    co-shuffles only the balanced cold remainder
+    (``stages/join.skew_join``; equals the plain join by contract,
+    equivalence-tested in pytest across layouts and join types).
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages.join import skew_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("lang").combine_chunks())
+        return pa.table({
+            "lang": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    totals = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("n"))
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "lang_total": pc.cast(batch.column("sum(n)"), pa.int64()),
+        })
+
+    totals = totals.map_batches(_rename, batch_format="pyarrow")
+    return skew_join(docs, totals, on="lang",
+                     right_cols=["lang_total"], hot_count=100)
+
+
 LM_MIN_COUNT = 2
 LM_SCALE = 1_000_000
 
@@ -3546,6 +3586,11 @@ ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
+ORACLE_SQL["skew_join_enrich"] = (
+    "SELECT d.doc_id, d.lang, t.lang_total FROM documents d JOIN "
+    "(SELECT lang, CAST(count(*) AS BIGINT) AS lang_total "
+    "FROM documents GROUP BY lang) t USING (lang)"
+)
 
 QUERIES = {
     "replace_chars": q_replace_chars,
@@ -3574,6 +3619,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "kmeans_assign": q_kmeans_assign,
     "lm_score": q_lm_score,
+    "skew_join_enrich": q_skew_join_enrich,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

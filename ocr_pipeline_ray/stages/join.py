@@ -734,3 +734,107 @@ def range_join(left, right, value_col: str, lo_col: str, hi_col: str,
     return tagged_left.union(tagged_right).groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_join_bucket, batch_format="pyarrow")
+
+
+def hot_keys(ds, on: str, hot_count: int, n_buckets: int = 64) -> pa.Table:
+    """Exact keys with frequency >= ``hot_count``: map-side
+    ``value_counts`` partials (one row per distinct key per block)
+    into one small groupby — the heavy-hitters shape with an exact
+    second-stage sum (no candidate recount needed because partials
+    are exact). NULL keys are never hot (they match nothing in a
+    join)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(on).combine_chunks())
+        keys, counts = vc.field("values"), vc.field("counts")
+        valid = pc.is_valid(keys)
+        return pa.table({
+            on: keys.filter(valid),
+            "n": pc.cast(counts.filter(valid), pa.int64()),
+        })
+
+    agg = (
+        ds.select_columns([on])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("n"))
+    )
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("sum(n)"),
+                                pa.scalar(hot_count))
+        t = batch.filter(keep)
+        return pa.table({
+            on: t.column(on),
+            "n": pc.cast(t.column("sum(n)"), pa.int64()),
+        })
+
+    return agg.map_batches(_prune, batch_format="pyarrow")
+
+
+def skew_join(left, right, on: str,
+              right_cols: Optional[List[str]] = None,
+              how: str = "inner", suffix: str = "_r",
+              hot_count: int = 100_000, n_buckets: int = 64):
+    """Skew-aware hybrid join: broadcast the hot keys, shuffle the rest.
+
+    A repartition join hashes every row of both sides into buckets —
+    one pathological key (the empty referrer, the null-ish user, the
+    front-page URL) lands its entire row mass in ONE bucket and that
+    straggler task dominates the wall clock. This operator removes
+    the straggler deterministically:
+
+    1. **Detect** — exact left-key histogram (``hot_keys``): map-side
+       ``value_counts`` partials, one tiny groupby, keys with
+       ``count >= hot_count``. Exact, layout-independent detection —
+       no sampling nondeterminism.
+    2. **Split** — both sides filter into hot / cold slices with one
+       vectorized ``is_in`` each (row-local, no shuffle).
+    3. **Join** — hot slice: :func:`broadcast_join` (the hot RIGHT
+       rows are at most |hot keys| ≪ right, broadcast once; the hot
+       left mass never shuffles at all). Cold slice:
+       :func:`repartition_join`, now guaranteed bucket-balanced to
+       ``< hot_count`` rows per key.
+    4. **Union** — the two outputs share schema and the per-key join
+       contract (duplicate right keys keep the last row), so the
+       result equals the plain join on any layout.
+
+    ``hot_count`` is the knob: set it near (rows / buckets·safety) so
+    any key that would overwhelm one bucket goes the broadcast route.
+    With no hot keys this degrades to exactly ``repartition_join``.
+    """
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|semi|anti, got {how!r}")
+
+    hot = hot_keys(left, on, hot_count, n_buckets).take_all()
+    if not hot:
+        return repartition_join(left, right, on, right_cols, how,
+                                suffix, n_buckets)
+    hot_arr = pa.array([r[on] for r in hot])
+
+    def _slice(want_hot: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(on), value_set=hot_arr)
+            if not want_hot:
+                # NULL keys -> cold (they match nothing either way)
+                mask = pc.invert(pc.fill_null(mask, False))
+            else:
+                mask = pc.fill_null(mask, False)
+            return batch.filter(mask)
+        return _fn
+
+    left_hot = left.map_batches(_slice(True), batch_format="pyarrow")
+    left_cold = left.map_batches(_slice(False), batch_format="pyarrow")
+    right_hot = right.map_batches(_slice(True), batch_format="pyarrow")
+    right_cold = right.map_batches(_slice(False), batch_format="pyarrow")
+
+    res_hot = broadcast_join(left_hot, right_hot, on, right_cols,
+                             how, suffix)
+    res_cold = repartition_join(left_cold, right_cold, on, right_cols,
+                                how, suffix, n_buckets)
+    return res_hot.union(res_cold)

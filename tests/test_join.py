@@ -469,3 +469,79 @@ class TestRangeJoin:
             ).take_all()
             results.append(sorted((r["eid"], r["iid"]) for r in got))
         assert results[0] == results[1] == results[2]
+
+
+class TestSkewJoin:
+    """Hybrid hot-broadcast / cold-shuffle join."""
+
+    def _skewed(self, ray_session, blocks=4):
+        import ray.data
+
+        # key 7 carries half the mass; keys 1..5 are cold; some NULLs
+        ks = [7] * 40 + [1, 2, 3, 4, 5] * 6 + [None] * 4
+        left = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(len(ks))], pa.string()),
+        })
+        right = pa.table({
+            "k": pa.array([7, 1, 2, 3, 9], pa.int64()),
+            "w": pa.array([70, 10, 20, 30, 90], pa.int64()),
+        })
+        return (ray.data.from_arrow(left).repartition(blocks),
+                ray.data.from_arrow(right).repartition(2))
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_equals_plain_repartition_join(self, ray_session, how):
+        from ocr_pipeline_ray.stages.join import (repartition_join,
+                                                  skew_join)
+
+        left, right = self._skewed(ray_session)
+        cols = ["k", "v"] if how in ("semi", "anti") else ["k", "v", "w"]
+
+        def key(rows):
+            return sorted(
+                (tuple(r.get(c) for c in cols) for r in rows),
+                key=lambda t: tuple((x is None, x) for x in t),
+            )
+
+        want = key(repartition_join(left, right, on="k",
+                                    how=how).take_all())
+        got = key(skew_join(left, right, on="k", how=how,
+                            hot_count=20).take_all())
+        assert got == want
+
+    def test_hot_detection_exact(self, ray_session):
+        from ocr_pipeline_ray.stages.join import hot_keys
+
+        left, _ = self._skewed(ray_session)
+        hot = {r["k"]: r["n"] for r in
+               hot_keys(left, "k", hot_count=20).take_all()}
+        assert hot == {7: 40}  # NULLs never hot, cold keys absent
+
+    def test_no_hot_keys_degrades(self, ray_session):
+        from ocr_pipeline_ray.stages.join import (repartition_join,
+                                                  skew_join)
+
+        left, right = self._skewed(ray_session)
+        want = sorted((r["k"], r["v"], r["w"]) for r in
+                      repartition_join(left, right, on="k").take_all())
+        got = sorted((r["k"], r["v"], r["w"]) for r in
+                     skew_join(left, right, on="k",
+                               hot_count=1000).take_all())
+        assert got == want
+
+    def test_layout_invariance(self, ray_session):
+        from ocr_pipeline_ray.stages.join import skew_join
+
+        want = None
+        for blocks in (1, 3, 7):
+            left, right = self._skewed(ray_session, blocks)
+            got = sorted(
+                ((r["k"], r["v"], r["w"]) for r in
+                 skew_join(left, right, on="k", how="left",
+                           hot_count=20).take_all()),
+                key=lambda t: tuple((x is None, x) for x in t),
+            )
+            if want is None:
+                want = got
+            assert got == want

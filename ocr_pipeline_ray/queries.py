@@ -990,6 +990,21 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic hash-shuffle into 16 training shards.
+
+    The 100-TB substitute for ``random_shuffle``: shard and
+    within-shard order derive from md5(doc_id) — uniform like a
+    random permutation, but bit-reproducible, layout-independent,
+    resumable per shard, and exactly one content move
+    (``stages/pack.shuffle_shards``).
+    """
+    from .stages.pack import shuffle_shards
+
+    return shuffle_shards(_docs(sf_dir, columns=["doc_id"]),
+                          n_shards=16)
+
+
 def q_skew_join_enrich(sf_dir: str):
     """Skew-aware hybrid join: documents enriched with per-lang totals.
 
@@ -3586,6 +3601,14 @@ ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
+ORACLE_SQL["shuffle_shards"] = (
+    "WITH h AS (SELECT doc_id, "
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS BIGINT) AS hv FROM documents) "
+    "SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard_id, "
+    "CAST(row_number() OVER (PARTITION BY hv % 16 "
+    "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
+)
 ORACLE_SQL["skew_join_enrich"] = (
     "SELECT d.doc_id, d.lang, t.lang_total FROM documents d JOIN "
     "(SELECT lang, CAST(count(*) AS BIGINT) AS lang_total "
@@ -3620,6 +3643,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "lm_score": q_lm_score,
     "skew_join_enrich": q_skew_join_enrich,
+    "shuffle_shards": q_shuffle_shards,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

@@ -131,3 +131,59 @@ def sequence_packing(ds, seq_len: int, id_col: str = "doc_id",
         .groupby("_bucket", num_partitions=min(n_buckets, 64))
         .map_groups(_pack_bucket, batch_format="pyarrow")
     )
+
+
+def shuffle_shards(ds, n_shards: int, key_col: str = "doc_id"):
+    """Deterministic global shuffle into training shards.
+
+    ``random_shuffle()`` on 100 TB is an all-to-all move of the full
+    corpus with RNG state nobody can reproduce. Training-data prep
+    wants the HASH-shuffle instead: shard = md5(key) % n_shards and
+    within-shard order = (md5(key), key) — statistically a uniform
+    shuffle (md5 destroys input locality), bit-reproducible across
+    runs/layouts/cluster sizes, resumable per shard, and exactly ONE
+    content move (the same co-shuffle any bucketed groupby pays).
+
+    Output: ``(key_col, shard_id, shard_pos)`` — ``shard_pos`` is the
+    row's position in its shard's deterministic order, so a writer
+    task per shard can emit the final training file with no further
+    exchange. n_shards follows the training-shard contract: sized so
+    one shard = one loader file = one writer task's heap (the same
+    bound a real pre-training pipeline imposes); the whole-shard sort
+    happens inside one UDF per shard.
+
+    Hash parity with the SQL twin: first 8 hex chars of
+    md5(str(key)), like ``q_dataset_split``.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        hs = np.fromiter(
+            (int(hashlib.md5(str(k).encode("utf-8")).hexdigest()[:8], 16)
+             for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        return pa.table({
+            key_col: batch.column(key_col),
+            "shard_id": pa.array(hs % n_shards, pa.int64()),
+            "_h": pa.array(hs, pa.int64()),
+        })
+
+    def _order(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("_h", "ascending"), (key_col, "ascending")])
+        return pa.table({
+            key_col: t.column(key_col),
+            "shard_id": t.column("shard_id"),
+            "shard_pos": pa.array(
+                np.arange(t.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby("shard_id")
+        .map_groups(_order, batch_format="pyarrow")
+    )

@@ -78,3 +78,65 @@ class TestSequencePacking:
             assert r["cum_before"] == expect
             assert r["seq_id"] * 256 + r["seq_offset"] == expect
             expect += r["n_tokens"]
+
+
+class TestShuffleShards:
+    """Deterministic hash-shuffle sharding."""
+
+    def _ds(self, ray_session, ids, blocks=3):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        ).repartition(blocks)
+
+    def test_layout_invariant_and_dense_positions(self, ray_session):
+        from ocr_pipeline_ray.stages.pack import shuffle_shards
+
+        ids = list(range(200))
+        want = None
+        for blocks in (1, 4, 9):
+            rows = shuffle_shards(
+                self._ds(ray_session, ids, blocks), n_shards=8
+            ).take_all()
+            got = sorted((r["doc_id"], r["shard_id"], r["shard_pos"])
+                         for r in rows)
+            if want is None:
+                want = got
+                # every shard's positions are dense 0..len-1
+                by_shard = {}
+                for _, s, p in got:
+                    by_shard.setdefault(s, []).append(p)
+                for s, ps in by_shard.items():
+                    assert sorted(ps) == list(range(len(ps)))
+                assert len(by_shard) == 8  # all shards populated
+            assert got == want
+
+    def test_hash_parity_with_dataset_split_rule(self, ray_session):
+        """First-8-hex-md5 parity: shard of a known key."""
+        import hashlib
+
+        from ocr_pipeline_ray.stages.pack import shuffle_shards
+
+        rows = shuffle_shards(
+            self._ds(ray_session, [42], 1), n_shards=16).take_all()
+        want = int(hashlib.md5(b"42").hexdigest()[:8], 16) % 16
+        assert rows[0]["shard_id"] == want and rows[0]["shard_pos"] == 0
+
+    def test_order_is_hash_not_id(self, ray_session):
+        """Within a shard, consecutive ids must NOT stay consecutive
+        (the point of the shuffle); order follows the hash."""
+        import hashlib
+
+        from ocr_pipeline_ray.stages.pack import shuffle_shards
+
+        ids = list(range(100))
+        rows = shuffle_shards(self._ds(ray_session, ids), n_shards=1
+                              ).take_all()
+        ordered = [r["doc_id"] for r in
+                   sorted(rows, key=lambda r: r["shard_pos"])]
+        assert ordered != sorted(ordered)
+        hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+              for i in ordered]
+        assert hs == sorted(hs)

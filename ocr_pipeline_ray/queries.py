@@ -990,6 +990,34 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_doc_embed(sf_dir: str):
+    """Feature-hashing document embeddings, exploded to nonzero
+    cells for the oracle (the engine keeps the fixed-dim vector
+    column — it feeds the ANN/near-dup stack;
+    ``stages/textstats.hash_embed`` is row-local, vocabulary-free,
+    zero shuffles)."""
+    import numpy as np
+
+    from .stages.textstats import hash_embed
+
+    vecs = hash_embed(_docs(sf_dir), dim=64)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        n = len(col)
+        mat = np.asarray(col.flatten()).reshape(n, 64)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        doc, d = np.nonzero(mat)
+        return pa.table({
+            "doc_id": pa.array(ids[doc], pa.int64()),
+            "d": pa.array(d.astype(np.int64), pa.int64()),
+            "val": pa.array(mat[doc, d], pa.int64()),
+        })
+
+    return vecs.map_batches(_explode, batch_format="pyarrow")
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic hash-shuffle into 16 training shards.
 
@@ -3601,6 +3629,17 @@ ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
+ORACLE_SQL["doc_embed"] = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, 8)) "
+    "AS UBIGINT) AS BIGINT) AS hv FROM toks), "
+    "cells AS (SELECT doc_id, hv % 64 AS d, "
+    "CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM h) "
+    "SELECT doc_id, CAST(d AS BIGINT) AS d, "
+    "CAST(sum(sgn) AS BIGINT) AS val FROM cells "
+    "GROUP BY doc_id, d HAVING sum(sgn) != 0"
+)
 ORACLE_SQL["shuffle_shards"] = (
     "WITH h AS (SELECT doc_id, "
     "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
@@ -3644,6 +3683,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "skew_join_enrich": q_skew_join_enrich,
     "shuffle_shards": q_shuffle_shards,
+    "doc_embed": q_doc_embed,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

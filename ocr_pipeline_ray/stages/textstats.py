@@ -419,3 +419,57 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     ).groupby(
         "_dbucket", num_partitions=n_buckets
     ).map_groups(_topk, batch_format="pyarrow")
+
+
+def hash_embed(ds, dim: int = 64, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Feature-hashing document embedder (the "hashing trick",
+    Weinberger et al., ICML 2009): token t adds ±1 to vector cell
+    ``md5_32(t) % dim``, sign = bit 16 of the same hash. Deterministic,
+    vocabulary-free (no model to broadcast, no shuffle — the operator
+    is row-local and runs at scan speed), and inner products
+    approximate token-overlap similarity, so the output column feeds
+    the ANN/near-dup stack directly.
+
+    Output: ``(id_col, embedding list<int64>)`` — one fixed-``dim``
+    signed-count vector per document (NULL text -> zero vector).
+    One md5 per DISTINCT token per batch (cross-doc memoization, the
+    ``simhash64_batch`` trick), then one ``np.add.at`` scatter.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _embed(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        tok_lists = [t.split(" ") if t is not None else [] for t in texts]
+        idx = {}
+        for toks in tok_lists:
+            for t in toks:
+                if t not in idx:
+                    idx[t] = len(idx)
+        cells = np.empty(len(idx), dtype=np.int64)
+        signs = np.empty(len(idx), dtype=np.int64)
+        for t, i in idx.items():
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            cells[i] = h % dim
+            signs[i] = 1 if (h >> 16) & 1 else -1
+        mat = np.zeros((n, dim), dtype=np.int64)
+        if idx:
+            doc_of = np.fromiter(
+                (d for d, toks in enumerate(tok_lists) for _ in toks),
+                np.int64)
+            tok_of = np.fromiter(
+                (idx[t] for toks in tok_lists for t in toks), np.int64)
+            np.add.at(mat, (doc_of, cells[tok_of]), signs[tok_of])
+        offsets = pa.array(
+            (np.arange(n + 1, dtype=np.int32) * dim).astype(np.int32),
+            pa.int32())
+        emb = pa.ListArray.from_arrays(
+            offsets, pa.array(mat.ravel(), pa.int64()))
+        return pa.table({id_col: batch.column(id_col),
+                         "embedding": emb})
+
+    return ds.map_batches(_embed, batch_format="pyarrow")

@@ -340,3 +340,60 @@ class TestProfileTable:
                 numeric_cols=["v"], string_cols=[], kmv_k=16,
             ).to_pydict())
         assert outs[0] == outs[1]
+
+
+class TestHashEmbed:
+    """Feature-hashing embedder: hand-check + ANN-stack compatibility."""
+
+    def test_hand_computed_cells(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.textstats import hash_embed
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a b", None, ""], pa.string()),
+        })
+        ds = ray.data.from_arrow(docs).repartition(2)
+        rows = {r["doc_id"]: r["embedding"]
+                for r in hash_embed(ds, dim=8).take_all()}
+
+        def cell(tok):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            return h % 8, (1 if (h >> 16) & 1 else -1)
+
+        want0 = [0] * 8
+        for tok in ["a", "a", "b"]:
+            d, s = cell(tok)
+            want0[d] += s
+        assert rows[0] == want0
+        assert rows[1] == [0] * 8          # NULL text -> zero vector
+        d, s = cell("")                    # empty text -> one '' token
+        want2 = [0] * 8
+        want2[d] += s
+        assert rows[2] == want2
+
+    def test_feeds_ann_stack(self, ray_session):
+        """The output column plugs straight into brute_force_topk."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import brute_force_topk
+        from ocr_pipeline_ray.stages.textstats import hash_embed
+
+        docs = pa.table({
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array(
+                ["common words here"] * 10
+                + [f"unique text {i} entirely" for i in range(10)],
+                pa.string()),
+        })
+        ds = ray.data.from_arrow(docs).repartition(3)
+        vecs = hash_embed(ds, dim=32).materialize()
+        q = vecs.take_all()[0]["embedding"]
+        top = brute_force_topk(vecs, q, k=10, id_col="doc_id",
+                               exclude_id=0).take_all()
+        # the 9 other copies of the identical doc outrank the uniques
+        ids = {r["doc_id"] for r in top[:9]}
+        assert ids == set(range(1, 10))

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "corpus_filter", "corpus_quantiles", "profile_table",
     "tfidf_top_terms",
     "top_tokens",
+    "kmeans_assign", "lm_score", "skew_join_enrich",
+    "shuffle_shards", "doc_embed",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

@@ -990,6 +990,21 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_mix_sample(sf_dir: str):
+    """Deterministic data-mix rebalance: downsample the skewed lang
+    distribution (~40% en) toward an even 5-way mix. One exact group
+    count + one row-local integer hash-coin filter — zero shuffles
+    (``stages/stats.mix_sample``).
+    """
+    from .stages.stats import mix_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    return mix_sample(
+        docs, group_col="lang",
+        weights={"en": 1, "de": 1, "fr": 1, "es": 1, "zh": 1},
+        key_col="doc_id")
+
+
 def q_doc_embed(sf_dir: str):
     """Feature-hashing document embeddings, exploded to nonzero
     cells for the oracle (the engine keeps the fixed-dim vector
@@ -3629,6 +3644,18 @@ ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
+ORACLE_SQL["mix_sample"] = (
+    "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY lang), "
+    "t AS (SELECT min(c * 5) AS t FROM n), "
+    "r AS (SELECT n.lang, (t.t * 4294967296) // (5 * n.c) AS rate "
+    "FROM n, t), "
+    "h AS (SELECT doc_id, lang, "
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS BIGINT) AS hv FROM documents) "
+    "SELECT h.doc_id, h.lang FROM h JOIN r USING (lang) "
+    "WHERE h.hv < r.rate"
+)
 ORACLE_SQL["doc_embed"] = (
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
     "FROM documents), "
@@ -3684,6 +3711,7 @@ QUERIES = {
     "skew_join_enrich": q_skew_join_enrich,
     "shuffle_shards": q_shuffle_shards,
     "doc_embed": q_doc_embed,
+    "mix_sample": q_mix_sample,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

@@ -322,3 +322,73 @@ def weighted_sample(ds, key_col: str, weight_col: str, scale: int):
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def mix_sample(ds, group_col: str, weights: dict, key_col: str):
+    """Deterministic data-mix rebalancer: downsample groups so the
+    output approximates target proportions ``weights`` (a training
+    "data mixing" pass — e.g. rebalance languages or sources before
+    shard writing).
+
+    Let ``W = sum(weights)``, ``n_g`` the exact group counts (one
+    map-side-combined aggregate over the group column only). The
+    largest feasible output honoring the mix caps every group at its
+    share of ``T = min_g floor(n_g * W / w_g)`` rows; each group then
+    keeps rows with acceptance rate ``r_g = (T * w_g * 2^32) //
+    (W * n_g)`` via the repo's integer hash-coin
+    (``md5_32(key) < r_g`` — dup-safe, layout-independent, no RNG,
+    exactly reproducible in SQL; see :func:`weighted_sample`).
+    Keeps are Bernoulli, so realized counts are binomial around the
+    target — the standard trade for a one-pass, shuffle-free mix.
+
+    Groups missing from ``weights`` (and NULL groups) are dropped —
+    an explicit mix is also a whitelist. Weight 0 drops the group but
+    does not constrain ``T``.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if not weights or all(w == 0 for w in weights.values()):
+        raise ValueError("weights must contain a positive target")
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(group_col).combine_chunks())
+        keys, counts = vc.field("values"), vc.field("counts")
+        valid = pc.is_valid(keys)
+        return pa.table({
+            group_col: keys.filter(valid),
+            "n": pc.cast(counts.filter(valid), pa.int64()),
+        })
+
+    n_g = {
+        r[group_col]: r["sum(n)"]
+        for r in ds.select_columns([group_col])
+        .map_batches(_counts, batch_format="pyarrow")
+        .groupby(group_col).aggregate(Sum("n")).take_all()
+    }
+    w_total = sum(weights.values())
+    t_out = min(
+        (n_g.get(g, 0) * w_total) // w
+        for g, w in weights.items() if w > 0
+    )
+    rates = {
+        g: min(2 ** 32, (t_out * w * 4294967296) // (w_total * n_g[g]))
+        for g, w in weights.items() if w > 0 and n_g.get(g, 0) > 0
+    }
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        thresholds = np.fromiter(
+            (rates.get(g, 0) for g in groups), dtype=np.int64,
+            count=len(groups))
+        hs = np.fromiter(
+            (int(hashlib.md5(str(k).encode("utf-8")).hexdigest()[:8],
+                 16) for k in keys),
+            dtype=np.uint64, count=len(keys),
+        ).astype(np.int64)
+        return batch.filter(pa.array(hs < thresholds))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -397,3 +397,68 @@ class TestHashEmbed:
         # the 9 other copies of the identical doc outrank the uniques
         ids = {r["doc_id"] for r in top[:9]}
         assert ids == set(range(1, 10))
+
+
+class TestMixSample:
+    """Deterministic data-mix rebalancer."""
+
+    def _ds(self, ray_session, blocks=3):
+        import ray.data
+
+        # heavily skewed groups: a=300, b=60, c=30, d(null)=10
+        groups = ["a"] * 300 + ["b"] * 60 + ["c"] * 30 + [None] * 10
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(groups)), pa.int64()),
+            "g": pa.array(groups, pa.string()),
+        })
+        return ray.data.from_arrow(tbl).repartition(blocks)
+
+    def test_even_mix_caps_groups(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import mix_sample
+
+        ds = self._ds(ray_session)
+        rows = mix_sample(ds, "g", {"a": 1, "b": 1, "c": 1},
+                          key_col="doc_id").take_all()
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(r["g"], []).append(r["doc_id"])
+        # binding group c keeps everything (rate hits 2^32)
+        assert sorted(by_g["c"]) == list(range(360, 390))
+        # each group targets T/W = 30 rows; Bernoulli keeps land near
+        assert 15 <= len(by_g["a"]) <= 45
+        assert 15 <= len(by_g["b"]) <= 45
+        # unlisted (None) groups dropped
+        assert set(by_g) == {"a", "b", "c"}
+
+    def test_layout_invariance_and_dup_safety(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import mix_sample
+
+        want = None
+        for blocks in (1, 4, 8):
+            ds = self._ds(ray_session, blocks)
+            got = sorted(
+                (r["doc_id"], r["g"]) for r in
+                mix_sample(ds, "g", {"a": 2, "b": 1},
+                           key_col="doc_id").take_all())
+            if want is None:
+                want = got
+            assert got == want
+
+    def test_weighted_mix_shares(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import mix_sample
+
+        ds = self._ds(ray_session)
+        rows = mix_sample(ds, "g", {"a": 3, "b": 1},
+                          key_col="doc_id").take_all()
+        n_a = sum(1 for r in rows if r["g"] == "a")
+        n_b = sum(1 for r in rows if r["g"] == "b")
+        # T = min(300*4//3, 60*4//1) = 240 -> targets a:180, b:60(all)
+        assert n_b == 60              # binding group keeps all
+        assert 140 <= n_a <= 220      # binomial around 180
+
+    def test_all_zero_weights_raise(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import mix_sample
+
+        with pytest.raises(ValueError):
+            mix_sample(self._ds(ray_session), "g", {"a": 0},
+                       key_col="doc_id")

@@ -990,6 +990,40 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_packed_windows(sf_dir: str):
+    """Materialized packed training windows, exploded to (seq_id,
+    pos, tok) rows for the oracle. The engine emits the loader-ready
+    ``(seq_id, n_filled, tokens list<int64>)`` windows
+    (``stages/pack.pack_windows``: tokenize once, token hashes ride
+    the packing plan's band exchange, token rows co-shuffle by window
+    bucket, whole-bucket lexsort assembly)."""
+    import numpy as np
+
+    from .stages.pack import pack_windows
+
+    wins = pack_windows(_docs(sf_dir), seq_len=PACK_SEQ_LEN)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens").combine_chunks()
+        lens = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        seq = batch.column("seq_id").combine_chunks().to_numpy() \
+            .astype(np.int64)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1],
+                           lens))
+        return pa.table({
+            "seq_id": pa.array(np.repeat(seq, lens), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "tok": pa.array(flat, pa.int64()),
+        })
+
+    return wins.map_batches(_explode, batch_format="pyarrow")
+
+
 def q_mix_sample(sf_dir: str):
     """Deterministic data-mix rebalance: downsample the skewed lang
     distribution (~40% en) toward an even 5-way mix. One exact group
@@ -3644,6 +3678,20 @@ ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
+ORACLE_SQL["packed_windows"] = (
+    "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL THEN "
+    "CAST([] AS VARCHAR[]) ELSE string_split(text, ' ') END AS t "
+    "FROM documents), "
+    "cum AS (SELECT doc_id, t, COALESCE(sum(len(t)) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING), 0) AS cb FROM toks), "
+    "tok AS (SELECT cb + i - 1 AS g, "
+    "CAST(CAST(('0x' || substr(md5(t[i]), 1, 8)) AS UBIGINT) "
+    "AS BIGINT) AS th FROM cum, "
+    "LATERAL unnest(generate_series(1, len(t))) AS r(i)) "
+    f"SELECT CAST(g // {PACK_SEQ_LEN} AS BIGINT) AS seq_id, "
+    f"CAST(g % {PACK_SEQ_LEN} AS BIGINT) AS pos, th AS tok FROM tok"
+)
 ORACLE_SQL["mix_sample"] = (
     "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS c "
     "FROM documents GROUP BY lang), "
@@ -3712,6 +3760,7 @@ QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "doc_embed": q_doc_embed,
     "mix_sample": q_mix_sample,
+    "packed_windows": q_packed_windows,
     "pagerank_pregel": q_pagerank_pregel,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,

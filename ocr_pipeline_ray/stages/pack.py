@@ -187,3 +187,123 @@ def shuffle_shards(ds, n_shards: int, key_col: str = "doc_id"):
         .groupby("shard_id")
         .map_groups(_order, batch_format="pyarrow")
     )
+
+
+def pack_windows(ds, seq_len: int, id_col: str = "doc_id",
+                 text_col: str = "text", band_size: int = 8192,
+                 n_buckets: int = 64):
+    """Materialize the packed training windows themselves.
+
+    :func:`sequence_packing` computes the PLAN (where every doc's
+    tokens land); this operator emits the actual fixed-length windows
+    a loader reads: ``(seq_id, n_filled, tokens list<int64>)``.
+    Token ids are vocabulary-free md5_32 hashes (the
+    ``hash_embed``/``shuffle_shards`` parity rule) — swap in a real
+    tokenizer's ids by replacing one row-local map.
+
+    Shape: tokenize once, carry the per-doc token-hash list THROUGH
+    the packing plan's band-bucket exchange (so ``cum_before``
+    arrives with the content — no second doc-scale join), then
+    explode to token rows ``(window, pos, tok)`` and co-shuffle by a
+    window-hash bucket; each whole-bucket UDF assembles its windows
+    with one lexsort + offset-boundary ListArray build (no per-window
+    Python). Cross-node volume = one doc-content move + one
+    token-row move (~token-count × 16 bytes; the inherent cost of
+    materializing windows that straddle documents — the PLAN
+    operator stays the cheap path when writers can re-read docs).
+    The stream's final partial window ships unpadded
+    (``n_filled < seq_len``).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def _tokenize(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [t.split(" ") if t is not None else []
+                     for t in texts]
+        idx = {}
+        for toks in tok_lists:
+            for t in toks:
+                if t not in idx:
+                    idx[t] = len(idx)
+        hs = np.empty(len(idx), dtype=np.int64)
+        for t, i in idx.items():
+            hs[i] = int(
+                hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                           count=len(tok_lists))
+        flat = np.fromiter(
+            (idx[t] for toks in tok_lists for t in toks), np.int64)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int32),
+            pa.int32())
+        toks_arr = pa.ListArray.from_arrays(
+            offsets, pa.array(hs[flat] if len(flat) else
+                              np.empty(0, np.int64), pa.int64()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_toks": toks_arr,
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    planned = sequence_packing(
+        ds.map_batches(_tokenize, batch_format="pyarrow"),
+        seq_len, id_col=id_col, tokens_col="n_tokens",
+        band_size=band_size, n_buckets=n_buckets)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        toks = batch.column("_toks").combine_chunks()
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        cum = batch.column("cum_before").combine_chunks().to_numpy() \
+            .astype(np.int64)
+        if flat.size == 0:
+            return pa.table({
+                "_win": pa.array([], pa.int64()),
+                "_pos": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64()),
+            })
+        # global position of every token: doc's cum_before + arange
+        starts = np.repeat(cum, lens)
+        local = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)))[:-1], lens)
+        g = starts + local
+        return pa.table({
+            "_win": pa.array(g // seq_len, pa.int64()),
+            "_pos": pa.array(g % seq_len, pa.int64()),
+            "tok": pa.array(flat, pa.int64()),
+        })
+
+    rows = planned.map_batches(_explode, batch_format="pyarrow")
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pa.array(bucket_ids(batch.column("_win"), n_buckets),
+                     pa.int64()))
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        win = group.column("_win").combine_chunks().to_numpy()
+        pos = group.column("_pos").combine_chunks().to_numpy()
+        tok = group.column("tok").combine_chunks().to_numpy()
+        order = np.lexsort((pos, win))
+        win, tok = win[order], tok[order]
+        bounds = np.concatenate(
+            ([0], np.nonzero(win[1:] != win[:-1])[0] + 1, [len(win)]))
+        seq_ids = win[bounds[:-1]]
+        n_filled = np.diff(bounds)
+        toks_arr = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32), pa.int32()),
+            pa.array(tok, pa.int64()))
+        return pa.table({
+            "seq_id": pa.array(seq_ids, pa.int64()),
+            "n_filled": pa.array(n_filled.astype(np.int64), pa.int64()),
+            "tokens": toks_arr,
+        })
+
+    return (
+        rows.map_batches(_with_bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=min(n_buckets, 64))
+        .map_groups(_assemble, batch_format="pyarrow")
+    )

@@ -140,3 +140,62 @@ class TestShuffleShards:
         hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
               for i in ordered]
         assert hs == sorted(hs)
+
+
+class TestPackWindows:
+    """Materialized packed windows."""
+
+    def _docs(self, ray_session, texts, blocks=3):
+        import pyarrow as pa
+        import ray.data
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        return ray.data.from_arrow(tbl).repartition(blocks)
+
+    def test_windows_reconstruct_global_stream(self, ray_session):
+        import hashlib
+
+        from ocr_pipeline_ray.stages.pack import pack_windows
+
+        texts = ["a b c", "d e", None, "f", "g h i j k"]
+        ds = self._docs(ray_session, texts)
+        rows = sorted(pack_windows(ds, seq_len=4).take_all(),
+                      key=lambda r: r["seq_id"])
+        # global stream in doc_id order
+        stream = [t for x in texts if x is not None
+                  for t in x.split(" ")]
+        want = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                for t in stream]
+        got = [tok for r in rows for tok in r["tokens"]]
+        assert got == want
+        # fixed-length windows; only the last is partial
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        assert [r["n_filled"] for r in rows][:-1] == [4] * (len(rows) - 1)
+        assert rows[-1]["n_filled"] == len(stream) % 4 or 4
+        assert all(len(r["tokens"]) == r["n_filled"] for r in rows)
+
+    def test_layout_invariance(self, ray_session):
+        from ocr_pipeline_ray.stages.pack import pack_windows
+
+        texts = [f"tok{i} tok{i+1} tok{i*7%23}" for i in range(60)]
+        want = None
+        for blocks in (1, 5, 11):
+            ds = self._docs(ray_session, texts, blocks)
+            got = sorted(
+                (r["seq_id"], r["n_filled"], tuple(r["tokens"]))
+                for r in pack_windows(ds, seq_len=16).take_all())
+            if want is None:
+                want = got
+            assert got == want
+
+    def test_straddling_doc_spans_windows(self, ray_session):
+        from ocr_pipeline_ray.stages.pack import pack_windows
+
+        # one 10-token doc through seq_len=3 -> windows of 3/3/3/1
+        ds = self._docs(ray_session, [" ".join(f"w{i}" for i in range(10))], 1)
+        rows = sorted(pack_windows(ds, seq_len=3).take_all(),
+                      key=lambda r: r["seq_id"])
+        assert [r["n_filled"] for r in rows] == [3, 3, 3, 1]

@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "top_tokens",
     "kmeans_assign", "lm_score", "skew_join_enrich",
-    "shuffle_shards", "doc_embed",
+    "shuffle_shards", "doc_embed", "mix_sample", "packed_windows",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

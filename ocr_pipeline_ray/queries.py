@@ -1173,6 +1173,46 @@ def _lm_score_sql(min_count: int, scale: int) -> str:
     )
 
 
+def q_lm_buckets(sf_dir: str):
+    """CCNet's head/middle/tail corpus partition, end to end: bigram
+    LM scoring -> exact tercile cuts over the scored docs -> row-local
+    bucket map. The full chain is one oracle (train + score + exact
+    quantiles + bucketing all load-bearing in the SQL twin)."""
+    from .stages.lm import lm_score, train_bigram_lm
+    from .stages.stats import exact_quantiles
+
+    ds = _docs(sf_dir)
+    uni, bi, vocab = train_bigram_lm(ds, min_count=LM_MIN_COUNT)
+    scored = lm_score(ds, uni, bi, vocab, scale=LM_SCALE).materialize()
+
+    def _scored_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("mean_ipp"), pa.scalar(0)))
+
+    ok = scored.map_batches(_scored_only, batch_format="pyarrow")
+    qt = exact_quantiles(ok, "mean_ipp", [0.33, 0.66])
+    cuts = dict(zip(qt.column("q").to_pylist(),
+                    qt.column("value").to_pylist()))
+    c1, c2 = cuts[0.33], cuts[0.66]
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = batch.column("mean_ipp").combine_chunks().to_numpy() \
+            .astype(np.int64)
+        lab = np.where(
+            m < 0, "unscored",
+            np.where(m <= c1, "head",
+                     np.where(m <= c2, "middle", "tail")))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "mean_ipp": batch.column("mean_ipp"),
+            "bucket": pa.array(lab.tolist(), pa.string()),
+        })
+
+    return scored.map_batches(_bucket, batch_format="pyarrow")
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_SCALE = 1_000_000
@@ -3678,6 +3718,19 @@ ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
+ORACLE_SQL["lm_buckets"] = (
+    "WITH scored AS (SELECT * FROM ("
+    + _lm_score_sql(LM_MIN_COUNT, LM_SCALE) +
+    ") s0), cuts AS (SELECT "
+    "quantile_disc(mean_ipp, 0.33) AS c1, "
+    "quantile_disc(mean_ipp, 0.66) AS c2 "
+    "FROM scored WHERE mean_ipp >= 0) "
+    "SELECT s.doc_id, s.mean_ipp, "
+    "CASE WHEN s.mean_ipp < 0 THEN 'unscored' "
+    "WHEN s.mean_ipp <= cuts.c1 THEN 'head' "
+    "WHEN s.mean_ipp <= cuts.c2 THEN 'middle' "
+    "ELSE 'tail' END AS bucket FROM scored s, cuts"
+)
 ORACLE_SQL["packed_windows"] = (
     "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL THEN "
     "CAST([] AS VARCHAR[]) ELSE string_split(text, ' ') END AS t "
@@ -3756,6 +3809,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "kmeans_assign": q_kmeans_assign,
     "lm_score": q_lm_score,
+    "lm_buckets": q_lm_buckets,
     "skew_join_enrich": q_skew_join_enrich,
     "shuffle_shards": q_shuffle_shards,
     "doc_embed": q_doc_embed,

@@ -1117,9 +1117,15 @@ def q_skew_join_enrich(sf_dir: str):
             "lang_total": pc.cast(batch.column("sum(n)"), pa.int64()),
         })
 
-    totals = totals.map_batches(_rename, batch_format="pyarrow")
+    totals = totals.map_batches(
+        _rename, batch_format="pyarrow").materialize()
+    # the right side IS the left-key histogram — reuse it as the hot
+    # set instead of paying skew_join's detection scan+exchange
+    hot = [r["lang"] for r in totals.take_all()
+           if r["lang_total"] >= 100]
     return skew_join(docs, totals, on="lang",
-                     right_cols=["lang_total"], hot_count=100)
+                     right_cols=["lang_total"], hot_count=100,
+                     hot=hot)
 
 
 LM_MIN_COUNT = 2
@@ -1171,6 +1177,55 @@ def _lm_score_sql(min_count: int, scale: int) -> str:
         "AS BIGINT) AS mean_ipp "
         "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
     )
+
+
+def q_split_leakage_safe(sf_dir: str):
+    """Near-dup-aware train/val/test split: all documents of one
+    near-dup CLUSTER land in the same split, so paraphrased or
+    lightly-edited copies can never straddle train/test (the leakage
+    `q_dataset_split`'s content hash only blocks for EXACT dups).
+
+    Chain: MinHash candidates -> distributed connected components
+    (all shuffles candidate-scale) -> the node->cluster map
+    broadcasts once (cluster-scale) -> one row-local pass hashes
+    md5(cluster id, or own doc_id when unclustered) into 90/5/5.
+    """
+    import hashlib
+
+    import ray
+
+    from .stages.cluster import connected_components
+    from .stages.dedup import _cached_get
+
+    docs = _docs(sf_dir)
+    clusters = connected_components(
+        minhash_dup_pairs(docs), a_col="d1", b_col="d2")
+    mapping: dict = {}
+    for b in clusters.iter_batches(batch_format="pyarrow"):
+        mapping.update(zip(b.column("node").to_pylist(),
+                           b.column("cluster").to_pylist()))
+    map_ref = ray.put(mapping)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        m = _cached_get(map_ref)
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [
+            int(hashlib.md5(
+                str(m.get(i, i)).encode("utf-8")).hexdigest()[:8], 16)
+            % 100
+            for i in ids
+        ]
+        splits = [
+            "train" if b < 90 else ("val" if b < 95 else "test")
+            for b in buckets
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return docs.map_batches(_split, batch_format="pyarrow")
 
 
 def q_lm_buckets(sf_dir: str):
@@ -3716,6 +3771,18 @@ ORACLE_SQL: Dict[str, str] = {
 # same graph, same semantics, different physical plan — one SQL twin
 ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
+ORACLE_SQL["split_leakage_safe"] = (
+    "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+    + CC_CTE +
+    ", keyed AS (SELECT d.doc_id, "
+    "COALESCE(c.cluster_id, d.doc_id) AS k FROM documents d "
+    "LEFT JOIN clusters c ON c.node = d.doc_id), "
+    "b AS (SELECT doc_id, CAST(CAST(('0x' || "
+    "substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 "
+    "AS BIGINT) AS bucket FROM keyed) "
+    "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
+    "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
+)
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
 ORACLE_SQL["lm_buckets"] = (
@@ -3810,6 +3877,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "lm_score": q_lm_score,
     "lm_buckets": q_lm_buckets,
+    "split_leakage_safe": q_split_leakage_safe,
     "skew_join_enrich": q_skew_join_enrich,
     "shuffle_shards": q_shuffle_shards,
     "doc_embed": q_doc_embed,

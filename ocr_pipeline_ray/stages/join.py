@@ -777,7 +777,8 @@ def hot_keys(ds, on: str, hot_count: int, n_buckets: int = 64) -> pa.Table:
 def skew_join(left, right, on: str,
               right_cols: Optional[List[str]] = None,
               how: str = "inner", suffix: str = "_r",
-              hot_count: int = 100_000, n_buckets: int = 64):
+              hot_count: int = 100_000, n_buckets: int = 64,
+              hot: Optional[List] = None):
     """Skew-aware hybrid join: broadcast the hot keys, shuffle the rest.
 
     A repartition join hashes every row of both sides into buckets —
@@ -804,6 +805,12 @@ def skew_join(left, right, on: str,
     ``hot_count`` is the knob: set it near (rows / buckets·safety) so
     any key that would overwhelm one bucket goes the broadcast route.
     With no hot keys this degrades to exactly ``repartition_join``.
+
+    ``hot`` (a list of key values) skips the detection pass — the
+    caller often already holds the left-key histogram (any query
+    whose right side IS that histogram, or a reused profile); at toy
+    scale detection is a whole extra exchange, at 10^12 rows a whole
+    extra corpus scan.
     """
     import pyarrow.compute as pc
 
@@ -811,11 +818,25 @@ def skew_join(left, right, on: str,
         raise ValueError(
             f"how must be inner|left|semi|anti, got {how!r}")
 
-    hot = hot_keys(left, on, hot_count, n_buckets).take_all()
+    if hot is None:
+        hot = [r[on] for r in
+               hot_keys(left, on, hot_count, n_buckets).take_all()]
+    else:
+        hot = [k for k in hot if k is not None]
     if not hot:
         return repartition_join(left, right, on, right_cols, how,
                                 suffix, n_buckets)
-    hot_arr = pa.array([r[on] for r in hot])
+    hot_arr = pa.array(hot)
+
+    # The split consumes RIGHT twice (hot + cold slices) and LEFT
+    # three times (detection + 2 slices). Datasets are lazy — each
+    # consumer re-executes its full lineage, so a computed right side
+    # (e.g. an aggregated dimension) would re-run its shuffle per
+    # slice. Materialize right once: it is the lookup side of the
+    # join contract (dimension-scale by definition). Left stays lazy:
+    # its re-scans are pruned parquet reads, the standard trade vs
+    # pinning the corpus in the object store.
+    right = right.materialize()
 
     def _slice(want_hot: bool):
         def _fn(batch: pa.Table) -> pa.Table:

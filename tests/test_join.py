@@ -545,3 +545,33 @@ class TestSkewJoin:
             if want is None:
                 want = got
             assert got == want
+
+
+class TestSkewJoinHotOverride:
+    def test_supplied_hot_equals_detected(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import skew_join
+
+        ks = [7] * 40 + [1, 2, 3] * 5 + [None] * 2
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "v": pa.array(list(range(len(ks))), pa.int64()),
+        })).repartition(3)
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([7, 1], pa.int64()),
+            "w": pa.array([70, 10], pa.int64()),
+        }))
+        want = sorted((r["k"], r["v"], r["w"]) for r in
+                      skew_join(left, right, on="k",
+                                hot_count=20).take_all())
+        # supplied hot set (incl. a None that must be ignored)
+        got = sorted((r["k"], r["v"], r["w"]) for r in
+                     skew_join(left, right, on="k", hot_count=20,
+                               hot=[7, None]).take_all())
+        assert got == want
+        # an empty supplied hot list degrades to the plain join
+        got2 = sorted((r["k"], r["v"], r["w"]) for r in
+                      skew_join(left, right, on="k", hot_count=20,
+                                hot=[]).take_all())
+        assert got2 == want

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "top_tokens",
     "kmeans_assign", "lm_score", "skew_join_enrich",
     "shuffle_shards", "doc_embed", "mix_sample", "packed_windows",
+    "lm_buckets", "split_leakage_safe",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

@@ -47,7 +47,7 @@ extends the same M9 quality-gating slot to the corpus-LM signal.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import pyarrow as pa

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "kmeans_assign", "lm_score", "skew_join_enrich",
     "shuffle_shards", "doc_embed", "mix_sample", "packed_windows",
     "lm_buckets", "split_leakage_safe",
+    "quality_rank", "source_overlap",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

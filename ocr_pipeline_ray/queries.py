@@ -1800,6 +1800,44 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_quality_rank(sf_dir: str):
+    """Global ``ROW_NUMBER`` + ``NTILE(4)`` over the whole corpus by
+    ``(n_chars, doc_id)`` — the window function a curriculum /
+    percentile-gate pipeline needs. Physical plan = the distributed
+    zipWithIndex shape (`stages/rank.py`): one range-partitioned
+    sort, block offsets from METADATA only, one task per block to
+    attach ranks; NTILE derived from the rank in exact integer
+    arithmetic (ANSI semantics)."""
+    from .stages.rank import global_rank
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    ranked = global_rank(ds, ["n_chars", "doc_id"], ntile_k=4,
+                         rank_col="rnk", ntile_col="tile")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            "rnk": batch.column("rnk"),
+            "tile": batch.column("tile"),
+        })
+
+    return ranked.map_batches(_shape, batch_format="pyarrow").sort("doc_id")
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-SOURCE contamination audit: for every pair of corpus
+    sources, the count of distinct 3-token shingles they share —
+    the governance matrix that decides "source B is contained in A"
+    before any per-document dedup. One deduped
+    ``(shingle, source-bitmask)`` exchange, whole-bucket OR-reduceat,
+    output bounded by distinct source COMBINATIONS (`stages/overlap.py`)."""
+    from .stages.overlap import source_overlap
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    return source_overlap(ds, group_col="source", text_col="text", k=3)
+
+
 def q_training_pipeline(sf_dir: str):
     """END-TO-END training-data pipeline, ORACLE-CHECKED as one chain:
 
@@ -3120,6 +3158,26 @@ ORACLE_SQL: Dict[str, str] = {
         "QUALIFY row_number() OVER (PARTITION BY lang "
         "ORDER BY n_chars DESC, doc_id ASC) <= 3"
     ),
+    "quality_rank": (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) "
+        "AS rnk, "
+        "CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) "
+        "AS tile FROM documents ORDER BY doc_id"
+    ),
+    "source_overlap": (
+        "WITH t AS (SELECT source, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "sh AS (SELECT source, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+        "ELSE [] END AS shingles FROM t), "
+        "ss AS (SELECT DISTINCT source, unnest(shingles) AS s FROM sh) "
+        "SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "training_pipeline": (
         # extraction is identity on this page construction (pinned by
         # extraction_flagship), so the chain starts from documents
@@ -3902,6 +3960,8 @@ QUERIES = {
     "corpus_p10_cut": q_corpus_p10_cut,
     "lang_quantiles": q_lang_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "quality_rank": q_quality_rank,
+    "source_overlap": q_source_overlap,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,

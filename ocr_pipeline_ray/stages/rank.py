@@ -1,0 +1,170 @@
+"""Global rank assignment: distributed ``ROW_NUMBER`` / ``NTILE``.
+
+The reference sorts its corpus report ascending by quality ratio
+(`/root/reference/ocr_pipeline.py:238`) but never *numbers* the rows;
+a training-data pipeline needs the numbering itself — "keep the
+bottom-decile documents", "assign each doc its global quality
+percentile bucket", curriculum ordering. This module provides the
+window function as a first-class distributed operator:
+
+* :func:`global_rank` — ``row_number() OVER (ORDER BY order_cols)``
+  as an int64 ``rank`` column (1-based), plus optionally the exact
+  SQL ``NTILE(k)`` bucket derived from that rank.
+
+Physical plan (the Spark ``zipWithIndex`` shape, Ray-Data-native):
+
+1. ``ds.sort(order_cols)`` — Ray Data's range-partitioned sort does
+   the heavy lifting; ties are broken by the caller-supplied
+   tiebreak column(s), so hot values are SPLIT across blocks by the
+   range partitioner rather than forced into one group (no skew
+   trap, unlike a groupby-on-value design).
+2. The driver walks the sorted dataset's block METADATA only
+   (``iter_internal_ref_bundles`` — object refs + row counts, never
+   rows), prefix-sums the per-block counts into block offsets.
+3. One Ray task per block attaches ``rank = offset + arange + 1``
+   (and the NTILE bucket); the result is re-wrapped with
+   ``ray.data.from_arrow_refs`` — blocks never touch the driver.
+
+Driver state is O(#blocks); shuffle volume is the one sort exchange.
+At 10^12 rows the sort is the inherent cost of a global ordering —
+there is no rank without it.
+
+NULL-key hazard (pinned by tests/test_stats.py and the repo memory):
+Ray 2.49's sort crashes or misbehaves on nullable keys, so the sort
+runs on ``fill_null``-ed HELPER key columns (dropped afterwards).
+Null ordering therefore follows the fill sentinel (documented:
+nulls-first for the default minimum sentinel) — the oracle queries
+use non-null keys.
+
+NTILE(k) parity: DuckDB/ANSI NTILE gives the first ``n % k`` buckets
+``ceil(n/k)`` rows and the rest ``floor(n/k)`` — reproduced in exact
+integer arithmetic from the global rank, no floats.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HELPER_PREFIX = "_rk_"
+
+
+def _ntile_from_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Exact SQL ``NTILE(k)`` bucket (1-based) from 1-based ranks."""
+    big = n // k + 1            # rows in each of the first n%k buckets
+    n_big = n % k
+    cut = n_big * big           # rows covered by the big buckets
+    small = max(n // k, 1)      # avoid div-by-zero when n < k
+    return np.where(
+        rank <= cut,
+        (rank - 1) // big + 1,
+        n_big + (rank - cut - 1) // small + 1,
+    ).astype(np.int64)
+
+
+def global_rank(
+    ds,
+    order_cols: Union[str, Sequence[str]],
+    ntile_k: Optional[int] = None,
+    rank_col: str = "rank",
+    ntile_col: str = "tile",
+):
+    """Attach ``row_number() OVER (ORDER BY order_cols)`` to ``ds``.
+
+    ``order_cols`` should end in a tiebreak column that makes the
+    ordering total (e.g. the doc id) — otherwise ranks among ties
+    follow the sort's internal (stable but unspecified) placement.
+    Returns a new Dataset with the input columns (in sorted order)
+    plus ``rank_col`` (int64, 1-based) and, when ``ntile_k`` is set,
+    ``ntile_col`` (int64, exact SQL NTILE semantics).
+    """
+    import ray
+    import ray.data
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    order_cols = list(order_cols)
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    # sort on fill_null'ed helper keys (Ray sort null-key hazard)
+    helper_names: List[str] = []
+
+    def _with_helpers(batch: pa.Table) -> pa.Table:
+        out = batch
+        for c in order_cols:
+            arr = batch.column(c)
+            typ = arr.type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                filled = pc.fill_null(arr, "")
+            elif pa.types.is_timestamp(typ):
+                filled = pc.fill_null(arr, pa.scalar(0, typ))
+            elif pa.types.is_floating(typ):
+                filled = pc.fill_null(arr, float("-inf"))
+            else:
+                filled = pc.fill_null(
+                    arr, pa.scalar(np.iinfo(np.int64).min, pa.int64())
+                    .cast(typ))
+            out = out.append_column(_HELPER_PREFIX + c, filled)
+        return out
+
+    helper_names = [_HELPER_PREFIX + c for c in order_cols]
+    sorted_ds = ds.map_batches(
+        _with_helpers, batch_format="pyarrow"
+    ).sort(helper_names)
+
+    # driver sees refs + row counts only, never block contents
+    blocks: List = []
+    counts: List[int] = []
+    pending = []  # (index, ref) whose metadata lacked num_rows
+
+    @ray.remote
+    def _count(block: pa.Table) -> int:
+        return block.num_rows
+
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            blocks.append(ref)
+            if meta.num_rows is None:
+                pending.append((len(counts), ref))
+                counts.append(-1)
+            else:
+                counts.append(int(meta.num_rows))
+    if pending:
+        got = ray.get([_count.remote(ref) for _, ref in pending])
+        for (i, _), n in zip(pending, got):
+            counts[i] = n
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    total = int(np.sum(counts))
+
+    out_cols = [c for c in schema.names]
+    k = ntile_k
+
+    @ray.remote
+    def _attach(block: pa.Table, off: int) -> pa.Table:
+        n = block.num_rows
+        ranks = off + np.arange(1, n + 1, dtype=np.int64)
+        out = block.select(out_cols).append_column(
+            rank_col, pa.array(ranks, pa.int64()))
+        if k is not None:
+            out = out.append_column(
+                ntile_col,
+                pa.array(_ntile_from_rank(ranks, total, k), pa.int64()))
+        return out
+
+    new_refs = [
+        _attach.remote(ref, int(off))
+        for ref, off, n in zip(blocks, offsets, counts)
+        if n > 0
+    ]
+    if not new_refs:
+        empty_schema = pa.schema(
+            [(c, types[c]) for c in out_cols]
+            + [(rank_col, pa.int64())]
+            + ([(ntile_col, pa.int64())] if k is not None else [])
+        )
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return ray.data.from_arrow_refs(new_refs)

@@ -1822,7 +1822,10 @@ def q_quality_rank(sf_dir: str):
             "tile": batch.column("tile"),
         })
 
-    return ranked.map_batches(_shape, batch_format="pyarrow").sort("doc_id")
+    # no display sort: the output is corpus-sized, already in a
+    # deterministic (score, doc_id) order, and the gate's compare is
+    # order-insensitive — a second full exchange would be pure waste
+    return ranked.map_batches(_shape, batch_format="pyarrow")
 
 
 def q_source_overlap(sf_dir: str):

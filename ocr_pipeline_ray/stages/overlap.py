@@ -21,9 +21,10 @@ Physical plan (never materializes a shingle list on the driver):
    shingle (sort + ``np.bitwise_or.reduceat`` — no per-key UDF) and
    emits ``(mask, count)`` partials: the bucket's output is at most
    #distinct-masks rows, regardless of shingle count.
-3. A tiny final ``groupby(mask).sum`` and a driver-side expansion of
-   each mask row into the source pairs it contains (``mask ⊇ {a,b}``
-   ⇒ the shingle counts toward pair (a,b)).
+3. The driver merges the per-bucket ``(mask, count)`` partials
+   (≤ buckets × distinct-combinations rows) and expands each mask
+   into the source pairs it contains (``mask ⊇ {a,b}`` ⇒ the
+   shingle counts toward pair (a,b)) — no second shuffle.
 
 Shuffle volume = the deduped shingle set, once; the reduction output
 is bounded by the number of DISTINCT source combinations, not by
@@ -37,7 +38,7 @@ governance); this extends the dedup family of SURVEY.md §2.7.
 from __future__ import annotations
 
 from itertools import combinations
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -53,6 +54,7 @@ def source_overlap(
     text_col: str = "text",
     k: int = 3,
     n_buckets: int = 64,
+    groups: Optional[List[str]] = None,
 ) -> pa.Table:
     """Pairwise distinct-shingle overlap counts between groups.
 
@@ -60,12 +62,25 @@ def source_overlap(
     — one row per unordered group pair (``source_a < source_b``)
     sharing at least one distinct k-token shingle, sorted by pair.
     Rows with a NULL group or NULL text contribute nothing.
-    """
-    from ray.data.aggregate import Sum
 
-    groups: List[str] = sorted(
-        g for g in ds.unique(group_col) if g is not None
-    )
+    Pass ``groups`` (the distinct group values) when known up front
+    — it skips the discovery pass. Otherwise one COLUMN-PRUNED scan
+    of ``group_col`` collects per-block uniques (blocks × groups
+    rows on the driver — bounded, never the column itself).
+    """
+    if groups is None:
+        def _block_uniques(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "g": pc.unique(batch.column(group_col)),
+            })
+
+        seen = set()
+        for t in ds.select_columns([group_col]).map_batches(
+            _block_uniques, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            seen.update(t.column("g").to_pylist())
+        groups = [g for g in seen if g is not None]
+    groups = sorted(groups)
     if len(groups) > 63:
         raise ValueError(
             f"source_overlap: {len(groups)} groups — the pair matrix "
@@ -107,26 +122,24 @@ def source_overlap(
             "n": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
-    mask_counts = (
+    mask_partials = (
         ds.map_batches(_shingle_masks, batch_format="pyarrow")
         .groupby("_bucket", num_partitions=n_buckets)
         .map_groups(_bucket_partials, batch_format="pyarrow")
-        .groupby("mask").aggregate(Sum("n"))
     )
-    # driver holds only (mask, count) rows: <= #distinct combinations
-    tbls = [
-        t for t in mask_counts.iter_batches(batch_format="pyarrow",
-                                            batch_size=None)
-        if t.num_rows
-    ]
+    # driver merges the per-bucket (mask, count) partials directly:
+    # <= n_buckets × #distinct-combinations rows — no second shuffle
+    mask_n: Dict[int, int] = {}
+    for t in mask_partials.iter_batches(batch_format="pyarrow",
+                                        batch_size=None):
+        for mask, n in zip(t.column("mask").to_pylist(),
+                           t.column("n").to_pylist()):
+            mask_n[mask] = mask_n.get(mask, 0) + n
     pair_n: Dict[tuple, int] = {}
-    if tbls:
-        final = pa.concat_tables(tbls)
-        for mask, n in zip(final.column("mask").to_pylist(),
-                           final.column("sum(n)").to_pylist()):
-            members = [g for g in groups if mask & bit_of[g]]
-            for a, b in combinations(members, 2):
-                pair_n[(a, b)] = pair_n.get((a, b), 0) + n
+    for mask, n in mask_n.items():
+        members = [g for g in groups if mask & bit_of[g]]
+        for a, b in combinations(members, 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + n
     pairs = sorted(pair_n)
     return pa.table({
         "source_a": pa.array([p[0] for p in pairs], pa.string()),

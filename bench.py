@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "shuffle_shards", "doc_embed", "mix_sample", "packed_windows",
     "lm_buckets", "split_leakage_safe",
     "quality_rank", "source_overlap",
+    "sample_exact_k", "approx_quantiles", "docs_except",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

@@ -1841,6 +1841,79 @@ def q_source_overlap(sf_dir: str):
     return source_overlap(ds, group_col="source", text_col="text", k=3)
 
 
+def q_sample_exact_k(sf_dir: str):
+    """Deterministic uniform sample of EXACTLY 100 docs — distributed
+    "ORDER BY md5(key) LIMIT k": vectorized local top-k per block,
+    tiny global sort+limit over blocks×k candidates
+    (`stages/stats.py hash_sample_exact`). Complements the threshold
+    samplers (stratified/weighted), whose output size is only
+    approximate."""
+    from .stages.stats import hash_sample_exact
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    out = hash_sample_exact(ds, k=100, key_col="doc_id")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+        })
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Fixed-bin quantile SKETCH over n_chars (`stages/stats.py
+    binned_quantiles`) — the scale path when `corpus_quantiles`'s
+    bounded-cardinality contract fails: integer binning, one
+    bincount partial per block folded on the driver, NO shuffle;
+    mergeable across corpora; error ≤ bin width. The estimate
+    itself is deterministic, so the oracle reproduces the sketch
+    math bit-exactly."""
+    from .stages.stats import binned_quantiles
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return binned_quantiles(ds, "n_chars", [0.1, 0.5, 0.9, 0.99],
+                            lo=0, bin_width=100, n_bins=100)
+
+
+def _docs_half(sf_dir: str, first: bool):
+    """(lang, source) projection of one snapshot half. The split is
+    ``doc_id % 7 < 3`` — deliberately NOT doc_id parity, which the
+    synthetic generator anti-correlates with (lang, source) so
+    perfectly that the halves share zero combinations."""
+    def _fn(batch: pa.Table) -> pa.Table:
+        lt = pc.less(_int_mod(batch.column("doc_id"), 7),
+                     pa.scalar(3, pa.int64()))
+        f = batch.filter(lt if first else pc.invert(lt))
+        return pa.table({"lang": f.column("lang"),
+                         "source": f.column("source")})
+
+    return _docs(sf_dir, columns=["doc_id", "lang", "source"]).map_batches(
+        _fn, batch_format="pyarrow")
+
+
+def q_docs_except(sf_dir: str):
+    """SQL ``EXCEPT`` (set, not bag): distinct (lang, source)
+    combinations present in the even-doc_id snapshot but absent from
+    the odd one — the snapshot-diff audit. One co-shuffle of both
+    sides by composite-row-key bucket, whole-bucket boundary-mask
+    distinctness (`stages/setops.py`)."""
+    from .stages.setops import except_distinct
+
+    return except_distinct(_docs_half(sf_dir, True),
+                           _docs_half(sf_dir, False))
+
+
+def q_docs_intersect(sf_dir: str):
+    """SQL ``INTERSECT``: distinct (lang, source) combinations in
+    BOTH snapshot halves — same one-exchange plan as `docs_except`."""
+    from .stages.setops import intersect_distinct
+
+    return intersect_distinct(_docs_half(sf_dir, True),
+                              _docs_half(sf_dir, False))
+
+
 def q_training_pipeline(sf_dir: str):
     """END-TO-END training-data pipeline, ORACLE-CHECKED as one chain:
 
@@ -3168,6 +3241,35 @@ ORACLE_SQL: Dict[str, str] = {
         "CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) "
         "AS tile FROM documents ORDER BY doc_id"
     ),
+    "sample_exact_k": (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+        "FROM documents "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"
+    ),
+    "approx_quantiles": (
+        "WITH h AS (SELECT LEAST(GREATEST((n_chars - 0) // 100, 0), 99)"
+        " AS b, count(*) AS n FROM documents "
+        "WHERE n_chars IS NOT NULL GROUP BY 1), "
+        "c AS (SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) "
+        "AS cum FROM h), "
+        "tot AS (SELECT max(cum) AS n FROM c), "
+        "qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) "
+        "AS q) "
+        "SELECT q, CAST(((SELECT min(b) FROM c WHERE cum >= "
+        "GREATEST(CAST(ceil(q * tot.n) AS BIGINT) - 1, 0) + 1) + 1) "
+        "* 100 - 1 AS BIGINT) AS value_est "
+        "FROM qs, tot ORDER BY q"
+    ),
+    "docs_except": (
+        "SELECT lang, source FROM documents WHERE doc_id % 7 < 3 "
+        "EXCEPT "
+        "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
+    ),
+    "docs_intersect": (
+        "SELECT lang, source FROM documents WHERE doc_id % 7 < 3 "
+        "INTERSECT "
+        "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
+    ),
     "source_overlap": (
         "WITH t AS (SELECT source, string_split(text, ' ') AS toks "
         "FROM documents), "
@@ -3965,6 +4067,10 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "quality_rank": q_quality_rank,
     "source_overlap": q_source_overlap,
+    "sample_exact_k": q_sample_exact_k,
+    "approx_quantiles": q_approx_quantiles,
+    "docs_except": q_docs_except,
+    "docs_intersect": q_docs_intersect,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,

@@ -392,3 +392,103 @@ def mix_sample(ds, group_col: str, weights: dict, key_col: str):
         return batch.filter(pa.array(hs < thresholds))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def hash_sample_exact(ds, k: int, key_col: str = "doc_id",
+                      hash_col: str = "_h"):
+    """Deterministic uniform sample of EXACTLY ``k`` rows.
+
+    ``stratified/weighted_sample`` are threshold samplers — output
+    size is only approximate. Eval-set carving often needs an exact
+    row count; this is the distributed "ORDER BY md5(key) LIMIT k":
+
+    1. per block, a vectorized LOCAL top-k by ``(md5(key), key)`` —
+       only blocks × k candidate rows survive the scan;
+    2. one tiny global sort+limit over the candidates.
+
+    Deterministic across runs and block layouts (hash order is a
+    pure function of the key; the key itself breaks md5-prefix
+    ties). Candidates = blocks × k rows — fine for the eval-set
+    regime (k up to ~10^6); for larger k use the threshold samplers.
+    The md5 is over ``str(key)``, matching the DuckDB twin
+    ``ORDER BY md5(CAST(key AS VARCHAR)), key LIMIT k``.
+    """
+    import hashlib
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null keys are unsampleable (and would poison the global
+        # sort — Ray 2.49 null-sort-key hazard): drop them up front
+        batch = batch.filter(pc.is_valid(batch.column(key_col)))
+        keys = batch.column(key_col).to_pylist()
+        hs = [
+            hashlib.md5(str(x).encode("utf-8")).hexdigest()
+            for x in keys
+        ]
+        order = sorted(range(len(hs)), key=lambda i: (hs[i], keys[i]))
+        head = pa.array(order[:k], pa.int64())
+        out = batch.take(head)
+        return out.append_column(
+            hash_col, pa.array([hs[i] for i in order[:k]], pa.string()))
+
+    cands = ds.map_batches(_local_topk, batch_format="pyarrow")
+    return (
+        cands.sort([hash_col, key_col]).limit(k)
+        .drop_columns([hash_col])
+    )
+
+
+def binned_quantiles(ds, col: str, qs: Sequence[float], lo: int,
+                     bin_width: int, n_bins: int) -> pa.Table:
+    """Fixed-bin quantile SKETCH — the scale path for columns where
+    :func:`exact_quantiles`'s bounded-cardinality contract fails.
+
+    Integer binning ``b = clamp((x - lo) // bin_width, 0, n_bins-1)``
+    (int64 floor division — reproducible bit-exactly in SQL); each
+    block contributes one ``np.bincount`` histogram partial and the
+    driver folds them (``n_bins`` ints per block — NO shuffle at
+    all, unlike the exact operator's distinct-value groupby).
+    The estimate for quantile q is the INCLUSIVE UPPER EDGE
+    ``lo + (b+1)*bin_width - 1`` of the bin holding the
+    ``percentile_disc`` index — error ≤ ``bin_width`` by
+    construction, mergeable across corpora by adding histograms.
+    NULLs are ignored (SQL aggregate semantics).
+
+    Returns one row per q: ``(q: float64, value_est: int64)``.
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.filter(pc.is_valid(arr))
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) // bin_width, 0, n_bins - 1)
+        hist = np.bincount(b, minlength=n_bins).astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.arange(n_bins, dtype=np.int64)),
+            "n": pa.array(hist),
+        })
+
+    hist = np.zeros(n_bins, dtype=np.int64)
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        hist[t.column("b").to_numpy(zero_copy_only=False)] += (
+            t.column("n").to_numpy(zero_copy_only=False))
+    cum = np.cumsum(hist)
+    n = int(cum[-1]) if n_bins else 0
+    if n == 0:
+        raise ValueError(f"binned_quantiles: column {col!r} is all-null")
+    out_q, out_v = [], []
+    for q in qs:
+        r = max(0, math.ceil(q * n) - 1)   # percentile_disc index
+        b = int(np.searchsorted(cum, r + 1, side="left"))
+        out_q.append(q)
+        out_v.append(lo + (b + 1) * bin_width - 1)
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value_est": pa.array(out_v, pa.int64()),
+    })

@@ -1,0 +1,136 @@
+"""EXCEPT/INTERSECT set ops, exact-k hash sampling and the fixed-bin
+quantile sketch vs their DuckDB twins."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ocr_pipeline_ray.stages.setops import except_distinct, intersect_distinct
+from ocr_pipeline_ray.stages.stats import binned_quantiles, hash_sample_exact
+
+
+def _duck2(lt: pa.Table, rt: pa.Table, sql: str):
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    return con.sql(sql).arrow()
+
+
+def _norm_sorted(rows):
+    """NaN→None (pandas nullable round-trip) and a None-safe order."""
+    normed = [tuple(None if x != x else x for x in r) for r in rows]
+    return sorted(normed, key=repr)
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return _norm_sorted(df.itertuples(index=False, name=None))
+
+
+def _mk(rows):
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.string()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+class TestSetOps:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_sql(self, ray_session, seed):
+        import ray.data
+
+        rng = random.Random(seed)
+        # duplicate-heavy, overlapping, with NULLs on both sides
+        pool = [("x", 1), ("y", 2), (None, 3), ("z", None), ("w", 9)]
+        lt = _mk([pool[rng.randrange(5)] for _ in range(40)])
+        rt = _mk([pool[rng.randrange(3)] for _ in range(30)])
+        lds = ray.data.from_arrow(lt).repartition(4)
+        rds = ray.data.from_arrow(rt).repartition(3)
+        got_ex = _rows(except_distinct(lds, rds, n_buckets=8))
+        got_in = _rows(intersect_distinct(lds, rds, n_buckets=8))
+        want_ex = _norm_sorted(_duck2(
+            lt, rt, "SELECT * FROM l EXCEPT SELECT * FROM r"
+        ).to_pandas().itertuples(index=False, name=None))
+        want_in = _norm_sorted(_duck2(
+            lt, rt, "SELECT * FROM l INTERSECT SELECT * FROM r"
+        ).to_pandas().itertuples(index=False, name=None))
+        assert got_ex == want_ex
+        assert got_in == want_in
+
+    def test_schema_mismatch_raises(self, ray_session):
+        import ray.data
+
+        lds = ray.data.from_arrow(_mk([("x", 1)]))
+        rds = ray.data.from_arrow(pa.table({
+            "a": pa.array(["x"], pa.string()),
+        }))
+        with pytest.raises(ValueError):
+            except_distinct(lds, rds)
+
+
+class TestHashSampleExact:
+    def test_exact_k_matches_sql(self, ray_session):
+        import ray.data
+
+        n = 500
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "v": pa.array([i * 7 % 13 for i in range(n)], pa.int64()),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        got = hash_sample_exact(ds, k=50, key_col="doc_id").to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.sql(
+            "SELECT doc_id, v FROM t "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50"
+        ).to_df()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+        assert len(got) == 50
+
+    def test_k_larger_than_n(self, ray_session):
+        import ray.data
+
+        tbl = pa.table({"doc_id": pa.array([1, 2, None], pa.int64())})
+        got = hash_sample_exact(
+            ray.data.from_arrow(tbl), k=10, key_col="doc_id"
+        ).to_pandas()
+        # null key dropped, everything else kept
+        assert sorted(got["doc_id"]) == [1, 2]
+
+
+class TestBinnedQuantiles:
+    @pytest.mark.parametrize("n", [1, 10, 500])
+    def test_error_bound_and_determinism(self, ray_session, n):
+        import ray.data
+
+        rng = random.Random(n)
+        vals = [rng.randrange(0, 5000) for _ in range(n)]
+        tbl = pa.table({"x": pa.array(vals, pa.int64())})
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        qs = [0.1, 0.5, 0.9, 1.0]
+        got = binned_quantiles(ds, "x", qs, lo=0, bin_width=100,
+                               n_bins=50)
+        ests = dict(zip(got.column("q").to_pylist(),
+                        got.column("value_est").to_pylist()))
+        sv = sorted(vals)
+        import math
+        for q in qs:
+            true = sv[max(0, math.ceil(q * n) - 1)]
+            assert true <= ests[q] < true + 100  # upper edge, ≤ width
+        # deterministic across block layouts
+        got2 = binned_quantiles(
+            ray.data.from_arrow(tbl).repartition(9), "x", qs,
+            lo=0, bin_width=100, n_bins=50)
+        assert got2.equals(got)
+
+    def test_all_null_raises(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array([None, None], pa.int64())}))
+        with pytest.raises(ValueError):
+            binned_quantiles(ds, "x", [0.5], lo=0, bin_width=10,
+                             n_bins=10)

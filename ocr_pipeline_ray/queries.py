@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import re
 from typing import Dict
 
@@ -1914,6 +1915,47 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_bucketed_join_orders(sf_dir: str):
+    """Bucketed-storage join (`stages/bucketed.py`): customer and
+    orders are each written ONCE as Hive ``_bucket=`` parquet
+    bucketed by custkey, then joined with ZERO exchange — one task
+    per bucket pair, the layout-is-the-shuffle pattern that turns
+    every repeat join on the canonical key into a parallel scan.
+    Scratch bucket dirs live under /tmp per run."""
+    import shutil
+
+    from .stages.bucketed import bucketed_join, write_bucketed
+
+    base = (f"/tmp/ocr_ray_bucketed_{os.getpid()}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(base, ignore_errors=True)
+    n_buckets = 32
+
+    def _ren_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "custkey": batch.column("o_custkey"),
+        })
+
+    def _ren_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch.column("c_custkey"),
+            "mktsegment": batch.column("c_mktsegment"),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(_ren_orders, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_ren_cust, batch_format="pyarrow")
+    write_bucketed(orders, f"{base}/orders", "custkey", n_buckets)
+    write_bucketed(cust, f"{base}/customer", "custkey", n_buckets)
+    return bucketed_join(f"{base}/orders", f"{base}/customer",
+                         on="custkey", n_buckets=n_buckets)
+
+
 def q_training_pipeline(sf_dir: str):
     """END-TO-END training-data pipeline, ORACLE-CHECKED as one chain:
 
@@ -3260,6 +3302,11 @@ ORACLE_SQL: Dict[str, str] = {
         "* 100 - 1 AS BIGINT) AS value_est "
         "FROM qs, tot ORDER BY q"
     ),
+    "bucketed_join_orders": (
+        "SELECT o.o_orderkey, o.o_custkey AS custkey, "
+        "c.c_mktsegment AS mktsegment FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
     "docs_except": (
         "SELECT lang, source FROM documents WHERE doc_id % 7 < 3 "
         "EXCEPT "
@@ -4071,6 +4118,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "docs_except": q_docs_except,
     "docs_intersect": q_docs_intersect,
+    "bucketed_join_orders": q_bucketed_join_orders,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,

@@ -1,0 +1,194 @@
+"""Persistent key-bucketed storage + bucket-aligned (shuffle-free) join.
+
+"Pick ONE partitioning key and reuse it across stages": a table
+written bucketed by ``hash(key) % n_buckets`` (Hive-style
+``_bucket=`` partition dirs) can be joined against any other table
+bucketed the SAME way without ANY exchange — each bucket pair is
+independent, so the join is one task per bucket reading exactly two
+bucket directories. At 100 TB this turns every repeat join on the
+canonical key (url/custkey) from an all-to-all shuffle into an
+embarrassingly parallel scan — the storage layout IS the shuffle,
+paid once at write time and amortized over every downstream join,
+and the per-bucket output directories double as resumable units
+(the S6/S8 partition-aligned-sink contract of SURVEY §2.1).
+
+* :func:`write_bucketed` — one pass: attach ``_bucket``, then
+  ``write_parquet(partition_cols=["_bucket"])`` (workers write their
+  own bucket files; the driver never sees rows).
+* :func:`bucketed_join` — one Ray task per bucket id: read the two
+  bucket dirs (pyarrow, worker-side IO), probe with the SAME
+  vectorized dictionary-encode hash-join kernel as
+  ``repartition_join`` (last-right-wins, NULL keys match nothing),
+  wrap the result refs with ``from_arrow_refs``. Driver state =
+  bucket paths plus ONE footer-metadata schema read per side.
+
+The bucket function is :func:`..functions.hashing.bucket_ids` — the
+one partitioning hash the whole engine shares, which is what makes
+the alignment guarantee hold across writes from different pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import bucket_ids
+
+BUCKET_COL = "_bucket"
+
+
+def write_bucketed(ds, out_dir: str, key_col: str,
+                   n_buckets: int = 64) -> str:
+    """Write ``ds`` as Hive-partitioned parquet bucketed by
+    ``bucket_ids(key_col) % n_buckets``. Returns ``out_dir``."""
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            BUCKET_COL,
+            pa.array(bucket_ids(batch.column(key_col), n_buckets),
+                     pa.int64()))
+
+    ds.map_batches(_tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=[BUCKET_COL])
+    return out_dir
+
+
+def _bucket_dir(root: str, b: int) -> str:
+    return os.path.join(root, f"{BUCKET_COL}={b}")
+
+
+def _side_schema(root: str) -> pa.Schema:
+    """Data schema of a bucketed table from ONE file footer
+    (metadata-only driver IO; the partition dir column is not part
+    of the file schema)."""
+    import pyarrow.parquet as pq
+
+    for entry in sorted(os.listdir(root)):
+        d = os.path.join(root, entry)
+        if entry.startswith(f"{BUCKET_COL}=") and os.path.isdir(d):
+            files = [f for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")]
+            if files:
+                return pq.read_schema(os.path.join(d, files[0]))
+    raise ValueError(f"no bucket files under {root}")
+
+
+def _read_bucket(root: str, b: int,
+                 columns: Optional[List[str]]) -> Optional[pa.Table]:
+    """Worker-side read of one bucket dir; None when the bucket has
+    no files (a valid outcome of skewless hashing)."""
+    import pyarrow.dataset as pads
+
+    path = _bucket_dir(root, b)
+    if not os.path.isdir(path):
+        return None
+    return pads.dataset(path, format="parquet").to_table(columns=columns)
+
+
+def probe_join_tables(left: pa.Table, right: pa.Table, on: str,
+                      right_cols: List[str], how: str,
+                      suffix: str = "_r") -> pa.Table:
+    """The repartition_join bucket kernel over two plain tables:
+    dictionary-encode the concatenated key column once, resolve each
+    code's LAST right row, gather with Arrow ``take``. NULL keys
+    match nothing (SQL semantics)."""
+    import pyarrow.compute as pc
+
+    n_l = left.num_rows
+    keys = pa.concat_arrays([
+        left.column(on).combine_chunks().cast(left.column(on).type),
+        right.column(on).combine_chunks().cast(left.column(on).type),
+    ])
+    codes = pc.dictionary_encode(keys).indices.fill_null(-1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_codes = int(codes.max()) + 1 if len(codes) else 0
+    lcodes, rcodes = codes[:n_l], codes[n_l:]
+    last_right = np.full(max(n_codes, 1), -1, dtype=np.int64)
+    rsel = np.flatnonzero(rcodes >= 0)
+    last_right[rcodes[rsel]] = rsel
+    match = (np.where(lcodes >= 0, last_right[np.maximum(lcodes, 0)], -1)
+             if n_l else np.empty(0, dtype=np.int64))
+    if how == "inner":
+        keep = np.flatnonzero(match >= 0)
+        out_left = left.take(pa.array(keep, pa.int64()))
+        match = match[keep]
+    elif how == "left":
+        out_left = left
+    elif how == "semi":
+        return left.take(pa.array(np.flatnonzero(match >= 0), pa.int64()))
+    elif how == "anti":
+        return left.take(pa.array(np.flatnonzero(match < 0), pa.int64()))
+    else:
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    gather = pa.array(match, pa.int64(), mask=match < 0)
+    out = out_left
+    for c in right_cols:
+        name = c if c not in out.column_names else c + suffix
+        out = out.append_column(name, right.column(c).take(gather))
+    return out
+
+
+def bucketed_join(left_dir: str, right_dir: str, on: str,
+                  n_buckets: int,
+                  left_cols: Optional[List[str]] = None,
+                  right_cols: Optional[List[str]] = None,
+                  how: str = "inner", suffix: str = "_r"):
+    """Shuffle-FREE join of two tables previously written with
+    :func:`write_bucketed` under the same ``on`` key and
+    ``n_buckets``. One task per bucket id; returns a Dataset.
+
+    ``left_cols`` / ``right_cols`` prune the bucket reads (the
+    column-prune-at-the-read rule applies to bucket storage too;
+    the join key is always read). Missing/empty buckets yield empty
+    blocks of the resolved output schema — never schemaless.
+    """
+    import ray
+    import ray.data
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    ls = _side_schema(left_dir)
+    rs = _side_schema(right_dir)
+    l_names = [c for c in ls.names if c != BUCKET_COL]
+    if left_cols is not None:
+        l_names = [c for c in l_names
+                   if c in left_cols or c == on]
+    r_names = (right_cols if right_cols is not None
+               else [c for c in rs.names if c not in (on, BUCKET_COL)])
+    if how in ("semi", "anti"):
+        r_names = []
+    out_fields = [(c, ls.field(c).type) for c in l_names]
+    out_fields += [
+        (c if c not in l_names else c + suffix, rs.field(c).type)
+        for c in r_names
+    ]
+    out_schema = pa.schema(out_fields)
+
+    @ray.remote
+    def _join_one(b: int) -> pa.Table:
+        empty = out_schema.empty_table()
+        lt = _read_bucket(left_dir, b, l_names)
+        if lt is None or lt.num_rows == 0:
+            return empty
+        rt = _read_bucket(right_dir, b,
+                          sorted(set(r_names) | {on}))
+        if rt is None:
+            if how == "anti":
+                return lt.select(l_names).cast(
+                    pa.schema(out_fields[:len(l_names)]))
+            if how == "left":
+                out = lt.select(l_names)
+                for name, typ in out_fields[len(l_names):]:
+                    out = out.append_column(
+                        name, pa.nulls(out.num_rows, typ))
+                return out
+            return empty
+        out = probe_join_tables(lt.select(l_names), rt, on,
+                                r_names, how, suffix)
+        return out.cast(out_schema) if out.num_rows else empty
+
+    refs = [_join_one.remote(b) for b in range(n_buckets)]
+    return ray.data.from_arrow_refs(refs)

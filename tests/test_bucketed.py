@@ -1,0 +1,121 @@
+"""Bucketed storage + bucket-aligned join vs DuckDB and the
+repartition_join it replaces."""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ocr_pipeline_ray.stages.bucketed import (
+    bucketed_join,
+    probe_join_tables,
+    write_bucketed,
+)
+
+N_BUCKETS = 8
+
+
+def _mk_pair(seed: int, n_left=120, n_right=40):
+    rng = random.Random(seed)
+    left = pa.table({
+        "k": pa.array(
+            [rng.randrange(60) if rng.random() > 0.05 else None
+             for _ in range(n_left)], pa.int64()),
+        "lv": pa.array(list(range(n_left)), pa.int64()),
+    })
+    # unique right keys: the operator's "last right row wins" tie
+    # rule is physical-layout-dependent, so parity tests avoid dup
+    # right keys (the dict contract itself is pinned separately)
+    rkeys = rng.sample(range(80), n_right)
+    right = pa.table({
+        "k": pa.array(rkeys, pa.int64()),
+        "rv": pa.array([f"r{i}" for i in range(n_right)], pa.string()),
+    })
+    return left, right
+
+
+def _sql(left, right, how: str):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    if how == "inner":
+        q = "SELECT l.k, l.lv, r.rv FROM l JOIN r USING (k)"
+    elif how == "left":
+        q = "SELECT l.k, l.lv, r.rv FROM l LEFT JOIN r USING (k)"
+    elif how == "semi":
+        q = "SELECT k, lv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"
+    else:
+        q = ("SELECT k, lv FROM l WHERE NOT EXISTS "
+             "(SELECT 1 FROM r WHERE r.k = l.k)")
+    return con.sql(q).to_df()
+
+
+def _norm(df):
+    rows = [tuple(None if x != x else x for x in r)
+            for r in df.itertuples(index=False, name=None)]
+    return sorted(rows, key=repr)
+
+
+class TestBucketedJoin:
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_matches_sql(self, ray_session, how, tmp_path):
+        import ray.data
+
+        left, right = _mk_pair(3)
+        write_bucketed(ray.data.from_arrow(left).repartition(5),
+                       str(tmp_path / "l"), "k", N_BUCKETS)
+        write_bucketed(ray.data.from_arrow(right).repartition(3),
+                       str(tmp_path / "r"), "k", N_BUCKETS)
+        got = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                            on="k", n_buckets=N_BUCKETS, how=how)
+        want = _sql(left, right, how)
+        if how in ("inner", "semi", "anti"):
+            assert _norm(got.to_pandas()) == _norm(want)
+        else:
+            # left join: row count + matched subset equality
+            gdf, wdf = got.to_pandas(), want
+            assert len(gdf) == len(wdf)
+            assert _norm(gdf.dropna(subset=["rv"])) == _norm(
+                wdf.dropna(subset=["rv"]))
+
+    def test_column_pruning(self, ray_session, tmp_path):
+        import ray.data
+
+        left, right = _mk_pair(4)
+        write_bucketed(ray.data.from_arrow(left), str(tmp_path / "l"),
+                       "k", N_BUCKETS)
+        write_bucketed(ray.data.from_arrow(right), str(tmp_path / "r"),
+                       "k", N_BUCKETS)
+        out = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                            on="k", n_buckets=N_BUCKETS,
+                            left_cols=["k"], right_cols=["rv"])
+        assert set(out.schema().names) == {"k", "rv"}
+
+    def test_matches_repartition_join(self, ray_session, tmp_path):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import repartition_join
+
+        left, right = _mk_pair(5)
+        write_bucketed(ray.data.from_arrow(left), str(tmp_path / "l"),
+                       "k", N_BUCKETS)
+        write_bucketed(ray.data.from_arrow(right), str(tmp_path / "r"),
+                       "k", N_BUCKETS)
+        got = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                            on="k", n_buckets=N_BUCKETS).to_pandas()
+        want = repartition_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="k").to_pandas()
+        assert _norm(got) == _norm(want)
+
+
+class TestProbeJoinTables:
+    def test_null_keys_match_nothing(self):
+        left = pa.table({"k": pa.array([1, None], pa.int64()),
+                         "lv": pa.array([10, 20], pa.int64())})
+        right = pa.table({"k": pa.array([1, None], pa.int64()),
+                          "rv": pa.array(["a", "b"], pa.string())})
+        out = probe_join_tables(left, right, "k", ["rv"], "inner")
+        assert out.to_pydict() == {"k": [1], "lv": [10], "rv": ["a"]}

@@ -1915,6 +1915,29 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_near_dup_incremental(sf_dir: str):
+    """Incremental NEAR-dup: candidate pairs between a NEW batch
+    (odd doc_ids) and the EXISTING corpus (even doc_ids) — docs
+    sharing ANY minhash band across the two sets
+    (`stages/dedup.py minhash_cross_pairs`). The near-dup twin of
+    `dedup_incremental`'s exact anti join: how a fresh crawl is
+    deduped against the index without re-pairing the corpus with
+    itself. One (band, id, side) exchange; per-band new×corpus cross
+    products inside whole-bucket UDFs."""
+    from .stages.dedup import minhash_cross_pairs
+
+    ds = _docs(sf_dir)
+
+    def _half(parity: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(
+                _int_mod(batch.column("doc_id"), 2), parity))
+        return ds.map_batches(_fn, batch_format="pyarrow")
+
+    return minhash_cross_pairs(_half(1), _half(0)).sort(
+        ["d_new", "d_old"])
+
+
 def q_bucketed_join_orders(sf_dir: str):
     """Bucketed-storage join (`stages/bucketed.py`): customer and
     orders are each written ONCE as Hive ``_bucket=`` parquet
@@ -3302,6 +3325,13 @@ ORACLE_SQL: Dict[str, str] = {
         "* 100 - 1 AS BIGINT) AS value_est "
         "FROM qs, tot ORDER BY q"
     ),
+    "near_dup_incremental": (
+        "WITH " + SIG_CTE + " "
+        "SELECT n.doc_id AS d_new, c.doc_id AS d_old "
+        "FROM sig n JOIN sig c ON n.doc_id % 2 = 1 "
+        "AND c.doc_id % 2 = 0 AND (n.h0 = c.h0 OR n.h1 = c.h1 "
+        "OR n.h2 = c.h2 OR n.h3 = c.h3) ORDER BY 1, 2"
+    ),
     "bucketed_join_orders": (
         "SELECT o.o_orderkey, o.o_custkey AS custkey, "
         "c.c_mktsegment AS mktsegment FROM orders o "
@@ -4119,6 +4149,7 @@ QUERIES = {
     "docs_except": q_docs_except,
     "docs_intersect": q_docs_intersect,
     "bucketed_join_orders": q_bucketed_join_orders,
+    "near_dup_incremental": q_near_dup_incremental,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,

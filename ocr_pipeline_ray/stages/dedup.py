@@ -1257,3 +1257,97 @@ def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return tagged.groupby("_bucket", num_partitions=n_buckets).map_groups(
         _rebuild, batch_format="pyarrow")
+
+
+def minhash_cross_pairs(new_ds, corpus_ds, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 4,
+                        k: int = 3, max_side: int = 1000):
+    """Incremental NEAR-dup: candidate pairs between a NEW batch and
+    an EXISTING corpus — docs sharing ANY minhash band value across
+    the two sets (the near-dup twin of ``incremental_dedup_bloom``'s
+    exact-fingerprint anti join; this is how a fresh crawl is deduped
+    against the index without re-pairing the corpus with itself).
+
+    Same physical plan as :func:`minhash_dup_pairs` — band explode →
+    one crc32-bucketed exchange of (band, id, side) rows → per-band
+    CROSS products new×corpus inside whole-bucket UDFs → global pair
+    distinct. Corpus-side signatures can come from a precomputed
+    signature table (pass a Dataset with ``h0..hN`` columns already
+    attached — detected by schema), so the steady-state cost is one
+    signature pass over the NEW batch only. ``max_side`` caps each
+    side of a degenerate band run (measured, not silent — reuse
+    :func:`minhash_bucket_stats` on the union to size it).
+
+    Returns a Dataset of distinct ``(d_new, d_old)`` int64 pairs.
+    """
+    import numpy as np
+    from zlib import crc32
+
+    from ray.data.aggregate import Count
+
+    n_buckets = 128
+
+    def _sigs(ds):
+        if f"h{n_hashes - 1}" in (ds.schema().names or []):
+            return ds  # precomputed signature table
+        return minhash_signatures(ds, id_col, text_col, n_hashes, k)
+
+    def _tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_side", pa.array([side] * batch.num_rows, pa.int32()))
+        return _fn
+
+    # explode per side, tag AFTER the explode (the shared explode
+    # emits only (band, id))
+    exploded = _band_explode(_sigs(new_ds), id_col, n_hashes).map_batches(
+        _tag(0), batch_format="pyarrow"
+    ).union(
+        _band_explode(_sigs(corpus_ds), id_col, n_hashes).map_batches(
+            _tag(1), batch_format="pyarrow"))
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = [
+            crc32(b.encode()) % n_buckets
+            for b in batch.column("band").to_pylist()
+        ]
+        return batch.append_column(
+            "bucket", pa.array(buckets, pa.int64()))
+
+    def _bucket_cross(group: pa.Table) -> pa.Table:
+        empty = pa.table({"d_new": pa.array([], pa.int64()),
+                          "d_old": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        bands = np.asarray(group.column("band").to_pylist())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sides = group.column("_side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sides, bands))
+        bands, ids, sides = bands[order], ids[order], sides[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(bands[1:] != bands[:-1])[0] + 1,
+             [len(bands)]])
+        new_parts, old_parts = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            run_sides = sides[s:e]
+            run_ids = ids[s:e]
+            nids = run_ids[run_sides == 0][:max_side]
+            oids = run_ids[run_sides == 1][:max_side]
+            if len(nids) == 0 or len(oids) == 0:
+                continue
+            new_parts.append(np.repeat(nids, len(oids)))
+            old_parts.append(np.tile(oids, len(nids)))
+        if not new_parts:
+            return empty
+        return pa.table({
+            "d_new": pa.array(np.concatenate(new_parts), pa.int64()),
+            "d_old": pa.array(np.concatenate(old_parts), pa.int64()),
+        })
+
+    pairs = (
+        exploded.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=n_buckets)
+        .map_groups(_bucket_cross, batch_format="pyarrow")
+    )
+    agg = pairs.groupby(["d_new", "d_old"]).aggregate(Count())
+    return agg.select_columns(["d_new", "d_old"])

@@ -1016,3 +1016,64 @@ class TestSubstringDedup:
                         "text": pa.array(["a b"], pa.string())})
         with _pytest.raises(ValueError):
             window_gram_rows_fn(tbl, w=1)
+
+
+class TestMinhashCrossPairs:
+    def _docs(self):
+        import pyarrow as pa
+
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog today",
+            1: "the quick brown fox jumps over the lazy dog today",
+            2: "completely different words live in this sentence here",
+            3: "completely different words live in this sentence here",
+            4: "another unrelated document about graph algorithms",
+            5: "the quick brown fox jumps over the lazy dog tonight",
+        }
+        return pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)],
+                             pa.string()),
+        })
+
+    def test_cross_only_and_matches_full_pairs(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import (
+            minhash_cross_pairs,
+            minhash_dup_pairs,
+        )
+
+        tbl = self._docs()
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        new = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+        old = ds.filter(lambda r: r["doc_id"] % 2 == 0)
+        got = {(r["d_new"], r["d_old"])
+               for r in minhash_cross_pairs(new, old).take_all()}
+        # ground truth: full self-pair set restricted to odd×even
+        full = {(r["d1"], r["d2"])
+                for r in minhash_dup_pairs(ds).take_all()}
+        want = {(b, a) if b % 2 == 1 else (a, b)
+                for a, b in full if (a % 2) != (b % 2)}
+        assert got == want
+        assert all(n % 2 == 1 and o % 2 == 0 for n, o in got)
+        assert (1, 0) in got  # identical texts across sides
+
+    def test_precomputed_corpus_signatures(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import (
+            minhash_cross_pairs,
+            minhash_signatures,
+        )
+
+        tbl = self._docs()
+        ds = ray.data.from_arrow(tbl)
+        new = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+        old = ds.filter(lambda r: r["doc_id"] % 2 == 0)
+        old_sigs = minhash_signatures(old).materialize()
+        a = sorted(map(tuple, minhash_cross_pairs(new, old)
+                       .to_pandas().values.tolist()))
+        b = sorted(map(tuple, minhash_cross_pairs(new, old_sigs)
+                       .to_pandas().values.tolist()))
+        assert a == b and len(a) > 0

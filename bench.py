@@ -60,7 +60,8 @@ BENCH_QUERIES = [
     "lm_buckets", "split_leakage_safe",
     "quality_rank", "source_overlap",
     "sample_exact_k", "approx_quantiles", "docs_except",
-    "bucketed_join_orders", "near_dup_incremental",
+    "bucketed_join_orders", "bucketed_order_counts",
+    "near_dup_incremental",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
 ]

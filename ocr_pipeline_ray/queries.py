@@ -1979,6 +1979,32 @@ def q_bucketed_join_orders(sf_dir: str):
                          on="custkey", n_buckets=n_buckets)
 
 
+def q_bucketed_order_counts(sf_dir: str):
+    """Shuffle-free per-key aggregate over BUCKETED storage
+    (`stages/bucketed.py bucketed_aggregate`): because bucket
+    alignment puts every row of a key in one bucket dir, a
+    per-bucket local group_by IS the global per-customer order count
+    — the groupby exchange disappears the same way the join's did."""
+    import shutil
+
+    from .stages.bucketed import bucketed_aggregate, write_bucketed
+
+    base = (f"/tmp/ocr_ray_bucketed_agg_{os.getpid()}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(base, ignore_errors=True)
+    n_buckets = 32
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("o_custkey")})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(_ren, batch_format="pyarrow")
+    write_bucketed(orders, base, "custkey", n_buckets)
+    return bucketed_aggregate(base, "custkey", n_buckets,
+                              count_name="n_orders")
+
+
 def q_training_pipeline(sf_dir: str):
     """END-TO-END training-data pipeline, ORACLE-CHECKED as one chain:
 
@@ -3332,6 +3358,10 @@ ORACLE_SQL: Dict[str, str] = {
         "AND c.doc_id % 2 = 0 AND (n.h0 = c.h0 OR n.h1 = c.h1 "
         "OR n.h2 = c.h2 OR n.h3 = c.h3) ORDER BY 1, 2"
     ),
+    "bucketed_order_counts": (
+        "SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) "
+        "AS n_orders FROM orders GROUP BY 1"
+    ),
     "bucketed_join_orders": (
         "SELECT o.o_orderkey, o.o_custkey AS custkey, "
         "c.c_mktsegment AS mktsegment FROM orders o "
@@ -4150,6 +4180,7 @@ QUERIES = {
     "docs_intersect": q_docs_intersect,
     "bucketed_join_orders": q_bucketed_join_orders,
     "near_dup_incremental": q_near_dup_incremental,
+    "bucketed_order_counts": q_bucketed_order_counts,
     "minhash_signatures": q_minhash_signatures,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dup_clusters": q_dup_clusters,

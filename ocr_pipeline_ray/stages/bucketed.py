@@ -192,3 +192,40 @@ def bucketed_join(left_dir: str, right_dir: str, on: str,
 
     refs = [_join_one.remote(b) for b in range(n_buckets)]
     return ray.data.from_arrow_refs(refs)
+
+
+def bucketed_aggregate(root: str, key_col: str, n_buckets: int,
+                       count_name: str = "n"):
+    """Shuffle-FREE per-key count over a bucketed table.
+
+    Bucket alignment means every row of a key lives in ONE bucket
+    dir, so a per-bucket local ``group_by`` is already the GLOBAL
+    per-key aggregate — the groupby exchange disappears the same way
+    the join's did. One task per bucket (column-pruned to the key),
+    results wrapped as a Dataset of ``(key, count)``.
+
+    NULL keys hash to bucket 0 and form the standard single NULL
+    group there (SQL ``GROUP BY`` keeps it).
+    """
+    import ray
+    import ray.data
+    import pyarrow.compute as pc  # noqa: F401 (documented dep)
+
+    schema = _side_schema(root)
+    key_type = schema.field(key_col).type
+    out_schema = pa.schema([(key_col, key_type),
+                            (count_name, pa.int64())])
+
+    @ray.remote
+    def _agg_one(b: int) -> pa.Table:
+        tbl = _read_bucket(root, b, [key_col])
+        if tbl is None or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        agg = tbl.group_by([key_col]).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: agg.column(key_col),
+            count_name: agg.column("count_all").cast(pa.int64()),
+        })
+
+    return ray.data.from_arrow_refs(
+        [_agg_one.remote(b) for b in range(n_buckets)])

@@ -119,3 +119,23 @@ class TestProbeJoinTables:
                           "rv": pa.array(["a", "b"], pa.string())})
         out = probe_join_tables(left, right, "k", ["rv"], "inner")
         assert out.to_pydict() == {"k": [1], "lv": [10], "rv": ["a"]}
+
+
+class TestBucketedAggregate:
+    def test_matches_sql_group_by(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_aggregate
+
+        left, _ = _mk_pair(9)
+        write_bucketed(ray.data.from_arrow(left).repartition(4),
+                       str(tmp_path / "t"), "k", N_BUCKETS)
+        got = bucketed_aggregate(str(tmp_path / "t"), "k", N_BUCKETS,
+                                 count_name="n").to_pandas()
+        con = duckdb.connect()
+        con.register("t", left)
+        want = con.sql(
+            "SELECT k, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1"
+        ).to_df()
+        assert _norm(got) == _norm(want)

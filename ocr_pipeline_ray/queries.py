@@ -2709,6 +2709,48 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_customer_orders_full(sf_dir: str):
+    """ANSI FULL OUTER join with true SQL multiplicity
+    (stages/join.py ``expand_join``): BUILDING-segment customers vs
+    URGENT orders on custkey. A customer with k urgent orders emits
+    k rows (duplicate-key expansion — the lookup joins can't express
+    this); customers with none keep a null order side; urgent orders
+    from other segments' customers keep a null customer side. Both
+    sides predicate-and-column pruned at the read; one co-shuffle.
+    """
+    from .stages.join import expand_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_totalprice": b.column("o_totalprice"),
+        }),
+        batch_format="pyarrow",
+    )
+    out = expand_join(cust, orders, on="c_custkey", how="full")
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "c_name": batch.column("c_name"),
+            "o_orderkey": pc.cast(batch.column("o_orderkey"),
+                                  pa.int64()),
+            "o_totalprice": batch.column("o_totalprice"),
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup across BOTH join strategies, oracle-checked.
 
@@ -4113,6 +4155,16 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["customer_orders_full"] = (
+    "SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, "
+    "c.c_name, o.o_orderkey, o.o_totalprice "
+    "FROM (SELECT c_custkey, c_name FROM customer "
+    "WHERE c_mktsegment = 'BUILDING') c "
+    "FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice "
+    "FROM orders WHERE o_orderpriority = '1-URGENT') o "
+    "ON c.c_custkey = o.o_custkey"
+)
+
 ORACLE_SQL["skew_join_enrich"] = (
     "SELECT d.doc_id, d.lang, t.lang_total FROM documents d JOIN "
     "(SELECT lang, CAST(count(*) AS BIGINT) AS lang_total "
@@ -4225,4 +4277,5 @@ QUERIES = {
     "extraction_boilerplate": q_extraction_boilerplate,
     "extraction_alto_roundtrip": q_extraction_alto_roundtrip,
     "extraction_page_roundtrip": q_extraction_page_roundtrip,
+    "customer_orders_full": q_customer_orders_full,
 }

@@ -20,6 +20,11 @@ jaccard verifier (`stages/dedup.jaccard_dup_pairs`):
 
 Both are inner joins by default; ``how="left"`` keeps unmatched left
 rows with nulls.
+
+Both strategies are LOOKUP joins — duplicate right keys keep the
+last row (dimension-table semantics). :func:`expand_join` is the
+SQL-multiplicity join: duplicate keys expand to the full per-key
+cross product, and ``how`` extends to ``right``/``full`` outer.
 """
 
 from __future__ import annotations
@@ -268,6 +273,170 @@ def repartition_join(left, right, on: str,
                 col = right_rows.column(f"_r_{src}")
             arrays.append(col)
         return pa.table(dict(zip(out_names, arrays)))
+
+    return tagged_left.union(tagged_right).groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(
+        _join_bucket, batch_format="pyarrow"
+    )
+
+
+def expand_join(left, right, on: str,
+                right_cols: Optional[List[str]] = None,
+                how: str = "inner", suffix: str = "_r",
+                n_buckets: int = 64):
+    """SQL-multiplicity join: duplicate keys expand to the per-key
+    cross product; ``how`` covers ``inner|left|right|full``.
+
+    :func:`broadcast_join` / :func:`repartition_join` are lookup
+    joins (last right row wins) — the right shape for dimension
+    enrichment, the wrong one for fact-to-fact SQL semantics. This
+    operator is the ANSI join: a left row with k matching right rows
+    emits k rows; ``left``/``full`` keep unmatched left rows with
+    null right payload; ``right``/``full`` keep unmatched right rows
+    (including null-key right rows, which match nothing but still
+    appear in SQL outer results) with null left payload. The output
+    ``on`` column is ``COALESCE(left.on, right.on)``.
+
+    Physical plan = the :func:`repartition_join` shape: both sides
+    co-shuffled once by ``bucket_ids(key) % n_buckets`` through a
+    union + ONE groupby; each whole-bucket UDF dictionary-encodes
+    the bucket's keys once, builds a CSR index over the right side
+    (argsort + bincount/cumsum), and expands matches with
+    np.repeat + one gather — no per-key UDF, no per-row Python.
+    Row EXPANSION is the scale hazard here, not the shuffle: a key
+    with L left × R right rows emits L·R rows inside one bucket, so
+    skewed fact-fact keys belong in :func:`skew_join` or a
+    pre-aggregation, same as any SQL engine.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be inner|left|right|full, got {how!r}")
+    left_schema = left.schema()
+    if left_schema is None:
+        if how in ("inner", "left"):
+            return left
+        raise ValueError(
+            f"{how} join with an empty schemaless left dataset: "
+            "left column types are unknown")
+    right_schema = right.schema()
+    if right_schema is None:
+        if how in ("inner", "right"):
+            return left.limit(0)
+        raise ValueError(
+            f"{how} join against an empty schemaless right dataset: "
+            "right column types are unknown")
+    left_cols = list(left_schema.names)
+    left_types = {n: t for n, t in zip(left_schema.names,
+                                       left_schema.types)}
+    cols = right_cols if right_cols is not None else [
+        c for c in right_schema.names if c != on
+    ]
+    right_types = {n: t for n, t in zip(right_schema.names,
+                                        right_schema.types)}
+    out_names = left_cols + [
+        (c if c not in left_cols else c + suffix) for c in cols
+    ]
+    key_type = left_types[on]
+    payload_left = [c for c in left_cols if c != on]
+    union_fields = (
+        [("_bucket", pa.int64()), ("_side", pa.int32()), (on, key_type)]
+        + [(f"_l_{c}", left_types[c]) for c in payload_left]
+        + [(f"_r_{c}", right_types[c]) for c in cols]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _tag(side: int, payload_names: List[str], prefix: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = batch.column(on)
+            arrays = {
+                "_bucket": pa.array(bucket_ids(keys, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array([side] * n, pa.int32()),
+                on: keys,
+            }
+            for name, typ in union_fields[3:]:
+                arrays[name] = pa.nulls(n, typ)
+            for c in payload_names:
+                arrays[f"{prefix}{c}"] = batch.column(c)
+            return pa.table(
+                {name: arrays[name] for name, _ in union_fields},
+                schema=union_schema,
+            )
+        return _fn
+
+    tagged_left = left.map_batches(
+        _tag(0, payload_left, "_l_"), batch_format="pyarrow")
+    tagged_right = right.select_columns([on] + cols).map_batches(
+        _tag(1, cols, "_r_"), batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [(on, key_type)]
+        + [(c, left_types[c]) for c in payload_left]
+        + [(n, right_types[c]) for n, c in zip(out_names[len(left_cols):],
+                                               cols)]
+    )
+
+    def _emit(group: pa.Table, l_idx, r_idx) -> pa.Table:
+        """Gather one output part. ``l_idx``/``r_idx`` are row
+        indices into ``group`` (int64, -1 = null side); the key is
+        coalesced from whichever side is present."""
+        l_rows = group.take(pa.array(l_idx, pa.int64(), mask=l_idx < 0))
+        r_rows = group.take(pa.array(r_idx, pa.int64(), mask=r_idx < 0))
+        arrays = [pc.coalesce(l_rows.column(on), r_rows.column(on))]
+        for c in payload_left:
+            arrays.append(l_rows.column(f"_l_{c}"))
+        for c in cols:
+            arrays.append(r_rows.column(f"_r_{c}"))
+        return pa.table(dict(zip(out_schema.names, arrays)),
+                        schema=out_schema)
+
+    def _join_bucket(group: pa.Table) -> pa.Table:
+        sides = group.column("_side").combine_chunks().to_numpy()
+        codes = pc.dictionary_encode(
+            group.column(on).combine_chunks()
+        ).indices.fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_codes = int(codes.max()) + 1 if len(codes) else 0
+        l_all = np.flatnonzero(sides == 0)
+        r_all = np.flatnonzero(sides == 1)
+        rc = codes[r_all]
+        r_valid = r_all[rc >= 0]
+        rcodes = codes[r_valid]
+        # CSR over the right side: rows of code c sit at
+        # r_sorted[offsets[c]:offsets[c+1]]
+        r_sorted = r_valid[np.argsort(rcodes, kind="stable")]
+        counts = (np.bincount(rcodes, minlength=n_codes)
+                  if n_codes else np.zeros(1, np.int64))
+        offsets = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(counts)])
+        lcodes = codes[l_all]
+        safe = np.maximum(lcodes, 0)
+        cnt = np.where(lcodes >= 0,
+                       counts[safe] if n_codes else 0, 0)
+        tot = int(cnt.sum())
+        rep_left = np.repeat(l_all, cnt)
+        cum = np.cumsum(cnt)
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(
+            cum - cnt, cnt)
+        rep_right = r_sorted[np.repeat(offsets[safe], cnt) + intra]
+        parts = [_emit(group, rep_left, rep_right)]
+        if how in ("left", "full"):
+            ul = l_all[cnt == 0]
+            parts.append(_emit(
+                group, ul, np.full(len(ul), -1, dtype=np.int64)))
+        if how in ("right", "full"):
+            lp = np.zeros(max(n_codes, 1), dtype=bool)
+            lp[lcodes[lcodes >= 0]] = True
+            ur = r_all[(rc < 0) | ~lp[np.maximum(rc, 0)]]
+            parts.append(_emit(
+                group, np.full(len(ur), -1, dtype=np.int64), ur))
+        return pa.concat_tables(parts)
 
     return tagged_left.union(tagged_right).groupby(
         "_bucket", num_partitions=n_buckets

@@ -575,3 +575,83 @@ class TestSkewJoinHotOverride:
                       skew_join(left, right, on="k", hot_count=20,
                                 hot=[]).take_all())
         assert got2 == want
+
+
+class TestExpandJoin:
+    """SQL-multiplicity join (duplicate-key expansion + outer sides)
+    — randomized differential vs DuckDB across join types/layouts."""
+
+    @staticmethod
+    def _rand_side(rng, n, key_space, payload_name):
+        keys = [None if rng.random() < 0.15
+                else rng.randrange(key_space) for _ in range(n)]
+        return pa.table({
+            "k": pa.array(keys, pa.int64()),
+            payload_name: pa.array(
+                [rng.randrange(1000) for _ in range(n)], pa.int64()),
+        })
+
+    @staticmethod
+    def _duck(left, right, how):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        kw = {"inner": "JOIN", "left": "LEFT JOIN",
+              "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+        out = con.execute(
+            f"SELECT COALESCE(l.k, r.k) AS k, l.lv, r.rv "
+            f"FROM l {kw} r ON l.k = r.k"
+        ).fetch_arrow_table()
+        con.close()
+        return sorted(
+            ((r["k"], r["lv"], r["rv"]) for r in out.to_pylist()),
+            key=repr)
+
+    @pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+    def test_differential_vs_duckdb(self, ray_session, how):
+        import random
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import expand_join
+
+        rng = random.Random(41 + hash(how) % 97)
+        for trial, (nl, nr, space, layout) in enumerate(
+                [(40, 30, 8, 1), (60, 45, 5, 3), (25, 80, 12, 4)]):
+            left = self._rand_side(rng, nl, space, "lv")
+            right = self._rand_side(rng, nr, space, "rv")
+            got = expand_join(
+                ray.data.from_arrow(left).repartition(layout),
+                ray.data.from_arrow(right).repartition(2),
+                on="k", how=how, n_buckets=7,
+            ).take_all()
+            got = sorted(
+                ((r["k"], r["lv"], r["rv"]) for r in got), key=repr)
+            assert got == self._duck(left, right, how), (how, trial)
+
+    def test_collision_suffix_and_key_coalesce(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.join import expand_join
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, None], pa.int64()),
+            "v": pa.array(["a", "b", "c"], pa.string()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 2, 9, None], pa.int64()),
+            "v": pa.array(["r1", "r2", "r9", "rn"], pa.string()),
+        }))
+        rows = expand_join(left, right, on="k", how="full").take_all()
+        got = [(r["k"], r["v"], r["v_r"]) for r in rows]
+        # k=2 expands 1x2; unmatched: left 1/None, right 9/None
+        assert sorted(t for t in got if t[0] == 2) == [
+            (2, "b", "r1"), (2, "b", "r2")]
+        assert (1, "a", None) in got
+        assert (9, None, "r9") in got
+        # two null-key rows, one from each side, never matched
+        nulls = [t for t in got if t[0] is None]
+        assert sorted(nulls, key=str) == [
+            (None, "c", None), (None, None, "rn")]

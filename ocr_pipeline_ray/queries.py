@@ -2709,6 +2709,24 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (stages/stats.py ``grouped_distinct_count``): map-side pair
+    dedup, ONE key-hash co-shuffle, whole-bucket sentinel-encoded
+    dedup + per-key valid count — the two-phase distinct shape that
+    never shuffles raw rows."""
+    from .stages.stats import grouped_distinct_count
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+    )
+    return grouped_distinct_count(
+        events, "event_type", "user_id", out_col="n_users",
+        n_buckets=32,
+    )
+
+
 def q_customer_orders_full(sf_dir: str):
     """ANSI FULL OUTER join with true SQL multiplicity
     (stages/join.py ``expand_join``): BUILDING-segment customers vs
@@ -4155,6 +4173,11 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["distinct_users_by_type"] = (
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+    "AS n_users FROM events GROUP BY event_type"
+)
+
 ORACLE_SQL["customer_orders_full"] = (
     "SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, "
     "c.c_name, o.o_orderkey, o.o_totalprice "
@@ -4278,4 +4301,5 @@ QUERIES = {
     "extraction_alto_roundtrip": q_extraction_alto_roundtrip,
     "extraction_page_roundtrip": q_extraction_page_roundtrip,
     "customer_orders_full": q_customer_orders_full,
+    "distinct_users_by_type": q_distinct_users_by_type,
 }

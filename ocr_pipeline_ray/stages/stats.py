@@ -492,3 +492,97 @@ def binned_quantiles(ds, col: str, qs: Sequence[float], lo: int,
         "q": pa.array(out_q, pa.float64()),
         "value_est": pa.array(out_v, pa.int64()),
     })
+
+
+def grouped_distinct_count(ds, key_col: str, value_col: str,
+                           out_col: str = "n_distinct",
+                           n_buckets: int = 64):
+    """EXACT ``COUNT(DISTINCT value) GROUP BY key`` in one shuffle.
+
+    Phase 1 (map-side): each block dedups its (key, value) pairs, so
+    the shuffle carries blocks x block-distinct pairs, never raw
+    rows — a hot key whose duplicate values repeat within blocks
+    collapses BEFORE it moves. Phase 2: pairs co-shuffle by
+    ``bucket_ids(key)`` (key-hash, so every pair of a key meets in
+    exactly one bucket); the whole-bucket UDF dedups pairs globally
+    and counts valid values per key — final rows, no second
+    exchange.
+
+    Semantics match SQL: NULL values are never counted
+    (``COUNT(DISTINCT v)`` ignores NULL) but an all-NULL key still
+    appears with count 0, exactly like ``GROUP BY``; NULL keys form
+    their own group.
+
+    Dedup identity is a sentinel-encoded composite STRING
+    (``rollup._composite_key`` — same contract: cast output must not
+    contain the \\x00/\\x1f sentinels, true for numeric/timestamp
+    and real-text keys) dictionary-encoded to dense codes +
+    ``np.unique`` first-occurrence take — NEVER a pyarrow
+    ``group_by`` on the nullable columns themselves: pyarrow 16's
+    hash group_by splits groups with NULL slots by the garbage bytes
+    under them (measurably: one whole-table group_by on 300 rows of
+    (nullable string, nullable int64) returned 27 "distinct" pairs
+    for 23), and Ray's sort shares the null-key hazard.
+
+    Scale note: a key's DISTINCT-value set lands in one bucket (that
+    is what makes the count exact in one pass); per-bucket cost is
+    bounded by distinct pairs per bucket, not row count. For
+    sketch-grade cardinalities use the KMV estimator instead.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+    from .rollup import _composite_key
+
+    def _dedup_pairs(sub: pa.Table) -> pa.Table:
+        if not sub.num_rows:
+            return sub
+        ck = _composite_key(sub, ["k", "v"])
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        codes = pc.dictionary_encode(ck).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _, first = np.unique(codes, return_index=True)
+        return sub.take(pa.array(first, pa.int64()))
+
+    def _local(batch: pa.Table) -> pa.Table:
+        # NULL values are KEPT (collapsed to one (k, NULL) pair per
+        # block) so an all-NULL key still reaches its bucket and
+        # comes out with count 0, matching SQL GROUP BY
+        sub = _dedup_pairs(pa.table({
+            "k": batch.column(key_col),
+            "v": batch.column(value_col),
+        }))
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(sub.column("k"), n_buckets), pa.int64()),
+            "k": sub.column("k"),
+            "v": sub.column("v"),
+        })
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        pairs = _dedup_pairs(group.select(["k", "v"]).combine_chunks())
+        kck = _composite_key(pairs, ["k"])
+        if isinstance(kck, pa.ChunkedArray):
+            kck = kck.combine_chunks()
+        kcodes = pc.dictionary_encode(kck).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        valid = pc.is_valid(pairs.column("v")).to_numpy(
+            zero_copy_only=False)
+        n_codes = int(kcodes.max()) + 1 if len(kcodes) else 0
+        cnt = np.bincount(
+            kcodes, weights=valid.astype(np.float64),
+            minlength=max(n_codes, 1)).astype(np.int64)
+        # dictionary codes are dense 0..n-1, so np.unique's sorted
+        # uniques == arange(n_codes) and `first` aligns with `cnt`
+        _, first = np.unique(kcodes, return_index=True)
+        return pa.table({
+            key_col: pairs.column("k").take(
+                pa.array(first, pa.int64())),
+            out_col: pa.array(cnt[:n_codes], pa.int64()),
+        })
+
+    return ds.map_batches(_local, batch_format="pyarrow").groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_bucket, batch_format="pyarrow")

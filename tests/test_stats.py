@@ -462,3 +462,57 @@ class TestMixSample:
         with pytest.raises(ValueError):
             mix_sample(self._ds(ray_session), "g", {"a": 0},
                        key_col="doc_id")
+
+
+class TestGroupedDistinctCount:
+    """COUNT(DISTINCT v) GROUP BY k — differential vs DuckDB with
+    NULL keys/values across block layouts."""
+
+    @pytest.mark.parametrize("layout", [1, 4])
+    def test_differential_vs_duckdb(self, ray_session, layout):
+        import random
+
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_distinct_count
+
+        rng = random.Random(1234)
+        n = 300
+        tbl = pa.table({
+            "k": pa.array(
+                [None if rng.random() < 0.1 else f"k{rng.randrange(6)}"
+                 for _ in range(n)], pa.string()),
+            "v": pa.array(
+                [None if rng.random() < 0.1 else rng.randrange(40)
+                 for _ in range(n)], pa.int64()),
+        })
+        got = grouped_distinct_count(
+            ray.data.from_arrow(tbl).repartition(layout),
+            "k", "v", out_col="n", n_buckets=5,
+        ).take_all()
+        got = sorted(((r["k"], r["n"]) for r in got), key=repr)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted(
+            ((k, c) for k, c in con.execute(
+                "SELECT k, CAST(count(DISTINCT v) AS BIGINT) "
+                "FROM t GROUP BY k").fetchall()),
+            key=repr)
+        con.close()
+        assert got == want
+
+    def test_all_null_values_key_kept_with_zero(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_distinct_count
+
+        tbl = pa.table({
+            "k": pa.array(["a", "a", "b"], pa.string()),
+            "v": pa.array([None, None, 7], pa.int64()),
+        })
+        rows = grouped_distinct_count(
+            ray.data.from_arrow(tbl), "k", "v", out_col="n"
+        ).take_all()
+        assert sorted((r["k"], r["n"]) for r in rows) == [
+            ("a", 0), ("b", 1)]

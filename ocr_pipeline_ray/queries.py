@@ -2709,6 +2709,45 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_bucket_point_lookup(sf_dir: str):
+    """Point lookup over clustered bucketed storage
+    (stages/bucketed.py ``bucketed_lookup``): orders written ONCE
+    bucketed+sorted by custkey (one file per bucket, 256-row row
+    groups), then a key probe reads ONE bucket dir and lets parquet
+    row-group min/max statistics skip inside it — the
+    prune-at-the-read path a 100-TB store needs for key lookups. The
+    pruning is asserted real (candidate row groups < total), not
+    assumed."""
+    import shutil
+
+    from .stages.bucketed import bucketed_lookup, write_bucketed
+
+    base = (f"/tmp/ocr_ray_ptlookup_{os.getpid()}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(base, ignore_errors=True)
+    n_buckets = 16
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    write_bucketed(orders, base, "custkey", n_buckets,
+                   clustered=True, row_group_size=256)
+    tbl, stats = bucketed_lookup(base, "custkey", 7,
+                                 n_buckets=n_buckets, with_stats=True)
+    # loud contract: clustering must have made the stats selective
+    # whenever there is more than one row group to choose from
+    if (stats["row_groups_total"] > 1
+            and stats["row_groups_candidate"] >= stats["row_groups_total"]):
+        raise AssertionError(
+            f"row-group pruning ineffective: {stats}")
+    return tbl
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type
     (stages/stats.py ``grouped_distinct_count``): map-side pair
@@ -4173,6 +4212,11 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["bucket_point_lookup"] = (
+    "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey "
+    "FROM orders WHERE o_custkey = 7"
+)
+
 ORACLE_SQL["distinct_users_by_type"] = (
     "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
     "AS n_users FROM events GROUP BY event_type"
@@ -4302,4 +4346,5 @@ QUERIES = {
     "extraction_page_roundtrip": q_extraction_page_roundtrip,
     "customer_orders_full": q_customer_orders_full,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "bucket_point_lookup": q_bucket_point_lookup,
 }

@@ -41,9 +41,24 @@ BUCKET_COL = "_bucket"
 
 
 def write_bucketed(ds, out_dir: str, key_col: str,
-                   n_buckets: int = 64) -> str:
+                   n_buckets: int = 64, clustered: bool = False,
+                   row_group_size: Optional[int] = None) -> str:
     """Write ``ds`` as Hive-partitioned parquet bucketed by
-    ``bucket_ids(key_col) % n_buckets``. Returns ``out_dir``."""
+    ``bucket_ids(key_col) % n_buckets``. Returns ``out_dir``.
+
+    ``clustered=True`` additionally SORTS each bucket by the key
+    (one groupby on the int64 bucket id — the same exchange the
+    bucketing itself costs — plus an Arrow ``sort_by`` inside each
+    whole-bucket UDF, so nullable keys never reach a Ray sort).
+    Clustering is what makes parquet row-group min/max statistics
+    selective for :func:`bucketed_lookup`: an unclustered bucket has
+    every row group spanning the whole key range, a clustered one
+    lets a point read skip all but ~one row group. It also collapses
+    the bucket dir to one file per bucket instead of one per input
+    block (small-file compaction for free). ``row_group_size`` caps
+    rows per parquet row group — smaller groups = finer pruning
+    granularity at slightly more footer metadata.
+    """
 
     def _tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -51,8 +66,19 @@ def write_bucketed(ds, out_dir: str, key_col: str,
             pa.array(bucket_ids(batch.column(key_col), n_buckets),
                      pa.int64()))
 
-    ds.map_batches(_tag, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=[BUCKET_COL])
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    if clustered:
+        tagged = tagged.groupby(
+            BUCKET_COL, num_partitions=n_buckets
+        ).map_groups(
+            lambda g: g.sort_by([(key_col, "ascending")]),
+            batch_format="pyarrow",
+        )
+    kwargs = {}
+    if row_group_size is not None:
+        kwargs["row_group_size"] = row_group_size
+    tagged.write_parquet(out_dir, partition_cols=[BUCKET_COL],
+                         **kwargs)
     return out_dir
 
 
@@ -229,3 +255,67 @@ def bucketed_aggregate(root: str, key_col: str, n_buckets: int,
 
     return ray.data.from_arrow_refs(
         [_agg_one.remote(b) for b in range(n_buckets)])
+
+
+def bucketed_lookup(root: str, key_col: str, value, n_buckets: int,
+                    columns: Optional[List[str]] = None,
+                    with_stats: bool = False):
+    """Point read over a bucketed table: hash-prune to ONE bucket
+    dir, then let parquet row-group min/max statistics prune inside
+    it — the read-path payoff of paying the bucket shuffle at write
+    time. At 100 TB this is the difference between a key lookup
+    costing a full-table scan and costing one bucket's worth of
+    footer reads plus ~one row group (when the store was written
+    ``clustered=True``).
+
+    Runs driver-side by design: a point lookup returns
+    key-cardinality rows (a handful), and the IO it touches is one
+    bucket directory — there is nothing to distribute. Returns the
+    matching rows as a :class:`pyarrow.Table`; with
+    ``with_stats=True`` returns ``(table, stats)`` where ``stats``
+    reports ``row_groups_total`` / ``row_groups_candidate`` for the
+    bucket (candidate = min/max statistics admit the key), making
+    the pruning measurable instead of assumed. NULL lookup values
+    are rejected (SQL equality never matches NULL).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if value is None:
+        raise ValueError("bucketed_lookup: NULL never matches; "
+                         "a NULL-key probe is always empty")
+    schema = _side_schema(root)
+    cols = (list(columns) if columns is not None
+            else [c for c in schema.names if c != BUCKET_COL])
+    key_type = schema.field(key_col).type
+    out_schema = pa.schema([(c, schema.field(c).type) for c in cols])
+    b = int(bucket_ids(pa.array([value], key_type), n_buckets)[0])
+    path = _bucket_dir(root, b)
+    if not os.path.isdir(path):
+        empty = out_schema.empty_table()
+        return (empty, {"row_groups_total": 0,
+                        "row_groups_candidate": 0,
+                        "bucket": b}) if with_stats else empty
+    dset = pads.dataset(path, format="parquet")
+    tbl = dset.to_table(
+        columns=cols,
+        filter=pads.field(key_col) == pa.scalar(value, key_type),
+    ).cast(out_schema)
+    if not with_stats:
+        return tbl
+    total = candidate = 0
+    for frag_path in sorted(dset.files):
+        meta = pq.ParquetFile(frag_path).metadata
+        ci = meta.schema.to_arrow_schema().names.index(key_col)
+        for rg in range(meta.num_row_groups):
+            total += 1
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                candidate += 1  # no stats: must scan (never skip)
+                continue
+            if st.min <= value <= st.max:
+                candidate += 1
+    return tbl, {"row_groups_total": total,
+                 "row_groups_candidate": candidate,
+                 "bucket": b}

@@ -139,3 +139,68 @@ class TestBucketedAggregate:
             "SELECT k, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1"
         ).to_df()
         assert _norm(got) == _norm(want)
+
+
+class TestBucketedLookup:
+    def _store(self, tmp_path, ray_session, clustered, rg=None):
+        import random
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import write_bucketed
+
+        rng = random.Random(99)
+        keys = [rng.randrange(200) for _ in range(2000)]
+        tbl = pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(range(2000), pa.int64()),
+        })
+        root = str(tmp_path / ("c" if clustered else "u"))
+        write_bucketed(
+            ray.data.from_arrow(tbl).repartition(6), root, "k",
+            n_buckets=8, clustered=clustered, row_group_size=rg)
+        return tbl, root
+
+    def test_lookup_matches_naive_filter(self, ray_session, tmp_path):
+        import pyarrow.compute as pc
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_lookup
+
+        tbl, root = self._store(tmp_path, ray_session, clustered=False)
+        for key in (0, 57, 199, 4242):  # 4242 absent
+            got = bucketed_lookup(root, "k", key, n_buckets=8)
+            want = tbl.filter(pc.equal(tbl.column("k"), key))
+            assert sorted(got.column("v").to_pylist()) == \
+                sorted(want.column("v").to_pylist())
+
+    def test_clustered_store_prunes_row_groups(self, ray_session,
+                                               tmp_path):
+        from ocr_pipeline_ray.stages.bucketed import bucketed_lookup
+
+        tbl, root = self._store(tmp_path, ray_session,
+                                clustered=True, rg=50)
+        _, stats = bucketed_lookup(root, "k", 57, n_buckets=8,
+                                   with_stats=True)
+        # a clustered bucket holds ~250 rows = ~5 row groups of 50;
+        # one key spans ~1 group, so pruning must be real
+        assert stats["row_groups_total"] >= 3
+        assert stats["row_groups_candidate"] < stats["row_groups_total"]
+        # and the clustered store returns the same rows
+        import pyarrow.compute as pc
+        got, _ = bucketed_lookup(root, "k", 57, n_buckets=8,
+                                 with_stats=True)
+        want = tbl.filter(pc.equal(tbl.column("k"), 57))
+        assert sorted(got.column("v").to_pylist()) == \
+            sorted(want.column("v").to_pylist())
+
+    def test_column_prune_and_null_probe(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_lookup
+
+        _, root = self._store(tmp_path, ray_session, clustered=False)
+        got = bucketed_lookup(root, "k", 57, n_buckets=8,
+                              columns=["v"])
+        assert got.column_names == ["v"]
+        with _pytest.raises(ValueError):
+            bucketed_lookup(root, "k", None, n_buckets=8)

@@ -2709,6 +2709,32 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_events_value_stats(sf_dir: str):
+    """Per-type value moments (stages/stats.py ``grouped_moments``):
+    count/mean/var_samp from sufficient-statistic partials — blocks
+    contribute (key, n, sum, sumsq) rows, one tiny groupby, finish
+    math at key scale. Grid-rounded to the repo-wide 1e-6 float
+    contract."""
+    from .stages.stats import grouped_moments
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_moments(events, "event_type", "value")
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        def g(col):
+            return pc.divide(
+                pc.floor(pc.add(pc.multiply(col, 1e6), 0.5)), 1e6)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "mean_value": g(batch.column("mean_value")),
+            "var_value": g(batch.column("var_value")),
+        })
+
+    return out.map_batches(_grid, batch_format="pyarrow")
+
+
 def q_bucket_point_lookup(sf_dir: str):
     """Point lookup over clustered bucketed storage
     (stages/bucketed.py ``bucketed_lookup``): orders written ONCE
@@ -4212,6 +4238,13 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["events_value_stats"] = (
+    "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
+    "floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_value, "
+    "floor(var_samp(value) * 1000000.0 + 0.5) / 1000000.0 "
+    "AS var_value FROM events GROUP BY event_type"
+)
+
 ORACLE_SQL["bucket_point_lookup"] = (
     "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey "
     "FROM orders WHERE o_custkey = 7"
@@ -4347,4 +4380,5 @@ QUERIES = {
     "customer_orders_full": q_customer_orders_full,
     "distinct_users_by_type": q_distinct_users_by_type,
     "bucket_point_lookup": q_bucket_point_lookup,
+    "events_value_stats": q_events_value_stats,
 }

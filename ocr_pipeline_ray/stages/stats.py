@@ -586,3 +586,74 @@ def grouped_distinct_count(ds, key_col: str, value_col: str,
     return ds.map_batches(_local, batch_format="pyarrow").groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_bucket, batch_format="pyarrow")
+
+
+def grouped_moments(ds, key_col: str, value_col: str):
+    """Per-key count / mean / sample variance via SUFFICIENT
+    STATISTICS: each block contributes one ``(key, n, sum, sumsq)``
+    partial row (Arrow ``group_by``), ONE tiny per-key groupby sums
+    them, and the driver-scale finish computes
+    ``mean = s1/n`` and ``var_samp = (s2 - s1^2/n) / (n-1)``.
+    The corpus is touched once and the shuffle carries keys x blocks
+    rows — the same contract as ``partial_sum_count``, extended to
+    second moments.
+
+    SQL parity: NULL values are ignored (``n`` counts valid values
+    only, like ``count(value)``); a key with ``n == 0`` keeps its
+    group with NULL mean/variance; ``n == 1`` yields NULL
+    ``var_samp``. Keys must be non-null (pre-filter or fill a
+    sentinel — the Ray groupby null-key hazard).
+
+    Numerical note: the textbook ``s2 - s1^2/n`` form is exact
+    enough here because downstream comparison happens on a 1e-6
+    grid after floor-rounding (the repo-wide float contract); for
+    ill-conditioned data (mean >> stddev) switch to a shifted-value
+    pass using any per-key pivot.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        sq = pc.multiply(v, v)
+        sub = pa.table({
+            "key": batch.column(key_col),
+            "v": v,
+            "v2": sq,
+        })
+        agg = sub.group_by(["key"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return pa.table({
+            key_col: agg.column("key"),
+            "n": pc.cast(agg.column("v_count"), pa.int64()),
+            "s1": agg.column("v_sum"),
+            "s2": agg.column("v2_sum"),
+        })
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n"), Sum("s1"), Sum("s2"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        s1 = batch.column("sum(s1)").to_numpy(zero_copy_only=False)
+        s2 = batch.column("sum(s2)").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s1 / n
+            var = (s2 - s1 * s1 / n) / (n - 1)
+        # var_samp never goes negative through float cancellation
+        var = np.maximum(var, 0.0)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n": pa.array(n, pa.int64()),
+            "mean_value": pa.array(mean, pa.float64(),
+                                   mask=(n == 0)),
+            "var_value": pa.array(var, pa.float64(),
+                                  mask=(n < 2)),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

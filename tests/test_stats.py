@@ -516,3 +516,61 @@ class TestGroupedDistinctCount:
         ).take_all()
         assert sorted((r["k"], r["n"]) for r in rows) == [
             ("a", 0), ("b", 1)]
+
+
+class TestGroupedMoments:
+    @pytest.mark.parametrize("layout", [1, 5])
+    def test_differential_vs_duckdb(self, ray_session, layout):
+        import math
+        import random
+
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_moments
+
+        rng = random.Random(7)
+        n = 400
+        tbl = pa.table({
+            "k": pa.array([f"k{rng.randrange(5)}" for _ in range(n)],
+                          pa.string()),
+            "v": pa.array(
+                [None if rng.random() < 0.1
+                 else rng.uniform(-50, 200) for _ in range(n)],
+                pa.float64()),
+        })
+
+        def grid(x):
+            return (None if x is None or
+                    (isinstance(x, float) and math.isnan(x))
+                    else math.floor(x * 1e6 + 0.5) / 1e6)
+
+        got = grouped_moments(
+            ray.data.from_arrow(tbl).repartition(layout), "k", "v"
+        ).take_all()
+        got = sorted((r["k"], r["n"], grid(r["mean_value"]),
+                      grid(r["var_value"])) for r in got)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted(
+            (k, nn, grid(m), grid(vv)) for k, nn, m, vv in con.execute(
+                "SELECT k, CAST(count(v) AS BIGINT), avg(v), "
+                "var_samp(v) FROM t GROUP BY k").fetchall())
+        con.close()
+        assert got == want
+
+    def test_degenerate_groups(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_moments
+
+        tbl = pa.table({
+            "k": pa.array(["a", "a", "b", "c"], pa.string()),
+            "v": pa.array([None, None, 3.0, None], pa.float64()),
+        })
+        rows = {r["k"]: r for r in grouped_moments(
+            ray.data.from_arrow(tbl), "k", "v").take_all()}
+        assert rows["a"]["n"] == 0 and rows["a"]["mean_value"] is None
+        assert rows["b"]["n"] == 1 and rows["b"]["mean_value"] == 3.0
+        assert rows["b"]["var_value"] is None   # var_samp of n=1
+        assert rows["c"]["n"] == 0

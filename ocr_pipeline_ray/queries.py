@@ -2709,6 +2709,33 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_doc_chunks(sf_dir: str):
+    """Overlapping token chunking (stages/textstats.py
+    ``chunk_documents``): 64-token windows, stride 48, row-local
+    vectorized explode — zero shuffles, the RAG/window splitter.
+    Chunk content is pinned by md5 so the oracle compares window
+    EXTRACTION byte-for-byte without hauling chunk text through the
+    compare."""
+    from .stages.dedup import _md5
+    from .stages.textstats import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        out = chunk_documents(batch, chunk_tokens=64, step=48)
+        md5s = [_md5(t) for t in
+                out.column("chunk_text").to_pylist()]
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "chunk_id": out.column("chunk_id"),
+            "n_tokens": out.column("n_tokens"),
+            "chunk_md5": pa.array(md5s, pa.string()),
+        })
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
 def q_events_value_stats(sf_dir: str):
     """Per-type value moments (stages/stats.py ``grouped_moments``):
     count/mean/var_samp from sufficient-statistic partials — blocks
@@ -4238,6 +4265,19 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["doc_chunks"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
+    "FROM documents WHERE text IS NOT NULL), "
+    "e AS (SELECT doc_id, toks, n, "
+    "unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS g "
+    "FROM t) "
+    "SELECT doc_id, CAST(g AS BIGINT) AS chunk_id, "
+    "CAST(least(g * 48 + 64, n) - g * 48 AS BIGINT) AS n_tokens, "
+    "md5(array_to_string(list_slice(toks, g * 48 + 1, "
+    "least(g * 48 + 64, n)), ' ')) AS chunk_md5 FROM e"
+)
+
 ORACLE_SQL["events_value_stats"] = (
     "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
     "floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_value, "
@@ -4381,4 +4421,5 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "bucket_point_lookup": q_bucket_point_lookup,
     "events_value_stats": q_events_value_stats,
+    "doc_chunks": q_doc_chunks,
 }

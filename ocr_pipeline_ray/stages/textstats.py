@@ -473,3 +473,64 @@ def hash_embed(ds, dim: int = 64, id_col: str = "doc_id",
                          "embedding": emb})
 
     return ds.map_batches(_embed, batch_format="pyarrow")
+
+
+def chunk_documents(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    step: int = 48) -> pa.Table:
+    """Overlapping fixed-size token chunking (the RAG/context-window
+    splitter), fully vectorized and ROW-LOCAL — zero shuffles; call
+    via ``map_batches``.
+
+    Chunks cover token windows ``[i*step, i*step + chunk_tokens)``
+    of the single-space split (the engine-wide tokenizer contract,
+    = ``string_split(text, ' ')``); the last window is emitted as
+    soon as it reaches the end, so no chunk is a pure suffix of its
+    predecessor: ``n_chunks = 1 + (max(n - chunk, 0) + step-1) //
+    step`` — integer-exact and SQL-twinnable via generate_series +
+    list_slice. NULL texts emit no chunks (SQL ``WHERE text IS NOT
+    NULL``); an empty string is one empty chunk (one empty token,
+    same as ``token_count``).
+
+    Unlike :func:`..stages.pack.sequence_packing` (global gapless
+    windows over the concatenated corpus stream, a prefix-sum
+    co-shuffle), chunking is per-document and overlap-duplicating:
+    token duplication factor ≈ chunk/step is inherent and the
+    operator stays embarrassingly parallel. Windows are gathered
+    from the flat token array with one ``take`` + ListArray rebuild
+    + ``binary_join`` — overlapping windows cannot share ListArray
+    offsets, so the gather IS the copy, once.
+    """
+    import numpy as np
+
+    if step < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and step must be >= 1")
+    sub = batch.filter(pc.is_valid(batch.column(text_col)))
+    flat, offsets, n = _token_lists(sub, text_col)
+    over = np.maximum(n - chunk_tokens, 0)
+    nc = 1 + (over + step - 1) // step
+    total = int(nc.sum())
+    doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), nc)
+    cum_nc = np.cumsum(nc)
+    chunk_id = (np.arange(total, dtype=np.int64)
+                - np.repeat(cum_nc - nc, nc))
+    start = chunk_id * step
+    lens = np.minimum(start + chunk_tokens, n[doc_idx]) - start
+    base = offsets[:-1][doc_idx] + start
+    cum_l = np.cumsum(lens)
+    tot_tok = int(cum_l[-1]) if total else 0
+    intra = (np.arange(tot_tok, dtype=np.int64)
+             - np.repeat(cum_l - lens, lens))
+    gathered = flat.take(
+        pa.array(np.repeat(base, lens) + intra, pa.int64()))
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], cum_l]), pa.int32()),
+        gathered.combine_chunks()
+        if isinstance(gathered, pa.ChunkedArray) else gathered)
+    return pa.table({
+        id_col: sub.column(id_col).take(
+            pa.array(doc_idx, pa.int64())),
+        "chunk_id": pa.array(chunk_id, pa.int64()),
+        "chunk_text": pc.binary_join(lists, " "),
+        "n_tokens": pa.array(lens, pa.int64()),
+    })

@@ -329,3 +329,67 @@ class TestNfcNormalize:
 
     def test_already_nfc_nonascii_unchanged(self):
         assert self._run(["café über"]) == ["café über"]
+
+
+class TestChunkDocuments:
+    def _chunk_ref(self, text, chunk, step):
+        toks = text.split(" ")
+        n = len(toks)
+        out = []
+        s = 0
+        i = 0
+        while True:
+            out.append((i, " ".join(toks[s:s + chunk]),
+                        min(s + chunk, n) - s))
+            if s + chunk >= n:
+                break
+            s += step
+            i += 1
+        return out
+
+    def test_matches_reference_chunker(self):
+        import random
+
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages.textstats import chunk_documents
+
+        rng = random.Random(3)
+        texts = ["", "one",
+                 " ".join(f"t{i}" for i in range(64)),     # == chunk
+                 " ".join(f"t{i}" for i in range(65)),     # one over
+                 None]
+        texts += [" ".join(f"w{rng.randrange(99)}"
+                           for _ in range(rng.randrange(1, 300)))
+                  for _ in range(30)]
+        batch = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = chunk_documents(batch, chunk_tokens=64, step=48)
+        by_doc = {}
+        for r in got.to_pylist():
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+        for i, t in enumerate(texts):
+            if t is None:
+                assert i not in by_doc
+                continue
+            assert sorted(by_doc[i]) == self._chunk_ref(t, 64, 48), i
+        # overlap really overlaps: doc with 65 tokens -> 2 chunks,
+        # second starts at token 48
+        c = sorted(by_doc[3])
+        assert len(c) == 2 and c[1][1].startswith("t48 ")
+
+    def test_validation(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from ocr_pipeline_ray.stages.textstats import chunk_documents
+
+        b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x"], pa.string())})
+        with _pytest.raises(ValueError):
+            chunk_documents(b, chunk_tokens=0)
+        with _pytest.raises(ValueError):
+            chunk_documents(b, step=0)

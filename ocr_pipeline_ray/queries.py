@@ -2709,6 +2709,20 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_cms_sketch(sf_dir: str):
+    """Count-Min sketch of corpus token counts (stages/stats.py
+    ``cms_sketch``): 4x1024 counters from one md5 per distinct token
+    per block (four 8-hex digest chunks = the four row hashes);
+    shuffle bounded by depth*width partial rows per block. The
+    sketch itself is oracle-pinned BIT-FOR-BIT — approximate in
+    estimate semantics, deterministic in construction."""
+    from .stages.stats import cms_sketch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_sketch(docs, width=1024, depth=4)
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping token chunking (stages/textstats.py
     ``chunk_documents``): 64-token windows, stride 48, row-local
@@ -4265,6 +4279,16 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["cms_sketch"] = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t "
+    "FROM documents WHERE text IS NOT NULL), "
+    "rows AS (SELECT r, CAST(CAST(('0x' || substr(md5(t), "
+    "1 + 8 * r, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b "
+    "FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(r)) "
+    "SELECT CAST(r AS BIGINT) AS r, b, "
+    "CAST(count(*) AS BIGINT) AS c FROM rows GROUP BY r, b"
+)
+
 ORACLE_SQL["doc_chunks"] = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
     "CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
@@ -4422,4 +4446,5 @@ QUERIES = {
     "bucket_point_lookup": q_bucket_point_lookup,
     "events_value_stats": q_events_value_stats,
     "doc_chunks": q_doc_chunks,
+    "cms_sketch": q_cms_sketch,
 }

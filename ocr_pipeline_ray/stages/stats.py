@@ -657,3 +657,101 @@ def grouped_moments(ds, key_col: str, value_col: str):
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def cms_sketch(ds, text_col: str = "text", width: int = 1024,
+               depth: int = 4):
+    """Count-Min sketch of the corpus token frequency — the
+    MERGEABLE approximate-counts structure (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows x ``width`` counters;
+    ``est(t) = min_r counter[r][h_r(t)] >= true(t)``, overestimate
+    only, error bounded by collisions (~N/width per row, take the
+    min across rows).
+
+    Fully deterministic and SQL-twinnable: the ``depth<=4`` row
+    hashes are the four 8-hex chunks of ONE md5 per token (the
+    minhash-signature trick — one digest, four independent hashes;
+    DuckDB: ``substr(md5(t), 1+8*r, 8)``), bucket = chunk % width.
+
+    Shape: per block, ``value_counts`` over the flat token split
+    dedups tokens FIRST (one md5 per distinct token per block, not
+    per occurrence), counters accumulate via ``np.bincount`` with
+    count weights, and the shuffle carries <= depth*width partial
+    rows per block — never tokens. One tiny groupby merges partials.
+    Returns a Dataset of ``(r, b, c)`` with zero counters omitted.
+    NULL texts contribute nothing (SQL ``WHERE text IS NOT NULL``).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if not (1 <= depth <= 4):
+        raise ValueError("depth must be in 1..4 (four 8-hex chunks "
+                         "per md5 digest)")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_valid(batch.column(text_col)))
+        flat = pc.list_flatten(
+            pc.split_pattern(sub.column(text_col), " "))
+        vc = pc.value_counts(flat.combine_chunks()
+                             if isinstance(flat, pa.ChunkedArray)
+                             else flat)
+        toks = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        digs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in toks]
+        rbs, cs = [], []
+        for r in range(depth):
+            b = np.array(
+                [int(d[8 * r:8 * r + 8], 16) for d in digs],
+                dtype=np.int64) % width
+            row = np.bincount(b, weights=cnts, minlength=width)
+            nz = np.flatnonzero(row)
+            rbs.append(r * width + nz)
+            cs.append(row[nz].astype(np.int64))
+        return pa.table({
+            "rb": pa.array(np.concatenate(rbs) if rbs else [],
+                           pa.int64()),
+            "c": pa.array(np.concatenate(cs) if cs else [],
+                          pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("rb").aggregate(Sum("c"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        rb = batch.column("rb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r": pa.array(rb // width, pa.int64()),
+            "b": pa.array(rb % width, pa.int64()),
+            "c": pc.cast(batch.column("sum(c)"), pa.int64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def cms_estimate(sketch: pa.Table, tokens, width: int = 1024,
+                 depth: int = 4) -> "pa.Table":
+    """Point-estimate token counts from a materialized (tiny)
+    :func:`cms_sketch` table: ``min_r counter[r][h_r(token)]``.
+    Driver-side by design — the sketch is depth*width counters."""
+    import hashlib
+
+    mat = np.zeros((depth, width), dtype=np.int64)
+    mat[sketch.column("r").to_numpy(zero_copy_only=False),
+        sketch.column("b").to_numpy(zero_copy_only=False)] = \
+        sketch.column("c").to_numpy(zero_copy_only=False)
+    ests = []
+    for t in tokens:
+        d = hashlib.md5(t.encode("utf-8")).hexdigest()
+        ests.append(int(min(
+            mat[r][int(d[8 * r:8 * r + 8], 16) % width]
+            for r in range(depth))))
+    return pa.table({
+        "token": pa.array(list(tokens), pa.string()),
+        "est": pa.array(ests, pa.int64()),
+    })

@@ -574,3 +574,56 @@ class TestGroupedMoments:
         assert rows["b"]["n"] == 1 and rows["b"]["mean_value"] == 3.0
         assert rows["b"]["var_value"] is None   # var_samp of n=1
         assert rows["c"]["n"] == 0
+
+
+class TestCmsSketch:
+    def _corpus(self):
+        import random
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = [" ".join(rng.choices(vocab, k=rng.randrange(3, 30)))
+                 for _ in range(200)] + [None]
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_overestimate_only_and_layout_invariant(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import cms_estimate, cms_sketch
+
+        tbl = self._corpus()
+        truth = collections.Counter(
+            t for x in tbl.column("text").to_pylist()
+            if x is not None for t in x.split(" "))
+        sk1 = pa.concat_tables(list(cms_sketch(
+            ray.data.from_arrow(tbl).repartition(1), width=256
+        ).iter_batches(batch_format="pyarrow", batch_size=None)))
+        sk4 = pa.concat_tables(list(cms_sketch(
+            ray.data.from_arrow(tbl).repartition(4), width=256
+        ).iter_batches(batch_format="pyarrow", batch_size=None)))
+        key = lambda t: sorted(map(tuple, t.to_pylist()), key=repr)  # noqa: E731
+        assert key(sk1) == key(sk4)
+        # total mass per row == total token count
+        n_tok = sum(truth.values())
+        per_row = collections.Counter()
+        for row in sk1.to_pylist():
+            per_row[row["r"]] += row["c"]
+        assert set(per_row.values()) == {n_tok}
+        est = cms_estimate(sk1, list(truth), width=256)
+        for tok, e in zip(est.column("token").to_pylist(),
+                          est.column("est").to_pylist()):
+            assert e >= truth[tok]                    # never under
+            assert e <= truth[tok] + 4 * n_tok // 256  # CM bound-ish
+
+    def test_depth_validation(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import cms_sketch
+
+        with pytest.raises(ValueError):
+            cms_sketch(ray.data.from_arrow(self._corpus()), depth=5)

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "quality_rank", "source_overlap",
     "sample_exact_k", "approx_quantiles", "docs_except",
     "bucketed_join_orders", "bucketed_order_counts",
+    "bucket_point_lookup", "customer_orders_full",
+    "distinct_users_by_type", "events_value_stats",
+    "doc_chunks", "cms_sketch",
     "near_dup_incremental",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",

@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "bucketed_join_orders", "bucketed_order_counts",
     "bucket_point_lookup", "customer_orders_full",
     "distinct_users_by_type", "events_value_stats",
-    "doc_chunks", "cms_sketch",
+    "doc_chunks", "cms_sketch", "approx_users_by_type",
     "near_dup_incremental",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",

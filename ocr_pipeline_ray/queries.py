@@ -2709,6 +2709,22 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_approx_users_by_type(sf_dir: str):
+    """Per-key KMV distinct sketch (stages/stats.py ``grouped_kmv``)
+    — the scale path beside the exact ``distinct_users_by_type``:
+    shuffle carries <= keys x k hash rows per block regardless of
+    user cardinality. The ESTIMATE itself is oracle-pinned (md5
+    hashes, identical float ops, 1e-6 grid)."""
+    from .stages.stats import grouped_kmv
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+    )
+    return grouped_kmv(events, "event_type", "user_id", k=16,
+                       n_buckets=32)
+
+
 def q_cms_sketch(sf_dir: str):
     """Count-Min sketch of corpus token counts (stages/stats.py
     ``cms_sketch``): 4x1024 counters from one md5 per distinct token
@@ -4279,6 +4295,23 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["approx_users_by_type"] = (
+    "WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events "
+    "WHERE user_id IS NOT NULL), "
+    "h AS (SELECT DISTINCT event_type, "
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS hv FROM pairs), "
+    "rk AS (SELECT event_type, hv, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+    "km AS (SELECT event_type, max(hv) AS mx, "
+    "CAST(count(*) AS BIGINT) AS nk FROM rk WHERE rn <= 16 "
+    "GROUP BY event_type) "
+    "SELECT event_type, nk AS k_used, "
+    "CASE WHEN nk < 16 THEN CAST(nk AS DOUBLE) "
+    "ELSE floor(15.0 / (CAST(mx AS DOUBLE) / 4294967296.0) "
+    "* 1000000.0 + 0.5) / 1000000.0 END AS kmv_estimate FROM km"
+)
+
 ORACLE_SQL["cms_sketch"] = (
     "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t "
     "FROM documents WHERE text IS NOT NULL), "
@@ -4447,4 +4480,5 @@ QUERIES = {
     "events_value_stats": q_events_value_stats,
     "doc_chunks": q_doc_chunks,
     "cms_sketch": q_cms_sketch,
+    "approx_users_by_type": q_approx_users_by_type,
 }

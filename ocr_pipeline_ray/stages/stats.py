@@ -755,3 +755,130 @@ def cms_estimate(sketch: pa.Table, tokens, width: int = 1024,
         "token": pa.array(list(tokens), pa.string()),
         "est": pa.array(ests, pa.int64()),
     })
+
+
+def grouped_kmv(ds, key_col: str, value_col: str, k: int = 16,
+                n_buckets: int = 64):
+    """Per-key KMV (k-minimum-values) distinct sketch — the SCALE
+    path next to :func:`grouped_distinct_count`: where the exact
+    operator must co-locate a key's whole distinct-value set, this
+    carries at most ``keys x k`` hash rows per block through the
+    shuffle, whatever the value cardinality.
+
+    Hash = first 8 md5 hex chars of ``str(value)`` (deterministic,
+    SQL-reproducible: ``substr(md5(CAST(v AS VARCHAR)), 1, 8)``), so
+    the ESTIMATE itself is oracle-pinnable bit-for-bit after the
+    repo-wide 1e-6 grid. estimate = (k-1) / (max_of_k / 2^32) when a
+    key has >= k distinct hashes, else the exact count of hashes
+    seen (the sketch is exact below k). NULL values are ignored
+    (COUNT DISTINCT semantics); NULL keys form their own group.
+
+    Shape: map-side per-block (key, value) dedup + per-key k-min
+    (one md5 per block-distinct pair, lexsort rank mask — no per-key
+    UDF), ONE key-hash co-shuffle, whole-bucket merge by the same
+    lexsort+rank kernel.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    def _kmin_per_key(keys_arr, hv: np.ndarray):
+        """(keys, hv) -> per-key k smallest UNIQUE hvs, vectorized.
+        Returns (take_idx, seg_key_idx aligned to kept rows)."""
+        codes = pc.dictionary_encode(
+            keys_arr.combine_chunks()
+            if isinstance(keys_arr, pa.ChunkedArray) else keys_arr
+        ).indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hv, codes))
+        c_s, h_s = codes[order], hv[order]
+        # drop duplicate (key, hv) pairs (hash collisions of equal
+        # values across blocks; DISTINCT hv semantics)
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])
+        order, c_s, h_s = order[first], c_s[first], h_s[first]
+        seg_start = np.ones(len(c_s), dtype=bool)
+        seg_start[1:] = c_s[1:] != c_s[:-1]
+        seg_idx = np.cumsum(seg_start) - 1
+        starts = np.flatnonzero(seg_start)
+        rank = np.arange(len(c_s)) - starts[seg_idx]
+        keep = rank < k
+        return order[keep], h_s[keep]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "k": batch.column(key_col),
+            "v": batch.column(value_col),
+        })
+        sub = sub.filter(pc.is_valid(sub.column("v")))
+        if not sub.num_rows:
+            return pa.table({
+                "_bucket": pa.array([], pa.int64()),
+                "k": pa.array([], batch.column(key_col).type),
+                "hv": pa.array([], pa.uint64()),
+            })
+        # block-level pair dedup first (sentinel composite — the
+        # null-safe dedup kernel shared with grouped_distinct_count)
+        from .rollup import _composite_key
+
+        ck = _composite_key(sub, ["k", "v"])
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        cidx = pc.dictionary_encode(ck).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _, fst = np.unique(cidx, return_index=True)
+        sub = sub.take(pa.array(fst, pa.int64()))
+        hv = np.fromiter(
+            (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8],
+                 16) for v in sub.column("v").to_pylist()),
+            dtype=np.uint64, count=sub.num_rows)
+        take, hs = _kmin_per_key(sub.column("k"), hv)
+        kept = sub.take(pa.array(take, pa.int64()))
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(kept.column("k"), n_buckets), pa.int64()),
+            "k": kept.column("k"),
+            "hv": pa.array(hs, pa.uint64()),
+        })
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        import math
+
+        hv = group.column("hv").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        take, hs = _kmin_per_key(group.column("k"), hv)
+        kept_keys = group.column("k").take(pa.array(take, pa.int64()))
+        # segment stats over the kept (sorted-by-key) rows
+        codes = pc.dictionary_encode(
+            kept_keys.combine_chunks()
+            if isinstance(kept_keys, pa.ChunkedArray) else kept_keys
+        ).indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hs, codes))
+        c_s, h_s = codes[order], hs[order]
+        seg_start = np.ones(len(c_s), dtype=bool)
+        seg_start[1:] = c_s[1:] != c_s[:-1]
+        starts = np.flatnonzero(seg_start)
+        ends = np.concatenate([starts[1:], [len(c_s)]])
+        n_k = ends - starts
+        mx = h_s[ends - 1]
+        ests = []
+        for nk, m in zip(n_k, mx):
+            if nk < k:
+                ests.append(float(nk))
+            else:
+                ests.append(math.floor(
+                    (k - 1.0) / (float(m) / 4294967296.0)
+                    * 1e6 + 0.5) / 1e6)
+        rep = kept_keys.take(pa.array(order[starts], pa.int64()))
+        return pa.table({
+            key_col: rep,
+            "k_used": pa.array(n_k.astype(np.int64), pa.int64()),
+            "kmv_estimate": pa.array(ests, pa.float64()),
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_bucket, batch_format="pyarrow")

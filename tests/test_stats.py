@@ -627,3 +627,73 @@ class TestCmsSketch:
 
         with pytest.raises(ValueError):
             cms_sketch(ray.data.from_arrow(self._corpus()), depth=5)
+
+
+class TestGroupedKmv:
+    @pytest.mark.parametrize("layout", [1, 4])
+    def test_matches_reference_sketch(self, ray_session, layout):
+        import hashlib
+        import math
+        import random
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_kmv
+
+        rng = random.Random(11)
+        n = 500
+        ks = [f"g{rng.randrange(4)}" for _ in range(n)]
+        vs = [None if rng.random() < 0.05 else rng.randrange(120)
+              for _ in range(n)]
+        tbl = pa.table({"k": pa.array(ks, pa.string()),
+                        "v": pa.array(vs, pa.int64())})
+
+        def ref():
+            byk = {}
+            for kk, vv in zip(ks, vs):
+                if vv is None:
+                    continue
+                byk.setdefault(kk, set()).add(vv)
+            out = {}
+            for kk, vals in byk.items():
+                hs = sorted({int(hashlib.md5(
+                    str(v).encode()).hexdigest()[:8], 16)
+                    for v in vals})[:16]
+                if len(hs) < 16:
+                    est = float(len(hs))
+                else:
+                    est = math.floor(
+                        15.0 / (hs[-1] / 4294967296.0) * 1e6 + 0.5
+                    ) / 1e6
+                out[kk] = (len(hs), est)
+            return out
+
+        got = {r["k"]: (r["k_used"], r["kmv_estimate"])
+               for r in grouped_kmv(
+                   ray.data.from_arrow(tbl).repartition(layout),
+                   "k", "v", k=16, n_buckets=5).take_all()}
+        assert got == ref()
+        # sanity: sketch is in the ballpark of the truth
+        byk = {}
+        for kk, vv in zip(ks, vs):
+            if vv is not None:
+                byk.setdefault(kk, set()).add(vv)
+        for kk, (ku, est) in got.items():
+            truth = len(byk[kk])
+            assert est == truth or abs(est - truth) / truth < 0.6
+
+    def test_below_k_is_exact(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_kmv
+
+        tbl = pa.table({
+            "k": pa.array(["a"] * 6 + ["b"], pa.string()),
+            "v": pa.array([1, 2, 3, 1, 2, 3, 9], pa.int64()),
+        })
+        rows = {r["k"]: r for r in grouped_kmv(
+            ray.data.from_arrow(tbl).repartition(3), "k", "v",
+            k=16).take_all()}
+        assert rows["a"]["k_used"] == 3
+        assert rows["a"]["kmv_estimate"] == 3.0
+        assert rows["b"]["kmv_estimate"] == 1.0

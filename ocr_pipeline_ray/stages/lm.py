@@ -69,29 +69,45 @@ def train_bigram_lm(ds, text_col: str = "text", min_count: int = 1):
     from ray.data.aggregate import Sum
 
     def _partials(batch: pa.Table) -> pa.Table:
-        uni: Dict[str, int] = {}
-        bi: Dict[str, int] = {}
-        for text in batch.column(text_col).to_pylist():
-            if text is None:
-                continue
-            toks = text.split(" ")
-            for t in toks:
-                uni[t] = uni.get(t, 0) + 1
-            for a, b in zip(toks, toks[1:]):
-                p = a + PAIR_SEP + b
-                bi[p] = bi.get(p, 0) + 1
+        # vectorized: one split kernel + value_counts for unigrams;
+        # shifted-slice + binary_join for bigrams (doc boundaries
+        # masked), value_counts for their partial counts. NULL texts
+        # are dropped BEFORE the split (they must not contribute the
+        # empty-token unigram a fill_null("") would create).
+        texts = batch.column(text_col)
+        texts = texts.filter(pc.is_valid(texts))
+        col = (texts.combine_chunks()
+               if isinstance(texts, pa.ChunkedArray) else texts)
+        parts = pc.split_pattern(col, " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        uvc = pc.value_counts(parts.values)
+        _, pairs, _ = _flat_bigrams(None, parts=parts)
+        pvc = pc.value_counts(pairs)
         return pa.table({
-            "key": pa.array(list(uni.keys()) + list(bi.keys()),
-                            pa.string()),
-            "n": pa.array(list(uni.values()) + list(bi.values()),
-                          pa.int64()),
+            "key": pa.concat_arrays([
+                uvc.field("values").combine_chunks()
+                if isinstance(uvc.field("values"), pa.ChunkedArray)
+                else uvc.field("values"),
+                pvc.field("values").combine_chunks()
+                if isinstance(pvc.field("values"), pa.ChunkedArray)
+                else pvc.field("values"),
+            ]),
+            "n": pa.concat_arrays([
+                uvc.field("counts").cast(pa.int64()),
+                pvc.field("counts").cast(pa.int64()),
+            ]),
             "is_pair": pa.array(
-                [False] * len(uni) + [True] * len(bi), pa.bool_()),
+                [False] * len(uvc) + [True] * len(pvc), pa.bool_()),
         })
 
     counts = (
         ds.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["key", "is_pair"])
+        # model-scale shuffle: bound the partition count (default
+        # scales with input blocks; 32 is plenty for vocabulary rows
+        # and cuts the all-to-all setup cost that dominates at small
+        # corpus sizes)
+        .groupby(["key", "is_pair"], num_partitions=32)
         .aggregate(Sum("n"))
     )
 
@@ -124,6 +140,46 @@ def _doc_bigrams(toks):
     return zip(toks, toks[1:])
 
 
+def _flat_bigrams(texts, parts=None):
+    """Vectorized per-doc bigram explode over a text column.
+
+    Returns ``(w1, pairs, npair)``: the first-token array and the
+    "w1 w2" pair-string array of every adjacent-token bigram (doc
+    boundaries masked out — the last token of a doc pairs with
+    nothing), plus per-doc bigram counts. NULL text = empty doc =
+    0 bigrams. One split kernel + two shifted slices + one
+    ``binary_join_element_wise`` — no Python token loop. Pass a
+    precomputed ``split_pattern`` ListArray via ``parts`` to share
+    the split with a caller that already has it.
+    """
+    if parts is None:
+        col = pc.fill_null(
+            texts.combine_chunks()
+            if isinstance(texts, pa.ChunkedArray) else texts, "")
+        parts = pc.split_pattern(col, " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = parts.offsets.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = parts.values
+    ntok = np.diff(offsets)
+    # a NULL text became "" -> one empty token; it has 0 bigrams
+    # either way, so npair needs no null special-case
+    npair = np.maximum(ntok - 1, 0)
+    n = len(flat)
+    if n < 2:
+        empty = pa.array([], pa.string())
+        return empty, empty, npair
+    w1 = flat.slice(0, n - 1)
+    pairs = pc.binary_join_element_wise(w1, flat.slice(1, n - 1),
+                                        PAIR_SEP)
+    valid = np.ones(n - 1, dtype=bool)
+    last = offsets[1:] - 1
+    valid[last[(last >= 0) & (last < n - 1)]] = False
+    vmask = pa.array(valid)
+    return w1.filter(vmask), pairs.filter(vmask), npair
+
+
 def lm_score(
     ds,
     uni,
@@ -147,40 +203,60 @@ def lm_score(
         return _lm_score_shuffle(
             ds, uni, bi, vocab_size, scale, id_col, text_col)
 
-    # model-scale driver collection (vocabulary, not corpus), put ONCE
-    uni_map: Dict[str, int] = {}
-    for b in uni.iter_batches(batch_format="pyarrow"):
-        uni_map.update(zip(b.column("token").to_pylist(),
-                           b.column("c").to_pylist()))
-    bi_map: Dict[str, int] = {}
-    for b in bi.iter_batches(batch_format="pyarrow"):
-        bi_map.update(zip(b.column("pair").to_pylist(),
-                          b.column("c12").to_pylist()))
-    model_ref = ray.put((uni_map, bi_map))
+    # model-scale driver collection (vocabulary, not corpus), put
+    # ONCE — as Arrow arrays, so scoring can use the hash-lookup
+    # KERNEL (pc.index_in) instead of a per-pair Python dict get
+    uni_tbl = pa.concat_tables(list(
+        uni.iter_batches(batch_format="pyarrow", batch_size=None)))
+    bi_tbl = pa.concat_tables(list(
+        bi.iter_batches(batch_format="pyarrow", batch_size=None)))
+    model_ref = ray.put((
+        uni_tbl.column("token").combine_chunks(),
+        uni_tbl.column("c").to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        bi_tbl.column("pair").combine_chunks(),
+        bi_tbl.column("c12").to_numpy(
+            zero_copy_only=False).astype(np.int64),
+    ))
     v = int(vocab_size)
     s = int(scale)
 
     def _score(batch: pa.Table) -> pa.Table:
-        u_map, b_map = _cached_get(model_ref)
-        nbs, noovs, means = [], [], []
-        for text in batch.column(text_col).to_pylist():
-            toks = text.split(" ") if text is not None else []
-            nb = noov = 0
-            ssum = 0
-            for a, b2 in _doc_bigrams(toks):
-                nb += 1
-                c12 = b_map.get(a + PAIR_SEP + b2, 0)
-                if c12 == 0:
-                    noov += 1
-                c1 = u_map.get(a, 0)
-                ssum += ((c1 + v) * s) // (c12 + 1)
-            nbs.append(nb)
-            noovs.append(noov)
-            means.append(ssum // nb if nb else -1)
+        """Fully vectorized scoring: flat bigram explode (shared
+        kernel), TWO pc.index_in lookups against the broadcast
+        model arrays, int64 numpy ipp math, per-doc segment sums by
+        cumsum difference. Arithmetic is bit-identical to the scalar
+        loop: ((c1 + V) * s) // (c12 + 1), all values positive."""
+        u_tok, u_c, b_pair, b_c = _cached_get(model_ref)
+        w1, pairs, npair = _flat_bigrams(batch.column(text_col))
+        u_idx = pc.index_in(w1, value_set=u_tok)
+        c1 = np.where(
+            pc.is_valid(u_idx).to_numpy(zero_copy_only=False),
+            u_c[u_idx.fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)],
+            0)
+        b_idx = pc.index_in(pairs, value_set=b_pair)
+        found = pc.is_valid(b_idx).to_numpy(zero_copy_only=False)
+        c12 = np.where(
+            found,
+            b_c[b_idx.fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)],
+            0)
+        ipp = ((c1 + v) * s) // (c12 + 1)
+        bounds = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(npair)])
+        css = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(ipp, dtype=np.int64)])
+        cso = np.concatenate(
+            [np.zeros(1, np.int64),
+             np.cumsum(~found, dtype=np.int64)])
+        ssum = css[bounds[1:]] - css[bounds[:-1]]
+        noov = cso[bounds[1:]] - cso[bounds[:-1]]
+        means = np.where(npair > 0, ssum // np.maximum(npair, 1), -1)
         return pa.table({
             id_col: batch.column(id_col),
-            "n_bigrams": pa.array(nbs, pa.int64()),
-            "n_oov": pa.array(noovs, pa.int64()),
+            "n_bigrams": pa.array(npair, pa.int64()),
+            "n_oov": pa.array(noov, pa.int64()),
             "mean_ipp": pa.array(means, pa.int64()),
         })
 

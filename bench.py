@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "bucket_point_lookup", "customer_orders_full",
     "distinct_users_by_type", "events_value_stats",
     "doc_chunks", "cms_sketch", "approx_users_by_type",
+    "lang_doc_rank",
     "near_dup_incremental",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",

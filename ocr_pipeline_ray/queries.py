@@ -2709,6 +2709,27 @@ def q_customer_running_spend(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_lang_doc_rank(sf_dir: str):
+    """Per-language window numbering (stages/rank.py
+    ``grouped_rank``): row_number/rank/dense_rank OVER (PARTITION BY
+    lang ORDER BY n_chars DESC, doc_id) in one key-hash shuffle —
+    whole-bucket Arrow sort + change-mask cumsums, never a per-key
+    UDF. dense ties group on n_chars alone (n_dense=1)."""
+    from .stages.rank import grouped_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = grouped_rank(
+        docs, "lang",
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        n_dense=1, n_buckets=32,
+    )
+    return out.select_columns(
+        ["doc_id", "lang", "row_number", "rank", "dense_rank"])
+
+
 def q_approx_users_by_type(sf_dir: str):
     """Per-key KMV distinct sketch (stages/stats.py ``grouped_kmv``)
     — the scale path beside the exact ``distinct_users_by_type``:
@@ -4295,6 +4316,16 @@ ORACLE_SQL["shuffle_shards"] = (
     "CAST(row_number() OVER (PARTITION BY hv % 16 "
     "ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos FROM h"
 )
+ORACLE_SQL["lang_doc_rank"] = (
+    "SELECT doc_id, lang, "
+    "CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars "
+    "DESC, doc_id) AS BIGINT) AS row_number, "
+    "CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) "
+    "AS BIGINT) AS rank, "
+    "CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars "
+    "DESC) AS BIGINT) AS dense_rank FROM documents"
+)
+
 ORACLE_SQL["approx_users_by_type"] = (
     "WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events "
     "WHERE user_id IS NOT NULL), "
@@ -4481,4 +4512,5 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "cms_sketch": q_cms_sketch,
     "approx_users_by_type": q_approx_users_by_type,
+    "lang_doc_rank": q_lang_doc_rank,
 }

@@ -168,3 +168,86 @@ def global_rank(
         )
         return ray.data.from_arrow(empty_schema.empty_table())
     return ray.data.from_arrow_refs(new_refs)
+
+
+def grouped_rank(ds, key_col: str, order_by, n_dense: int = None,
+                 n_buckets: int = 64):
+    """Per-partition window numbering:
+    ``row_number()/rank()/dense_rank() OVER (PARTITION BY key ORDER
+    BY order_by)`` in ONE key-hash shuffle.
+
+    ``order_by`` is a list of ``(col, "ascending"|"descending")``
+    (Arrow sort spec). ``row_number`` numbers the full ordering;
+    ``rank``/``dense_rank`` group ties on the first ``n_dense``
+    order columns (default: all of them — append a unique tiebreak
+    to ``order_by`` and set ``n_dense`` to the prefix that defines
+    ties, exactly like SQL where the tiebreak column is simply not
+    part of the OVER clause for rank/dense_rank).
+
+    Physical plan: rows co-shuffle by ``bucket_ids(key)`` (a key's
+    whole partition meets in one bucket — the window semantics
+    demand it); the whole-bucket UDF does ONE Arrow ``sort_by`` over
+    (key, order_by) and derives all three numberings from sentinel
+    composite-key change masks with numpy cumsums — never a per-key
+    UDF. Nulls in the key form their own partition (SQL); nulls in
+    order columns sort last (Arrow default, = DuckDB NULLS LAST).
+    A hot key bounds one bucket's sort, not the exchange.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+    from .rollup import _composite_key
+
+    order_by = [(c, d) for c, d in order_by]
+    if n_dense is None:
+        n_dense = len(order_by)
+    if not (1 <= n_dense <= len(order_by)):
+        raise ValueError("n_dense must be in 1..len(order_by)")
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pa.array(bucket_ids(batch.column(key_col), n_buckets),
+                     pa.int64()))
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"]).sort_by(
+            [(key_col, "ascending")] + order_by)
+        n = g.num_rows
+        if not n:
+            return g.append_column(
+                "row_number", pa.array([], pa.int64())
+            ).append_column(
+                "rank", pa.array([], pa.int64())
+            ).append_column("dense_rank", pa.array([], pa.int64()))
+        kck = _composite_key(g, [key_col])
+        tck = _composite_key(
+            g, [key_col] + [c for c, _ in order_by[:n_dense]])
+        if isinstance(kck, pa.ChunkedArray):
+            kck = kck.combine_chunks()
+        if isinstance(tck, pa.ChunkedArray):
+            tck = tck.combine_chunks()
+        kch = np.ones(n, dtype=bool)
+        kch[1:] = np.asarray(
+            pc.not_equal(kck.slice(1), kck.slice(0, n - 1)))
+        tch = np.ones(n, dtype=bool)
+        tch[1:] = np.asarray(
+            pc.not_equal(tck.slice(1), tck.slice(0, n - 1)))
+        tch |= kch  # a new key always starts a new tie group
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(kch, pos, 0))
+        row_number = pos - seg_start + 1
+        tie_start = np.maximum.accumulate(np.where(tch, pos, 0))
+        rank = tie_start - seg_start + 1
+        ct = np.cumsum(tch)
+        dense = ct - ct[seg_start] + 1
+        return g.append_column(
+            "row_number", pa.array(row_number, pa.int64())
+        ).append_column(
+            "rank", pa.array(rank, pa.int64())
+        ).append_column("dense_rank", pa.array(dense, pa.int64()))
+
+    return ds.map_batches(_tag, batch_format="pyarrow").groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_bucket, batch_format="pyarrow")

@@ -139,3 +139,55 @@ class TestSourceOverlap:
         })
         with pytest.raises(ValueError):
             source_overlap(ray.data.from_arrow(tbl))
+
+
+class TestGroupedRank:
+    @pytest.mark.parametrize("layout", [1, 4])
+    def test_differential_vs_duckdb(self, ray_session, layout):
+        import random
+
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.rank import grouped_rank
+
+        rng = random.Random(21)
+        n = 300
+        tbl = pa.table({
+            "k": pa.array(
+                [None if rng.random() < 0.1 else f"g{rng.randrange(4)}"
+                 for _ in range(n)], pa.string()),
+            "v": pa.array(
+                [None if rng.random() < 0.1 else rng.randrange(12)
+                 for _ in range(n)], pa.int64()),     # heavy ties
+            "id": pa.array(range(n), pa.int64()),
+        })
+        got = grouped_rank(
+            ray.data.from_arrow(tbl).repartition(layout), "k",
+            [("v", "descending"), ("id", "ascending")], n_dense=1,
+            n_buckets=5,
+        ).take_all()
+        got = sorted(((r["k"], r["id"], r["row_number"], r["rank"],
+                       r["dense_rank"]) for r in got), key=repr)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted((tuple(r) for r in con.execute(
+            "SELECT k, id, "
+            "row_number() OVER (PARTITION BY k ORDER BY v DESC "
+            "NULLS LAST, id), "
+            "rank() OVER (PARTITION BY k ORDER BY v DESC NULLS LAST), "
+            "dense_rank() OVER (PARTITION BY k ORDER BY v DESC "
+            "NULLS LAST) FROM t").fetchall()), key=repr)
+        con.close()
+        assert got == want
+
+    def test_n_dense_validation(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.rank import grouped_rank
+
+        tbl = pa.table({"k": pa.array(["a"], pa.string()),
+                        "v": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError):
+            grouped_rank(ray.data.from_arrow(tbl), "k",
+                         [("v", "ascending")], n_dense=2)

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "lm_buckets", "split_leakage_safe",
     "quality_rank", "source_overlap",
     "sample_exact_k", "approx_quantiles", "docs_except",
+    "docs_union",
     "bucketed_join_orders", "bucketed_order_counts",
     "bucket_point_lookup", "customer_orders_full",
     "distinct_users_by_type", "events_value_stats",

@@ -1915,6 +1915,16 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_docs_union(sf_dir: str):
+    """SQL ``UNION`` (DISTINCT): every distinct (lang, source)
+    combination of either snapshot half, once — completes the set-op
+    family on the same one-exchange kernel (stages/setops.py)."""
+    from .stages.setops import union_distinct
+
+    return union_distinct(_docs_half(sf_dir, True),
+                          _docs_half(sf_dir, False))
+
+
 def q_near_dup_incremental(sf_dir: str):
     """Incremental NEAR-dup: candidate pairs between a NEW batch
     (odd doc_ids) and the EXISTING corpus (even doc_ids) — docs
@@ -3580,6 +3590,11 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "docs_union": (
+        "SELECT lang, source FROM documents WHERE doc_id % 7 < 3 "
+        "UNION "
+        "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
+    ),
     "source_overlap": (
         "WITH t AS (SELECT source, string_split(text, ' ') AS toks "
         "FROM documents), "
@@ -4513,4 +4528,5 @@ QUERIES = {
     "cms_sketch": q_cms_sketch,
     "approx_users_by_type": q_approx_users_by_type,
     "lang_doc_rank": q_lang_doc_rank,
+    "docs_union": q_docs_union,
 }

@@ -1,4 +1,4 @@
-"""Relational set operators: ``EXCEPT`` / ``INTERSECT`` (DISTINCT).
+"""Relational set operators: ``EXCEPT`` / ``INTERSECT`` / ``UNION`` (DISTINCT).
 
 The reference has no set ops (SURVEY.md §2.7) and the join family
 covers KEY-based existence (semi/anti); these are the WHOLE-ROW,
@@ -88,8 +88,10 @@ def _setop(left, right, op: str, n_buckets: int):
         has_right = sides[ends - 1] == 1
         if op == "except":
             keep = has_left & ~has_right
-        else:                                   # intersect
+        elif op == "intersect":
             keep = has_left & has_right
+        else:                                   # union
+            keep = np.ones(len(starts), dtype=bool)
         return tbl.take(
             pa.array(starts[keep], pa.int64())).select(cols)
 
@@ -107,3 +109,12 @@ def intersect_distinct(left, right, n_buckets: int = 64):
     """SQL ``left INTERSECT right``: distinct rows present on both
     sides (whole-row equality, NULLs equal)."""
     return _setop(left, right, "intersect", n_buckets)
+
+
+def union_distinct(left, right, n_buckets: int = 64):
+    """SQL ``left UNION right`` (DISTINCT): every distinct row of
+    either side, once — completes the set-op family on the same
+    one-co-shuffle kernel (the kept row is each group's first in
+    (row-key, side) order, so values come from the left copy when
+    both sides have one; whole-row equality, NULLs equal)."""
+    return _setop(left, right, "union", n_buckets)

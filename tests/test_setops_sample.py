@@ -134,3 +134,43 @@ class TestBinnedQuantiles:
         with pytest.raises(ValueError):
             binned_quantiles(ds, "x", [0.5], lo=0, bin_width=10,
                              n_bins=10)
+
+
+class TestUnionDistinct:
+    def test_randomized_parity_vs_duckdb(self, ray_session):
+        import random
+
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.setops import union_distinct
+
+        rng = random.Random(17)
+
+        def side(n):
+            return pa.table({
+                "a": pa.array(
+                    [None if rng.random() < 0.15
+                     else rng.randrange(4) for _ in range(n)],
+                    pa.int64()),
+                "b": pa.array(
+                    [None if rng.random() < 0.15
+                     else "xy"[rng.randrange(2)] for _ in range(n)],
+                    pa.string()),
+            })
+
+        l, r = side(60), side(45)
+        got = union_distinct(
+            ray.data.from_arrow(l).repartition(3),
+            ray.data.from_arrow(r).repartition(2), n_buckets=5
+        ).take_all()
+        got = sorted(((x["a"], x["b"]) for x in got), key=repr)
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        want = sorted((tuple(x) for x in con.execute(
+            "SELECT a, b FROM l UNION SELECT a, b FROM r"
+        ).fetchall()), key=repr)
+        con.close()
+        assert got == want

@@ -1915,6 +1915,28 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_source_extract(sf_dir: str):
+    """Vectorized RE2 field extraction (stages/textstats.py
+    ``regex_extract_fn``): numeric suffix of the source tag + first
+    b-word of the text, both via the C++ extract_regex kernel with
+    DuckDB regexp_extract parity ('' on no-match, NULL on NULL) —
+    the log/URL field-parsing operator, row-local."""
+    from .stages.textstats import regex_extract_fn
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        out = regex_extract_fn(batch, "source",
+                               r"^src(?P<src_num>\d+)$")
+        out = regex_extract_fn(out, "text",
+                               r"\b(?P<first_b>b[a-z]+)")
+        return out.select(["doc_id", "src_num", "first_b"])
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
 def q_docs_union(sf_dir: str):
     """SQL ``UNION`` (DISTINCT): every distinct (lang, source)
     combination of either snapshot half, once — completes the set-op
@@ -3590,6 +3612,12 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "source_extract": (
+        "SELECT doc_id, "
+        "regexp_extract(source, '^src(\\d+)$', 1) AS src_num, "
+        "regexp_extract(text, '\\b(b[a-z]+)', 1) AS first_b "
+        "FROM documents"
+    ),
     "docs_union": (
         "SELECT lang, source FROM documents WHERE doc_id % 7 < 3 "
         "UNION "
@@ -4529,4 +4557,5 @@ QUERIES = {
     "approx_users_by_type": q_approx_users_by_type,
     "lang_doc_rank": q_lang_doc_rank,
     "docs_union": q_docs_union,
+    "source_extract": q_source_extract,
 }

@@ -534,3 +534,31 @@ def chunk_documents(batch: pa.Table, id_col: str = "doc_id",
         "chunk_text": pc.binary_join(lists, " "),
         "n_tokens": pa.array(lens, pa.int64()),
     })
+
+
+def regex_extract_fn(batch: pa.Table, col: str, pattern: str,
+                     prefix: str = "") -> pa.Table:
+    """Vectorized RE2 capture-group extraction over a string column
+    (``pc.extract_regex`` — the C++ kernel, no Python per row), with
+    SQL ``regexp_extract`` parity: a VALID input row with no match
+    yields ``''`` (DuckDB's convention), a NULL input stays NULL.
+    Named groups ``(?P<name>...)`` become output columns
+    ``{prefix}{name}``; row-local, zero shuffles. The same RE2
+    dialect runs on both engines, so extractions are oracle-exact
+    (the PII operators already rely on this shared dialect).
+    """
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    st = pc.extract_regex(arr, pattern)
+    valid_in = pc.is_valid(arr)
+    out = batch
+    for field in st.type:
+        vals = pc.struct_field(st, field.name)
+        aligned = pc.if_else(
+            valid_in,
+            pc.fill_null(vals, ""),
+            pa.scalar(None, pa.string()),
+        )
+        out = out.append_column(f"{prefix}{field.name}", aligned)
+    return out

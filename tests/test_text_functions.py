@@ -393,3 +393,25 @@ class TestChunkDocuments:
             chunk_documents(b, chunk_tokens=0)
         with _pytest.raises(ValueError):
             chunk_documents(b, step=0)
+
+
+class TestRegexExtract:
+    def test_duckdb_parity_incl_nomatch_and_null(self):
+        import duckdb
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages.textstats import regex_extract_fn
+
+        tbl = pa.table({
+            "s": pa.array(["src12", "nope", None, "src7x", ""],
+                          pa.string()),
+        })
+        got = regex_extract_fn(
+            tbl, "s", r"^src(?P<num>\d+)").column("num").to_pylist()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = [r[0] for r in con.execute(
+            r"SELECT regexp_extract(s, '^src(\d+)', 1) FROM t"
+        ).fetchall()]
+        con.close()
+        assert got == want == ["12", "", None, "7", ""]

@@ -136,10 +136,6 @@ def train_bigram_lm(ds, text_col: str = "text", min_count: int = 1):
     return uni, bi, vocab_size
 
 
-def _doc_bigrams(toks):
-    return zip(toks, toks[1:])
-
-
 def _flat_bigrams(texts, parts=None):
     """Vectorized per-doc bigram explode over a text column.
 
@@ -275,22 +271,29 @@ def _lm_score_shuffle(ds, uni, bi, vocab_size: int, scale: int,
     from .join import repartition_join
 
     def _explode(batch: pa.Table) -> pa.Table:
-        ids_out, pairs, w1s = [], [], []
-        ids = batch.column(id_col).to_pylist()
-        for rid, text in zip(ids, batch.column(text_col).to_pylist()):
-            toks = text.split(" ") if text is not None else []
-            ids_out.append(rid)       # sentinel: doc exists
-            pairs.append(None)
-            w1s.append(None)
-            for a, b2 in _doc_bigrams(toks):
-                ids_out.append(rid)
-                pairs.append(a + PAIR_SEP + b2)
-                w1s.append(a)
-        return pa.table({
-            id_col: pa.array(ids_out, pa.int64()),
-            "pair": pa.array(pairs, pa.string()),
-            "w1": pa.array(w1s, pa.string()),
+        # vectorized: shared flat-bigram kernel + one np.repeat for
+        # the doc ids; the per-doc NULL sentinel rows (doc exists
+        # even with 0 bigrams) are a second tiny table concatenated
+        # on — no Python token loop
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        w1, pairs, npair = _flat_bigrams(batch.column(text_col))
+        doc_ids = ids.take(pa.array(
+            np.repeat(np.arange(len(npair), dtype=np.int64), npair),
+            pa.int64()))
+        n = batch.num_rows
+        body = pa.table({
+            id_col: doc_ids.cast(pa.int64()),
+            "pair": pairs,
+            "w1": w1,
         })
+        sentinels = pa.table({
+            id_col: ids.cast(pa.int64()),
+            "pair": pa.nulls(n, pa.string()),
+            "w1": pa.nulls(n, pa.string()),
+        })
+        return pa.concat_tables([sentinels, body])
 
     rows = ds.map_batches(_explode, batch_format="pyarrow")
     rows = repartition_join(rows, bi, on="pair",

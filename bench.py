@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "bucket_point_lookup", "customer_orders_full",
     "distinct_users_by_type", "events_value_stats",
     "doc_chunks", "cms_sketch", "approx_users_by_type",
-    "lang_doc_rank", "source_extract",
+    "lang_doc_rank", "source_extract", "quality_classifier",
     "near_dup_incremental",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",

@@ -1915,6 +1915,21 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText-style linear quality scoring (stages/textstats.py
+    ``linear_score``): integer logit = <hashing-trick vector,
+    fixed int weights> + bias, row-local at scan speed. The weights
+    here are a deterministic surrogate (w[d] = (d*37) % 21 - 10) so
+    the full model-scoring arithmetic is oracle-pinned bit-for-bit;
+    a trained model drops into the same operator."""
+    from .stages.textstats import linear_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    w = [((d * 37) % 21) - 10 for d in range(64)]
+    return linear_score(docs, w, bias=3)
+
+
 def q_source_extract(sf_dir: str):
     """Vectorized RE2 field extraction (stages/textstats.py
     ``regex_extract_fn``): numeric suffix of the source tag + first
@@ -3612,6 +3627,19 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "quality_classifier": (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, "
+        "8)) AS UBIGINT) AS BIGINT) AS hv FROM toks), "
+        "cells AS (SELECT doc_id, hv % 64 AS d, CASE WHEN "
+        "(hv // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM h), "
+        "dots AS (SELECT doc_id, sum(sgn * (((d * 37) % 21) - 10)) "
+        "AS dot FROM cells GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(dt.dot, 0) + 3 AS BIGINT) "
+        "AS logit, (COALESCE(dt.dot, 0) + 3 >= 0) AS label "
+        "FROM documents d LEFT JOIN dots dt ON d.doc_id = dt.doc_id"
+    ),
     "source_extract": (
         "SELECT doc_id, "
         "regexp_extract(source, '^src(\\d+)$', 1) AS src_num, "
@@ -4558,4 +4586,5 @@ QUERIES = {
     "lang_doc_rank": q_lang_doc_rank,
     "docs_union": q_docs_union,
     "source_extract": q_source_extract,
+    "quality_classifier": q_quality_classifier,
 }

@@ -436,34 +436,13 @@ def hash_embed(ds, dim: int = 64, id_col: str = "doc_id",
     One md5 per DISTINCT token per batch (cross-doc memoization, the
     ``simhash64_batch`` trick), then one ``np.add.at`` scatter.
     """
-    import hashlib
-
     import numpy as np
     import pyarrow as pa
 
     def _embed(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        n = len(texts)
-        tok_lists = [t.split(" ") if t is not None else [] for t in texts]
-        idx = {}
-        for toks in tok_lists:
-            for t in toks:
-                if t not in idx:
-                    idx[t] = len(idx)
-        cells = np.empty(len(idx), dtype=np.int64)
-        signs = np.empty(len(idx), dtype=np.int64)
-        for t, i in idx.items():
-            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
-            cells[i] = h % dim
-            signs[i] = 1 if (h >> 16) & 1 else -1
-        mat = np.zeros((n, dim), dtype=np.int64)
-        if idx:
-            doc_of = np.fromiter(
-                (d for d, toks in enumerate(tok_lists) for _ in toks),
-                np.int64)
-            tok_of = np.fromiter(
-                (idx[t] for toks in tok_lists for t in toks), np.int64)
-            np.add.at(mat, (doc_of, cells[tok_of]), signs[tok_of])
+        mat = _hash_embed_matrix(
+            batch.column(text_col).to_pylist(), dim)
+        n = mat.shape[0]
         offsets = pa.array(
             (np.arange(n + 1, dtype=np.int32) * dim).astype(np.int32),
             pa.int32())
@@ -473,6 +452,73 @@ def hash_embed(ds, dim: int = 64, id_col: str = "doc_id",
                          "embedding": emb})
 
     return ds.map_batches(_embed, batch_format="pyarrow")
+
+
+def _hash_embed_matrix(texts, dim: int):
+    """The hashing-trick kernel shared by :func:`hash_embed` and
+    :func:`linear_score`: (n_docs x dim) int64 signed-count matrix,
+    one md5 per DISTINCT token per batch."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(texts)
+    tok_lists = [t.split(" ") if t is not None else [] for t in texts]
+    idx = {}
+    for toks in tok_lists:
+        for t in toks:
+            if t not in idx:
+                idx[t] = len(idx)
+    cells = np.empty(len(idx), dtype=np.int64)
+    signs = np.empty(len(idx), dtype=np.int64)
+    for t, i in idx.items():
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        cells[i] = h % dim
+        signs[i] = 1 if (h >> 16) & 1 else -1
+    mat = np.zeros((n, dim), dtype=np.int64)
+    if idx:
+        doc_of = np.fromiter(
+            (d for d, toks in enumerate(tok_lists) for _ in toks),
+            np.int64)
+        tok_of = np.fromiter(
+            (idx[t] for toks in tok_lists for t in toks), np.int64)
+        np.add.at(mat, (doc_of, cells[tok_of]), signs[tok_of])
+    return mat
+
+
+def linear_score(ds, weights, bias: int = 0, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Deterministic linear classifier over hashed features — the
+    fastText-style quality-model scoring slot as a row-local,
+    integer-exact operator: ``logit = <hash_embed(doc), w> + bias``
+    in pure int64 (bit-exact, summation-order-free), ``label =
+    logit >= 0``. The weight vector is model-scale (``dim`` ints) —
+    it ships in the task closure; no shuffle, no actor state, scan
+    speed. A real trained model drops in by replacing ``weights``;
+    the arithmetic contract (int64 dot over the hashing-trick
+    vector) is what the oracle pins.
+
+    Output: ``(id_col, logit int64, label bool)``; NULL text scores
+    ``bias`` (zero vector), same as SQL ``COALESCE(sum, 0)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    w = np.asarray(list(weights), dtype=np.int64)
+    dim = len(w)
+    b = int(bias)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        mat = _hash_embed_matrix(
+            batch.column(text_col).to_pylist(), dim)
+        logit = mat @ w + b
+        return pa.table({
+            id_col: batch.column(id_col),
+            "logit": pa.array(logit, pa.int64()),
+            "label": pa.array(logit >= 0, pa.bool_()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")
 
 
 def chunk_documents(batch: pa.Table, id_col: str = "doc_id",

@@ -697,3 +697,31 @@ class TestGroupedKmv:
         assert rows["a"]["k_used"] == 3
         assert rows["a"]["kmv_estimate"] == 3.0
         assert rows["b"]["kmv_estimate"] == 1.0
+
+
+class TestLinearScore:
+    def test_dot_matches_embed_and_handles_nulls(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.textstats import (
+            hash_embed,
+            linear_score,
+        )
+
+        texts = ["big fast scan", "a a a", None, ""]
+        tbl = pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        w = [((d * 37) % 21) - 10 for d in range(64)]
+        got = {r["doc_id"]: (r["logit"], r["label"])
+               for r in linear_score(
+                   ray.data.from_arrow(tbl), w, bias=3).take_all()}
+        embs = {r["doc_id"]: np.array(r["embedding"], dtype=np.int64)
+                for r in hash_embed(
+                    ray.data.from_arrow(tbl)).take_all()}
+        for i in range(4):
+            want = int(embs[i] @ np.array(w, dtype=np.int64)) + 3
+            assert got[i] == (want, want >= 0), i
+        assert got[2][0] == 3  # NULL text = zero vector = bias

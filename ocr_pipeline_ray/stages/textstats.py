@@ -456,32 +456,44 @@ def hash_embed(ds, dim: int = 64, id_col: str = "doc_id",
 
 def _hash_embed_matrix(texts, dim: int):
     """The hashing-trick kernel shared by :func:`hash_embed` and
-    :func:`linear_score`: (n_docs x dim) int64 signed-count matrix,
-    one md5 per DISTINCT token per batch."""
+    :func:`linear_score`: (n_docs x dim) int64 signed-count matrix.
+    Vectorized: one split kernel, ``pc.unique`` + ``pc.index_in``
+    for token identity (one md5 per DISTINCT token per batch — the
+    only Python loop left is over the distinct set), one
+    ``np.add.at`` scatter. NULL text = zero vector (its token rows
+    are masked out, NOT turned into an empty-string token)."""
     import hashlib
 
     import numpy as np
 
-    n = len(texts)
-    tok_lists = [t.split(" ") if t is not None else [] for t in texts]
-    idx = {}
-    for toks in tok_lists:
-        for t in toks:
-            if t not in idx:
-                idx[t] = len(idx)
-    cells = np.empty(len(idx), dtype=np.int64)
-    signs = np.empty(len(idx), dtype=np.int64)
-    for t, i in idx.items():
-        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
-        cells[i] = h % dim
-        signs[i] = 1 if (h >> 16) & 1 else -1
+    col = pa.array(texts, pa.string()) if not isinstance(
+        texts, (pa.Array, pa.ChunkedArray)) else texts
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    parts = pc.split_pattern(pc.fill_null(col, ""), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = parts.offsets.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = parts.values
+    ntok = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    keep = valid[doc_of]          # a NULL doc's fill-token vanishes
     mat = np.zeros((n, dim), dtype=np.int64)
-    if idx:
-        doc_of = np.fromiter(
-            (d for d, toks in enumerate(tok_lists) for _ in toks),
-            np.int64)
-        tok_of = np.fromiter(
-            (idx[t] for toks in tok_lists for t in toks), np.int64)
+    if keep.any():
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        uniq = pc.unique(flat)
+        hs = np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16)
+             for u in uniq.to_pylist()),
+            dtype=np.uint64, count=len(uniq)).astype(np.int64)
+        cells = hs % dim
+        signs = np.where((hs >> 16) & 1 == 1, 1, -1).astype(np.int64)
+        tok_of = pc.index_in(flat, value_set=uniq).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         np.add.at(mat, (doc_of, cells[tok_of]), signs[tok_of])
     return mat
 

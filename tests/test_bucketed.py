@@ -204,3 +204,41 @@ class TestBucketedLookup:
         assert got.column_names == ["v"]
         with _pytest.raises(ValueError):
             bucketed_lookup(root, "k", None, n_buckets=8)
+
+
+class TestBucketedAppend:
+    def test_second_write_appends_and_aggregate_sees_both(
+            self, ray_session, tmp_path):
+        """Incremental ingestion into a bucketed store: a second
+        write_bucketed into the same root adds new uniquely-named
+        files inside the same _bucket= dirs (never overwrites), so
+        bucket alignment holds across batches and the shuffle-free
+        aggregate/join see the union — the append-only contract a
+        resumable 100-TB ingest needs."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import (
+            bucketed_aggregate,
+            write_bucketed,
+        )
+
+        root = str(tmp_path / "store")
+        t1 = pa.table({
+            "k": pa.array([1, 2, 2, 3], pa.int64()),
+            "v": pa.array([10, 20, 21, 30], pa.int64()),
+        })
+        t2 = pa.table({
+            "k": pa.array([2, 3, 3, 4], pa.int64()),
+            "v": pa.array([22, 31, 32, 40], pa.int64()),
+        })
+        write_bucketed(ray.data.from_arrow(t1), root, "k", 4)
+        import glob
+        n_files_1 = len(glob.glob(f"{root}/_bucket=*/*.parquet"))
+        write_bucketed(ray.data.from_arrow(t2), root, "k", 4)
+        n_files_2 = len(glob.glob(f"{root}/_bucket=*/*.parquet"))
+        assert n_files_2 > n_files_1
+        got = sorted(
+            (r["k"], r["n"]) for r in bucketed_aggregate(
+                root, "k", 4).take_all())
+        assert got == [(1, 1), (2, 3), (3, 3), (4, 1)]

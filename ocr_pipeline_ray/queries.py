@@ -1915,6 +1915,37 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """EXACT edit-distance<=1 pair discovery (stages/fuzzy.py
+    ``edit1_pairs``, FastSS deletion-neighborhood blocking): customer
+    names within one typo of each other. Recall 1.0 by construction
+    (verified per pair with the O(n) distance check), candidate
+    generation is an equality join on deletion variants — never an
+    all-pairs scan. Hot-block caps are counted; this query asserts
+    none fired (the no-silent-caps rule)."""
+    from .stages.fuzzy import edit1_pairs
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"])
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "s": batch.column("c_name"),
+        })
+
+    stats = {}
+    out = edit1_pairs(
+        cust.map_batches(_ren, batch_format="pyarrow"), "s",
+        n_buckets=32, max_block=512, stats=stats)
+    if stats["blocks_capped"]:
+        raise AssertionError(
+            f"fuzzy blocking capped {stats['blocks_capped']} blocks "
+            "— raise max_block (recall contract violated)")
+    return out
+
+
 def q_quality_classifier(sf_dir: str):
     """fastText-style linear quality scoring (stages/textstats.py
     ``linear_score``): integer logit = <hashing-trick vector,
@@ -3627,6 +3658,13 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "fuzzy_name_pairs": (
+        "SELECT CAST(x.c_custkey AS BIGINT) AS id_a, "
+        "CAST(y.c_custkey AS BIGINT) AS id_b, "
+        "x.c_name AS s_a, y.c_name AS s_b "
+        "FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey "
+        "AND levenshtein(x.c_name, y.c_name) <= 1"
+    ),
     "quality_classifier": (
         "WITH toks AS (SELECT doc_id, "
         "unnest(string_split(text, ' ')) AS tok FROM documents), "
@@ -4587,4 +4625,5 @@ QUERIES = {
     "docs_union": q_docs_union,
     "source_extract": q_source_extract,
     "quality_classifier": q_quality_classifier,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }

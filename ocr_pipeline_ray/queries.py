@@ -1915,6 +1915,30 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_user_event_trail(sf_dir: str):
+    """Ordered per-user event-type trail (stages/stats.py
+    ``grouped_concat``): string_agg(event_type, ',' ORDER BY ts,
+    event_id) per user — one key-hash shuffle, whole-bucket sort +
+    ListArray/binary_join assembly, never a per-key UDF."""
+    from .stages.stats import grouped_concat
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = grouped_concat(events, "user_id", "event_type",
+                         ["ts", "event_id"], sep=",",
+                         out_col="trail", n_buckets=32)
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "trail": batch.column("trail"),
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """EXACT edit-distance<=1 pair discovery (stages/fuzzy.py
     ``edit1_pairs``, FastSS deletion-neighborhood blocking): customer
@@ -3658,6 +3682,10 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "user_event_trail": (
+        "SELECT user_id, string_agg(event_type, ',' "
+        "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+    ),
     "fuzzy_name_pairs": (
         "SELECT CAST(x.c_custkey AS BIGINT) AS id_a, "
         "CAST(y.c_custkey AS BIGINT) AS id_b, "
@@ -4626,4 +4654,5 @@ QUERIES = {
     "source_extract": q_source_extract,
     "quality_classifier": q_quality_classifier,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "user_event_trail": q_user_event_trail,
 }

@@ -882,3 +882,78 @@ def grouped_kmv(ds, key_col: str, value_col: str, k: int = 16,
     return ds.map_batches(_partial, batch_format="pyarrow").groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_bucket, batch_format="pyarrow")
+
+
+def grouped_concat(ds, key_col: str, value_col: str, order_cols,
+                   sep: str = ",", out_col: str = "agg",
+                   n_buckets: int = 64):
+    """Ordered per-key string aggregation — SQL
+    ``string_agg(value, sep ORDER BY order_cols) GROUP BY key`` in
+    ONE key-hash shuffle.
+
+    The whole-bucket UDF sorts once by (key, order_cols) with Arrow
+    ``sort_by``, then assembles every key's string in one
+    ListArray + ``binary_join`` over segment offsets (the
+    paragraph-reassembly kernel, `stages/dedup.paragraph_dedup`) —
+    no per-key UDF, no Python join loop. NULL values are skipped
+    (SQL string_agg semantics); a key whose values are all NULL
+    yields a NULL aggregate (kept, like GROUP BY). NULL keys form
+    their own group. Output strings are key-cardinality-scale: at
+    100 TB cap the group size upstream (`group_cap`) — an unbounded
+    hot key's concat is a single giant row by definition.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+    from .rollup import _composite_key
+
+    order_cols = list(order_cols)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket",
+            pa.array(bucket_ids(batch.column(key_col), n_buckets),
+                     pa.int64()))
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols])
+        n = g.num_rows
+        kck = _composite_key(g, [key_col])
+        if isinstance(kck, pa.ChunkedArray):
+            kck = kck.combine_chunks()
+        kch = np.ones(n, dtype=bool)
+        if n > 1:
+            kch[1:] = np.asarray(
+                pc.not_equal(kck.slice(1), kck.slice(0, n - 1)))
+        starts = np.flatnonzero(kch)
+        ends = np.concatenate([starts[1:], [n]])
+        vals = g.column(value_col).combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        # drop NULL values but keep segment accounting: per-segment
+        # valid counts via cumsum difference
+        cs = np.concatenate(
+            [[0], np.cumsum(valid, dtype=np.int64)])
+        seg_n = cs[ends] - cs[starts]
+        kept = vals.filter(pa.array(valid))
+        offsets = np.concatenate(
+            [[0], np.cumsum(seg_n)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            kept.cast(pa.string()))
+        joined = pc.binary_join(lists, sep)
+        # all-NULL segment -> empty join -> NULL (SQL string_agg)
+        agg = pc.if_else(
+            pa.array(seg_n > 0), joined,
+            pa.scalar(None, pa.string()))
+        return pa.table({
+            key_col: g.column(key_col).take(
+                pa.array(starts, pa.int64())),
+            out_col: agg,
+        })
+
+    return ds.map_batches(_tag, batch_format="pyarrow").groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_bucket, batch_format="pyarrow")

@@ -725,3 +725,37 @@ class TestLinearScore:
             want = int(embs[i] @ np.array(w, dtype=np.int64)) + 3
             assert got[i] == (want, want >= 0), i
         assert got[2][0] == 3  # NULL text = zero vector = bias
+
+
+class TestGroupedConcat:
+    @pytest.mark.parametrize("layout", [1, 4])
+    def test_differential_vs_duckdb(self, ray_session, layout):
+        import random
+
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_concat
+
+        rng = random.Random(13)
+        n = 250
+        tbl = pa.table({
+            "k": pa.array(
+                [None if rng.random() < 0.1 else f"g{rng.randrange(5)}"
+                 for _ in range(n)], pa.string()),
+            "v": pa.array(
+                [None if rng.random() < 0.15 else f"v{rng.randrange(9)}"
+                 for _ in range(n)], pa.string()),
+            "o": pa.array(range(n), pa.int64()),
+        })
+        got = sorted(((r["k"], r["agg"]) for r in grouped_concat(
+            ray.data.from_arrow(tbl).repartition(layout),
+            "k", "v", ["o"], sep="|", n_buckets=5).take_all()),
+            key=repr)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted((tuple(r) for r in con.execute(
+            "SELECT k, string_agg(v, '|' ORDER BY o) FROM t GROUP BY k"
+        ).fetchall()), key=repr)
+        con.close()
+        assert got == want

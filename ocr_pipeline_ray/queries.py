@@ -1915,6 +1915,20 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_docs_checksum(sf_dir: str):
+    """Order-insensitive corpus checksum (stages/stats.py
+    ``table_checksum``): sum of md5_60(sentinel row composite) mod
+    2^63 over (doc_id, lang, source) — the replication audit
+    primitive; layout/order invariant, mergeable, shuffle-free, and
+    the checksum value itself is oracle-pinned."""
+    from .stages.stats import table_checksum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source"])
+    return table_checksum(docs, ["doc_id", "lang", "source"])
+
+
 def q_user_event_trail(sf_dir: str):
     """Ordered per-user event-type trail (stages/stats.py
     ``grouped_concat``): string_agg(event_type, ',' ORDER BY ts,
@@ -3682,6 +3696,17 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "docs_checksum": (
+        "WITH comp AS (SELECT "
+        "COALESCE(CAST(doc_id AS VARCHAR), chr(30)) || chr(31) || "
+        "COALESCE(lang, chr(30)) || chr(31) || "
+        "COALESCE(source, chr(30)) || chr(31) AS c FROM documents), "
+        "h AS (SELECT CAST(('0x' || substr(md5(c), 1, 15)) "
+        "AS UBIGINT) AS hv FROM comp) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(hv) % 9223372036854775808 AS BIGINT) AS checksum "
+        "FROM h"
+    ),
     "user_event_trail": (
         "SELECT user_id, string_agg(event_type, ',' "
         "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
@@ -4655,4 +4680,5 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "user_event_trail": q_user_event_trail,
+    "docs_checksum": q_docs_checksum,
 }

@@ -957,3 +957,56 @@ def grouped_concat(ds, key_col: str, value_col: str, order_cols,
     return ds.map_batches(_tag, batch_format="pyarrow").groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_bucket, batch_format="pyarrow")
+
+
+_CHECKSUM_MOD = 1 << 63
+
+
+def table_checksum(ds, cols):
+    """Order-insensitive, MERGEABLE content checksum — the
+    replication/migration audit primitive ("is the copy byte-equal
+    to the source?") that never needs a sort or a shuffle: checksum
+    = sum over rows of md5_60(sentinel-composite(cols)) mod 2^63.
+    Any row-order permutation, block layout, or partial/merged
+    computation yields the same value; a single changed/missing row
+    changes it (md5 collision odds aside).
+
+    One streaming pass: each block contributes ``(n, partial_sum)``;
+    the driver folds blocks-scale partials. Returns a one-row table
+    ``(n_rows, checksum)``. The composite uses the repo's sentinel
+    encoding (NULL -> \\x1e, \\x1f separators) over ``CAST(col AS
+    VARCHAR)`` — SQL-reproducible, so the checksum itself is
+    oracle-pinnable bit-for-bit.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .setops import _row_keys
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = _row_keys(batch, list(cols))
+        total = 0
+        for s in keys.to_pylist():
+            total = (total + int(
+                hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            ) % _CHECKSUM_MOD
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "s": pa.array([total], pa.int64()),
+        })
+
+    n_rows = 0
+    total = 0
+    for b in ds.map_batches(
+            _partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        n_rows += int(pc.sum(b.column("n")).as_py() or 0)
+        for v in b.column("s").to_pylist():
+            total = (total + int(v)) % _CHECKSUM_MOD
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "checksum": pa.array([total], pa.int64()),
+    })

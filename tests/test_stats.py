@@ -759,3 +759,38 @@ class TestGroupedConcat:
         ).fetchall()), key=repr)
         con.close()
         assert got == want
+
+
+class TestTableChecksum:
+    def test_order_and_layout_invariant_change_sensitive(
+            self, ray_session):
+        import random
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import table_checksum
+
+        rng = random.Random(2)
+        rows = [(i, None if rng.random() < 0.1 else f"s{i % 7}")
+                for i in range(200)]
+        tbl = pa.table({
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.string()),
+        })
+        rng.shuffle(rows)
+        perm = pa.table({
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.string()),
+        })
+        a = table_checksum(ray.data.from_arrow(tbl).repartition(1),
+                           ["id", "s"]).to_pylist()[0]
+        b = table_checksum(ray.data.from_arrow(perm).repartition(5),
+                           ["id", "s"]).to_pylist()[0]
+        assert a == b and a["n_rows"] == 200
+        # a single mutated row changes the checksum
+        mut = tbl.set_column(1, "s", pa.array(
+            [("XX" if i == 57 else v) for i, v in
+             enumerate(tbl.column("s").to_pylist())], pa.string()))
+        c = table_checksum(ray.data.from_arrow(mut),
+                           ["id", "s"]).to_pylist()[0]
+        assert c["checksum"] != a["checksum"]

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     # Pregel twin: the Dataset plan pays one sort-barrier exchange
     # per iteration (~10s fixed each at toy scale — amortized at
     # real scale, pathological in a wall-clock bench)
-    "inverted_index", "pagerank_pregel",
+    "inverted_index", "pagerank_pregel", "triangle_count",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "event_gaps", "events_rollup", "events_pivot",
     "events_sliding_window", "click_attribution",

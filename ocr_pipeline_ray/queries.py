@@ -1915,6 +1915,34 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count (stages/graph.py ``triangle_count``,
+    compact-forward with (degree, id) orientation — the skew fix
+    that bounds every out-neighborhood by O(sqrt(m))) over a
+    deterministic synthetic link graph on documents: doc i links to
+    (i+1)%N, (i+2)%N and (7i+3)%N. Four bounded exchanges; count is
+    exact and matched by the DuckDB triple-join twin."""
+    import numpy as np
+
+    from .stages.graph import triangle_count
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(ids + 1) % n, (ids + 2) % n,
+                              (ids * 7 + 3) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return triangle_count(
+        docs.map_batches(_edges, batch_format="pyarrow"),
+        n_buckets=32)
+
+
 def q_docs_checksum(sf_dir: str):
     """Order-insensitive corpus checksum (stages/stats.py
     ``table_checksum``): sum of md5_60(sentinel row composite) mod
@@ -3696,6 +3724,18 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "triangle_count": (
+        "WITH ids AS (SELECT doc_id AS i, "
+        "(SELECT count(*) FROM documents) AS n FROM documents), "
+        "e0 AS (SELECT i AS src, (i + 1) % n AS dst FROM ids "
+        "UNION ALL SELECT i, (i + 2) % n FROM ids "
+        "UNION ALL SELECT i, (7 * i + 3) % n FROM ids), "
+        "e AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e0 WHERE src != dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM e a JOIN e b ON a.v = b.u "
+        "JOIN e c ON c.u = a.u AND c.v = b.v"
+    ),
     "docs_checksum": (
         "WITH comp AS (SELECT "
         "COALESCE(CAST(doc_id AS VARCHAR), chr(30)) || chr(31) || "
@@ -4681,4 +4721,5 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "user_event_trail": q_user_event_trail,
     "docs_checksum": q_docs_checksum,
+    "triangle_count": q_triangle_count,
 }

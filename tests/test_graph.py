@@ -4,6 +4,7 @@ import os
 import sys
 
 import pyarrow as pa
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -106,3 +107,54 @@ class TestPagerankPregel:
             n_shards=5).take_all()}
         assert a == b
         assert len(a) == n
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _duck_triangles(edges_tbl):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("e0", edges_tbl)
+        n = con.execute(
+            "WITH e AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e0 WHERE src != dst) "
+            "SELECT count(*) FROM e a JOIN e b ON a.v = b.u "
+            "JOIN e c ON c.u = a.u AND c.v = b.v"
+        ).fetchone()[0]
+        con.close()
+        return int(n)
+
+    def test_known_graphs(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import triangle_count
+
+        # K4 = 4 triangles; plus a dangling edge, a self-loop and a
+        # parallel/reversed duplicate that must not change the count
+        src = [0, 0, 0, 1, 1, 2, 2, 3, 9, 1]
+        dst = [1, 2, 3, 2, 3, 3, 2, 9, 9, 0]
+        tbl = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        out = triangle_count(ray.data.from_arrow(tbl).repartition(3),
+                             n_buckets=4)
+        assert out.column("n_triangles").to_pylist() == [4]
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_random_vs_duckdb(self, ray_session, seed):
+        import random
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import triangle_count
+
+        rng = random.Random(seed)
+        n_nodes, n_edges = 40, 220
+        src = [rng.randrange(n_nodes) for _ in range(n_edges)]
+        dst = [rng.randrange(n_nodes) for _ in range(n_edges)]
+        tbl = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        out = triangle_count(ray.data.from_arrow(tbl).repartition(4),
+                             n_buckets=6)
+        assert (out.column("n_triangles").to_pylist()[0]
+                == self._duck_triangles(tbl))

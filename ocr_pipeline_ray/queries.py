@@ -1915,6 +1915,89 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_user_retention(sf_dir: str):
+    """Retention cohorts: users grouped by FIRST active day, counted
+    per day-offset of return — the classic growth-analytics rollup,
+    composed from existing primitives: map-side per-user min-day
+    partials -> tiny user groupby (cohort table), map-side distinct
+    (user, day) pairs -> user-hash repartition join against the
+    cohort table (both sides user-keyed, no broadcast of a
+    user-scale table) -> map-side (cohort, offset) partial combine
+    -> tiny groupby."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .stages.join import repartition_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def _day_pairs(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch.column("ts"), unit="day")
+        sub = pa.table({"user_id": batch.column("user_id"), "d": d})
+        agg = sub.group_by(["user_id", "d"]).aggregate([])
+        return agg
+
+    # block-level dedup shrinks the shuffle; the groupby makes the
+    # (user, day) set GLOBALLY distinct (a user-day straddling
+    # blocks must count once, like SQL DISTINCT)
+    pairs = (
+        events.map_batches(_day_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "d"], num_partitions=32)
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table({
+                "user_id": b.column("user_id"),
+                "d": pc.cast(b.column("d"), pa.timestamp("us")),
+            }),
+            batch_format="pyarrow")
+    )
+    cohort = (
+        pairs.groupby("user_id").aggregate(Min("d"))
+        .map_batches(
+            # Ray's Min aggregate can land timestamps at [s]
+            # resolution; normalize back to the engine-wide us unit
+            lambda b: pa.table({
+                "user_id": b.column("user_id"),
+                "c": pc.cast(b.column("min(d)"), pa.timestamp("us")),
+            }),
+            batch_format="pyarrow")
+    )
+    joined = repartition_join(pairs, cohort, on="user_id",
+                              right_cols=["c"], n_buckets=32)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        d_us = pc.cast(batch.column("d"), pa.int64())
+        c_us = pc.cast(batch.column("c"), pa.int64())
+        off = pc.divide(pc.subtract(d_us, c_us),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        sub = pa.table({
+            "c": batch.column("c"),
+            "day_offset": pc.cast(off, pa.int64()),
+        })
+        agg = sub.group_by(["c", "day_offset"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "cohort_day": agg.column("c"),
+            "day_offset": agg.column("day_offset"),
+            "n_users": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users"))
+        .map_batches(
+            lambda b: pa.table({
+                "cohort_day": pc.cast(b.column("cohort_day"),
+                                      pa.timestamp("us")),
+                "day_offset": b.column("day_offset"),
+                "n_users": pc.cast(b.column("sum(n_users)"),
+                                   pa.int64()),
+            }),
+            batch_format="pyarrow")
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count (stages/graph.py ``triangle_count``,
     compact-forward with (degree, id) orientation — the skew fix
@@ -3724,6 +3807,15 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "user_retention": (
+        "WITH p AS (SELECT DISTINCT user_id, "
+        "date_trunc('day', ts) AS d FROM events), "
+        "f AS (SELECT user_id, min(d) AS c FROM p GROUP BY user_id) "
+        "SELECT f.c AS cohort_day, "
+        "CAST(date_diff('day', f.c, p.d) AS BIGINT) AS day_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM p JOIN f ON p.user_id = f.user_id GROUP BY 1, 2"
+    ),
     "triangle_count": (
         "WITH ids AS (SELECT doc_id AS i, "
         "(SELECT count(*) FROM documents) AS n FROM documents), "
@@ -4722,4 +4814,5 @@ QUERIES = {
     "user_event_trail": q_user_event_trail,
     "docs_checksum": q_docs_checksum,
     "triangle_count": q_triangle_count,
+    "user_retention": q_user_retention,
 }

@@ -1915,6 +1915,21 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_peak_sessions(sf_dir: str):
+    """Peak concurrent sessions (stages/temporal.py
+    ``peak_concurrency``): 30-minute gap sessions from `sessionize`,
+    swept as +1/-1 delta events through a banded prefix sum — the
+    distributed sweepline; driver state is bands-scale, never
+    events."""
+    from .stages.temporal import peak_concurrency, sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    sessions = sessionize(events, gap_minutes=30.0, n_buckets=32)
+    return peak_concurrency(sessions, band_minutes=60, n_buckets=32)
+
+
 def q_user_retention(sf_dir: str):
     """Retention cohorts: users grouped by FIRST active day, counted
     per day-offset of return — the classic growth-analytics rollup,
@@ -3807,6 +3822,9 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "peak_sessions": (
+        "WITH e AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM e), iv AS (SELECT epoch_us(min(ts)) AS st, CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur FROM s GROUP BY user_id, sess), ev AS (SELECT st AS t, 1 AS delta FROM iv UNION ALL SELECT st + dur + 1, -1 FROM iv), run AS (SELECT sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c FROM ev) SELECT CAST(max(c) AS BIGINT) AS peak FROM run"
+    ),
     "user_retention": (
         "WITH p AS (SELECT DISTINCT user_id, "
         "date_trunc('day', ts) AS d FROM events), "
@@ -4815,4 +4833,5 @@ QUERIES = {
     "docs_checksum": q_docs_checksum,
     "triangle_count": q_triangle_count,
     "user_retention": q_user_retention,
+    "peak_sessions": q_peak_sessions,
 }

@@ -187,3 +187,64 @@ class TestEventGaps:
         # user 1: order by (ts, event_id) -> gaps 5_000_000 then 0
         # user 2: single event -> absent; user 3: 40 -> 100 gap 60
         assert got == {1: (2, 5_000_000, 5_000_000), 3: (1, 60, 60)}
+
+
+class TestPeakConcurrency:
+    @staticmethod
+    def _naive(intervals):
+        events = []
+        for s, d in intervals:
+            events.append((s, 1))
+            events.append((s + d + 1, -1))
+        events.sort(key=lambda e: (e[0], e[1]))
+        run = peak = 0
+        for _, delta in events:
+            run += delta
+            peak = max(peak, run)
+        return peak
+
+    @pytest.mark.parametrize("band_minutes", [1, 60])
+    def test_randomized_vs_naive_band_invariant(
+            self, ray_session, band_minutes):
+        import random
+
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import peak_concurrency
+
+        rng = random.Random(9)
+        base = 1_700_000_000_000_000
+        intervals = [
+            (base + rng.randrange(0, 3_600_000_000 * 5),
+             rng.randrange(0, 1_800_000_000))
+            for _ in range(300)
+        ]
+        tbl = pa.table({
+            "session_start": pa.array(
+                np.array([s for s, _ in intervals],
+                         dtype="datetime64[us]"), pa.timestamp("us")),
+            "duration_us": pa.array(
+                [d for _, d in intervals], pa.int64()),
+        })
+        out = peak_concurrency(
+            ray.data.from_arrow(tbl).repartition(4),
+            band_minutes=band_minutes, n_buckets=7)
+        assert out.column("peak").to_pylist() == [
+            self._naive(intervals)]
+
+    def test_touching_intervals_do_not_overlap(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import peak_concurrency
+
+        # [0, 5] and [6, 9]: inclusive ends, no overlap -> peak 1
+        tbl = pa.table({
+            "session_start": pa.array(
+                np.array([0, 6], dtype="datetime64[us]"),
+                pa.timestamp("us")),
+            "duration_us": pa.array([5, 3], pa.int64()),
+        })
+        out = peak_concurrency(ray.data.from_arrow(tbl))
+        assert out.column("peak").to_pylist() == [1]

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",
     "paragraph_dedup", "substring_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
-    "pii_redact", "host_stats", "host_cap", "heavy_hitters",
+    "pii_redact", "host_stats", "host_skew_stats", "host_cap", "heavy_hitters",
     # pagerank (Dataset plan) is oracle-gated but benched via its
     # Pregel twin: the Dataset plan pays one sort-barrier exchange
     # per iteration (~10s fixed each at toy scale — amortized at

@@ -1915,6 +1915,24 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_host_skew_stats(sf_dir: str):
+    """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
+    the synthetic crawl's per-host counts (1/3 of docs on host0 by
+    construction): n_keys / n_rows / max / exact count percentiles /
+    hot-key ppm share — the pre-shuffle skew probe that tells a
+    pipeline whether a key needs `skew_join`, salting or
+    `group_cap` BEFORE the groupby runs. All passes over the
+    key-cardinality table."""
+    from .stages.stats import key_skew_stats
+    from .stages.web import host_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    urls = docs.map_batches(_url_augment, batch_format="pyarrow")
+    counts = host_stats(urls, url_col="url")
+    return key_skew_stats(counts, count_col="n_docs")
+
+
 def q_peak_sessions(sf_dir: str):
     """Peak concurrent sessions (stages/temporal.py
     ``peak_concurrency``): 30-minute gap sessions from `sessionize`,
@@ -3822,6 +3840,21 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "host_skew_stats": (
+        "WITH h AS (SELECT 'host' || CAST(" + _HOST_ID_SQL
+        + " AS VARCHAR) || '.example.com' AS host FROM documents), "
+        "c AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM h "
+        "GROUP BY host) "
+        "SELECT 'n_keys' AS stat, CAST(count(*) AS BIGINT) AS value "
+        "FROM c "
+        "UNION ALL SELECT 'n_rows', CAST(sum(n) AS BIGINT) FROM c "
+        "UNION ALL SELECT 'max_count', max(n) FROM c "
+        "UNION ALL SELECT 'p50_count', quantile_disc(n, 0.5) FROM c "
+        "UNION ALL SELECT 'p90_count', quantile_disc(n, 0.9) FROM c "
+        "UNION ALL SELECT 'p99_count', quantile_disc(n, 0.99) FROM c "
+        "UNION ALL SELECT 'top_share_ppm', "
+        "CAST(max(n) * 1000000 // sum(n) AS BIGINT) FROM c"
+    ),
     "peak_sessions": (
         "WITH e AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM e), iv AS (SELECT epoch_us(min(ts)) AS st, CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur FROM s GROUP BY user_id, sess), ev AS (SELECT st AS t, 1 AS delta FROM iv UNION ALL SELECT st + dur + 1, -1 FROM iv), run AS (SELECT sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c FROM ev) SELECT CAST(max(c) AS BIGINT) AS peak FROM run"
     ),
@@ -4834,4 +4867,5 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "user_retention": q_user_retention,
     "peak_sessions": q_peak_sessions,
+    "host_skew_stats": q_host_skew_stats,
 }

@@ -1010,3 +1010,43 @@ def table_checksum(ds, cols):
         "n_rows": pa.array([n_rows], pa.int64()),
         "checksum": pa.array([total], pa.int64()),
     })
+
+
+def key_skew_stats(counts_ds, count_col: str = "n",
+                   qs=(0.5, 0.9, 0.99)):
+    """Skew diagnostics over a per-key count table — the operator
+    you run BEFORE choosing a shuffle strategy ("is this key safe to
+    groupby, or does it need `skew_join` / salting / `group_cap`?").
+
+    Input: any Dataset with one row per key and an int64 count
+    column (e.g. `web.host_stats` output). Output: one (stat,
+    value) row each for n_keys, n_rows, max_count, the exact
+    percentile_disc quantiles of the per-key count distribution at
+    ``qs``, and top_share_ppm = max_count * 1e6 // n_rows (the hot
+    key's integer parts-per-million share — >10^5 ppm means one key
+    owns >10% of the table and a plain groupby will strand a
+    straggler).
+
+    All passes run over the KEY-cardinality table: count/max via
+    map-side partials, quantiles via `exact_quantiles` (the
+    distinct-count-histogram shape) — nothing touches the raw rows.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum, Count
+
+    agg = counts_ds.aggregate(
+        Count(), Sum(count_col), Max(count_col))
+    n_keys = int(agg["count()"])
+    n_rows = int(agg[f"sum({count_col})"])
+    mx = int(agg[f"max({count_col})"])
+    q_tbl = exact_quantiles(counts_ds, count_col, list(qs))
+    stats = [("n_keys", n_keys), ("n_rows", n_rows),
+             ("max_count", mx)]
+    for q, v in zip(q_tbl.column("q").to_pylist(),
+                    q_tbl.column("value").to_pylist()):
+        stats.append((f"p{int(q * 100)}_count", int(v)))
+    stats.append(("top_share_ppm", mx * 1_000_000 // max(n_rows, 1)))
+    return pa.table({
+        "stat": pa.array([s for s, _ in stats], pa.string()),
+        "value": pa.array([v for _, v in stats], pa.int64()),
+    })

@@ -794,3 +794,24 @@ class TestTableChecksum:
         c = table_checksum(ray.data.from_arrow(mut),
                            ["id", "s"]).to_pylist()[0]
         assert c["checksum"] != a["checksum"]
+
+
+class TestKeySkewStats:
+    def test_stats_values(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import key_skew_stats
+
+        counts = pa.table({
+            "k": pa.array([f"k{i}" for i in range(10)], pa.string()),
+            "n": pa.array([100] + [10] * 9, pa.int64()),  # hot key
+        })
+        got = dict(zip(*[
+            key_skew_stats(ray.data.from_arrow(counts),
+                           count_col="n").column(c).to_pylist()
+            for c in ("stat", "value")]))
+        assert got["n_keys"] == 10
+        assert got["n_rows"] == 190
+        assert got["max_count"] == 100
+        assert got["p50_count"] == 10
+        assert got["top_share_ppm"] == 100 * 1_000_000 // 190

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_hourly", "events_by_type_salted", "user_sessions",
     "event_gaps", "events_rollup", "events_pivot",
     "events_sliding_window", "click_attribution", "peak_sessions",
+    "events_value_histogram",
     "campaign_attribution", "sequence_packing", "revenue_by_nation",
     "customers_no_orders", "customer_running_spend",
     "corpus_filter", "corpus_quantiles", "profile_table",

@@ -1915,6 +1915,19 @@ def q_docs_intersect(sf_dir: str):
                               _docs_half(sf_dir, False))
 
 
+def q_events_value_histogram(sf_dir: str):
+    """Per-type equi-width histogram of event values
+    (stages/stats.py ``grouped_histogram``): 10 bins over [0, 100),
+    edge-clamped — row-local bin math, (key, bin) partial combine,
+    one tiny groupby."""
+    from .stages.stats import grouped_histogram
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_histogram(events, "event_type", "value",
+                             lo=0.0, width=10.0, n_bins=10)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -3840,6 +3853,12 @@ ORACLE_SQL: Dict[str, str] = {
         "INTERSECT "
         "SELECT lang, source FROM documents WHERE doc_id % 7 >= 3"
     ),
+    "events_value_histogram": (
+        "SELECT event_type, CAST(least(greatest(floor((value - 0.0) "
+        "/ 10.0), 0), 9) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        "WHERE value IS NOT NULL GROUP BY 1, 2"
+    ),
     "host_skew_stats": (
         "WITH h AS (SELECT 'host' || CAST(" + _HOST_ID_SQL
         + " AS VARCHAR) || '.example.com' AS host FROM documents), "
@@ -4868,4 +4887,5 @@ QUERIES = {
     "user_retention": q_user_retention,
     "peak_sessions": q_peak_sessions,
     "host_skew_stats": q_host_skew_stats,
+    "events_value_histogram": q_events_value_histogram,
 }

@@ -1050,3 +1050,50 @@ def key_skew_stats(counts_ds, count_col: str = "n",
         "stat": pa.array([s for s, _ in stats], pa.string()),
         "value": pa.array([v for _, v in stats], pa.int64()),
     })
+
+
+def grouped_histogram(ds, key_col: str, value_col: str,
+                      lo: float, width: float, n_bins: int):
+    """Per-key equi-width histogram: ``bin = clip(floor((v - lo) /
+    width), 0, n_bins-1)``, counted per (key, bin) — the grouped
+    twin of the engine's global fixed-bin shapes (`analyze`'s 5-bin
+    quality histogram, `binned_quantiles`' sketch). Row-local bin
+    math + map-side (key, bin) partial combine -> ONE tiny groupby;
+    shuffle carries keys x bins x blocks rows. NULL values are
+    dropped (SQL aggregate semantics); under/overflow values clamp
+    into the edge bins (loud in the SQL twin via the same
+    least/greatest math, never silently dropped).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        ok = pc.is_valid(v)
+        sub = pa.table({"key": batch.column(key_col), "v": v}).filter(ok)
+        b = pc.floor(pc.divide(pc.subtract(
+            pc.cast(sub.column("v"), pa.float64()), lo), width))
+        b = pc.min_element_wise(
+            pc.max_element_wise(b, 0.0), float(n_bins - 1))
+        g = pa.table({
+            "key": sub.column("key"),
+            "bin": pc.cast(b, pa.int64()),
+        }).group_by(["key", "bin"]).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g.column("key"),
+            "bin": g.column("bin"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key_col, "bin"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table({
+                key_col: b.column(key_col),
+                "bin": b.column("bin"),
+                "n": pc.cast(b.column("sum(n)"), pa.int64()),
+            }),
+            batch_format="pyarrow")
+    )

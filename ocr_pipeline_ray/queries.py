@@ -1928,6 +1928,64 @@ def q_events_value_histogram(sf_dir: str):
                              lo=0.0, width=10.0, n_bins=10)
 
 
+def _diff_snapshots(sf_dir: str):
+    """The deterministic old/new snapshot pair the diff queries
+    reconcile: old drops ``doc_id%11=3`` (those become 'added'),
+    new drops ``doc_id%7=2`` ('removed') and rewrites text for
+    ``doc_id%5=0`` ('changed')."""
+
+    def _old(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(_int_mod(batch.column("doc_id"), 11),
+                         pa.scalar(3, pa.int64())))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.not_equal(_int_mod(batch.column("doc_id"), 7),
+                         pa.scalar(2, pa.int64())))
+        changed = pc.equal(_int_mod(t.column("doc_id"), 5),
+                           pa.scalar(0, pa.int64()))
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        rewritten = pc.binary_join_element_wise(text, "!", "")
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pc.if_else(changed, rewritten, text))
+
+    cols = ["doc_id", "text", "lang"]
+    old = _docs(sf_dir, columns=cols).map_batches(
+        _old, batch_format="pyarrow")
+    new = _docs(sf_dir, columns=cols).map_batches(
+        _new, batch_format="pyarrow")
+    return old, new
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Keyed two-snapshot reconciliation (stages/diff.py
+    ``snapshot_diff``): added / removed / changed / unchanged per
+    doc_id between an old and a new corpus snapshot. Content diffs
+    by digest: only (key, 15-hex md5, side) enters the one
+    co-shuffle — the compared text column never moves."""
+    from .stages.diff import snapshot_diff
+
+    old, new = _diff_snapshots(sf_dir)
+    return snapshot_diff(old, new, "doc_id", ["text", "lang"],
+                         n_buckets=32)
+
+
+def q_snapshot_diff_summary(sf_dir: str):
+    """Corpus-wide reconciliation counts (stages/diff.py
+    ``diff_summary``): the per-key diff folded to one row of four
+    int64 counts by a map-side partial combine — key-scale rows
+    never reach the driver."""
+    from .stages.diff import diff_summary
+
+    old, new = _diff_snapshots(sf_dir)
+    return diff_summary(old, new, "doc_id", ["text", "lang"],
+                        n_buckets=32)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -4763,6 +4821,34 @@ ORACLE_SQL["skew_join_enrich"] = (
     "FROM documents GROUP BY lang) t USING (lang)"
 )
 
+_DIFF_SNAPSHOTS_SQL = (
+    "WITH oldsnap AS (SELECT doc_id, text, lang FROM documents "
+    "WHERE doc_id % 11 <> 3), "
+    "newsnap AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    "THEN text || '!' ELSE text END AS text, lang FROM documents "
+    "WHERE doc_id % 7 <> 2), "
+    "d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN n.doc_id IS NULL THEN 'removed' "
+    "WHEN (o.text IS DISTINCT FROM n.text) "
+    "OR (o.lang IS DISTINCT FROM n.lang) THEN 'changed' "
+    "ELSE 'unchanged' END AS status "
+    "FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id) "
+)
+
+ORACLE_SQL["snapshot_diff"] = (
+    _DIFF_SNAPSHOTS_SQL + "SELECT doc_id, status FROM d"
+)
+ORACLE_SQL["snapshot_diff_summary"] = (
+    _DIFF_SNAPSHOTS_SQL
+    + "SELECT "
+    "CAST(count(*) FILTER (status = 'added') AS BIGINT) AS n_added, "
+    "CAST(count(*) FILTER (status = 'removed') AS BIGINT) AS n_removed, "
+    "CAST(count(*) FILTER (status = 'changed') AS BIGINT) AS n_changed, "
+    "CAST(count(*) FILTER (status = 'unchanged') AS BIGINT) "
+    "AS n_unchanged FROM d"
+)
+
 QUERIES = {
     "replace_chars": q_replace_chars,
     "replace_chars_stats": q_replace_chars_stats,
@@ -4888,4 +4974,6 @@ QUERIES = {
     "peak_sessions": q_peak_sessions,
     "host_skew_stats": q_host_skew_stats,
     "events_value_histogram": q_events_value_histogram,
+    "snapshot_diff": q_snapshot_diff,
+    "snapshot_diff_summary": q_snapshot_diff_summary,
 }

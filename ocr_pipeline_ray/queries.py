@@ -1986,6 +1986,33 @@ def q_snapshot_diff_summary(sf_dir: str):
                         n_buckets=32)
 
 
+def q_locf_fill(sf_dir: str):
+    """Last-observation-carried-forward backfill (stages/temporal.py
+    ``locf_fill``): per-user value gap fill in (ts, event_id) order
+    — the SQL `last_value(v IGNORE NULLS)` window. Missingness is
+    derived deterministically (``event_id%4=1`` -> NULL); filled
+    floats move by Arrow `take`, so they stay bit-exact."""
+    from .stages.temporal import locf_fill
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def _mask(batch: pa.Table) -> pa.Table:
+        missing = pc.equal(_int_mod(batch.column("event_id"), 4),
+                           pa.scalar(1, pa.int64()))
+        v = batch.column("value")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return batch.set_column(
+            batch.schema.get_field_index("value"), "value",
+            pc.if_else(missing, pa.scalar(None, pa.float64()), v))
+
+    masked = events.map_batches(_mask, batch_format="pyarrow")
+    return locf_fill(masked, "user_id", ["ts", "event_id"], "value",
+                     n_buckets=32)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -4836,6 +4863,15 @@ _DIFF_SNAPSHOTS_SQL = (
     "FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id) "
 )
 
+ORACLE_SQL["locf_fill"] = (
+    "WITH e AS (SELECT event_id, user_id, ts, "
+    "CASE WHEN event_id % 4 = 1 THEN NULL ELSE value END AS value "
+    "FROM events) "
+    "SELECT event_id, user_id, ts, "
+    "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS value FROM e"
+)
+
 ORACLE_SQL["snapshot_diff"] = (
     _DIFF_SNAPSHOTS_SQL + "SELECT doc_id, status FROM d"
 )
@@ -4976,4 +5012,5 @@ QUERIES = {
     "events_value_histogram": q_events_value_histogram,
     "snapshot_diff": q_snapshot_diff,
     "snapshot_diff_summary": q_snapshot_diff_summary,
+    "locf_fill": q_locf_fill,
 }

@@ -390,3 +390,61 @@ def peak_concurrency(ds, start_col: str = "session_start",
     return pa.table({
         "peak": pa.array([int((prefix + maxes).max())], pa.int64()),
     })
+
+
+def locf_fill(ds, key_col: str, order_cols: List[str], val_col: str,
+              n_buckets: int = 64):
+    """Last-observation-carried-forward gap fill — the SQL window
+    ``last_value(val IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` (the time-series backfill
+    / sensor-gap operator; pass a tiebreaker in ``order_cols`` so
+    the order is total and the fill deterministic).
+
+    Standard skew-safe layout: ONE hash shuffle by
+    ``bucket_ids(key)``, whole-bucket Arrow sort by
+    ``(key, *order_cols)``, then a fully vectorized fill — no
+    per-key loop at all: ``np.maximum.accumulate`` over
+    valid-positions gives each row its most recent non-null index,
+    and comparing that against the row's own segment start keeps
+    the carry from leaking across keys. The filled value is produced
+    by Arrow ``take`` (null index -> null), so it works for ANY
+    value type and floats pass through BIT-EXACT (no arithmetic).
+    Leading nulls within a key stay null, like the SQL window.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.segments import key_segments
+
+    def _fill(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_kbucket"])
+        if group.num_rows == 0:
+            return base
+        sort_keys = [(key_col, "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        g = base.sort_by(sort_keys)
+        n = g.num_rows
+        col = g.column(val_col).combine_chunks()
+        valid = np.zeros(n, dtype=bool)
+        valid_mask = pc.is_valid(col)
+        valid[:] = valid_mask.to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        last_valid = np.maximum.accumulate(np.where(valid, pos, -1))
+        keys = g.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        seg_start, seg_len = key_segments(keys)
+        own_start = np.repeat(seg_start, seg_len)
+        ok = last_valid >= own_start
+        idx = pa.array(
+            np.where(ok, last_valid, 0),
+            pa.int64(),
+            mask=~ok,          # null index -> null output
+        )
+        filled = col.take(idx)
+        return g.set_column(
+            g.schema.get_field_index(val_col), val_col, filled)
+
+    bucketed = _bucket_by(ds, key_col, n_buckets)
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_fill, batch_format="pyarrow")

@@ -248,3 +248,56 @@ class TestPeakConcurrency:
         })
         out = peak_concurrency(ray.data.from_arrow(tbl))
         assert out.column("peak").to_pylist() == [1]
+
+
+class TestLocfFill:
+    def test_vs_duckdb_window(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import locf_fill
+
+        rng = np.random.default_rng(11)
+        n = 2000
+        tbl = pa.table({
+            "id": pa.array(np.arange(n), pa.int64()),
+            "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "t": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "v": pa.array(
+                np.where(rng.random(n) < 0.4, np.nan,
+                         rng.random(n) * 100),
+                pa.float64()),
+        })
+        # nan -> real Arrow nulls
+        import pyarrow.compute as pc
+        v = tbl.column("v").combine_chunks()
+        tbl = tbl.set_column(
+            3, "v", pc.if_else(pc.is_nan(v), pa.scalar(None, pa.float64()), v))
+        want = duckdb.sql(
+            "SELECT id, k, t, last_value(v IGNORE NULLS) OVER "
+            "(PARTITION BY k ORDER BY t, id ROWS UNBOUNDED PRECEDING)"
+            " AS v FROM tbl ORDER BY id").df()
+        for parts in (1, 6):
+            got = locf_fill(
+                ray.data.from_arrow(tbl).repartition(parts),
+                "k", ["t", "id"], "v", n_buckets=8,
+            ).to_pandas().sort_values("id").reset_index(drop=True)
+            got = got[["id", "k", "t", "v"]]
+            assert got.equals(want)
+
+    def test_leading_nulls_stay_null_and_types_survive(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import locf_fill
+
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "t": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "v": pa.array([None, "a", None, None, None], pa.string()),
+        })
+        got = locf_fill(ray.data.from_arrow(tbl), "k", ["t"], "v",
+                        n_buckets=4).to_pandas().sort_values(
+            ["k", "t"]).reset_index(drop=True)
+        assert got["v"].tolist()[0] is None          # leading null
+        assert got["v"].tolist()[1:3] == ["a", "a"]  # carried forward
+        assert got["v"].tolist()[3] is None and got["v"].tolist()[4] is None

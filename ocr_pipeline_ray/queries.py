@@ -2013,6 +2013,66 @@ def q_locf_fill(sf_dir: str):
                      n_buckets=32)
 
 
+def q_bucketed_upsert(sf_dir: str):
+    """MERGE into bucketed storage (stages/bucketed.py
+    ``bucketed_upsert``): orders written once as a clustered
+    bucketed store, then a derived delta (price updates for
+    ``o_orderkey%5=0``, inserts as negated keys for ``%17=2``,
+    tombstone deletes for ``%13=1`` minus the update set) merges
+    into a NEW store root — only the delta is exchanged, the store
+    side moves zero rows, untouched buckets hardlink over. Returns
+    the merged table via per-bucket reads."""
+    import shutil
+
+    from .stages.bucketed import (bucketed_upsert, read_bucketed,
+                                  write_bucketed)
+
+    base = (f"/tmp/ocr_ray_upsert_{os.getpid()}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(base, ignore_errors=True)
+    n_buckets = 32
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"])
+    write_bucketed(orders, f"{base}/store", "o_orderkey", n_buckets,
+                   clustered=True)
+
+    def _delta(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        p = batch.column("o_totalprice")
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        upd = pc.equal(_int_mod(k, 5), pa.scalar(0, pa.int64()))
+        ins = pc.equal(_int_mod(k, 17), pa.scalar(2, pa.int64()))
+        dele = pc.and_(
+            pc.equal(_int_mod(k, 13), pa.scalar(1, pa.int64())),
+            pc.invert(upd))
+
+        def _part(mask, key, price, is_del):
+            idx = pc.indices_nonzero(mask)
+            return pa.table({
+                "o_orderkey": key.take(idx),
+                "o_totalprice": price.take(idx),
+                "is_delete": pa.array(
+                    [is_del] * len(idx), pa.bool_()),
+            })
+
+        return pa.concat_tables([
+            _part(upd, k, pc.add(p, pa.scalar(1000.0, pa.float64())),
+                  False),
+            _part(ins, pc.negate(k), p, False),
+            _part(dele, k, p, True),
+        ])
+
+    delta = orders.map_batches(_delta, batch_format="pyarrow")
+    bucketed_upsert(f"{base}/store", delta, f"{base}/v2",
+                    "o_orderkey", n_buckets,
+                    tombstone_col="is_delete")
+    return read_bucketed(f"{base}/v2", n_buckets)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -4863,6 +4923,21 @@ _DIFF_SNAPSHOTS_SQL = (
     "FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id) "
 )
 
+ORACLE_SQL["bucketed_upsert"] = (
+    "WITH delta AS ("
+    "SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p, "
+    "FALSE AS del FROM orders WHERE o_orderkey % 5 = 0 "
+    "UNION ALL SELECT -o_orderkey, o_totalprice, FALSE FROM orders "
+    "WHERE o_orderkey % 17 = 2 "
+    "UNION ALL SELECT o_orderkey, o_totalprice, TRUE FROM orders "
+    "WHERE o_orderkey % 13 = 1 AND o_orderkey % 5 <> 0) "
+    "SELECT k AS o_orderkey, p AS o_totalprice FROM delta "
+    "WHERE NOT del "
+    "UNION ALL SELECT o.o_orderkey, o.o_totalprice FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM delta d "
+    "WHERE d.k = o.o_orderkey)"
+)
+
 ORACLE_SQL["locf_fill"] = (
     "WITH e AS (SELECT event_id, user_id, ts, "
     "CASE WHEN event_id % 4 = 1 THEN NULL ELSE value END AS value "
@@ -5013,4 +5088,5 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "snapshot_diff_summary": q_snapshot_diff_summary,
     "locf_fill": q_locf_fill,
+    "bucketed_upsert": q_bucketed_upsert,
 }

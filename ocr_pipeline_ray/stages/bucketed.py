@@ -319,3 +319,167 @@ def bucketed_lookup(root: str, key_col: str, value, n_buckets: int,
     return tbl, {"row_groups_total": total,
                  "row_groups_candidate": candidate,
                  "bucket": b}
+
+
+def bucketed_upsert(root: str, delta_ds, out_dir: str, key_col: str,
+                    n_buckets: int,
+                    tombstone_col: Optional[str] = None) -> pa.Table:
+    """MERGE a delta into a bucketed store, producing a NEW store
+    root (functional snapshot semantics, like a table-format commit:
+    the input store stays immutable, so a failed run never corrupts
+    it and a retry is idempotent per bucket).
+
+    Semantics per key: a delta row REPLACES every old row of its
+    key (upsert); a delta row with ``tombstone_col = true`` DELETES
+    the key; keys the delta does not mention carry over unchanged.
+    Delta keys must be unique (it is a primary-key merge) — dups
+    raise inside the bucket task, where detection is global because
+    equal keys co-locate. NULL delta keys are rejected too (SQL
+    equality never matches NULL, so an upsert on NULL is undefined).
+
+    Physical plan: the delta alone is exchanged (one groupby on the
+    engine's shared bucket hash — the store side moves ZERO rows);
+    each whole-bucket task reads its old bucket dir, anti-masks old
+    rows whose key the delta mentions with the same
+    dictionary-encode probe as the bucketed join, concatenates the
+    surviving delta rows, restores the clustered invariant with one
+    Arrow sort, and writes ``part-0.parquet`` via tmp-file +
+    ``os.replace`` (atomic per bucket, resumable). Untouched buckets
+    are HARDLINKED from the old root (metadata-only driver work,
+    bounded by n_buckets x files-per-bucket, never data).
+
+    Returns a per-bucket stats table
+    ``(bucket, n_old, n_delta, n_deleted, n_out)`` — merged-store
+    audit telemetry, no silent row movement.
+    """
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    schema = _side_schema(root)
+    store_cols = [c for c in schema.names if c != BUCKET_COL]
+    delta_cols = [c for c in delta_ds.schema().names
+                  if c != tombstone_col]
+    if sorted(delta_cols) != sorted(store_cols):
+        raise ValueError(
+            f"bucketed_upsert: delta columns {sorted(delta_cols)} "
+            f"!= store columns {sorted(store_cols)}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        if key.null_count:
+            raise ValueError("bucketed_upsert: NULL delta key")
+        return batch.append_column(
+            BUCKET_COL,
+            pa.array(bucket_ids(key, n_buckets), pa.int64()))
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        b = int(group.column(BUCKET_COL)[0].as_py())
+        delta = group.drop_columns([BUCKET_COL]).combine_chunks()
+        dkeys = delta.column(key_col).combine_chunks()
+        counts = pc.value_counts(dkeys)
+        if counts.field("counts").to_numpy().max(initial=0) > 1:
+            raise ValueError(
+                "bucketed_upsert: duplicate key in delta — merge "
+                "requires a primary key")
+        if tombstone_col is not None:
+            dead = pc.fill_null(
+                delta.column(tombstone_col).combine_chunks(), False)
+            live = delta.filter(pc.invert(dead)).select(store_cols)
+            n_deleted = int(pc.sum(pc.cast(dead, pa.int64())).as_py()
+                            or 0)
+        else:
+            live = delta.select(store_cols)
+            n_deleted = 0
+        old = _read_bucket(root, b, store_cols)
+        n_old = old.num_rows if old is not None else 0
+        if old is not None and old.num_rows:
+            keep = pc.invert(pc.is_in(
+                old.column(key_col).combine_chunks().cast(dkeys.type),
+                value_set=dkeys))
+            # NULL old keys never match a delta key: keep them
+            survivors = old.filter(pc.fill_null(keep, True))
+            merged = pa.concat_tables(
+                [survivors.cast(live.schema), live])
+        else:
+            merged = live
+        merged = merged.sort_by([(key_col, "ascending")])
+        bdir = _bucket_dir(out_dir, b)
+        os.makedirs(bdir, exist_ok=True)
+        tmp = os.path.join(bdir, f".part-0.parquet.tmp.{os.getpid()}")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(bdir, "part-0.parquet"))
+        return pa.table({
+            "bucket": pa.array([b], pa.int64()),
+            "n_old": pa.array([n_old], pa.int64()),
+            "n_delta": pa.array([delta.num_rows], pa.int64()),
+            "n_deleted": pa.array([n_deleted], pa.int64()),
+            "n_out": pa.array([merged.num_rows], pa.int64()),
+        })
+
+    stats_ds = delta_ds.map_batches(
+        _tag, batch_format="pyarrow"
+    ).groupby(BUCKET_COL, num_partitions=n_buckets).map_groups(
+        _merge_bucket, batch_format="pyarrow")
+    parts = [b for b in stats_ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)
+             if b.num_rows]
+    stats = (pa.concat_tables(parts) if parts else pa.table({
+        "bucket": pa.array([], pa.int64()),
+        "n_old": pa.array([], pa.int64()),
+        "n_delta": pa.array([], pa.int64()),
+        "n_deleted": pa.array([], pa.int64()),
+        "n_out": pa.array([], pa.int64()),
+    }))
+    touched = set(stats.column("bucket").to_pylist())
+    for b in range(n_buckets):
+        if b in touched:
+            continue
+        src = _bucket_dir(root, b)
+        if not os.path.isdir(src):
+            continue
+        dst = _bucket_dir(out_dir, b)
+        os.makedirs(dst, exist_ok=True)
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet"):
+                continue
+            target = os.path.join(dst, f)
+            if os.path.exists(target):
+                os.unlink(target)
+            try:
+                os.link(os.path.join(src, f), target)
+            except OSError:
+                shutil.copy2(os.path.join(src, f), target)
+    return stats.sort_by([("bucket", "ascending")])
+
+
+def read_bucketed(root: str, n_buckets: int,
+                  columns: Optional[List[str]] = None):
+    """Read a bucketed store back as a Dataset — one task per bucket
+    dir (plain ``read_parquet`` on the root would silently skip the
+    ``_bucket=`` dirs: parquet dataset discovery treats ``_``-prefixed
+    paths as hidden, the Spark `_SUCCESS` convention). Missing
+    buckets yield empty blocks of the store schema; block boundaries
+    = bucket boundaries, so downstream bucket-aligned operators keep
+    their alignment."""
+    import ray
+    import ray.data
+
+    schema = _side_schema(root)
+    cols = (list(columns) if columns is not None
+            else [c for c in schema.names if c != BUCKET_COL])
+    out_schema = pa.schema([(c, schema.field(c).type) for c in cols])
+
+    @ray.remote
+    def _read_one(b: int) -> pa.Table:
+        tbl = _read_bucket(root, b, cols)
+        if tbl is None or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        return tbl.cast(out_schema)
+
+    return ray.data.from_arrow_refs(
+        [_read_one.remote(b) for b in range(n_buckets)])

@@ -242,3 +242,100 @@ class TestBucketedAppend:
             (r["k"], r["n"]) for r in bucketed_aggregate(
                 root, "k", 4).take_all())
         assert got == [(1, 1), (2, 3), (3, 3), (4, 1)]
+
+
+class TestBucketedUpsert:
+    def _store(self, ray_session, tmp_path, rows=200):
+        import ray.data
+
+        tbl = pa.table({
+            "k": pa.array(list(range(rows)), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(rows)], pa.string()),
+        })
+        root = str(tmp_path / "store")
+        write_bucketed(ray.data.from_arrow(tbl), root, "k", N_BUCKETS,
+                       clustered=True)
+        return tbl, root
+
+    def test_merge_matches_sql(self, ray_session, tmp_path):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_upsert
+
+        base, root = self._store(ray_session, tmp_path)
+        delta = pa.table({
+            "k": pa.array([5, 10, 300, 301, 15], pa.int64()),
+            "v": pa.array(["V5", "V10", "V300", "V301", None],
+                          pa.string()),
+            "del": pa.array([False, False, False, False, True],
+                            pa.bool_()),
+        })
+        out = str(tmp_path / "v2")
+        stats = bucketed_upsert(root, ray.data.from_arrow(delta), out,
+                                "k", N_BUCKETS, tombstone_col="del")
+        assert stats.column("bucket").to_pylist() == sorted(
+            stats.column("bucket").to_pylist())
+        con = duckdb.connect()
+        con.register("b", base)
+        con.register("d", delta)
+        want = con.sql(
+            "SELECT k, v FROM d WHERE NOT \"del\" "
+            "UNION ALL SELECT b.k, b.v FROM b WHERE NOT EXISTS "
+            "(SELECT 1 FROM d WHERE d.k = b.k) ORDER BY k").to_df()
+        from ocr_pipeline_ray.stages.bucketed import read_bucketed
+        got = read_bucketed(out, N_BUCKETS).to_pandas()[["k", "v"]]
+        got = got.sort_values("k").reset_index(drop=True)
+        assert _norm(got) == _norm(want)
+        # merged total: 200 base - 1 delete - 2 updates survive as
+        # updates + 2 inserts = 201
+        assert len(got) == 201
+
+    def test_untouched_buckets_carried_and_store_immutable(
+            self, ray_session, tmp_path):
+        import os
+
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_upsert
+
+        base, root = self._store(ray_session, tmp_path)
+        before = sorted(
+            (r, tuple(sorted(f))) for r, _, f in os.walk(root))
+        # single-key delta touches exactly one bucket
+        delta = pa.table({"k": pa.array([7], pa.int64()),
+                          "v": pa.array(["NEW"], pa.string())})
+        out = str(tmp_path / "v2")
+        stats = bucketed_upsert(root, ray.data.from_arrow(delta), out,
+                                "k", N_BUCKETS)
+        assert stats.num_rows == 1
+        after = sorted(
+            (r, tuple(sorted(f))) for r, _, f in os.walk(root))
+        assert before == after  # old root untouched
+        from ocr_pipeline_ray.stages.bucketed import read_bucketed
+        got = read_bucketed(out, N_BUCKETS).to_pandas()
+        assert len(got) == 200
+        assert got.set_index("k")["v"][7] == "NEW"
+        assert got.set_index("k")["v"][8] == "v8"
+
+    def test_duplicate_delta_key_raises(self, ray_session, tmp_path):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_upsert
+
+        _, root = self._store(ray_session, tmp_path)
+        delta = pa.table({"k": pa.array([1, 1], pa.int64()),
+                          "v": pa.array(["a", "b"], pa.string())})
+        with pytest.raises(Exception, match="duplicate key"):
+            bucketed_upsert(root, ray.data.from_arrow(delta),
+                            str(tmp_path / "v2"), "k", N_BUCKETS)
+
+    def test_schema_mismatch_raises(self, ray_session, tmp_path):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.bucketed import bucketed_upsert
+
+        _, root = self._store(ray_session, tmp_path)
+        delta = pa.table({"k": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError, match="delta columns"):
+            bucketed_upsert(root, ray.data.from_arrow(delta),
+                            str(tmp_path / "v2"), "k", N_BUCKETS)

@@ -2073,6 +2073,36 @@ def q_bucketed_upsert(sf_dir: str):
     return read_bucketed(f"{base}/v2", n_buckets)
 
 
+def q_interval_union(sf_dir: str):
+    """Gaps-and-islands interval merging (stages/temporal.py
+    ``interval_union``): per-user activity windows
+    ``[epoch_us(ts), epoch_us(ts) + floor(value*1e6)]`` merged into
+    maximal disjoint islands — one key-hash shuffle, per-segment
+    running-max island detection, maximum.reduceat collapse. Bounds
+    are int64 microseconds, bit-exact vs the SQL window twin."""
+    from .stages.temporal import interval_union
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"])
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        start = pc.cast(t.column("ts"), pa.int64())
+        dur = pc.cast(pc.floor(pc.multiply(
+            t.column("value"), pa.scalar(1000000.0, pa.float64()))),
+            pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "start_us": start,
+            "end_us": pc.add(start, dur),
+        })
+
+    iv = events.map_batches(_iv, batch_format="pyarrow")
+    return interval_union(iv, "user_id", "start_us", "end_us",
+                          n_buckets=32)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -4923,6 +4953,20 @@ _DIFF_SNAPSHOTS_SQL = (
     "FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id) "
 )
 
+ORACLE_SQL["interval_union"] = (
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
+    "CAST(floor(value * 1000000.0) AS BIGINT) AS e FROM events "
+    "WHERE value IS NOT NULL), "
+    "o AS (SELECT user_id, s, e, CASE WHEN s > coalesce(max(e) OVER "
+    "(PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING), -9223372036854775808) "
+    "THEN 1 ELSE 0 END AS brk FROM iv), "
+    "g AS (SELECT user_id, s, e, sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM o) "
+    "SELECT user_id, min(s) AS start_us, max(e) AS end_us FROM g "
+    "GROUP BY user_id, isl"
+)
+
 ORACLE_SQL["bucketed_upsert"] = (
     "WITH delta AS ("
     "SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p, "
@@ -5089,4 +5133,5 @@ QUERIES = {
     "snapshot_diff_summary": q_snapshot_diff_summary,
     "locf_fill": q_locf_fill,
     "bucketed_upsert": q_bucketed_upsert,
+    "interval_union": q_interval_union,
 }

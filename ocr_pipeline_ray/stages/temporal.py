@@ -448,3 +448,63 @@ def locf_fill(ds, key_col: str, order_cols: List[str], val_col: str,
     return bucketed.groupby(
         "_kbucket", num_partitions=n_buckets
     ).map_groups(_fill, batch_format="pyarrow")
+
+
+def interval_union(ds, key_col: str, start_col: str, end_col: str,
+                   n_buckets: int = 64):
+    """Merge overlapping-or-touching intervals per key into maximal
+    disjoint islands (the gaps-and-islands operator: downtime
+    merging, session coverage, claim-window consolidation). Output:
+    one row per island ``(key, start, end)``.
+
+    An interval joins the current island when its start is <= the
+    running max of previous ends within the key (strictly-greater
+    starts open a new island) — exactly the SQL window idiom
+    ``s > max(e) OVER (... ROWS ... 1 PRECEDING)``.
+
+    Layout: ONE hash shuffle by ``bucket_ids(key)``; per-bucket
+    Arrow sort by ``(key, start, end)``, then per-SEGMENT
+    ``np.maximum.accumulate`` over ends (loop count = keys per
+    bucket, not rows — the `grouped_running_sum` precedent) and
+    ``maximum.reduceat`` to collapse islands. All int64; no
+    arithmetic on the bounds, so they pass through bit-exact.
+    """
+    from ..functions.segments import key_segments
+
+    def _merge(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_kbucket"])
+        if group.num_rows == 0:
+            return base
+        g = base.sort_by([(key_col, "ascending"),
+                          (start_col, "ascending"),
+                          (end_col, "ascending")])
+        keys = g.column(key_col).combine_chunks()
+        s = g.column(start_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = g.column(end_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        seg_start, seg_len = key_segments(
+            keys.to_numpy(zero_copy_only=False))
+        n = len(s)
+        new_island = np.zeros(n, dtype=bool)
+        cm = np.empty(n, dtype=e.dtype)
+        for st, ln in zip(seg_start, seg_len):
+            cm[st:st + ln] = np.maximum.accumulate(e[st:st + ln])
+            new_island[st] = True
+            if ln > 1:
+                new_island[st + 1:st + ln] = (
+                    s[st + 1:st + ln] > cm[st:st + ln - 1])
+        isl_start = np.flatnonzero(new_island)
+        merged_end = np.maximum.reduceat(e, isl_start)
+        idx = pa.array(isl_start, pa.int64())
+        return pa.table({
+            key_col: keys.take(idx),
+            start_col: g.column(start_col).combine_chunks().take(idx),
+            end_col: pa.array(merged_end,
+                              g.schema.field(end_col).type),
+        })
+
+    bucketed = _bucket_by(ds, key_col, n_buckets)
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_merge, batch_format="pyarrow")

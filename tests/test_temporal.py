@@ -301,3 +301,52 @@ class TestLocfFill:
         assert got["v"].tolist()[0] is None          # leading null
         assert got["v"].tolist()[1:3] == ["a", "a"]  # carried forward
         assert got["v"].tolist()[3] is None and got["v"].tolist()[4] is None
+
+
+class TestIntervalUnion:
+    def test_vs_duckdb_islands(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import interval_union
+
+        rng = np.random.default_rng(23)
+        n = 3000
+        s = rng.integers(0, 10_000, n)
+        tbl = pa.table({
+            "k": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + rng.integers(0, 300, n), pa.int64()),
+        })
+        want = duckdb.sql(
+            "WITH o AS (SELECT k, s, e, CASE WHEN s > coalesce("
+            "max(e) OVER (PARTITION BY k ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "-9223372036854775808) THEN 1 ELSE 0 END AS brk FROM tbl), "
+            "g AS (SELECT k, s, e, sum(brk) OVER (PARTITION BY k "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM o) "
+            "SELECT k, min(s) AS s, max(e) AS e FROM g "
+            "GROUP BY k, isl ORDER BY k, s").df()
+        for parts in (1, 5):
+            got = interval_union(
+                ray.data.from_arrow(tbl).repartition(parts),
+                "k", "s", "e", n_buckets=8,
+            ).to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+            assert got.equals(want)
+
+    def test_touching_intervals_merge_contained_absorbed(
+            self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import interval_union
+
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "s": pa.array([0, 5, 2, 20, 0], pa.int64()),
+            "e": pa.array([5, 9, 3, 30, 1], pa.int64()),
+        })
+        got = interval_union(ray.data.from_arrow(tbl), "k", "s", "e",
+                             n_buckets=4).to_pandas().sort_values(
+            ["k", "s"]).values.tolist()
+        # [0,5]+[5,9] touch -> merge; [2,3] contained; [20,30] apart
+        assert got == [[1, 0, 9], [1, 20, 30], [2, 0, 1]]

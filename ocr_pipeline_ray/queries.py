@@ -2103,6 +2103,64 @@ def q_interval_union(sf_dir: str):
                           n_buckets=32)
 
 
+def q_events_value_zscore(sf_dir: str):
+    """Per-group feature standardization (training-data scaling):
+    z = (value - mean) / std within each event_type. Composition of
+    existing primitives — `grouped_moments` sufficient-statistic
+    partials give key-scale (mean, var) rows, the driver grid-rounds
+    them to the repo-wide 1e-6 float contract (the gridded moments
+    are PROVEN bit-equal to the SQL twin by `events_value_stats`,
+    so the z arithmetic runs on bit-identical inputs both sides),
+    broadcasts the tiny per-type dict in the closure, and a
+    row-local map does the scaling at scan speed — no second
+    shuffle."""
+    import numpy as np
+
+    from .stages.stats import grouped_moments
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+    moments = grouped_moments(
+        events.select_columns(["event_type", "value"]),
+        "event_type", "value")
+
+    def _grid(x: float) -> float:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    stats = {}
+    for r in moments.iter_rows():
+        if (r["event_type"] is None or r["var_value"] is None
+                or _grid(r["var_value"]) <= 0.0):
+            continue
+        stats[r["event_type"]] = (
+            _grid(r["mean_value"]),
+            math.sqrt(_grid(r["var_value"])))
+    keys = pa.array(sorted(stats), pa.string())
+    means = np.array([stats[k][0] for k in sorted(stats)],
+                     dtype=np.float64)
+    stds = np.array([stats[k][1] for k in sorted(stats)],
+                    dtype=np.float64)
+
+    def _z(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        idx = pc.index_in(t.column("event_type"), value_set=keys)
+        t = t.filter(pc.is_valid(idx))
+        pos = pc.index_in(t.column("event_type"),
+                          value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        z = (v - means[pos]) / stds[pos]
+        z = np.floor(z * 1000000.0 + 0.5) / 1000000.0
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "z": pa.array(z, pa.float64()),
+        })
+
+    return events.map_batches(_z, batch_format="pyarrow")
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -4953,6 +5011,18 @@ _DIFF_SNAPSHOTS_SQL = (
     "FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id) "
 )
 
+ORACLE_SQL["events_value_zscore"] = (
+    "WITH s AS (SELECT event_type, "
+    "floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS m, "
+    "floor(var_samp(value) * 1000000.0 + 0.5) / 1000000.0 AS v "
+    "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL "
+    "GROUP BY event_type) "
+    "SELECT e.event_id, floor((e.value - s.m) / sqrt(s.v) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS z "
+    "FROM events e JOIN s USING (event_type) "
+    "WHERE e.value IS NOT NULL AND s.v > 0"
+)
+
 ORACLE_SQL["interval_union"] = (
     "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
     "CAST(floor(value * 1000000.0) AS BIGINT) AS e FROM events "
@@ -5134,4 +5204,5 @@ QUERIES = {
     "locf_fill": q_locf_fill,
     "bucketed_upsert": q_bucketed_upsert,
     "interval_union": q_interval_union,
+    "events_value_zscore": q_events_value_zscore,
 }

@@ -363,39 +363,55 @@ def pagerank_pregel(nodes, edges, iters: int = 3,
         [s.result.remote() for s in shards])
 
 
+
+
 def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
                    n_buckets: int = 64):
     """EXACT triangle count of the undirected simple graph underlying
     ``edges`` — the compact-forward / node-iterator algorithm
-    (Latapy 2008) as four bounded exchanges:
+    (Latapy 2008), fused into FIVE exchanges:
 
     1. canonicalize: drop self-loops, fold direction (u<v), dedup
-       parallel edges (one pair-hash shuffle, whole-bucket
-       ``np.unique`` over lexsorted pairs).
-    2. degrees: per-node edge counts (map-side partials + one tiny
-       node groupby).
-    3. ORIENT each edge from its (degree, id)-smaller endpoint to
-       the larger — the skew fix that makes step 4 safe: after
-       orientation every out-neighborhood is O(sqrt(m)), so a
-       10^9-degree hub never produces a quadratic wedge explosion
-       (this is why the orientation joins are worth their two
-       co-shuffles; degrees ride a ``repartition_join``, never a
-       node-scale broadcast).
-    4. wedges ∩ edges: per oriented source, all out-neighbor pairs
-       (whole-bucket triu over sorted segments) co-shuffle with the
-       oriented edge set by pair hash; a wedge that meets its
-       closing edge is a triangle, counted once by construction.
+       parallel edges (one pair-hash shuffle, whole-bucket boundary
+       mask over lexsorted pairs). Materialized once — it feeds the
+       half-edge explode AND the closing-edge keys.
+    2. degrees + attach, FUSED: each edge emits one half-row per
+       endpoint keyed by that node; within a node's bucket the
+       segment length IS the node's degree (every incident edge
+       contributes exactly one half-row), so the same exchange that
+       computes degrees also attaches them — the degree groupby and
+       both orientation joins of the textbook plan collapse into one
+       barrier.
+    3. orient: the two degree-carrying halves of each edge meet in a
+       pair-hash bucket; the edge orients from its (degree,
+       id)-smaller endpoint — the skew fix that bounds every
+       out-neighborhood at O(sqrt m), so a 10^9-degree hub never
+       produces a quadratic wedge explosion.
+    4. wedges: oriented edges re-key by SOURCE; per source, all
+       out-neighbor pairs expand via one ``np.triu_indices``
+       broadcast per DISTINCT out-degree (loop count = distinct
+       degrees, not nodes).
+    5. close: wedges co-shuffle with the closing-edge keys by pair
+       hash; a sort-merge boundary mask over (u, v, side) counts the
+       wedges whose pair leads with an edge row. Counted once by
+       construction.
 
-    Returns a one-row table ``(n_triangles,)``. Node ids are int64;
-    NULL endpoints are dropped with the self-loops.
+    Pairs co-locate via an INTEGER mix of both endpoints (never a
+    string key). Returns a one-row table ``(n_triangles,)``. Node
+    ids are int64; NULL endpoints are dropped with the self-loops.
     """
     from ..functions.hashing import bucket_ids
-    from .join import repartition_join
 
-    def _pair_key(u: np.ndarray, v: np.ndarray) -> pa.Array:
-        return pc.binary_join_element_wise(
-            pa.array(u.astype("U"), pa.string()),
-            pa.array(v.astype("U"), pa.string()), ":")
+    _M1 = np.uint64(0x9E3779B97F4A7C15)
+    _M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _NB = np.uint64(n_buckets)
+
+    def _pair_bucket(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """Deterministic pair → bucket (same formula on every side
+        of a co-shuffle; value-only, layout-independent)."""
+        h = (u.astype(np.uint64) * _M1) ^ (v.astype(np.uint64) * _M2)
+        h = (h * _M1) >> np.uint64(33)
+        return (h % _NB).astype(np.int64)
 
     def _canon(batch: pa.Table) -> pa.Table:
         s = batch.column(src_col).combine_chunks()
@@ -406,9 +422,8 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         m = s != d
         s, d = s[m], d[m]
         u, v = np.minimum(s, d), np.maximum(s, d)
-        k = _pair_key(u, v)
         return pa.table({
-            "_bucket": pa.array(bucket_ids(k, n_buckets), pa.int64()),
+            "_bucket": pa.array(_pair_bucket(u, v), pa.int64()),
             "u": pa.array(u, pa.int64()),
             "v": pa.array(v, pa.int64()),
         })
@@ -423,58 +438,93 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         return pa.table({"u": pa.array(u[first], pa.int64()),
                          "v": pa.array(v[first], pa.int64())})
 
+    # two consumers (half-edge explode, closing-edge keys):
+    # materialize ONCE or the canon+dedup exchange re-executes per
+    # consumer (lazy-lineage re-execution — the skew_join guard)
     simple = edges.map_batches(_canon, batch_format="pyarrow").groupby(
         "_bucket", num_partitions=n_buckets
-    ).map_groups(_dedup, batch_format="pyarrow")
+    ).map_groups(_dedup, batch_format="pyarrow").materialize()
 
-    def _deg_partial(batch: pa.Table) -> pa.Table:
-        both = np.concatenate([
-            batch.column("u").to_numpy(zero_copy_only=False),
-            batch.column("v").to_numpy(zero_copy_only=False)])
-        nodes, cnts = np.unique(both, return_counts=True)
-        return pa.table({"node": pa.array(nodes, pa.int64()),
-                         "dn": pa.array(cnts, pa.int64())})
-
-    from ray.data.aggregate import Sum
-
-    degrees = (
-        simple.map_batches(_deg_partial, batch_format="pyarrow")
-        .groupby("node").aggregate(Sum("dn"))
-        .map_batches(
-            lambda b: pa.table({
-                "node": b.column("node"),
-                "deg": pc.cast(b.column("sum(dn)"), pa.int64()),
-            }),
-            batch_format="pyarrow")
-    )
-
-    with_u = repartition_join(
-        simple.map_batches(
-            lambda b: pa.table({"node": b.column("u"),
-                                "v": b.column("v")}),
-            batch_format="pyarrow"),
-        degrees, on="node", right_cols=["deg"],
-        n_buckets=n_buckets,
-    ).map_batches(
-        lambda b: pa.table({"u": b.column("node"),
-                            "node": b.column("v"),
-                            "du": b.column("deg")}),
-        batch_format="pyarrow")
-    with_both = repartition_join(
-        with_u, degrees, on="node", right_cols=["deg"],
-        n_buckets=n_buckets,
-    )
-
-    def _orient(batch: pa.Table) -> pa.Table:
+    def _halves(batch: pa.Table) -> pa.Table:
+        """One half-row per endpoint, keyed by that node."""
         u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("node").to_numpy(zero_copy_only=False)
-        du = batch.column("du").to_numpy(zero_copy_only=False)
-        dv = batch.column("deg").to_numpy(zero_copy_only=False)
-        # from (deg, id)-smaller to larger: a total order, so every
-        # edge gets exactly one direction
-        fwd = (du < dv) | ((du == dv) & (u < v))
-        a = np.where(fwd, u, v)
-        b = np.where(fwd, v, u)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        key = np.concatenate([u, v])
+        other = np.concatenate([v, u])
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(pa.array(key, pa.int64()), n_buckets),
+                pa.int64()),
+            "k": pa.array(key, pa.int64()),
+            "o": pa.array(other, pa.int64()),
+        })
+
+    def _deg_attach(group: pa.Table) -> pa.Table:
+        """Within a node bucket: segment length per node = its
+        degree; emit each half-row with the keyed endpoint's degree
+        and a flag saying whether that endpoint is the canonical-lo
+        end (so the pair merge knows which degree is whose)."""
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({
+                "_pb": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "deg_is_lo": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
+            })
+        order = np.argsort(k, kind="stable")
+        k, o = k[order], o[order]
+        seg = np.ones(len(k), dtype=bool)
+        seg[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(seg)
+        lens = np.diff(np.append(starts, len(k)))
+        deg = np.repeat(lens, lens).astype(np.int64)
+        lo = np.minimum(k, o)
+        hi = np.maximum(k, o)
+        return pa.table({
+            "_pb": pa.array(_pair_bucket(lo, hi), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "deg_is_lo": pa.array((k == lo).astype(np.int64),
+                                  pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+        })
+
+    halves = simple.map_batches(
+        _halves, batch_format="pyarrow"
+    ).groupby("_bucket", num_partitions=n_buckets).map_groups(
+        _deg_attach, batch_format="pyarrow")
+
+    def _orient(group: pa.Table) -> pa.Table:
+        """Pair bucket: the two degree halves of each edge meet;
+        orient from the (deg, id)-smaller endpoint and re-key by the
+        oriented SOURCE (wedge building needs a source's whole
+        out-neighborhood, which only a node-keyed exchange
+        co-locates)."""
+        lo = group.column("lo").to_numpy(zero_copy_only=False)
+        hi = group.column("hi").to_numpy(zero_copy_only=False)
+        flag = group.column("deg_is_lo").to_numpy(zero_copy_only=False)
+        deg = group.column("deg").to_numpy(zero_copy_only=False)
+        if len(lo) == 0:
+            return pa.table({
+                "_bucket": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+            })
+        # sort so each pair's two halves are adjacent, lo-degree row
+        # first (flag desc: deg_is_lo=1 sorts first via 1-flag)
+        order = np.lexsort((1 - flag, hi, lo))
+        lo, hi, deg = lo[order], hi[order], deg[order]
+        du = deg[0::2]      # deg_is_lo row
+        dv = deg[1::2]      # the hi endpoint's degree
+        eu, ev = lo[0::2], hi[0::2]
+        # orient from (deg, id)-smaller to larger; eu < ev always,
+        # so ties break toward eu
+        fwd = du <= dv
+        a = np.where(fwd, eu, ev)
+        b = np.where(fwd, ev, eu)
         return pa.table({
             "_bucket": pa.array(
                 bucket_ids(pa.array(a, pa.int64()), n_buckets),
@@ -483,39 +533,48 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
             "b": pa.array(b, pa.int64()),
         })
 
-    oriented = with_both.map_batches(_orient, batch_format="pyarrow")
+    oriented = halves.groupby(
+        "_pb", num_partitions=n_buckets
+    ).map_groups(_orient, batch_format="pyarrow")
 
     def _wedges(group: pa.Table) -> pa.Table:
+        """Per oriented source: all out-neighbor pairs — one triu
+        broadcast per DISTINCT out-degree."""
         a = group.column("a").to_numpy(zero_copy_only=False)
         b = group.column("b").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
+        if len(a) == 0:
+            return pa.table({
+                "_pb": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "is_edge": pa.array([], pa.int64()),
+            })
+        worder = np.lexsort((b, a))
+        a, b = a[worder], b[worder]
         seg = np.ones(len(a), dtype=bool)
         seg[1:] = a[1:] != a[:-1]
         starts = np.flatnonzero(seg)
-        ends = np.concatenate([starts[1:], [len(a)]])
+        lens = np.diff(np.append(starts, len(a)))
         xs, ys = [], []
-        for s0, e0 in zip(starts, ends):
-            k = e0 - s0
-            if k < 2:
+        for kk in np.unique(lens):
+            if kk < 2:
                 continue
-            iu = np.triu_indices(k, 1)
-            xs.append(b[s0 + iu[0]])
-            ys.append(b[s0 + iu[1]])
+            sel = starts[lens == kk]
+            i0, i1 = np.triu_indices(int(kk), 1)
+            xs.append(b[(sel[:, None] + i0[None, :]).ravel()])
+            ys.append(b[(sel[:, None] + i1[None, :]).ravel()])
         if xs:
             x = np.concatenate(xs)
             y = np.concatenate(ys)
-            # wedge pair in canonical (u<v) order: the closing edge
-            # was canonicalized the same way before orientation
-            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            wlo, whi = np.minimum(x, y), np.maximum(x, y)
         else:
-            lo = hi = np.empty(0, dtype=np.int64)
-        k = _pair_key(lo, hi)
+            wlo = whi = np.empty(0, dtype=np.int64)
         return pa.table({
-            "_pb": pa.array(bucket_ids(k, n_buckets), pa.int64()),
-            "pk": k,
+            "_pb": pa.array(_pair_bucket(wlo, whi), pa.int64()),
+            "u": pa.array(wlo, pa.int64()),
+            "v": pa.array(whi, pa.int64()),
             "is_edge": pa.array(
-                np.zeros(len(lo), dtype=np.int64), pa.int64()),
+                np.zeros(len(wlo), dtype=np.int64), pa.int64()),
         })
 
     wedges = oriented.groupby(
@@ -525,10 +584,10 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
     def _edge_keys(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
-        k = _pair_key(u, v)
         return pa.table({
-            "_pb": pa.array(bucket_ids(k, n_buckets), pa.int64()),
-            "pk": k,
+            "_pb": pa.array(_pair_bucket(u, v), pa.int64()),
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
             "is_edge": pa.array(
                 np.ones(len(u), dtype=np.int64), pa.int64()),
         })
@@ -536,16 +595,22 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
     edge_keys = simple.map_batches(_edge_keys, batch_format="pyarrow")
 
     def _close(group: pa.Table) -> pa.Table:
-        is_edge = group.column("is_edge").to_numpy(
-            zero_copy_only=False).astype(bool)
-        pk = group.column("pk").combine_chunks()
-        eset = pk.filter(pa.array(is_edge))
-        wset = pk.filter(pa.array(~is_edge))
-        if not len(wset) or not len(eset):
-            n = 0
-        else:
-            n = int(pc.sum(pc.cast(pc.is_in(
-                wset, value_set=pc.unique(eset)), pa.int64())).as_py())
+        """Sort-merge close: rows group by (u, v) with the single
+        edge row (deduped upstream) sorted first; a group that leads
+        with an edge contributes its wedge-row count."""
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        tag = group.column("is_edge").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        order = np.lexsort((1 - tag, v, u))
+        u, v, tag = u[order], v[order], tag[order]
+        seg = np.ones(len(u), dtype=bool)
+        seg[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(seg)
+        sizes = np.diff(np.append(starts, len(u)))
+        closed = tag[starts] == 1
+        n = int((sizes[closed] - 1).sum())
         return pa.table({"n": pa.array([n], pa.int64())})
 
     counts = wedges.union(edge_keys).groupby(

@@ -2197,15 +2197,17 @@ def q_peak_sessions(sf_dir: str):
 def q_user_retention(sf_dir: str):
     """Retention cohorts: users grouped by FIRST active day, counted
     per day-offset of return — the classic growth-analytics rollup,
-    composed from existing primitives: map-side per-user min-day
-    partials -> tiny user groupby (cohort table), map-side distinct
-    (user, day) pairs -> user-hash repartition join against the
-    cohort table (both sides user-keyed, no broadcast of a
-    user-scale table) -> map-side (cohort, offset) partial combine
-    -> tiny groupby."""
-    from ray.data.aggregate import Count, Min, Sum
+    fused into ONE user-keyed exchange: block-level (user, day)
+    dedup map-side, then a whole-bucket UDF makes the pair set
+    globally distinct (all of a user's rows co-locate), reads each
+    user's cohort as its sorted segment head, computes day offsets,
+    and pre-combines (cohort, offset) counts — the old
+    distinct-groupby / cohort-groupby / repartition-join chain (four
+    barriers, with the pair set re-executed per consumer) collapses
+    into one barrier plus a driver-side (cohorts x offsets) fold."""
+    import numpy as np
 
-    from .stages.join import repartition_join
+    from .functions.hashing import bucket_ids
 
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -2214,67 +2216,75 @@ def q_user_retention(sf_dir: str):
         d = pc.floor_temporal(batch.column("ts"), unit="day")
         sub = pa.table({"user_id": batch.column("user_id"), "d": d})
         agg = sub.group_by(["user_id", "d"]).aggregate([])
-        return agg
-
-    # block-level dedup shrinks the shuffle; the groupby makes the
-    # (user, day) set GLOBALLY distinct (a user-day straddling
-    # blocks must count once, like SQL DISTINCT)
-    pairs = (
-        events.map_batches(_day_pairs, batch_format="pyarrow")
-        .groupby(["user_id", "d"], num_partitions=32)
-        .aggregate(Count())
-        .map_batches(
-            lambda b: pa.table({
-                "user_id": b.column("user_id"),
-                "d": pc.cast(b.column("d"), pa.timestamp("us")),
-            }),
-            batch_format="pyarrow")
-    )
-    cohort = (
-        pairs.groupby("user_id").aggregate(Min("d"))
-        .map_batches(
-            # Ray's Min aggregate can land timestamps at [s]
-            # resolution; normalize back to the engine-wide us unit
-            lambda b: pa.table({
-                "user_id": b.column("user_id"),
-                "c": pc.cast(b.column("min(d)"), pa.timestamp("us")),
-            }),
-            batch_format="pyarrow")
-    )
-    joined = repartition_join(pairs, cohort, on="user_id",
-                              right_cols=["c"], n_buckets=32)
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        d_us = pc.cast(batch.column("d"), pa.int64())
-        c_us = pc.cast(batch.column("c"), pa.int64())
-        off = pc.divide(pc.subtract(d_us, c_us),
-                        pa.scalar(86_400_000_000, pa.int64()))
-        sub = pa.table({
-            "c": batch.column("c"),
-            "day_offset": pc.cast(off, pa.int64()),
-        })
-        agg = sub.group_by(["c", "day_offset"]).aggregate(
-            [([], "count_all")])
+        u = agg.column("user_id")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
         return pa.table({
-            "cohort_day": agg.column("c"),
-            "day_offset": agg.column("day_offset"),
-            "n_users": pc.cast(agg.column("count_all"), pa.int64()),
+            "user_id": u,
+            "d": pc.cast(agg.column("d"), pa.int64()),
+            "_bucket": pa.array(bucket_ids(u, 32), pa.int64()),
         })
 
-    return (
-        joined.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["cohort_day", "day_offset"])
-        .aggregate(Sum("n_users"))
-        .map_batches(
-            lambda b: pa.table({
-                "cohort_day": pc.cast(b.column("cohort_day"),
-                                      pa.timestamp("us")),
-                "day_offset": b.column("day_offset"),
-                "n_users": pc.cast(b.column("sum(n_users)"),
+    _DAY_US = 86_400_000_000
+
+    def _cohort_partials(group: pa.Table) -> pa.Table:
+        from .functions.segments import key_segments
+
+        empty = pa.table({
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([("user_id", "ascending"),
+                           ("d", "ascending")])
+        u = g.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = g.column("d").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # global distinctness: a user-day straddling blocks lands
+        # here twice; keep the first (all of a user's rows co-locate)
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        seg_start, seg_len = key_segments(u)
+        cohort = np.repeat(d[seg_start], seg_len)
+        off = (d - cohort) // _DAY_US
+        # (cohort, offset) partial combine before the tiny groupby;
+        # pack on the cohort DAY INDEX (epoch-us cohorts would
+        # overflow int64 under the *100000 pack)
+        key = (cohort // _DAY_US) * 100_000 + off
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array((uniq // 100_000) * _DAY_US,
                                    pa.int64()),
-            }),
-            batch_format="pyarrow")
+            "day_offset": pa.array(uniq % 100_000, pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    partials = (
+        events.map_batches(_day_pairs, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=32)
+        .map_groups(_cohort_partials, batch_format="pyarrow")
     )
+    # final merge is (cohorts x offsets)-scale — driver fold, not a
+    # distributed aggregate barrier (the tiny-merge pattern)
+    totals: Dict[tuple, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        for c, o, n in zip(b.column("cohort_day").to_pylist(),
+                           b.column("day_offset").to_pylist(),
+                           b.column("n_users").to_pylist()):
+            totals[(c, o)] = totals.get((c, o), 0) + n
+    ks = sorted(totals)
+    return pa.table({
+        "cohort_day": pa.array(
+            np.array([k[0] for k in ks],
+                     dtype="datetime64[us]"), pa.timestamp("us")),
+        "day_offset": pa.array([k[1] for k in ks], pa.int64()),
+        "n_users": pa.array([totals[k] for k in ks], pa.int64()),
+    })
 
 
 def q_triangle_count(sf_dir: str):

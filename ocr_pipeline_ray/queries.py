@@ -2161,6 +2161,43 @@ def q_events_value_zscore(sf_dir: str):
     return events.map_batches(_z, batch_format="pyarrow")
 
 
+def q_interval_coverage(sf_dir: str):
+    """Per-user total covered time over the merged activity islands:
+    one more map pass over `interval_union` output — island blocks
+    are BUCKET-ALIGNED (a user's islands all live in one whole-bucket
+    output block), so a block-local groupby IS the global per-user
+    sum: zero additional shuffles."""
+    iv = q_interval_union(sf_dir)
+
+    def _cover(batch: pa.Table) -> pa.Table:
+        dur = pc.subtract(batch.column("end_us"),
+                          batch.column("start_us"))
+        sub = pa.table({"user_id": batch.column("user_id"),
+                        "covered_us": dur})
+        agg = sub.group_by(["user_id"]).aggregate([("covered_us",
+                                                    "sum")])
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "covered_us": pc.cast(agg.column("covered_us_sum"),
+                                  pa.int64()),
+        })
+
+    return iv.map_batches(_cover, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def q_priority_sample(sf_dir: str):
+    """Weighted exact-k sampling (stages/stats.py
+    ``priority_sample_k``): 100 documents drawn with probability
+    proportional to length via Efraimidis-Spirakis hash-coin
+    priorities — deterministic, dup-safe, layout-independent; local
+    per-block top-k then one tiny candidates sort."""
+    from .stages.stats import priority_sample_k
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return priority_sample_k(docs, 100, "doc_id", "n_chars")
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5047,6 +5084,30 @@ ORACLE_SQL["interval_union"] = (
     "GROUP BY user_id, isl"
 )
 
+ORACLE_SQL["interval_coverage"] = (
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
+    "CAST(floor(value * 1000000.0) AS BIGINT) AS e FROM events "
+    "WHERE value IS NOT NULL), "
+    "o AS (SELECT user_id, s, e, CASE WHEN s > coalesce(max(e) OVER "
+    "(PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING), -9223372036854775808) "
+    "THEN 1 ELSE 0 END AS brk FROM iv), "
+    "g AS (SELECT user_id, s, e, sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM o), "
+    "m AS (SELECT user_id, min(s) AS s, max(e) AS e FROM g "
+    "GROUP BY user_id, isl) "
+    "SELECT user_id, CAST(sum(e - s) AS BIGINT) AS covered_us "
+    "FROM m GROUP BY user_id"
+)
+
+ORACLE_SQL["priority_sample"] = (
+    "WITH p AS (SELECT doc_id, n_chars, "
+    "-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) + 1.0) / 1152921504606846976.0) / n_chars AS pri "
+    "FROM documents WHERE n_chars > 0) "
+    "SELECT doc_id, n_chars FROM p ORDER BY pri, doc_id LIMIT 100"
+)
+
 ORACLE_SQL["bucketed_upsert"] = (
     "WITH delta AS ("
     "SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p, "
@@ -5215,4 +5276,6 @@ QUERIES = {
     "bucketed_upsert": q_bucketed_upsert,
     "interval_union": q_interval_union,
     "events_value_zscore": q_events_value_zscore,
+    "interval_coverage": q_interval_coverage,
+    "priority_sample": q_priority_sample,
 }

@@ -1097,3 +1097,53 @@ def grouped_histogram(ds, key_col: str, value_col: str,
             }),
             batch_format="pyarrow")
     )
+
+
+def priority_sample_k(ds, k: int, key_col: str, weight_col: str):
+    """Deterministic WEIGHTED sample of exactly ``k`` rows —
+    Efraimidis-Spirakis priority sampling (Inf. Proc. Letters 2006)
+    with hash coins: each row draws u = (md5_15(key)+1) / 2^60 and
+    gets priority ``-ln(u) / w``; the k smallest priorities win,
+    giving inclusion probability proportional to weight. No RNG —
+    the coin is a pure function of the key, so the sample is
+    reproducible across runs and block layouts (dup-safe like every
+    sampler here).
+
+    Same two-phase shape as :func:`hash_sample_exact`: a vectorized
+    LOCAL top-k per block (only blocks x k candidates survive), one
+    tiny global sort+limit. Rows with NULL keys, or NULL/non-positive
+    weights, are unsampleable and dropped. Ties (measure-zero) break
+    by key. The priority arithmetic (-ln / divide on float64) is
+    mirrored verbatim by the DuckDB twin; the k-th/k+1-th priority
+    gap is astronomically larger than any libm ulp difference.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    pri_col = "_pri"
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.and_(pc.is_valid(batch.column(weight_col)),
+                    pc.greater(pc.cast(batch.column(weight_col),
+                                       pa.float64()), 0.0))))
+        keys = batch.column(key_col).to_pylist()
+        w = batch.column(weight_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        hv = np.array(
+            [int(hashlib.md5(str(x).encode("utf-8")).hexdigest()[:15],
+                 16) for x in keys], dtype=np.float64)
+        u = (hv + 1.0) / float(1 << 60)
+        pri = -np.log(u) / w
+        order = np.lexsort((np.array(keys), pri))[:k]
+        out = batch.take(pa.array(order, pa.int64()))
+        return out.append_column(
+            pri_col, pa.array(pri[order], pa.float64()))
+
+    cands = ds.map_batches(_local_topk, batch_format="pyarrow")
+    return (
+        cands.sort([pri_col, key_col]).limit(k)
+        .drop_columns([pri_col])
+    )

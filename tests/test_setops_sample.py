@@ -174,3 +174,43 @@ class TestUnionDistinct:
         ).fetchall()), key=repr)
         con.close()
         assert got == want
+
+
+class TestPrioritySampleK:
+    def test_layout_invariant_and_weight_biased(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import priority_sample_k
+
+        n = 4000
+        # half the rows carry 20x the weight
+        tbl = pa.table({
+            "id": pa.array(list(range(n)), pa.int64()),
+            "w": pa.array([20.0 if i % 2 == 0 else 1.0
+                           for i in range(n)], pa.float64()),
+        })
+        outs = []
+        for parts in (1, 7):
+            got = priority_sample_k(
+                ray.data.from_arrow(tbl).repartition(parts),
+                200, "id", "w").to_pandas().sort_values(
+                "id").reset_index(drop=True)
+            outs.append(got)
+        assert outs[0].equals(outs[1])          # layout invariance
+        assert len(outs[0]) == 200              # exact k
+        heavy = (outs[0]["id"] % 2 == 0).sum()
+        assert heavy > 160                      # ~20:1 inclusion bias
+
+    def test_null_and_nonpositive_weights_dropped(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import priority_sample_k
+
+        tbl = pa.table({
+            "id": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "w": pa.array([1.0, 0.0, -2.0, None, 5.0], pa.float64()),
+        })
+        got = priority_sample_k(ray.data.from_arrow(tbl), 10, "id",
+                                "w").to_pandas()
+        assert got["id"].tolist() == [1]

@@ -2198,6 +2198,21 @@ def q_priority_sample(sf_dir: str):
     return priority_sample_k(docs, 100, "doc_id", "n_chars")
 
 
+BM25_QUERY = ["window", "merge", "stream"]
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 lexical top-10 (stages/textstats.py ``bm25_topk``): two
+    shuffle-free scans — query-token corpus stats folded on the
+    driver, then vectorized per-block scoring + local top-k. The
+    SQL twin computes the identical formula (grid-rounded scores,
+    id tie-break)."""
+    from .stages.textstats import bm25_topk
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return bm25_topk(docs, BM25_QUERY, k=10)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5084,6 +5099,31 @@ ORACLE_SQL["interval_union"] = (
     "GROUP BY user_id, isl"
 )
 
+ORACLE_SQL["bm25_search"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split("
+    "coalesce(text, ''), ' ')) AS t FROM documents), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len "
+    "FROM tok GROUP BY doc_id), "
+    "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(len) AS avgdl "
+    "FROM dl), "
+    "tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf "
+    "FROM tok WHERE t IN ('window', 'merge', 'stream') "
+    "GROUP BY doc_id, t), "
+    "df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+    "FROM tf GROUP BY t), "
+    "sc AS (SELECT tf.doc_id, sum("
+    "ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+    "* tf.tf * (1.2 + 1.0) "
+    "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / st.avgdl))"
+    ") AS score "
+    "FROM tf JOIN df USING (t) JOIN dl ON dl.doc_id = tf.doc_id, st "
+    "GROUP BY tf.doc_id) "
+    "SELECT doc_id, floor(score * 1000000.0 + 0.5) / 1000000.0 "
+    "AS score FROM sc "
+    "ORDER BY floor(score * 1000000.0 + 0.5) / 1000000.0 DESC, "
+    "doc_id LIMIT 10"
+)
+
 ORACLE_SQL["interval_coverage"] = (
     "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
     "CAST(floor(value * 1000000.0) AS BIGINT) AS e FROM events "
@@ -5278,4 +5318,5 @@ QUERIES = {
     "events_value_zscore": q_events_value_zscore,
     "interval_coverage": q_interval_coverage,
     "priority_sample": q_priority_sample,
+    "bm25_search": q_bm25_search,
 }

@@ -620,3 +620,93 @@ def regex_extract_fn(batch: pa.Table, col: str, pattern: str,
         )
         out = out.append_column(f"{prefix}{field.name}", aligned)
     return out
+
+
+def bm25_topk(ds, query_tokens, k: int = 10, id_col: str = "doc_id",
+              text_col: str = "text", k1: float = 1.2,
+              b: float = 0.75):
+    """Distributed BM25 top-k search (Robertson & Zaragoza 2009) —
+    the lexical retrieval primitive the embedding ANN path
+    complements. Two scans, no shuffle:
+
+    1. corpus-statistics pass: per block, tiny partials — doc count,
+       total token count, and per-QUERY-token document frequency
+       (vectorized ``pc.equal`` masks + cumsum segment sums; the
+       corpus vocabulary is never materialized, only |query| df
+       cells per block). The driver folds blocks-scale partials into
+       N / avgdl / df and ships the |query|-sized idf table back in
+       the closure.
+    2. scoring pass: per block, per-doc tf of each query token via
+       the same segment sums, the BM25 formula vectorized over the
+       block, scores grid-rounded to the repo-wide 1e-6 contract,
+       LOCAL top-k by (score desc, id) — blocks x k candidates, one
+       tiny global sort+limit.
+
+    Only docs matching >= 1 query token score (SQL-twin parity);
+    ties after grid rounding break by id. idf = ln((N-df+.5)/(df+.5)
+    + 1) — the "plus one" variant that never goes negative.
+    """
+    import math
+
+    import numpy as np
+
+    toks = list(dict.fromkeys(query_tokens))  # dedup, keep order
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets, n_tokens = _token_lists(batch, text_col)
+        cols = {"n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_toks": pa.array([int(n_tokens.sum())], pa.int64())}
+        for i, t in enumerate(toks):
+            tf = _segment_sum(
+                pc.cast(pc.equal(flat, t), pa.int8()).to_numpy(
+                    zero_copy_only=False), offsets)
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())],
+                                      pa.int64())
+        return pa.table(cols)
+
+    n_docs = 0
+    n_toks = 0
+    df = np.zeros(len(toks), dtype=np.int64)
+    for bb in ds.map_batches(
+            _stats_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if not bb.num_rows:
+            continue
+        n_docs += int(pc.sum(bb.column("n_docs")).as_py() or 0)
+        n_toks += int(pc.sum(bb.column("n_toks")).as_py() or 0)
+        for i in range(len(toks)):
+            df[i] += int(pc.sum(bb.column(f"df{i}")).as_py() or 0)
+    if n_docs == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = n_toks / n_docs
+    idf = np.array([
+        math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in df
+    ], dtype=np.float64)
+
+    def _score_local(batch: pa.Table) -> pa.Table:
+        flat, offsets, n_tokens = _token_lists(batch, text_col)
+        dl = n_tokens.astype(np.float64)
+        denom_len = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, t in enumerate(toks):
+            tf = _segment_sum(
+                pc.cast(pc.equal(flat, t), pa.int8()).to_numpy(
+                    zero_copy_only=False), offsets).astype(np.float64)
+            score += idf[i] * tf * (k1 + 1.0) / (tf + denom_len)
+        score = np.floor(score * 1000000.0 + 0.5) / 1000000.0
+        hit = score > 0.0
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)[hit]
+        score = score[hit]
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "score": pa.array(score[order], pa.float64()),
+            "_neg": pa.array(-score[order], pa.float64()),
+        })
+
+    cands = ds.map_batches(_score_local, batch_format="pyarrow")
+    return (
+        cands.sort(["_neg", id_col]).limit(k).drop_columns(["_neg"])
+    )

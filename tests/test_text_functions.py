@@ -415,3 +415,64 @@ class TestRegexExtract:
         ).fetchall()]
         con.close()
         assert got == want == ["12", "", None, "7", ""]
+
+
+class TestBm25Topk:
+    def test_vs_reference_formula(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.textstats import bm25_topk
+
+        docs = [
+            "window merge stream window",
+            "merge merge merge",
+            "stream",
+            "nothing relevant here",
+            "window stream window stream window",
+            "",
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        })
+        toks = ["window", "merge", "stream"]
+        # naive reference
+        lens = [len(d.split(" ")) for d in docs]
+        n, avgdl = len(docs), sum(lens) / len(docs)
+        dfs = {t: sum(1 for d in docs if t in d.split(" "))
+               for t in toks}
+        k1, b = 1.2, 0.75
+        want = {}
+        for i, d in enumerate(docs):
+            s = 0.0
+            for t in toks:
+                tf = d.split(" ").count(t)
+                if tf == 0:
+                    continue
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * lens[i] / avgdl))
+            if s > 0:
+                want[i] = math.floor(s * 1e6 + 0.5) / 1e6
+        expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        for parts in (1, 3):
+            got = bm25_topk(
+                ray.data.from_arrow(tbl).repartition(parts),
+                toks, k=4).to_pandas()
+            assert list(zip(got["doc_id"], got["score"])) == expect[:4]
+
+    def test_no_match_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.textstats import bm25_topk
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b", "c d"], pa.string()),
+        })
+        got = bm25_topk(ray.data.from_arrow(tbl), ["zzz"], k=5)
+        assert got.count() == 0

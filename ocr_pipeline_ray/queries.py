@@ -2213,6 +2213,23 @@ def q_bm25_search(sf_dir: str):
     return bm25_topk(docs, BM25_QUERY, k=10)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered min-time funnel (stages/temporal.py
+    ``funnel_counts``): users completing view -> click -> purchase,
+    each step strictly after the previous step's first occurrence.
+    One user-hash shuffle; per-bucket work is vectorized per STEP
+    (never per user); driver folds steps-scale count partials."""
+    from .stages.temporal import funnel_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return funnel_counts(events, FUNNEL_STEPS, n_buckets=32)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5124,6 +5141,21 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["event_funnel"] = (
+    "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN s0 USING (user_id) WHERE e.event_type = 'click' "
+    "AND e.ts > s0.t GROUP BY e.user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' "
+    "AND e.ts > s1.t GROUP BY e.user_id) "
+    "SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step, "
+    "CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users "
+    "UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1) "
+    "UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)"
+)
+
 ORACLE_SQL["interval_coverage"] = (
     "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
     "CAST(floor(value * 1000000.0) AS BIGINT) AS e FROM events "
@@ -5319,4 +5351,5 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "priority_sample": q_priority_sample,
     "bm25_search": q_bm25_search,
+    "event_funnel": q_event_funnel,
 }

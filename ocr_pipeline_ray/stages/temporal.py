@@ -508,3 +508,85 @@ def interval_union(ds, key_col: str, start_col: str, end_col: str,
     return bucketed.groupby(
         "_kbucket", num_partitions=n_buckets
     ).map_groups(_merge, batch_format="pyarrow")
+
+
+def funnel_counts(ds, steps: List[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  n_buckets: int = 64):
+    """Ordered funnel analysis: how many users completed each PREFIX
+    of ``steps`` in order (each step strictly after the previous
+    step's first occurrence — the classic min-time funnel). Returns
+    one row per step: ``(step_index, step, n_users)``.
+
+    ONE user-hash shuffle; inside each whole-bucket UDF the per-user
+    scan is vectorized per STEP, not per user: for every step, the
+    first qualifying timestamp per user segment comes from one
+    ``np.minimum.reduceat``-style fold over the masked (ts > prev
+    step time) rows; a user that lacks the step gets +inf and drops
+    out of all later prefixes. Python loop count = len(steps), never
+    users. The driver folds per-bucket count partials (steps-scale).
+    """
+
+    def _bucket_fn(group: pa.Table) -> pa.Table:
+        from ..functions.segments import key_segments
+
+        empty = pa.table({
+            "step_index": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([(user_col, "ascending"),
+                           (ts_col, "ascending")])
+        users = g.column(user_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = g.column(ts_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(
+            np.int64)
+        types = g.column(type_col).combine_chunks()
+        seg_start, seg_len = key_segments(users)
+        n_users = len(seg_start)
+        seg_id = np.repeat(np.arange(n_users), seg_len)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n_users, -1, dtype=np.int64)  # ts of last hit
+        counts = []
+        for step in steps:
+            import pyarrow.compute as pc
+
+            mask = pc.equal(types, step).to_numpy(
+                zero_copy_only=False)
+            mask = np.asarray(mask, dtype=bool)
+            # qualifying rows: right type AND strictly after the
+            # user's previous-step time AND user still in the funnel
+            ok = mask & (ts > prev[seg_id]) & (prev[seg_id] != INF)
+            cur = np.full(n_users, INF, dtype=np.int64)
+            idx = np.flatnonzero(ok)
+            if len(idx):
+                # first qualifying ts per user: reverse minimum fold
+                np.minimum.at(cur, seg_id[idx], ts[idx])
+            prev = cur
+            counts.append(int((cur != INF).sum()))
+        return pa.table({
+            "step_index": pa.array(list(range(len(steps))),
+                                   pa.int64()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    bucketed = _bucket_by(
+        ds.select_columns([user_col, ts_col, type_col]),
+        user_col, n_buckets)
+    partials = bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_bucket_fn, batch_format="pyarrow")
+
+    totals = [0] * len(steps)
+    for b in partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        for i, n in zip(b.column("step_index").to_pylist(),
+                        b.column("n_users").to_pylist()):
+            totals[i] += n
+    return pa.table({
+        "step_index": pa.array(list(range(len(steps))), pa.int64()),
+        "step": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(totals, pa.int64()),
+    })

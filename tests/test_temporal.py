@@ -350,3 +350,55 @@ class TestIntervalUnion:
             ["k", "s"]).values.tolist()
         # [0,5]+[5,9] touch -> merge; [2,3] contained; [20,30] apart
         assert got == [[1, 0, 9], [1, 20, 30], [2, 0, 1]]
+
+
+class TestFunnelCounts:
+    def test_ordered_prefix_semantics(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import funnel_counts
+
+        rows = [
+            # user 1 completes A->B->C in order
+            (0, 0, 1, "A", 0.0), (1, 10, 1, "B", 0.0),
+            (2, 20, 1, "C", 0.0),
+            # user 2: B before A, no B after -> stops after A
+            (3, 0, 2, "B", 0.0), (4, 10, 2, "A", 0.0),
+            (5, 20, 2, "C", 0.0),
+            # user 3: A then C only -> stops after A
+            (6, 0, 3, "A", 0.0), (7, 5, 3, "C", 0.0),
+            # user 4: same-instant A and B -> strict > blocks B
+            (8, 0, 4, "A", 0.0), (9, 0, 4, "B", 0.0),
+        ]
+        ds = ray.data.from_arrow(_events(rows)).repartition(3)
+        got = funnel_counts(ds, ["A", "B", "C"], n_buckets=4)
+        assert got.column("n_users").to_pylist() == [4, 1, 1]
+
+    def test_vs_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import funnel_counts
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        rows = [(i, int(rng.integers(0, 10_000)) * US,
+                 int(rng.integers(0, 60)),
+                 ["A", "B", "C"][int(rng.integers(0, 3))], 0.0)
+                for i in range(n)]
+        tbl = _events(rows)
+        want = duckdb.sql(
+            "WITH s0 AS (SELECT user_id, min(ts) AS t FROM tbl "
+            "WHERE event_type='A' GROUP BY user_id), "
+            "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM tbl e "
+            "JOIN s0 USING (user_id) WHERE e.event_type='B' "
+            "AND e.ts > s0.t GROUP BY e.user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM tbl e "
+            "JOIN s1 USING (user_id) WHERE e.event_type='C' "
+            "AND e.ts > s1.t GROUP BY e.user_id) "
+            "SELECT (SELECT count(*) FROM s0), "
+            "(SELECT count(*) FROM s1), "
+            "(SELECT count(*) FROM s2)").fetchone()
+        got = funnel_counts(ray.data.from_arrow(tbl).repartition(5),
+                            ["A", "B", "C"], n_buckets=8)
+        assert got.column("n_users").to_pylist() == list(want)

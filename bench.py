@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "near_dup_incremental",
     "extraction_flagship",
     "extraction_boilerplate", "media_decode", "training_pipeline",
+    # session-3 additions
+    "snapshot_diff_summary", "locf_fill", "bucketed_upsert",
+    "interval_union", "interval_coverage", "events_value_zscore",
+    "priority_sample", "bm25_search", "event_funnel",
 ]
 
 

@@ -2230,6 +2230,20 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(events, FUNNEL_STEPS, n_buckets=32)
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Rolling active users (stages/temporal.py
+    ``sliding_distinct``): distinct users per event_type over a
+    trailing 3-hour window — the exact window-explode + global
+    distinct plan (distinct does NOT decompose into per-hour
+    partials, unlike the sum/count sliding window)."""
+    from .stages.temporal import sliding_distinct
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"])
+    return sliding_distinct(events, window_hours=3, n_buckets=16)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5141,6 +5155,18 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["sliding_distinct_users"] = (
+    "WITH p AS (SELECT DISTINCT event_type AS k, "
+    "date_trunc('hour', ts) AS h, user_id AS u FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+    "anchors AS (SELECT DISTINCT k, h FROM p) "
+    "SELECT a.k AS event_type, a.h AS hour, "
+    "CAST(count(DISTINCT p.u) AS BIGINT) AS n_users_w "
+    "FROM anchors a JOIN p ON p.k = a.k "
+    "AND p.h BETWEEN a.h - INTERVAL 2 HOUR AND a.h "
+    "GROUP BY a.k, a.h"
+)
+
 ORACLE_SQL["event_funnel"] = (
     "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
     "WHERE event_type = 'view' GROUP BY user_id), "
@@ -5352,4 +5378,5 @@ QUERIES = {
     "priority_sample": q_priority_sample,
     "bm25_search": q_bm25_search,
     "event_funnel": q_event_funnel,
+    "sliding_distinct_users": q_sliding_distinct_users,
 }

@@ -590,3 +590,114 @@ def funnel_counts(ds, steps: List[str], user_col: str = "user_id",
         "step": pa.array(list(steps), pa.string()),
         "n_users": pa.array(totals, pa.int64()),
     })
+
+
+def sliding_distinct(ds, key_col: str = "event_type",
+                     ts_col: str = "ts", user_col: str = "user_id",
+                     window_hours: int = 3, n_buckets: int = 16):
+    """Trailing sliding-window DISTINCT count per key (rolling
+    active users): for every present hour, how many distinct users
+    appeared in the trailing ``window_hours`` hours. Unlike
+    :func:`sliding_window_agg`, distinct does NOT decompose into
+    per-hour partials (the same user in two hours must count once) —
+    the standard exact plan is window-explode + global distinct:
+
+    1. map-side dedup to (key, hour, user) triples (block-level);
+    2. each triple replicates to the ``window_hours`` windows it can
+       affect — the explode factor is the window size, the price of
+       exactness (the KMV sketch family is the approximate
+       alternative when windows are huge);
+    3. ONE co-shuffle by (key, window) bucket; whole-bucket sort +
+       boundary masks give exact distinct counts per (key, window).
+       Only windows anchored at an hour where the key actually had
+       an event are emitted (SQL-twin parity).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    _HOUR_US = 3_600_000_000
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        hours = pc.cast(pc.floor_temporal(
+            batch.column(ts_col), unit="hour"), pa.int64())
+        sub = pa.table({
+            "k": batch.column(key_col),
+            "h": hours,
+            "u": batch.column(user_col),
+        })
+        sub = sub.filter(pc.and_(pc.is_valid(sub.column("u")),
+                                 pc.is_valid(sub.column("k"))))
+        ded = sub.group_by(["k", "h", "u"]).aggregate([])
+        n = ded.num_rows
+        k = ded.column("k").combine_chunks()
+        h = ded.column("h").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        u = ded.column("u").combine_chunks()
+        ks, hs, us, anchor = [], [], [], []
+        for w in range(window_hours):
+            ks.append(k)
+            us.append(u)
+            hs.append(h)                      # source hour
+            anchor.append(h + w * _HOUR_US)   # window it affects
+        k_all = pa.concat_arrays([x for x in ks])
+        u_all = pa.concat_arrays([x for x in us])
+        win = np.concatenate(anchor)
+        src = np.concatenate(hs)
+        out = pa.table({
+            "k": k_all,
+            "win": pa.array(win, pa.int64()),
+            "src": pa.array(src, pa.int64()),
+            "u": u_all,
+        })
+        # composite (key, window) bucket
+        kb = bucket_ids(k_all, n_buckets).astype(np.int64)
+        wb = (win // _HOUR_US).astype(np.int64)
+        out = out.append_column(
+            "_bucket",
+            pa.array((kb * 31 + wb) % n_buckets, pa.int64()))
+        return out
+
+    def _count(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.string()),
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_users_w": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([("k", "ascending"), ("win", "ascending"),
+                           ("u", "ascending")])
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        w = g.column("win").to_numpy(zero_copy_only=False)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        new_grp = np.ones(len(k), dtype=bool)
+        new_grp[1:] = (k[1:] != k[:-1]) | (w[1:] != w[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.concatenate([starts[1:], [len(k)]])
+        # distinct users within each (key, window) group
+        new_u = np.ones(len(k), dtype=bool)
+        new_u[1:] = new_grp[1:] | (u[1:] != u[:-1])
+        cs = np.concatenate([[0], np.cumsum(new_u)])
+        n_distinct = cs[ends] - cs[starts]
+        # anchored windows only: the window's own hour must have an
+        # event for this key (src == win for some row in the group)
+        cs_anchor = np.concatenate(
+            [[0], np.cumsum((src == w).astype(np.int64))])
+        anchored = (cs_anchor[ends] - cs_anchor[starts]) > 0
+        sel = anchored
+        return pa.table({
+            key_col: pa.array(k[starts[sel]]),
+            "hour": pa.array(
+                w[starts[sel]].astype("datetime64[us]"),
+                pa.timestamp("us")),
+            "n_users_w": pa.array(n_distinct[sel], pa.int64()),
+        })
+
+    exploded = ds.select_columns(
+        [key_col, ts_col, user_col]
+    ).map_batches(_explode, batch_format="pyarrow")
+    return exploded.groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_count, batch_format="pyarrow")

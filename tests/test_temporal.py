@@ -402,3 +402,55 @@ class TestFunnelCounts:
         got = funnel_counts(ray.data.from_arrow(tbl).repartition(5),
                             ["A", "B", "C"], n_buckets=8)
         assert got.column("n_users").to_pylist() == list(want)
+
+
+class TestSlidingDistinct:
+    def test_distinct_not_sum(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import sliding_distinct
+
+        rows = [
+            # user 1 in hours 0 and 1: window at hour 1 must count
+            # them ONCE (sum-of-hourly-distinct would say 2)
+            (0, 0, 1, "x", 0.0), (1, 1 * HOUR, 1, "x", 0.0),
+            (2, 1 * HOUR, 2, "x", 0.0),
+            # hour 5: outside hour-1's window; fresh anchor
+            (3, 5 * HOUR, 1, "x", 0.0),
+            (4, 0, 9, "y", 0.0),
+        ]
+        ds = ray.data.from_arrow(_events(rows)).repartition(3)
+        got = {(r["event_type"], r["hour"].hour): r["n_users_w"]
+               for r in sliding_distinct(
+                   ds, window_hours=3, n_buckets=4).take_all()}
+        assert got == {("x", 0): 1, ("x", 1): 2, ("x", 5): 1,
+                       ("y", 0): 1}
+
+    def test_vs_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import sliding_distinct
+
+        rng = np.random.default_rng(9)
+        n = 2500
+        rows = [(i, int(rng.integers(0, 12)) * HOUR
+                 + int(rng.integers(0, 60)) * MIN,
+                 int(rng.integers(0, 25)),
+                 ["x", "y"][int(rng.integers(0, 2))], 0.0)
+                for i in range(n)]
+        tbl = _events(rows)
+        want = duckdb.sql(
+            "WITH p AS (SELECT DISTINCT event_type AS k, "
+            "date_trunc('hour', ts) AS h, user_id AS u FROM tbl), "
+            "anchors AS (SELECT DISTINCT k, h FROM p) "
+            "SELECT a.k, a.h, count(DISTINCT p.u) FROM anchors a "
+            "JOIN p ON p.k = a.k AND p.h BETWEEN "
+            "a.h - INTERVAL 2 HOUR AND a.h GROUP BY a.k, a.h "
+            "ORDER BY a.k, a.h").fetchall()
+        got = sorted(
+            (r["event_type"], r["hour"], r["n_users_w"])
+            for r in sliding_distinct(
+                ray.data.from_arrow(tbl).repartition(4),
+                window_hours=3, n_buckets=8).take_all())
+        assert got == [(k, h, int(c)) for k, h, c in want]

@@ -2244,6 +2244,50 @@ def q_sliding_distinct_users(sf_dir: str):
     return sliding_distinct(events, window_hours=3, n_buckets=16)
 
 
+def q_join_size_estimate(sf_dir: str):
+    """Join-cardinality statistics BEFORE paying for the join (the
+    optimizer primitive): exact |orders JOIN customer| from one
+    (key, count, side) partial exchange (stages/stats.py
+    ``join_size_exact``), plus the Count-Min inner-product upper
+    bound (``cms_inner_product``) from two 4x1024 sketches built by
+    the existing ``cms_sketch`` over the stringified keys — both
+    deterministic integers, both oracle-pinned."""
+    from .stages.stats import (cms_inner_product, cms_sketch,
+                               join_size_exact)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    exact = join_size_exact(orders, cust, "o_custkey", "c_custkey",
+                            n_buckets=32)
+
+    def _as_text(col: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "text": pc.cast(batch.column(col), pa.string()),
+            })
+        return _fn
+
+    def _collect(ds) -> pa.Table:
+        parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+                 if b.num_rows]
+        return pa.concat_tables(parts)
+
+    sk_a = _collect(cms_sketch(
+        orders.map_batches(_as_text("o_custkey"),
+                           batch_format="pyarrow")))
+    sk_b = _collect(cms_sketch(
+        cust.map_batches(_as_text("c_custkey"),
+                         batch_format="pyarrow")))
+    est = cms_inner_product(sk_a, sk_b)
+    return pa.table({
+        "n_join_rows": exact.column("n_join_rows"),
+        "cms_estimate": pa.array([est], pa.int64()),
+    })
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5167,6 +5211,28 @@ ORACLE_SQL["sliding_distinct_users"] = (
     "GROUP BY a.k, a.h"
 )
 
+ORACLE_SQL["join_size_estimate"] = (
+    "WITH ca AS (WITH tok AS (SELECT CAST(o_custkey AS VARCHAR) "
+    "AS t FROM orders WHERE o_custkey IS NOT NULL), "
+    "rows AS (SELECT r, CAST(CAST(('0x' || substr(md5(t), "
+    "1 + 8 * r, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b "
+    "FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(r)) "
+    "SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM rows "
+    "GROUP BY r, b), "
+    "cb AS (WITH tok AS (SELECT CAST(c_custkey AS VARCHAR) AS t "
+    "FROM customer WHERE c_custkey IS NOT NULL), "
+    "rows AS (SELECT r, CAST(CAST(('0x' || substr(md5(t), "
+    "1 + 8 * r, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b "
+    "FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(r)) "
+    "SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM rows "
+    "GROUP BY r, b), "
+    "prods AS (SELECT ca.r, sum(ca.c * cb.c) AS p FROM ca "
+    "JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY ca.r) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders "
+    "JOIN customer ON o_custkey = c_custkey) AS n_join_rows, "
+    "(SELECT CAST(min(p) AS BIGINT) FROM prods) AS cms_estimate"
+)
+
 ORACLE_SQL["event_funnel"] = (
     "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
     "WHERE event_type = 'view' GROUP BY user_id), "
@@ -5379,4 +5445,5 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "event_funnel": q_event_funnel,
     "sliding_distinct_users": q_sliding_distinct_users,
+    "join_size_estimate": q_join_size_estimate,
 }

@@ -1147,3 +1147,89 @@ def priority_sample_k(ds, k: int, key_col: str, weight_col: str):
         cands.sort([pri_col, key_col]).limit(k)
         .drop_columns([pri_col])
     )
+
+
+def join_size_exact(left, right, left_key: str, right_key: str,
+                    n_buckets: int = 64) -> pa.Table:
+    """EXACT inner-join output cardinality |A JOIN B| = sum over
+    keys of count_A(k) * count_B(k) — the optimizer statistic you
+    compute BEFORE paying for the join itself. ONE exchange of
+    (key, count, side) block partials (map-side combine: a key
+    enters the shuffle once per block, never once per row);
+    whole-bucket boundary masks multiply the two sides' per-key
+    totals; the driver folds bucket-scale partial sums. NULL keys
+    match nothing (SQL semantics)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    def _partial(key_col: str, side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            keys = keys.drop_null()
+            vc = pc.value_counts(keys)
+            k = vc.field("values")
+            return pa.table({
+                "_bucket": pa.array(bucket_ids(k, n_buckets),
+                                    pa.int64()),
+                "k": pc.cast(k, pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "side": pa.array([side] * len(k), pa.int8()),
+            })
+        return _fn
+
+    tagged = left.map_batches(
+        _partial(left_key, 0), batch_format="pyarrow"
+    ).union(right.map_batches(
+        _partial(right_key, 1), batch_format="pyarrow"))
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"s": pa.array([0], pa.int64())})
+        g = group.sort_by([("k", "ascending")])
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        na = np.add.reduceat(np.where(side == 0, n, 0), starts)
+        nb = np.add.reduceat(np.where(side == 1, n, 0), starts)
+        # reduceat quirk: empty slices impossible here (starts from
+        # flatnonzero of a non-empty array)
+        del ends
+        return pa.table({
+            "s": pa.array([int((na * nb).sum())], pa.int64()),
+        })
+
+    total = 0
+    for b in tagged.groupby(
+            "_bucket", num_partitions=n_buckets).map_groups(
+            _bucket, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            import pyarrow.compute as pc2
+            total += int(pc2.sum(b.column("s")).as_py() or 0)
+    return pa.table({"n_join_rows": pa.array([total], pa.int64())})
+
+
+def cms_inner_product(sketch_a: pa.Table, sketch_b: pa.Table,
+                      width: int = 1024, depth: int = 4) -> int:
+    """Join-size ESTIMATE from two :func:`cms_sketch` tables:
+    ``min_r sum_b cmsA[r][b] * cmsB[r][b]`` — the classic Count-Min
+    inner-product upper bound on ``sum_v fA(v) * fB(v)`` (Cormode &
+    Muthukrishnan 2005, §4.2). Driver-side: the sketches are
+    depth x width counters; deterministic integer math, so the
+    estimate itself is oracle-pinnable."""
+
+    def _mat(sk: pa.Table) -> np.ndarray:
+        m = np.zeros((depth, width), dtype=np.int64)
+        m[sk.column("r").to_numpy(zero_copy_only=False),
+          sk.column("b").to_numpy(zero_copy_only=False)] = \
+            sk.column("c").to_numpy(zero_copy_only=False)
+        return m
+
+    a, b = _mat(sketch_a), _mat(sketch_b)
+    return int(min(int((a[r] * b[r]).sum()) for r in range(depth)))

@@ -815,3 +815,61 @@ class TestKeySkewStats:
         assert got["max_count"] == 100
         assert got["p50_count"] == 10
         assert got["top_share_ppm"] == 100 * 1_000_000 // 190
+
+
+class TestJoinSize:
+    def test_exact_matches_sql_and_layouts(self, ray_session):
+        import duckdb
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import join_size_exact
+
+        rng = np.random.default_rng(3)
+        a = pa.table({"k": pa.array(
+            rng.integers(0, 30, 500), pa.int64())})
+        b = pa.table({"k": pa.array(
+            np.concatenate([rng.integers(0, 30, 200),
+                            np.array([999])]), pa.int64())})
+        want = duckdb.sql(
+            "SELECT count(*) FROM a JOIN b ON a.k = b.k").fetchone()[0]
+        for parts in (1, 5):
+            got = join_size_exact(
+                ray.data.from_arrow(a).repartition(parts),
+                ray.data.from_arrow(b).repartition(2),
+                "k", "k", n_buckets=8)
+            assert got.column("n_join_rows").to_pylist() == [want]
+
+    def test_cms_inner_product_upper_bound(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import (cms_inner_product,
+                                                   cms_sketch,
+                                                   join_size_exact)
+
+        rng = np.random.default_rng(4)
+        a = pa.table({"k": pa.array(rng.integers(0, 50, 800),
+                                    pa.int64())})
+        b = pa.table({"k": pa.array(rng.integers(0, 50, 300),
+                                    pa.int64())})
+
+        def _txt(t):
+            return pa.table({"text": pa.array(
+                [str(x) for x in t.column("k").to_pylist()],
+                pa.string())})
+
+        def _collect(ds):
+            return pa.concat_tables(
+                [x for x in ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+                 if x.num_rows])
+
+        ska = _collect(cms_sketch(ray.data.from_arrow(_txt(a))))
+        skb = _collect(cms_sketch(ray.data.from_arrow(_txt(b))))
+        est = cms_inner_product(ska, skb)
+        exact = join_size_exact(
+            ray.data.from_arrow(a), ray.data.from_arrow(b),
+            "k", "k").column("n_join_rows").to_pylist()[0]
+        assert est >= exact          # overestimate-only
+        assert est <= exact * 2      # tight at this width

@@ -849,6 +849,43 @@ def q_dup_clusters(sf_dir: str):
     return cl.map_batches(_fin, batch_format="pyarrow").sort("doc_id")
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-SIZE histogram: how many clusters of each
+    size the corpus carries — the dedup-audit rollup an operator
+    reads before deciding thresholds ("are dups pairs, or giant
+    templates?"). Composition: connected components over the MinHash
+    pairs, then a (cluster -> size -> histogram) double partial
+    combine — both aggregates are cluster-member-scale, the corpus
+    never moves."""
+    from ray.data.aggregate import Count
+
+    from .stages.cluster import connected_components
+
+    cl = connected_components(minhash_dup_pairs(_docs(sf_dir)),
+                              a_col="d1", b_col="d2")
+    sizes = cl.groupby("cluster").aggregate(Count())
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("count()"))
+        return pa.table({
+            "cluster_size": pc.cast(vc.field("values"), pa.int64()),
+            "n_clusters": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    out = sizes.map_batches(_hist, batch_format="pyarrow")
+    totals: Dict[int, int] = {}
+    for b in out.iter_batches(batch_format="pyarrow",
+                              batch_size=None):
+        for s, n in zip(b.column("cluster_size").to_pylist(),
+                        b.column("n_clusters").to_pylist()):
+            totals[s] = totals.get(s, 0) + n
+    ks = sorted(totals)
+    return pa.table({
+        "cluster_size": pa.array(ks, pa.int64()),
+        "n_clusters": pa.array([totals[s] for s in ks], pa.int64()),
+    })
+
+
 def q_dedup_canonical(sf_dir: str):
     """Corpus survivors after near-dup clustering: ONE canonical
     (min-id) document per cluster, all unclustered docs kept.
@@ -2285,6 +2322,108 @@ def q_join_size_estimate(sf_dir: str):
     return pa.table({
         "n_join_rows": exact.column("n_join_rows"),
         "cms_estimate": pa.array([est], pa.int64()),
+    })
+
+
+def q_collocations(sf_dir: str):
+    """PMI collocations: top-20 adjacent token pairs by pointwise
+    mutual information (pair count >= 5) — the statistic behind
+    multi-word-expression mining. One pairs exchange (map-side
+    Counter partials -> groupby sum, the token_pair_counts shape);
+    totals fold from tiny per-block partials; the qualifying pairs
+    (count >= 5) are collection-scale by construction, so their
+    unigram counts come from a second filtered scan (qualifying
+    token set broadcast in the closure) and the PMI math runs on the
+    driver over qualifying-pairs rows only."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    MIN_PAIR = 5
+    docs = _docs(sf_dir, ["text"])
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        n_pairs = 0
+        n_toks = 0
+        for text in batch.column("text").to_pylist():
+            toks = (text or "").split(" ")
+            n_toks += len(toks)
+            n_pairs += max(0, len(toks) - 1)
+            for a, b in zip(toks, toks[1:]):
+                key = a + "\x1f" + b
+                counts[key] = counts.get(key, 0) + 1
+        # sentinel row (no \x1f, n=0) carries the block totals even
+        # when the block produced no pairs; MIN_PAIR filters it out
+        keys = list(counts.keys()) + ["\x1e"]
+        ns = list(counts.values()) + [0]
+        np_col = [0] * (len(keys) - 1) + [n_pairs]
+        nu_col = [0] * (len(keys) - 1) + [n_toks]
+        return pa.table({
+            "pair": pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "np_": pa.array(np_col, pa.int64()),
+            "nu_": pa.array(nu_col, pa.int64()),
+        })
+
+    agg = docs.map_batches(
+        _pair_partial, batch_format="pyarrow"
+    ).groupby("pair").aggregate(Sum("n"), Sum("np_"), Sum("nu_"))
+
+    pairs: Dict[str, int] = {}
+    n_pairs_total = 0
+    n_toks_total = 0
+    for b in agg.iter_batches(batch_format="pyarrow",
+                              batch_size=None):
+        for p, n in zip(b.column("pair").to_pylist(),
+                        pc.cast(b.column("sum(n)"),
+                                pa.int64()).to_pylist()):
+            if n >= MIN_PAIR:
+                pairs[p] = n
+        n_pairs_total += int(pc.sum(b.column("sum(np_)")).as_py() or 0)
+        n_toks_total += int(pc.sum(b.column("sum(nu_)")).as_py() or 0)
+
+    qual_tokens = set()
+    for p in pairs:
+        a, b2 = p.split("\x1f", 1)
+        qual_tokens.add(a)
+        qual_tokens.add(b2)
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for t in (text or "").split(" "):
+                if t in qual_tokens:
+                    counts[t] = counts.get(t, 0) + 1
+        return pa.table({
+            "t": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    uni: Dict[str, int] = {}
+    for b in docs.map_batches(
+            _uni_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for t, c in zip(b.column("t").to_pylist(),
+                        b.column("c").to_pylist()):
+            uni[t] = uni.get(t, 0) + c
+
+    np_f = float(n_pairs_total)
+    nu_f = float(n_toks_total)
+    rows = []
+    for p, c_ab in pairs.items():
+        a, b2 = p.split("\x1f", 1)
+        pmi = math.log(
+            (c_ab / np_f) / ((uni[a] / nu_f) * (uni[b2] / nu_f)))
+        pmi = math.floor(pmi * 1000000.0 + 0.5) / 1000000.0
+        rows.append((a, b2, c_ab, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:20]
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.string()),
+        "b": pa.array([r[1] for r in rows], pa.string()),
+        "n_pair": pa.array([r[2] for r in rows], pa.int64()),
+        "pmi": pa.array([r[3] for r in rows], pa.float64()),
     })
 
 
@@ -5211,6 +5350,37 @@ ORACLE_SQL["sliding_distinct_users"] = (
     "GROUP BY a.k, a.h"
 )
 
+ORACLE_SQL["collocations"] = (
+    "WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') "
+    "AS toks FROM documents), "
+    "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM "
+    "(SELECT unnest(toks) AS t FROM toks) GROUP BY t), "
+    "nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni), "
+    "pr AS (SELECT unnest(list_transform("
+    "generate_series(1, len(toks) - 1), i -> toks[i])) AS a, "
+    "unnest(list_transform(generate_series(1, len(toks) - 1), "
+    "i -> toks[i+1])) AS b FROM toks), "
+    "pairs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM pr "
+    "GROUP BY a, b), "
+    "np AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM pairs), "
+    "sc AS (SELECT p.a, p.b, p.c AS n_pair, "
+    "floor(ln((p.c / np.n) / ((ua.c / nu.n) * (ub.c / nu.n))) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS pmi "
+    "FROM pairs p JOIN uni ua ON ua.t = p.a "
+    "JOIN uni ub ON ub.t = p.b, np, nu WHERE p.c >= 5) "
+    "SELECT a, b, n_pair, pmi FROM sc "
+    "ORDER BY pmi DESC, a, b LIMIT 20"
+)
+
+ORACLE_SQL["dup_cluster_sizes"] = (
+    "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+    + CC_CTE +
+    ", sizes AS (SELECT cluster_id, count(*) AS s FROM clusters "
+    "GROUP BY cluster_id) "
+    "SELECT CAST(s AS BIGINT) AS cluster_size, "
+    "CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY s"
+)
+
 ORACLE_SQL["join_size_estimate"] = (
     "WITH ca AS (WITH tok AS (SELECT CAST(o_custkey AS VARCHAR) "
     "AS t FROM orders WHERE o_custkey IS NOT NULL), "
@@ -5446,4 +5616,6 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "sliding_distinct_users": q_sliding_distinct_users,
     "join_size_estimate": q_join_size_estimate,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "collocations": q_collocations,
 }

@@ -140,6 +140,15 @@ def main(argv=None) -> int:
     parser.add_argument("--logdir", default=None,
                         help="write a dated run log file here (the "
                              "reference's init_logger analogue)")
+    parser.add_argument("--training-data", action="store_true",
+                        help="after extraction, run the training-data "
+                             "tail: quality gate (--min-ratio) -> exact "
+                             "content dedup (first-wins by url) -> "
+                             "content-hash 90/5/5 split -> "
+                             "out/training/split=*/ parquet")
+    parser.add_argument("--min-ratio", type=float, default=50.0,
+                        help="quality gate for --training-data "
+                             "(keep hit_ratio >= this; default 50)")
     args = parser.parse_args(argv)
 
     log = _init_logger(args.logdir)
@@ -241,7 +250,63 @@ def main(argv=None) -> int:
 
     if args.report or args.report_parts:
         _write_report(args.out, parts=args.report_parts)
+    if args.training_data:
+        _write_training_data(args.out, args.min_ratio, log)
     return 0
+
+
+def _write_training_data(out_root: str, min_ratio: float, log) -> None:
+    """The training-data tail over the extraction output: quality
+    gate -> exact content dedup (one bucketed keep-first shuffle on
+    the content hash, url order breaking ties) -> deterministic
+    content-hash 90/5/5 split -> Hive `split=` parquet under
+    ``out/training`` (resumable units = split dirs; the same chain
+    the oracle-checked `training_pipeline` query pins at sf scale).
+    Reads are pruned to the three columns the tail needs."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ocr_pipeline_ray.stages.dedup import dedup_first
+
+    pattern = sorted(
+        globmod.glob(os.path.join(out_root, "pid=*", "*.parquet"))
+    )
+    ds = ray.data.read_parquet(
+        pattern, columns=["url", "extracted_text", "hit_ratio"])
+    thr = float(min_ratio)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("hit_ratio"), thr))
+
+    gated = ds.map_batches(_gate, batch_format="pyarrow")
+
+    def _fingerprint(batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+               for t in texts]
+        return batch.append_column("fp", pa.array(fps, pa.string()))
+
+    deduped = dedup_first(
+        gated.map_batches(_fingerprint, batch_format="pyarrow"),
+        key_col="fp", order_col="url")
+
+    def _split(batch: pa.Table) -> pa.Table:
+        fps = batch.column("fp").to_pylist()
+        buckets = [int(f[:8], 16) % 100 for f in fps]
+        splits = ["train" if b < 90 else ("val" if b < 95 else "test")
+                  for b in buckets]
+        return batch.drop_columns(["fp"]).append_column(
+            "split", pa.array(splits, pa.string()))
+
+    out_dir = os.path.join(out_root, "training")
+    deduped.map_batches(_split, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["split"])
+    log.info("training data → %s", out_dir)
+    print(f"training data → {out_dir}")
 
 
 def _init_logger(logdir):

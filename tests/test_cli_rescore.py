@@ -333,3 +333,39 @@ class TestCliJsonlFormat:
         # resume: staging + all partitions reused
         rc = main([wire, "-o", out_j, "--format", "jsonl"])
         assert rc == 0
+
+
+class TestCliTrainingData:
+    def test_training_tail_end_to_end(self, ray_session, small_corpus,
+                                      tmp_path):
+        import duckdb
+
+        out = str(tmp_path / "out")
+        rc = main([*small_corpus, "-o", out, "--training-data",
+                   "--min-ratio", "50"])
+        assert rc == 0
+        con = duckdb.connect()
+        got = con.execute(
+            "SELECT count(*), count(DISTINCT md5(coalesce("
+            "extracted_text, ''))) FROM "
+            f"read_parquet('{out}/training/*/*.parquet', "
+            "hive_partitioning=1)").fetchone()
+        n_rows, n_distinct = got
+        assert n_rows == n_distinct          # exact dedup held
+        # gate: every surviving row satisfies the quality threshold
+        bad = con.execute(
+            "SELECT count(*) FROM "
+            f"read_parquet('{out}/training/*/*.parquet', "
+            "hive_partitioning=1) WHERE hit_ratio < 50").fetchone()[0]
+        assert bad == 0
+        # split column matches the content-hash rule
+        mism = con.execute(
+            "WITH t AS (SELECT split, CAST(('0x' || substr(md5("
+            "coalesce(extracted_text, '')), 1, 8)) AS UBIGINT) % 100 "
+            "AS b FROM "
+            f"read_parquet('{out}/training/*/*.parquet', "
+            "hive_partitioning=1)) SELECT count(*) FROM t WHERE "
+            "split <> CASE WHEN b < 90 THEN 'train' "
+            "WHEN b < 95 THEN 'val' ELSE 'test' END").fetchone()[0]
+        assert mism == 0
+        con.close()

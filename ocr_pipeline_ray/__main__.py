@@ -260,10 +260,14 @@ def _write_training_data(out_root: str, min_ratio: float, log) -> None:
     gate -> exact content dedup (one bucketed keep-first shuffle on
     the content hash, url order breaking ties) -> deterministic
     content-hash 90/5/5 split -> Hive `split=` parquet under
-    ``out/training`` (resumable units = split dirs; the same chain
-    the oracle-checked `training_pipeline` query pins at sf scale).
-    Reads are pruned to the three columns the tail needs."""
+    ``out/training`` (the same chain the oracle-checked
+    `training_pipeline` query pins at sf scale). The tail is
+    deterministic, so rerunning REPLACES the training dir (a partial
+    dir from a killed run never survives into the next); the
+    extraction stage upstream stays resumable per partition. Reads
+    are pruned to the three columns the tail needs."""
     import hashlib
+    import shutil
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -303,6 +307,7 @@ def _write_training_data(out_root: str, min_ratio: float, log) -> None:
             "split", pa.array(splits, pa.string()))
 
     out_dir = os.path.join(out_root, "training")
+    shutil.rmtree(out_dir, ignore_errors=True)  # rerun = replace
     deduped.map_batches(_split, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["split"])
     log.info("training data → %s", out_dir)

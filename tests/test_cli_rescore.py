@@ -369,3 +369,19 @@ class TestCliTrainingData:
             "WHEN b < 95 THEN 'val' ELSE 'test' END").fetchone()[0]
         assert mism == 0
         con.close()
+
+    def test_rerun_replaces_not_appends(self, ray_session,
+                                        small_corpus, tmp_path):
+        import duckdb
+
+        out = str(tmp_path / "out2")
+        assert main([*small_corpus, "-o", out, "--training-data"]) == 0
+        con = duckdb.connect()
+        q = (f"SELECT count(*) FROM read_parquet("
+             f"'{out}/training/*/*.parquet', hive_partitioning=1)")
+        n1 = con.execute(q).fetchone()[0]
+        # second run: extraction resumes (skips), tail replaces
+        assert main([*small_corpus, "-o", out, "--training-data"]) == 0
+        n2 = con.execute(q).fetchone()[0]
+        con.close()
+        assert n1 == n2

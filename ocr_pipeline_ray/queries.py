@@ -2427,6 +2427,74 @@ def q_collocations(sf_dir: str):
     })
 
 
+def q_event_funnel_windowed(sf_dir: str):
+    """Windowed funnel: view -> click -> purchase where each
+    conversion must land within 6 hours of the previous step's first
+    occurrence (`funnel_counts(within_hours=6)`) — the
+    bounded-conversion variant of `event_funnel`."""
+    from .stages.temporal import funnel_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return funnel_counts(events, FUNNEL_STEPS, n_buckets=32,
+                         within_hours=6)
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (grouped vector mean — the
+    semantic-clustering / class-prototype primitive and the kmeans
+    update step exposed as a query): per block, one zero-copy
+    matrix view + `np.add.at` over label codes gives (label,
+    sum-vector, n) partials; the driver folds labels-scale partials
+    and emits (label, d, mean) rows on the repo-wide 1e-6 grid."""
+    import numpy as np
+
+    from .stages.similarity import _to_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["label", "embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch.column("embedding")).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        dim = mat.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "d": pa.array(np.tile(np.arange(dim), len(uniq)),
+                          pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim).astype(np.int64),
+                          pa.int64()),
+        })
+
+    sums: Dict[tuple, float] = {}
+    ns: Dict[tuple, int] = {}
+    for b in ds.map_batches(
+            _partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for lb, d, s, n in zip(b.column("label").to_pylist(),
+                               b.column("d").to_pylist(),
+                               b.column("s").to_pylist(),
+                               b.column("n").to_pylist()):
+            sums[(lb, d)] = sums.get((lb, d), 0.0) + s
+            ns[(lb, d)] = ns.get((lb, d), 0) + n
+    ks = sorted(sums)
+    means = [math.floor(sums[k] / ns[k] * 1000000.0 + 0.5) / 1000000.0
+             for k in ks]
+    return pa.table({
+        "label": pa.array([k[0] for k in ks], pa.int64()),
+        "d": pa.array([k[1] for k in ks], pa.int64()),
+        "mean": pa.array(means, pa.float64()),
+    })
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5338,6 +5406,31 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["label_centroids"] = (
+    "SELECT CAST(label AS BIGINT) AS label, d, "
+    "floor(avg(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 "
+    "AS mean FROM (SELECT label, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) - 1 AS d FROM embeddings) "
+    "GROUP BY 1, 2"
+)
+
+ORACLE_SQL["event_funnel_windowed"] = (
+    "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN s0 USING (user_id) WHERE e.event_type = 'click' "
+    "AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 6 HOUR "
+    "GROUP BY e.user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' "
+    "AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 6 HOUR "
+    "GROUP BY e.user_id) "
+    "SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step, "
+    "CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users "
+    "UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1) "
+    "UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)"
+)
+
 ORACLE_SQL["sliding_distinct_users"] = (
     "WITH p AS (SELECT DISTINCT event_type AS k, "
     "date_trunc('hour', ts) AS h, user_id AS u FROM events "
@@ -5618,4 +5711,6 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "collocations": q_collocations,
+    "event_funnel_windowed": q_event_funnel_windowed,
+    "label_centroids": q_label_centroids,
 }

@@ -13,7 +13,7 @@ numpy segment math inside each whole-bucket UDF.
 from __future__ import annotations
 
 import math
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -512,11 +512,16 @@ def interval_union(ds, key_col: str, start_col: str, end_col: str,
 
 def funnel_counts(ds, steps: List[str], user_col: str = "user_id",
                   ts_col: str = "ts", type_col: str = "event_type",
-                  n_buckets: int = 64):
+                  n_buckets: int = 64,
+                  within_hours: Optional[float] = None):
     """Ordered funnel analysis: how many users completed each PREFIX
     of ``steps`` in order (each step strictly after the previous
     step's first occurrence — the classic min-time funnel). Returns
     one row per step: ``(step_index, step, n_users)``.
+
+    ``within_hours`` additionally bounds each conversion: step i+1
+    must land at most that long after step i's first occurrence (the
+    windowed-funnel variant — "purchased within 24h of the click").
 
     ONE user-hash shuffle; inside each whole-bucket UDF the per-user
     scan is vectorized per STEP, not per user: for every step, the
@@ -550,7 +555,7 @@ def funnel_counts(ds, steps: List[str], user_col: str = "user_id",
         INF = np.iinfo(np.int64).max
         prev = np.full(n_users, -1, dtype=np.int64)  # ts of last hit
         counts = []
-        for step in steps:
+        for si, step in enumerate(steps):
             import pyarrow.compute as pc
 
             mask = pc.equal(types, step).to_numpy(
@@ -559,6 +564,9 @@ def funnel_counts(ds, steps: List[str], user_col: str = "user_id",
             # qualifying rows: right type AND strictly after the
             # user's previous-step time AND user still in the funnel
             ok = mask & (ts > prev[seg_id]) & (prev[seg_id] != INF)
+            if within_hours is not None and si > 0:
+                bound = int(within_hours * 3_600_000_000)
+                ok &= ts <= prev[seg_id] + bound
             cur = np.full(n_users, INF, dtype=np.int64)
             idx = np.flatnonzero(ok)
             if len(idx):

@@ -454,3 +454,26 @@ class TestSlidingDistinct:
                 ray.data.from_arrow(tbl).repartition(4),
                 window_hours=3, n_buckets=8).take_all())
         assert got == [(k, h, int(c)) for k, h, c in want]
+
+
+class TestFunnelWindowed:
+    def test_window_bound_blocks_late_conversion(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import funnel_counts
+
+        rows = [
+            # user 1: B exactly at the bound (counts), C too late
+            (0, 0, 1, "A", 0.0), (1, 2 * HOUR, 1, "B", 0.0),
+            (2, 5 * HOUR, 1, "C", 0.0),
+            # user 2: all within bounds
+            (3, 0, 2, "A", 0.0), (4, 1 * HOUR, 2, "B", 0.0),
+            (5, 2 * HOUR, 2, "C", 0.0),
+        ]
+        ds = ray.data.from_arrow(_events(rows))
+        got = funnel_counts(ds, ["A", "B", "C"], n_buckets=4,
+                            within_hours=2)
+        assert got.column("n_users").to_pylist() == [2, 2, 1]
+        # unwindowed: user 1's late C also converts
+        got2 = funnel_counts(ds, ["A", "B", "C"], n_buckets=4)
+        assert got2.column("n_users").to_pylist() == [2, 2, 2]

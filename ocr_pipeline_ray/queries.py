@@ -751,6 +751,16 @@ def q_jaccard_dup_pairs(sf_dir: str):
     return jaccard_dup_pairs(_docs(sf_dir))
 
 
+def q_containment_pairs(sf_dir: str):
+    """MinHash candidates re-scored by exact shingle CONTAINMENT
+    |A∩B| / min(|A|,|B|) >= 0.9 — the asymmetric-overlap detector
+    (a short doc quoted inside a long one scores 1.0 where Jaccard
+    stays small). Same distributed verification machinery as
+    `jaccard_dup_pairs`, metric switched."""
+    return jaccard_dup_pairs(_docs(sf_dir), threshold=0.9,
+                             metric="containment")
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup: a NEW batch (odd doc_ids) kept only
     where its content fingerprint is absent from the EXISTING corpus
@@ -4850,6 +4860,18 @@ ORACLE_SQL: Dict[str, str] = {
         "(SELECT node FROM clusters WHERE node != cluster_id) "
         "ORDER BY d.doc_id"
     ),
+    "containment_pairs": (
+        "WITH " + SIG_CTE + ", "
+        "cand AS (" + CAND_SELECT + "), "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+        "j AS (SELECT c.d1, c.d2, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "least(len(a.s), len(b.s)) AS cont "
+        "FROM cand c JOIN dsh a ON a.doc_id = c.d1 "
+        "JOIN dsh b ON b.doc_id = c.d2) "
+        "SELECT d1, d2, floor(cont * 1000000.0 + 0.5) / 1000000.0 "
+        "AS containment FROM j WHERE cont >= 0.9"
+    ),
     "jaccard_dup_pairs": (
         "WITH " + SIG_CTE + ", "
         "cand AS (" + CAND_SELECT + "), "
@@ -5713,4 +5735,5 @@ QUERIES = {
     "collocations": q_collocations,
     "event_funnel_windowed": q_event_funnel_windowed,
     "label_centroids": q_label_centroids,
+    "containment_pairs": q_containment_pairs,
 }

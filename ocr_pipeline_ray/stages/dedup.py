@@ -505,9 +505,15 @@ def _broadcast_shingle_map(refs):
 def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.8,
                       n_hashes: int = 4, max_bucket: int = 1000,
-                      join: str = "broadcast"):
+                      join: str = "broadcast",
+                      metric: str = "jaccard"):
     """Verified near-dup pairs: MinHash candidates re-scored by exact
     n-gram Jaccard ≥ threshold. Output: (d1, d2, jaccard·round6).
+
+    ``metric="containment"`` scores ``|A∩B| / min(|A|, |B|)`` instead
+    (asymmetric-overlap / quote-and-subset detection: a short doc
+    fully quoted inside a long one scores 1.0 where Jaccard stays
+    small); the output score column is named after the metric.
 
     Fully distributed verification — candidate pairs stay a Dataset
     and nothing content-sized lands on the driver (it holds block
@@ -531,6 +537,18 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     if join not in ("broadcast", "shuffle"):
         raise ValueError(f"join must be broadcast|shuffle, got {join!r}")
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"metric must be jaccard|containment, got {metric!r}")
+    score_col = metric
+
+    def _pair_score(sh_a, sh_b) -> float:
+        inter = len(sh_a & sh_b)
+        if metric == "containment":
+            lo = min(len(sh_a), len(sh_b))
+            return 1.0 if lo == 0 else inter / lo
+        union = len(sh_a) + len(sh_b) - inter
+        return 1.0 if union == 0 else inter / union
 
     cands = minhash_dup_pairs(
         ds, id_col, text_col, n_hashes, k, max_bucket
@@ -577,9 +595,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 sh_b = sh_map.get(b)
                 if sh_a is None or sh_b is None:
                     continue
-                inter = len(sh_a & sh_b)
-                union = len(sh_a) + len(sh_b) - inter
-                score = 1.0 if union == 0 else inter / union
+                score = _pair_score(sh_a, sh_b)
                 if score >= threshold:
                     d1s.append(a)
                     d2s.append(b)
@@ -587,7 +603,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             return pa.table({
                 "d1": pa.array(d1s, pa.int64()),
                 "d2": pa.array(d2s, pa.int64()),
-                "jaccard": pa.array(scores, pa.float64()),
+                score_col: pa.array(scores, pa.float64()),
             })
 
         return cands.map_batches(_score_pairs, batch_format="pyarrow")
@@ -689,7 +705,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         for pair_key, (sh_a, sh_b) in by_pair.items():
             if sh_a is None or sh_b is None:
                 continue  # defensive: both sides must arrive
-            score = jaccard(sh_a, sh_b)
+            score = _pair_score(set(sh_a), set(sh_b))
             if score >= threshold:
                 a, b = pair_key.split("|")
                 d1s.append(int(a))
@@ -698,7 +714,7 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({
             "d1": pa.array(d1s, pa.int64()),
             "d2": pa.array(d2s, pa.int64()),
-            "jaccard": pa.array(scores, pa.float64()),
+            score_col: pa.array(scores, pa.float64()),
         })
 
     return attached.groupby("bucket", num_partitions=n_buckets).map_groups(

@@ -1077,3 +1077,42 @@ class TestMinhashCrossPairs:
         b = sorted(map(tuple, minhash_cross_pairs(new, old_sigs)
                        .to_pandas().values.tolist()))
         assert a == b and len(a) > 0
+
+
+class TestContainmentMetric:
+    def test_quote_scores_one_where_jaccard_small(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_dup_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        long_doc = quote + " " + " ".join(f"w{i}" for i in range(60))
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([quote, long_doc], pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl)
+        cont = jaccard_dup_pairs(ds, threshold=0.9,
+                                 metric="containment").to_pandas()
+        # the quote is fully contained -> containment 1.0
+        assert len(cont) == 1 and cont["containment"][0] == 1.0
+        jac = jaccard_dup_pairs(ds, threshold=0.9).to_pandas()
+        assert len(jac) == 0      # Jaccard ~4/64: far below 0.9
+
+    def test_shuffle_strategy_equivalent(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import jaccard_dup_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        long_doc = quote + " " + " ".join(f"w{i}" for i in range(60))
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([quote, long_doc], pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl)
+        a = jaccard_dup_pairs(ds, threshold=0.9, metric="containment",
+                              join="broadcast").to_pandas()
+        b = jaccard_dup_pairs(ds, threshold=0.9, metric="containment",
+                              join="shuffle").to_pandas()
+        assert a.values.tolist() == b.values.tolist()

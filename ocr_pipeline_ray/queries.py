@@ -2505,6 +2505,118 @@ def q_label_centroids(sf_dir: str):
     })
 
 
+def q_recency_user_scores(sf_dir: str):
+    """Recency-weighted engagement score per user:
+    sum(value * 2^-(age_days)) with age measured from the corpus'
+    max event day — the exponential-decay rollup behind "recent
+    activity" features. Decay factors are DYADIC (2^-k with integer
+    k), so every per-row weight is IEEE-exact on both engines; only
+    the sum order differs, absorbed by the 1e-6 grid. Two passes:
+    a tiny max-day fold, then map-side weighted partials + one small
+    user groupby."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"])
+
+    def _day_partial(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.int64())
+        return pa.table({"mx": pa.array(
+            [pc.max(d).as_py() or 0], pa.int64())})
+
+    max_day = 0
+    for b in events.map_batches(
+            _day_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            max_day = max(max_day,
+                          int(pc.max(b.column("mx")).as_py() or 0))
+    day_us = 86_400_000_000
+
+    def _weighted(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        d = pc.cast(pc.floor_temporal(t.column("ts"), unit="day"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        age = (max_day - d) // day_us
+        v = t.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = v * np.exp2(-age.astype(np.float64))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "w": pa.array(w, pa.float64()),
+        })
+
+    out = events.map_batches(
+        _weighted, batch_format="pyarrow"
+    ).groupby("user_id").aggregate(Sum("w"))
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(w)")
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "score": pc.divide(
+                pc.floor(pc.add(pc.multiply(s, 1e6), 0.5)), 1e6),
+        })
+
+    return out.map_batches(_grid, batch_format="pyarrow")
+
+
+def q_churned_users(sf_dir: str):
+    """Churn: users active in the FIRST half of the event range but
+    absent from the LAST 1% of the range — the period set
+    difference, composed from the engine's own EXCEPT operator over
+    two distinct-user projections (integer-us split point; the churn
+    list itself is concrete, users-absent-recently scale)."""
+    from .stages.setops import except_distinct
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    lo_hi = [None, None]
+    for b in events.map_batches(
+            lambda t: pa.table({
+                "lo": pa.array([pc.min(pc.cast(t.column("ts"),
+                                               pa.int64())).as_py()]),
+                "hi": pa.array([pc.max(pc.cast(t.column("ts"),
+                                               pa.int64())).as_py()]),
+            }), batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for lo, hi in zip(b.column("lo").to_pylist(),
+                          b.column("hi").to_pylist()):
+            if lo is not None:
+                lo_hi[0] = lo if lo_hi[0] is None else min(lo_hi[0], lo)
+            if hi is not None:
+                lo_hi[1] = hi if lo_hi[1] is None else max(lo_hi[1], hi)
+    # split point in INTEGER epoch-us (floor) — interval math in
+    # timestamp space rounds differently between engines. The last
+    # 10% of the range is the "recent" period: active-before,
+    # absent-recently = churned.
+    mid = lo_hi[0] + (lo_hi[1] - lo_hi[0]) * 99 // 100
+
+    def _half(first: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            us = pc.cast(batch.column("ts"), pa.int64())
+            m = (pc.less_equal(us, pa.scalar(mid, pa.int64()))
+                 if first else
+                 pc.greater(us, pa.scalar(mid, pa.int64())))
+            t = batch.filter(m)
+            return pa.table({
+                "user_id": pc.unique(t.column("user_id")),
+            })
+        return events.map_batches(_fn, batch_format="pyarrow")
+
+    out = except_distinct(_half(True), _half(False), n_buckets=32)
+    parts = [b for b in out.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+             if b.num_rows]
+    if not parts:
+        return pa.table({"user_id": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by([("user_id", "ascending")])
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5428,6 +5540,25 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["recency_user_scores"] = (
+    "WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events), "
+    "w AS (SELECT user_id, value * power(2.0, "
+    "-CAST(date_diff('day', date_trunc('day', ts), mx.m) AS DOUBLE)) "
+    "AS w FROM events, mx WHERE value IS NOT NULL) "
+    "SELECT user_id, floor(sum(w) * 1000000.0 + 0.5) / 1000000.0 "
+    "AS score FROM w GROUP BY user_id"
+)
+
+ORACLE_SQL["churned_users"] = (
+    "WITH rng AS (SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo, "
+    "CAST(epoch_us(max(ts)) AS BIGINT) AS hi FROM events), "
+    "m AS (SELECT lo + (hi - lo) * 99 // 100 AS mid FROM rng) "
+    "SELECT DISTINCT user_id FROM events, m "
+    "WHERE epoch_us(ts) <= mid "
+    "EXCEPT SELECT DISTINCT user_id FROM events, m "
+    "WHERE epoch_us(ts) > mid"
+)
+
 ORACLE_SQL["label_centroids"] = (
     "SELECT CAST(label AS BIGINT) AS label, d, "
     "floor(avg(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 "
@@ -5736,4 +5867,6 @@ QUERIES = {
     "event_funnel_windowed": q_event_funnel_windowed,
     "label_centroids": q_label_centroids,
     "containment_pairs": q_containment_pairs,
+    "recency_user_scores": q_recency_user_scores,
+    "churned_users": q_churned_users,
 }

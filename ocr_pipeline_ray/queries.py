@@ -321,6 +321,67 @@ def q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "s_en", "s_de", "lang_pred"])
 
 
+def q_lang_confusion(sf_dir: str):
+    """Label-quality audit: confusion matrix of the DECLARED lang
+    column vs the stopword-profile detector — the "how dirty are my
+    labels" rollup. Map-side (declared, predicted) partial counts,
+    one tiny groupby (languages² cells)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        lang_id_fn, batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "lang_declared": batch.column("lang"),
+            "lang_pred": batch.column("lang_pred"),
+        })
+        agg = sub.group_by(
+            ["lang_declared", "lang_pred"]).aggregate([([],
+                                                        "count_all")])
+        return pa.table({
+            "lang_declared": agg.column("lang_declared"),
+            "lang_pred": agg.column("lang_pred"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    out = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        ["lang_declared", "lang_pred"]).aggregate(Sum("n"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "lang_declared": b.column("lang_declared"),
+            "lang_pred": b.column("lang_pred"),
+            "n": pc.cast(b.column("sum(n)"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_host_entropy(sf_dir: str):
+    """Corpus source-diversity index: Shannon entropy (nats) of the
+    host distribution over the synthetic crawl — the one-number
+    "how concentrated is my crawl" gauge (a single mega-host drives
+    entropy toward 0). Host counts come from the existing map-side
+    partial combine; the entropy math runs on the driver over the
+    hosts-scale count table, mirrored term-for-term in SQL and
+    grid-rounded."""
+    from .stages.web import host_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    urls = docs.map_batches(_url_augment, batch_format="pyarrow")
+    counts = host_stats(urls, url_col="url")
+    ns = []
+    for b in counts.iter_batches(batch_format="pyarrow",
+                                 batch_size=None):
+        ns.extend(b.column("n_docs").to_pylist())
+    total = float(sum(ns))
+    ent = -sum((n / total) * math.log(n / total) for n in sorted(ns))
+    ent = math.floor(ent * 1000000.0 + 0.5) / 1000000.0
+    return pa.table({
+        "n_hosts": pa.array([len(ns)], pa.int64()),
+        "entropy_nats": pa.array([ent], pa.float64()),
+    })
+
+
 def q_quality_heuristics(sf_dir: str):
     """Quality-scoring features (length/short/stopword/mean-token-len)."""
     ds = _docs(sf_dir).map_batches(
@@ -5540,6 +5601,31 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["lang_confusion"] = (
+    "WITH p AS (SELECT lang AS lang_declared, "
+    "CASE WHEN len(list_filter(string_split(text, ' '), "
+    "x -> x = 'the' OR x = 'a')) > len(list_filter("
+    "string_split(text, ' '), x -> x = 'der' OR x = 'die' "
+    "OR x = 'das' OR x = 'und')) THEN 'en' "
+    "WHEN len(list_filter(string_split(text, ' '), "
+    "x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) > "
+    "len(list_filter(string_split(text, ' '), "
+    "x -> x = 'the' OR x = 'a')) THEN 'de' ELSE 'unk' END "
+    "AS lang_pred FROM documents) "
+    "SELECT lang_declared, lang_pred, CAST(count(*) AS BIGINT) AS n "
+    "FROM p GROUP BY 1, 2"
+)
+
+ORACLE_SQL["host_entropy"] = (
+    "WITH h AS (SELECT 'host' || CAST(" + _HOST_ID_SQL
+    + " AS VARCHAR) || '.example.com' AS host FROM documents), "
+    "c AS (SELECT host, CAST(count(*) AS DOUBLE) AS n FROM h "
+    "GROUP BY host), t AS (SELECT sum(n) AS tot FROM c) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_hosts, "
+    "floor((SELECT -sum((n / tot) * ln(n / tot)) FROM c, t) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS entropy_nats"
+)
+
 ORACLE_SQL["recency_user_scores"] = (
     "WITH mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events), "
     "w AS (SELECT user_id, value * power(2.0, "
@@ -5869,4 +5955,6 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "recency_user_scores": q_recency_user_scores,
     "churned_users": q_churned_users,
+    "lang_confusion": q_lang_confusion,
+    "host_entropy": q_host_entropy,
 }

@@ -2678,6 +2678,80 @@ def q_churned_users(sf_dir: str):
     return pa.concat_tables(parts).sort_by([("user_id", "ascending")])
 
 
+def q_value_outliers(sf_dir: str):
+    """Robust outlier detection (median/MAD, the
+    breakdown-point-0.5 alternative to z-scores): per event_type,
+    how many values deviate from the median by more than 3x the
+    median absolute deviation. Two exact grouped-median passes
+    (`grouped_quantiles` — per-key distinct-value histograms, never
+    a value sort), a materialized deviation set shared by the MAD
+    pass and the count pass, and a driver fold of types-scale count
+    partials. Medians are DATA VALUES (percentile_disc), so every
+    float op is bit-identical to the SQL twin."""
+    import numpy as np
+
+    from .stages.stats import grouped_quantiles
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    med_tbl = grouped_quantiles(events, "event_type", "value", [0.5])
+    med = {k: v for k, v in zip(med_tbl.column("key").to_pylist(),
+                                med_tbl.column("value").to_pylist())}
+
+    keys = pa.array(sorted(med), pa.string())
+    meds = np.array([med[k] for k in sorted(med)], dtype=np.float64)
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        idx = pc.index_in(t.column("event_type"), value_set=keys)
+        t = t.filter(pc.is_valid(idx))
+        pos = pc.index_in(t.column("event_type"),
+                          value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "dev": pa.array(np.abs(v - meds[pos]), pa.float64()),
+        })
+
+    devs = events.map_batches(_dev, batch_format="pyarrow"
+                              ).materialize()
+    mad_tbl = grouped_quantiles(devs, "event_type", "dev", [0.5])
+    mad = {k: v for k, v in zip(mad_tbl.column("key").to_pylist(),
+                                mad_tbl.column("value").to_pylist())}
+    mads = np.array([mad[k] for k in sorted(med)], dtype=np.float64)
+
+    def _count(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column("event_type"),
+                          value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dev = batch.column("dev").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out = dev > 3.0 * mads[pos]
+        n = np.bincount(pos, minlength=len(meds))
+        n_out = np.bincount(pos[out], minlength=len(meds))
+        return pa.table({
+            "i": pa.array(np.arange(len(meds)), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "n_out": pa.array(n_out.astype(np.int64), pa.int64()),
+        })
+
+    tot_n = np.zeros(len(meds), dtype=np.int64)
+    tot_o = np.zeros(len(meds), dtype=np.int64)
+    for b in devs.map_batches(
+            _count, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        i = b.column("i").to_numpy(zero_copy_only=False)
+        tot_n[i] += b.column("n").to_numpy(zero_copy_only=False)
+        tot_o[i] += b.column("n_out").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "event_type": keys,
+        "n": pa.array(tot_n, pa.int64()),
+        "n_outliers": pa.array(tot_o, pa.int64()),
+    })
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5601,6 +5675,20 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["value_outliers"] = (
+    "WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS m "
+    "FROM events WHERE value IS NOT NULL GROUP BY event_type), "
+    "d AS (SELECT e.event_type, abs(e.value - med.m) AS dev "
+    "FROM events e JOIN med USING (event_type) "
+    "WHERE e.value IS NOT NULL), "
+    "mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad "
+    "FROM d GROUP BY event_type) "
+    "SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(*) FILTER (dev > 3.0 * mad.mad) AS BIGINT) "
+    "AS n_outliers FROM d JOIN mad USING (event_type) "
+    "GROUP BY d.event_type"
+)
+
 ORACLE_SQL["lang_confusion"] = (
     "WITH p AS (SELECT lang AS lang_declared, "
     "CASE WHEN len(list_filter(string_split(text, ' '), "
@@ -5957,4 +6045,5 @@ QUERIES = {
     "churned_users": q_churned_users,
     "lang_confusion": q_lang_confusion,
     "host_entropy": q_host_entropy,
+    "value_outliers": q_value_outliers,
 }

@@ -3837,6 +3837,27 @@ def q_lang_doc_rank(sf_dir: str):
         ["doc_id", "lang", "row_number", "rank", "dense_rank"])
 
 
+def q_lang_doc_rank_dist(sf_dir: str):
+    """SQL distribution windows (stages/rank.py
+    ``grouped_rank(distribution=True)``): percent_rank + cume_dist
+    OVER (PARTITION BY lang ORDER BY n_chars DESC) — same one-shuffle
+    change-mask kernel, two extra integer divisions (bit-identical
+    to the SQL twin; ties on n_chars alone, n_dense=1)."""
+    from .stages.rank import grouped_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = grouped_rank(
+        docs, "lang",
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        n_dense=1, n_buckets=32, distribution=True,
+    )
+    return out.select_columns(
+        ["doc_id", "lang", "percent_rank", "cume_dist"])
+
+
 def q_approx_users_by_type(sf_dir: str):
     """Per-key KMV distinct sketch (stages/stats.py ``grouped_kmv``)
     — the scale path beside the exact ``distinct_users_by_type``:
@@ -5675,6 +5696,14 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+ORACLE_SQL["lang_doc_rank_dist"] = (
+    "SELECT doc_id, lang, "
+    "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) "
+    "AS percent_rank, "
+    "cume_dist() OVER (PARTITION BY lang ORDER BY n_chars DESC) "
+    "AS cume_dist FROM documents"
+)
+
 ORACLE_SQL["value_outliers"] = (
     "WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS m "
     "FROM events WHERE value IS NOT NULL GROUP BY event_type), "
@@ -6046,4 +6075,5 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "host_entropy": q_host_entropy,
     "value_outliers": q_value_outliers,
+    "lang_doc_rank_dist": q_lang_doc_rank_dist,
 }

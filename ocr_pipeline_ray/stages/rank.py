@@ -171,7 +171,7 @@ def global_rank(
 
 
 def grouped_rank(ds, key_col: str, order_by, n_dense: int = None,
-                 n_buckets: int = 64):
+                 n_buckets: int = 64, distribution: bool = False):
     """Per-partition window numbering:
     ``row_number()/rank()/dense_rank() OVER (PARTITION BY key ORDER
     BY order_by)`` in ONE key-hash shuffle.
@@ -192,6 +192,11 @@ def grouped_rank(ds, key_col: str, order_by, n_dense: int = None,
     UDF. Nulls in the key form their own partition (SQL); nulls in
     order columns sort last (Arrow default, = DuckDB NULLS LAST).
     A hot key bounds one bucket's sort, not the exchange.
+
+    ``distribution=True`` additionally emits the SQL distribution
+    windows ``percent_rank`` ((rank-1)/(rows-1), 0 for a single-row
+    partition) and ``cume_dist`` (tie-group end / rows) — integer
+    divisions, bit-identical to the SQL twins.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -216,11 +221,17 @@ def grouped_rank(ds, key_col: str, order_by, n_dense: int = None,
             [(key_col, "ascending")] + order_by)
         n = g.num_rows
         if not n:
-            return g.append_column(
+            out = g.append_column(
                 "row_number", pa.array([], pa.int64())
             ).append_column(
                 "rank", pa.array([], pa.int64())
             ).append_column("dense_rank", pa.array([], pa.int64()))
+            if distribution:
+                out = out.append_column(
+                    "percent_rank", pa.array([], pa.float64())
+                ).append_column(
+                    "cume_dist", pa.array([], pa.float64()))
+            return out
         kck = _composite_key(g, [key_col])
         tck = _composite_key(
             g, [key_col] + [c for c, _ in order_by[:n_dense]])
@@ -242,11 +253,27 @@ def grouped_rank(ds, key_col: str, order_by, n_dense: int = None,
         rank = tie_start - seg_start + 1
         ct = np.cumsum(tch)
         dense = ct - ct[seg_start] + 1
-        return g.append_column(
+        out = g.append_column(
             "row_number", pa.array(row_number, pa.int64())
         ).append_column(
             "rank", pa.array(rank, pa.int64())
         ).append_column("dense_rank", pa.array(dense, pa.int64()))
+        if distribution:
+            kstarts = np.flatnonzero(kch)
+            sizes = np.diff(np.append(kstarts, n))
+            size_row = np.repeat(sizes, sizes).astype(np.float64)
+            pr = np.where(size_row > 1,
+                          (rank - 1) / np.maximum(size_row - 1, 1),
+                          0.0)
+            tstarts = np.flatnonzero(tch)
+            tsizes = np.diff(np.append(tstarts, n))
+            tie_end = np.repeat(tstarts + tsizes, tsizes)
+            cume = (tie_end - seg_start) / size_row
+            out = out.append_column(
+                "percent_rank", pa.array(pr, pa.float64())
+            ).append_column(
+                "cume_dist", pa.array(cume, pa.float64()))
+        return out
 
     return ds.map_batches(_tag, batch_format="pyarrow").groupby(
         "_bucket", num_partitions=n_buckets

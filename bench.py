@@ -78,7 +78,8 @@ BENCH_QUERIES = [
     "event_funnel_windowed", "sliding_distinct_users",
     "join_size_estimate", "dup_cluster_sizes", "collocations",
     "label_centroids", "containment_pairs", "recency_user_scores",
-    "churned_users",
+    "churned_users", "value_outliers", "lang_confusion",
+    "host_entropy", "lang_doc_rank_dist",
 ]
 
 

@@ -2752,6 +2752,66 @@ def q_value_outliers(sf_dir: str):
     })
 
 
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    old/new corpus snapshots' doc-length distributions — the
+    distribution-shift gauge a pipeline checks before concluding
+    "the new crawl looks like the old one". Exact: per-side
+    (value, count) histogram partials fold on the driver
+    (distinct-length scale), CDFs are integer cumsums over one
+    merged value axis, D = max |F_a - F_b|. Integer cumsum /
+    integer total keeps every float op bit-identical to the SQL
+    window twin; grid-rounded."""
+    import numpy as np
+
+    def _old(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(_int_mod(batch.column("doc_id"), 11),
+                         pa.scalar(3, pa.int64())))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(_int_mod(batch.column("doc_id"), 7),
+                         pa.scalar(2, pa.int64())))
+
+    def _hist(fn, side):
+        def _p(batch: pa.Table) -> pa.Table:
+            t = fn(batch)
+            vc = pc.value_counts(t.column("n_chars"))
+            return pa.table({
+                "v": pc.cast(vc.field("values"), pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "side": pa.array([side] * len(vc), pa.int8()),
+            })
+        return _p
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    hist: Dict[tuple, int] = {}
+    for b in docs.map_batches(
+            _hist(_old, 0), batch_format="pyarrow").union(
+            docs.map_batches(_hist(_new, 1),
+                             batch_format="pyarrow")).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for v, n, s in zip(b.column("v").to_pylist(),
+                           b.column("n").to_pylist(),
+                           b.column("side").to_pylist()):
+            hist[(v, s)] = hist.get((v, s), 0) + n
+    vals = sorted({v for v, _ in hist})
+    na = np.array([hist.get((v, 0), 0) for v in vals], dtype=np.int64)
+    nb = np.array([hist.get((v, 1), 0) for v in vals], dtype=np.int64)
+    ta, tb = int(na.sum()), int(nb.sum())
+    fa = np.cumsum(na) / ta
+    fb = np.cumsum(nb) / tb
+    d = float(np.max(np.abs(fa - fb))) if len(vals) else 0.0
+    d = math.floor(d * 1000000.0 + 0.5) / 1000000.0
+    return pa.table({
+        "n_old": pa.array([ta], pa.int64()),
+        "n_new": pa.array([tb], pa.int64()),
+        "ks_d": pa.array([d], pa.float64()),
+    })
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5704,6 +5764,26 @@ ORACLE_SQL["lang_doc_rank_dist"] = (
     "AS cume_dist FROM documents"
 )
 
+ORACLE_SQL["ks_drift"] = (
+    "WITH a AS (SELECT n_chars AS v FROM documents "
+    "WHERE doc_id % 11 <> 3), "
+    "b AS (SELECT n_chars AS v FROM documents "
+    "WHERE doc_id % 7 <> 2), "
+    "pts AS (SELECT v, CAST(sum(na) AS BIGINT) AS na, "
+    "CAST(sum(nb) AS BIGINT) AS nb FROM ("
+    "SELECT v, 1 AS na, 0 AS nb FROM a "
+    "UNION ALL SELECT v, 0, 1 FROM b) GROUP BY v), "
+    "c AS (SELECT v, "
+    "CAST(sum(na) OVER (ORDER BY v) AS DOUBLE) "
+    "/ (SELECT sum(na) FROM pts) AS fa, "
+    "CAST(sum(nb) OVER (ORDER BY v) AS DOUBLE) "
+    "/ (SELECT sum(nb) FROM pts) AS fb FROM pts) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_old, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM b) AS n_new, "
+    "floor((SELECT max(abs(fa - fb)) FROM c) * 1000000.0 + 0.5) "
+    "/ 1000000.0 AS ks_d"
+)
+
 ORACLE_SQL["value_outliers"] = (
     "WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS m "
     "FROM events WHERE value IS NOT NULL GROUP BY event_type), "
@@ -6076,4 +6156,5 @@ QUERIES = {
     "host_entropy": q_host_entropy,
     "value_outliers": q_value_outliers,
     "lang_doc_rank_dist": q_lang_doc_rank_dist,
+    "ks_drift": q_ks_drift,
 }

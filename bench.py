@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "join_size_estimate", "dup_cluster_sizes", "collocations",
     "label_centroids", "containment_pairs", "recency_user_scores",
     "churned_users", "value_outliers", "lang_confusion",
-    "host_entropy", "lang_doc_rank_dist",
+    "host_entropy", "lang_doc_rank_dist", "ks_drift", "chi2_drift",
 ]
 
 

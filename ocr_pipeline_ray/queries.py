@@ -2812,6 +2812,66 @@ def q_ks_drift(sf_dir: str):
     })
 
 
+def q_chi2_drift(sf_dir: str):
+    """Categorical drift between the old/new snapshots' LANGUAGE
+    distributions: Pearson chi-square over the lang contingency
+    table (the categorical twin of `ks_drift`). Per-side (lang,
+    count) partials fold on the driver (languages-scale); the chi2
+    terms are computed in deterministic sorted-category order and
+    the SQL twin mirrors the identical expected-count arithmetic;
+    grid-rounded."""
+
+    def _old(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(_int_mod(batch.column("doc_id"), 11),
+                         pa.scalar(3, pa.int64())))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(_int_mod(batch.column("doc_id"), 7),
+                         pa.scalar(2, pa.int64())))
+
+    def _hist(fn, side):
+        def _p(batch: pa.Table) -> pa.Table:
+            t = fn(batch)
+            vc = pc.value_counts(t.column("lang"))
+            return pa.table({
+                "lang": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "side": pa.array([side] * len(vc), pa.int8()),
+            })
+        return _p
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    hist: Dict[tuple, int] = {}
+    for b in docs.map_batches(
+            _hist(_old, 0), batch_format="pyarrow").union(
+            docs.map_batches(_hist(_new, 1),
+                             batch_format="pyarrow")).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for v, n, s in zip(b.column("lang").to_pylist(),
+                           b.column("n").to_pylist(),
+                           b.column("side").to_pylist()):
+            hist[(v, s)] = hist.get((v, s), 0) + n
+    langs = sorted({v for v, _ in hist})
+    na = [hist.get((v, 0), 0) for v in langs]
+    nb = [hist.get((v, 1), 0) for v in langs]
+    ta, tb = sum(na), sum(nb)
+    tot = ta + tb
+    chi2 = 0.0
+    for a, b2 in zip(na, nb):
+        row = a + b2
+        ea = row * ta / tot
+        eb = row * tb / tot
+        chi2 += (a - ea) * (a - ea) / ea + (b2 - eb) * (b2 - eb) / eb
+    chi2 = math.floor(chi2 * 1000000.0 + 0.5) / 1000000.0
+    return pa.table({
+        "n_cats": pa.array([len(langs)], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64()),
+    })
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5764,6 +5824,27 @@ ORACLE_SQL["lang_doc_rank_dist"] = (
     "AS cume_dist FROM documents"
 )
 
+ORACLE_SQL["chi2_drift"] = (
+    "WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS na "
+    "FROM documents WHERE doc_id % 11 <> 3 GROUP BY lang), "
+    "b AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb "
+    "FROM documents WHERE doc_id % 7 <> 2 GROUP BY lang), "
+    "j AS (SELECT coalesce(a.lang, b.lang) AS lang, "
+    "coalesce(na, 0) AS na, coalesce(nb, 0) AS nb "
+    "FROM a FULL JOIN b USING (lang)), "
+    "t AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, "
+    "CAST(sum(nb) AS DOUBLE) AS tb, "
+    "CAST(sum(na) + sum(nb) AS DOUBLE) AS tot FROM j), "
+    "terms AS (SELECT "
+    "(na - (na + nb) * ta / tot) * (na - (na + nb) * ta / tot) "
+    "/ ((na + nb) * ta / tot) + "
+    "(nb - (na + nb) * tb / tot) * (nb - (na + nb) * tb / tot) "
+    "/ ((na + nb) * tb / tot) AS term FROM j, t) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_cats, "
+    "floor((SELECT sum(term) FROM terms) * 1000000.0 + 0.5) "
+    "/ 1000000.0 AS chi2"
+)
+
 ORACLE_SQL["ks_drift"] = (
     "WITH a AS (SELECT n_chars AS v FROM documents "
     "WHERE doc_id % 11 <> 3), "
@@ -6157,4 +6238,5 @@ QUERIES = {
     "value_outliers": q_value_outliers,
     "lang_doc_rank_dist": q_lang_doc_rank_dist,
     "ks_drift": q_ks_drift,
+    "chi2_drift": q_chi2_drift,
 }

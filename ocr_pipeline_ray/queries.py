@@ -2872,6 +2872,17 @@ def q_chi2_drift(sf_dir: str):
     })
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (stages/dedup.py ``doc_novelty``):
+    fraction of each doc's distinct 3-shingles occurring in no other
+    document — one shingle-hash co-shuffle, run-length df inside
+    whole-bucket UDFs, per-doc partial combine before the tiny doc
+    groupby."""
+    from .stages.dedup import doc_novelty
+
+    return doc_novelty(_docs(sf_dir), n_buckets=32)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5824,6 +5835,21 @@ ORACLE_SQL["lang_doc_rank_dist"] = (
     "AS cume_dist FROM documents"
 )
 
+ORACLE_SQL["doc_novelty"] = (
+    "WITH " + SHINGLE_CTE + ", "
+    "dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s "
+    "FROM sh), "
+    "df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM dsh "
+    "GROUP BY s), "
+    "x AS (SELECT d.doc_id, "
+    "CAST(count(*) FILTER (df.df = 1) AS BIGINT) AS nu, "
+    "CAST(count(*) AS BIGINT) AS nt "
+    "FROM dsh d JOIN df USING (s) GROUP BY d.doc_id) "
+    "SELECT doc_id, nu AS n_unique, nt AS n_shingles, "
+    "floor(CAST(nu AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0 "
+    "+ 0.5) / 1000000.0 AS novelty FROM x"
+)
+
 ORACLE_SQL["chi2_drift"] = (
     "WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS na "
     "FROM documents WHERE doc_id % 11 <> 3 GROUP BY lang), "
@@ -6239,4 +6265,5 @@ QUERIES = {
     "lang_doc_rank_dist": q_lang_doc_rank_dist,
     "ks_drift": q_ks_drift,
     "chi2_drift": q_chi2_drift,
+    "doc_novelty": q_doc_novelty,
 }

@@ -1367,3 +1367,102 @@ def minhash_cross_pairs(new_ds, corpus_ds, id_col: str = "doc_id",
     )
     agg = pairs.groupby(["d_new", "d_old"]).aggregate(Count())
     return agg.select_columns(["d_new", "d_old"])
+
+
+def doc_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 3, n_buckets: int = 64):
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    k-shingles that occur in NO other document — the
+    memorization/novelty signal a training-data pipeline reads next
+    to the dedup verdicts (a doc of df-1 shingles is fresh content;
+    a doc of high-df shingles is template/boilerplate).
+
+    Physical plan: per-doc DISTINCT shingles explode map-side into
+    ``(shingle, doc)`` rows, ONE shingle-hash co-shuffle; each
+    whole-bucket UDF reads global df off the sorted run length
+    (distinct-per-doc rows make run length = document frequency) and
+    pre-combines per-doc (unique, total) partials, so the second
+    exchange — a doc-hash bucketed whole-bucket combine, not a
+    per-key aggregate — carries docs-per-bucket rows, not shingles.
+    Output: ``(doc_id, n_unique, n_shingles, novelty·round6)``; docs
+    with fewer than k tokens have no shingles and are omitted (the
+    SQL twin's join drops them too).
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_s, out_d = [], []
+        for rid, t in zip(ids, texts):
+            for s in set(shingles((t or "").split(" "), k)):
+                out_s.append(s)
+                out_d.append(rid)
+        sh_arr = pa.array(out_s, pa.string())
+        return pa.table({
+            "s": sh_arr,
+            "d": pa.array(out_d, pa.int64()),
+            "_bucket": pa.array(bucket_ids(sh_arr, n_buckets),
+                                pa.int64()),
+        })
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "d": pa.array([], pa.int64()),
+            "nu": pa.array([], pa.int64()),
+            "nt": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([("s", "ascending")])
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], s[1:] != s[:-1])))
+        lens = np.diff(np.append(starts, len(s)))
+        df = np.repeat(lens, lens)
+        uniq_docs, inv = np.unique(d, return_inverse=True)
+        nu = np.zeros(len(uniq_docs), dtype=np.int64)
+        np.add.at(nu, inv, (df == 1).astype(np.int64))
+        nt = np.bincount(inv, minlength=len(uniq_docs))
+        return pa.table({
+            "d": pa.array(uniq_docs, pa.int64()),
+            "nu": pa.array(nu, pa.int64()),
+            "nt": pa.array(nt.astype(np.int64), pa.int64()),
+            "_dbucket": pa.array(uniq_docs % n_buckets, pa.int64()),
+        })
+
+    def _combine(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_unique": pa.array([], pa.int64()),
+            "n_shingles": pa.array([], pa.int64()),
+            "novelty": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        uniq_docs, inv = np.unique(d, return_inverse=True)
+        nu = np.bincount(
+            inv, weights=group.column("nu").to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+        nt = np.bincount(
+            inv, weights=group.column("nt").to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+        nov = np.floor(nu / nt * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: pa.array(uniq_docs, pa.int64()),
+            "n_unique": pa.array(nu, pa.int64()),
+            "n_shingles": pa.array(nt, pa.int64()),
+            "novelty": pa.array(nov, pa.float64()),
+        })
+
+    partials = ds.map_batches(
+        _explode, batch_format="pyarrow"
+    ).groupby("_bucket", num_partitions=n_buckets).map_groups(
+        _bucket, batch_format="pyarrow")
+    return partials.groupby(
+        "_dbucket", num_partitions=max(8, n_buckets // 4)
+    ).map_groups(_combine, batch_format="pyarrow")

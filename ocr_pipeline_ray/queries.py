@@ -2883,6 +2883,30 @@ def q_doc_novelty(sf_dir: str):
     return doc_novelty(_docs(sf_dir), n_buckets=32)
 
 
+def q_asof_last_purchase(sf_dir: str):
+    """Point-in-time as-of join (stages/join.py ``asof_join``):
+    each click event is attached to the SAME user's most recent
+    purchase at-or-before the click — the SQL ``ASOF LEFT JOIN``
+    shape (last price before the trade, dimension state at event
+    time). One key-hash co-shuffle; the whole-bucket UDF resolves
+    every probe with one ``np.maximum.accumulate`` over the
+    (key, ts)-sorted union — no per-key loop."""
+    from .stages.join import asof_join
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"])
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_type"],
+    ).filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "value"])
+    return asof_join(clicks, purchases, on="user_id", ts_col="ts",
+                     right_cols=["ts", "value"], n_buckets=32)
+
+
 def q_host_skew_stats(sf_dir: str):
     """Skew diagnostics (stages/stats.py ``key_skew_stats``) over
     the synthetic crawl's per-host counts (1/3 of docs on host0 by
@@ -5850,6 +5874,14 @@ ORACLE_SQL["doc_novelty"] = (
     "+ 0.5) / 1000000.0 AS novelty FROM x"
 )
 
+ORACLE_SQL["asof_last_purchase"] = (
+    "SELECT a.event_id, a.user_id, a.ts, b.ts AS ts_r, b.value "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') a "
+    "ASOF LEFT JOIN "
+    "(SELECT * FROM events WHERE event_type = 'purchase') b "
+    "ON a.user_id = b.user_id AND b.ts <= a.ts"
+)
+
 ORACLE_SQL["chi2_drift"] = (
     "WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS na "
     "FROM documents WHERE doc_id % 11 <> 3 GROUP BY lang), "
@@ -6266,4 +6298,5 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "chi2_drift": q_chi2_drift,
     "doc_novelty": q_doc_novelty,
+    "asof_last_purchase": q_asof_last_purchase,
 }

@@ -1028,3 +1028,152 @@ def skew_join(left, right, on: str,
     res_cold = repartition_join(left_cold, right_cold, on, right_cols,
                                 how, suffix, n_buckets)
     return res_hot.union(res_cold)
+
+
+def asof_join(left, right, on: str, ts_col: str,
+              right_cols: Optional[List[str]] = None,
+              suffix: str = "_r", strict: bool = False,
+              how: str = "left", n_buckets: int = 64):
+    """As-of join: each left row gets the LATEST right row of the
+    same key with ``right.ts <= left.ts`` (``<`` when
+    ``strict=True``) — SQL ``ASOF LEFT JOIN`` (the point-in-time
+    lookup behind "state of the dimension when the event happened":
+    price at trade time, last purchase before a click).
+
+    Ray Data has no asof primitive, so this is the repo's standard
+    co-shuffle shape: tag both sides into one union schema, ONE
+    groupby on ``bucket_ids(key)``, and a fully vectorized
+    whole-bucket UDF — sort by ``(key, ts, side)`` with right rows
+    first at equal ts (flip for ``strict``), then
+    ``np.maximum.accumulate`` over right-row positions gives every
+    left row its most recent visible right row; comparing the carry
+    against the row's key-segment start stops it leaking across
+    keys (same kernel as :func:`..temporal.locf_fill`). Unmatched
+    left rows keep nulls (``how="left"``, the default) or are
+    dropped (``how="inner"``). Right rows tied on
+    ``(key, ts)`` resolve to one arbitrary-but-deterministic row
+    (sorted order), matching SQL ASOF's unspecified tie choice.
+    NULL keys and NULL timestamps match nothing, like SQL
+    comparisons.
+
+    Partitioning assumption: one KEY's rows fit in one bucket UDF
+    (bucket = all rows of ~keys/n_buckets keys). A key hot enough to
+    overflow a worker needs pre-aggregation or a time-sliced variant
+    — the same caveat as any per-key window.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.segments import key_segments
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    cols = right_cols if right_cols is not None else [
+        c for c in right_schema.names if c != on
+    ]
+    out_names = left_cols + [
+        (c if c not in left_cols else c + suffix) for c in cols
+    ]
+    key_type = left_types[on]
+    ts_type = left_types[ts_col]
+
+    payload_left = [c for c in left_cols if c not in (on, ts_col)]
+    right_payload = [c for c in cols]
+    union_fields = (
+        [("_bucket", pa.int64()), ("_side", pa.int32()),
+         (on, key_type), (ts_col, ts_type)]
+        + [(f"_l_{c}", left_types[c]) for c in payload_left]
+        + [(f"_r_{c}", right_types[c]) for c in right_payload]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _tag(side: int, payload_names: List[str], prefix: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = batch.column(on)
+            arrays = {
+                "_bucket": pa.array(bucket_ids(keys, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array([side] * n, pa.int32()),
+                on: keys,
+                ts_col: batch.column(ts_col),
+            }
+            for name, typ in union_fields[4:]:
+                arrays[name] = pa.nulls(n, typ)
+            for c in payload_names:
+                arrays[f"{prefix}{c}"] = batch.column(c)
+            return pa.table(
+                {name: arrays[name] for name, _ in union_fields},
+                schema=union_schema,
+            )
+        return _fn
+
+    # side 0 = right so it sorts BEFORE left at equal (key, ts):
+    # a right row AT the probe ts is visible under <=. strict flips
+    # the order so an equal-ts right row is NOT visible.
+    rs, ls = (1, 0) if strict else (0, 1)
+    tagged_right = right.select_columns(
+        sorted(set([on, ts_col] + right_payload))
+    ).map_batches(_tag(rs, right_payload, "_r_"),
+                  batch_format="pyarrow")
+    tagged_left = left.map_batches(
+        _tag(ls, payload_left, "_l_"), batch_format="pyarrow")
+
+    def _asof_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            name: pa.array(
+                [], left_types.get(name) if name in left_cols
+                else right_types[name if name in cols
+                                 else name[:-len(suffix)]])
+            for name in out_names
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([(on, "ascending"), (ts_col, "ascending"),
+                           ("_side", "ascending")])
+        n = g.num_rows
+        sides = g.column("_side").combine_chunks().to_numpy()
+        ts_valid = pc.is_valid(g.column(ts_col)).to_numpy(
+            zero_copy_only=False)
+        key_valid = pc.is_valid(g.column(on)).to_numpy(
+            zero_copy_only=False)
+        usable = ts_valid & key_valid
+        pos = np.arange(n, dtype=np.int64)
+        right_pos = np.where((sides == rs) & usable, pos, -1)
+        carried = np.maximum.accumulate(right_pos)
+        # key run boundaries on the SORTED key column: dictionary
+        # codes give int equality for any key type (strings incl.)
+        codes = pc.dictionary_encode(
+            g.column(on).combine_chunks()
+        ).indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        seg_start, seg_len = key_segments(codes)
+        own_start = np.repeat(seg_start, seg_len)
+        ok = (carried >= own_start) & usable
+        left_sel = np.flatnonzero(sides == ls)
+        match = np.where(ok[left_sel], carried[left_sel], -1)
+        if how == "inner":
+            keep = match >= 0
+            left_sel = left_sel[keep]
+            match = match[keep]
+        left_rows = g.take(pa.array(left_sel, pa.int64()))
+        right_rows = g.take(
+            pa.array(match, pa.int64(), mask=match < 0))
+        arrays = []
+        for name in out_names:
+            if name in left_cols:
+                col = (left_rows.column(name)
+                       if name in (on, ts_col)
+                       else left_rows.column(f"_l_{name}"))
+            else:
+                src = name if name in cols else name[:-len(suffix)]
+                col = right_rows.column(f"_r_{src}")
+            arrays.append(col)
+        return pa.table(dict(zip(out_names, arrays)), schema=pa.schema(
+            [(name, a.type) for name, a in zip(out_names, arrays)]))
+
+    return tagged_left.union(tagged_right).groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_asof_bucket, batch_format="pyarrow")

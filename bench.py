@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "label_centroids", "containment_pairs", "recency_user_scores",
     "churned_users", "value_outliers", "lang_confusion",
     "host_entropy", "lang_doc_rank_dist", "ks_drift", "chi2_drift",
-    "doc_novelty",
+    "doc_novelty", "asof_last_purchase", "extraction_pdf_roundtrip",
 ]
 
 

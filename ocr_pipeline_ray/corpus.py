@@ -243,6 +243,12 @@ def build_page(rng: random.Random, idx: int, kind: str, lang: str) -> bytes:
         return _alto_doc(rng, idx, vocab)
     if kind == "page_xml":
         return _page_doc(rng, idx, vocab)
+    if kind == "pdf":
+        from .functions.pdf import doc_to_pdf
+
+        lines = [" ".join(_sentence(rng, vocab, rng.randint(5, 11)))
+                 for _ in range(rng.randint(4, 18))]
+        return doc_to_pdf(lines, lines_per_page=6)
     head = (
         "<html><head><title>Seite {}</title>"
         "<script>var x = 1;</script><style>.a{{color:red}}</style>"

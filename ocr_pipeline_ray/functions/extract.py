@@ -374,13 +374,29 @@ def extract_document(
 
     Returns ``(texts, overrides, stats)`` where ``overrides`` is
     ``None`` for HTML (geometry synthesized downstream) or
-    ``(ids, geoms)`` for ALTO/PAGE documents carrying REAL element ids
-    and coordinates. Raises on malformed XML / PAGE
-    words-without-line-text (error-row semantics) and on non-UTF-8
-    HTML.
+    ``(ids, geoms)`` for ALTO/PAGE/PDF documents carrying REAL
+    element ids and layout coordinates. Raises on malformed
+    XML / PDF / PAGE words-without-line-text (error-row semantics)
+    and on non-UTF-8 HTML.
     """
+    from .pdf import pdf_text_lines, sniff_is_pdf
     from .xmlmodel import get_xml_lines, sniff_is_xml
 
+    if sniff_is_pdf(html_bytes):
+        pdf_lines, _n_pages = pdf_text_lines(
+            html_bytes, min_len=config.min_len)
+        texts = [t for (_i, t, _g) in pdf_lines]
+        ids = [i for (i, _t, _g) in pdf_lines]
+        geoms = [g for (_i, _t, g) in pdf_lines]
+        stats = {
+            "n_raw_lines": len(pdf_lines),
+            "n_boiler_dropped": 0,
+            "n_link_dropped": 0,
+            "n_short_dropped": 0,
+            "n_lines": len(pdf_lines),
+            "dialect": "pdf",
+        }
+        return texts, (ids, geoms), stats
     if sniff_is_xml(html_bytes):
         lines, dialect = get_xml_lines(html_bytes, min_len=config.min_len)
         texts = [t for (_i, t, _g) in lines]

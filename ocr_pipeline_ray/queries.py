@@ -3719,6 +3719,56 @@ def q_extraction_page_roundtrip(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def q_extraction_pdf_roundtrip(sf_dir: str):
+    """PDF-dialect extraction, ORACLE-CHECKED: each document's text
+    is typeset into a REAL multi-page PDF (FlateDecode content
+    streams, page tree, xref) with the engine's own writer
+    (``functions/pdf.py``), then the FULL pipeline must sniff the
+    ``%PDF-`` header, walk the page tree, decompress and interpret
+    the content streams (BT/Tf/TL/Td/T*/Tj) and reproduce the text
+    byte-identically — pinning the "PDF/layout parse" leg under the
+    DuckDB gate exactly like the ALTO/PAGE roundtrips. Lines are 8
+    tokens each (4 per page → most docs span 2-4 pages); the parsed
+    lines re-join with spaces to reconstruct the original text."""
+    from .functions.pdf import doc_to_pdf
+    from .pipelines.extraction import build_pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            lines = [" ".join(toks[i:i + 8])
+                     for i in range(0, len(toks), 8)]
+            # a tail line shorter than min_len would be dropped by
+            # the extractor's line filter — merge it back instead
+            if len(lines) > 1 and len(lines[-1]) < 2:
+                lines[-2:] = [lines[-2] + " " + lines[-1]]
+            payloads.append(doc_to_pdf(lines, lines_per_page=4))
+        return pa.table({
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": batch.column("lang"),
+        })
+
+    def _rejoin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "extracted_text": pc.replace_substring(
+                batch.column("extracted_text"), "\n", " "),
+        })
+
+    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    out = build_pipeline(pages)
+    return out.select_columns(["url", "extracted_text"]).map_batches(
+        _rejoin, batch_format="pyarrow")
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap), one row per session.
 
@@ -5392,6 +5442,10 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
         "text AS extracted_text FROM documents"
     ),
+    "extraction_pdf_roundtrip": (
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "text AS extracted_text FROM documents"
+    ),
     "dataset_split": (
         "SELECT doc_id, "
         "CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 "
@@ -6253,6 +6307,7 @@ QUERIES = {
     "extraction_boilerplate": q_extraction_boilerplate,
     "extraction_alto_roundtrip": q_extraction_alto_roundtrip,
     "extraction_page_roundtrip": q_extraction_page_roundtrip,
+    "extraction_pdf_roundtrip": q_extraction_pdf_roundtrip,
     "customer_orders_full": q_customer_orders_full,
     "distinct_users_by_type": q_distinct_users_by_type,
     "bucket_point_lookup": q_bucket_point_lookup,

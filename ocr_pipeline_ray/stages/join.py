@@ -445,161 +445,6 @@ def expand_join(left, right, on: str,
     )
 
 
-def asof_join(left, right, on: str, ts_col: str = "ts",
-              right_cols: Optional[List[str]] = None,
-              how: str = "left", suffix: str = "_r",
-              n_buckets: int = 64):
-    """As-of join: for each left row, the LATEST right row with the
-    same key and ``right.ts <= left.ts`` (DuckDB ``ASOF JOIN``
-    semantics; the attribution/backfill operator).
-
-    Same physical shape as :func:`repartition_join` — both sides
-    co-shuffled once by ``bucket_ids(key)``, then each
-    whole-bucket UDF sorts its right rows by (key, ts) once and
-    answers each left KEY RUN with one ``np.searchsorted`` — never a
-    per-key UDF,
-    never a sort of the full dataset. Ties on ``right.ts`` keep the
-    last row in (ts, input-order) sort order; pass unique (key, ts)
-    right rows when that matters.
-    """
-    import numpy as np
-    import pyarrow.compute as pc
-
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
-    left_schema = left.schema()
-    left_cols = list(left_schema.names)
-    left_types = dict(zip(left_schema.names, left_schema.types))
-    right_schema = right.schema()
-    cols = right_cols or [
-        c for c in right_schema.names if c not in (on, ts_col)
-    ]
-    right_types = dict(zip(right_schema.names, right_schema.types))
-    out_names = left_cols + [
-        (c if c not in left_cols else c + suffix) for c in cols
-    ]
-    payload_left = [c for c in left_cols if c != on]
-
-    union_fields = (
-        [("_bucket", pa.int64()), ("_side", pa.int32()),
-         (on, left_types[on]), ("_ts", left_types[ts_col])]
-        + [(f"_l_{c}", left_types[c]) for c in payload_left if c != ts_col]
-        + [(f"_r_{c}", right_types[c]) for c in cols]
-    )
-    union_schema = pa.schema(union_fields)
-
-    def _tag(side: int, payload: List[str], prefix: str):
-        def _fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            keys = batch.column(on)
-            arrays = {
-                "_bucket": pa.array(bucket_ids(keys, n_buckets),
-                                    pa.int64()),
-                "_side": pa.array([side] * n, pa.int32()),
-                on: keys,
-                "_ts": batch.column(ts_col),
-            }
-            for name, typ in union_fields[4:]:
-                arrays[name] = pa.nulls(n, typ)
-            for c in payload:
-                arrays[f"{prefix}{c}"] = batch.column(c)
-            return pa.table(
-                {name: arrays[name] for name, _ in union_fields},
-                schema=union_schema,
-            )
-        return _fn
-
-    tagged_left = left.map_batches(
-        _tag(0, [c for c in payload_left if c != ts_col], "_l_"),
-        batch_format="pyarrow")
-    tagged_right = right.select_columns(
-        [on, ts_col] + cols
-    ).map_batches(_tag(1, cols, "_r_"), batch_format="pyarrow")
-
-    def _probe(group: pa.Table) -> pa.Table:
-        """Vectorized as-of probe: dictionary-encode keys once, sort
-        the right side by (code, ts) ONCE, then answer each left
-        key-run with a single ``np.searchsorted`` over its right run
-        (loop count = keys per bucket, not rows) and gather both
-        sides with Arrow ``take``. NULL keys match nothing."""
-        sides = group.column("_side").combine_chunks().to_numpy()
-        codes = pc.dictionary_encode(
-            group.column(on).combine_chunks()
-        ).indices.fill_null(-1).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        ts = group.column("_ts").combine_chunks().to_numpy().astype(
-            "datetime64[us]"
-        ).view(np.int64) if pa.types.is_timestamp(
-            group.schema.field("_ts").type
-        ) else group.column("_ts").combine_chunks().to_numpy()
-        left_sel = np.flatnonzero((sides == 0))
-        right_sel = np.flatnonzero((sides == 1) & (codes >= 0))
-        # right side sorted by (code, ts, input order): ties on ts
-        # keep the LAST input row, matching the previous stable sort
-        rorder = np.lexsort(
-            (np.arange(len(right_sel)), ts[right_sel], codes[right_sel])
-        )
-        r_sorted = right_sel[rorder]
-        rcode_s, rts_s = codes[r_sorted], ts[r_sorted]
-        match = np.full(len(left_sel), -1, dtype=np.int64)
-        lcodes, lts = codes[left_sel], ts[left_sel]
-        # iterate LEFT KEY RUNS (sorted by code): run boundaries come
-        # from one vectorized neighbor-compare, so the Python loop
-        # count is keys-per-bucket, not rows
-        lorder = np.argsort(lcodes, kind="stable")
-        sorted_codes = lcodes[lorder]
-        if len(sorted_codes):
-            boundaries = np.concatenate((
-                [0],
-                np.nonzero(sorted_codes[1:] != sorted_codes[:-1])[0] + 1,
-                [len(sorted_codes)],
-            )).astype(np.int64)
-        else:
-            boundaries = np.zeros(1, dtype=np.int64)
-        for run_start, run_end in zip(boundaries[:-1], boundaries[1:]):
-            code = sorted_codes[run_start]
-            run = lorder[run_start:run_end]
-            if code < 0:
-                continue
-            lo = np.searchsorted(rcode_s, code, side="left")
-            hi = np.searchsorted(rcode_s, code, side="right")
-            if lo == hi:
-                continue
-            pos = np.searchsorted(rts_s[lo:hi], lts[run],
-                                  side="right") - 1
-            hit = pos >= 0
-            match[run[hit]] = r_sorted[lo + pos[hit]]
-        if how == "inner":
-            keep = match >= 0
-            left_sel, match = left_sel[keep], match[keep]
-        left_rows = group.take(pa.array(left_sel, pa.int64()))
-        right_rows = group.take(
-            pa.array(match, pa.int64(), mask=match < 0)
-        )
-        arrays = []
-        for name in out_names:
-            if name in left_cols:
-                if name == on:
-                    col = left_rows.column(on)
-                elif name == ts_col:
-                    col = left_rows.column("_ts")
-                else:
-                    col = left_rows.column(f"_l_{name}")
-            else:
-                base = name[:-len(suffix)] if name.endswith(suffix) \
-                    and name not in right_types else name
-                col = right_rows.column(f"_r_{base}")
-            arrays.append(col)
-        return pa.table(dict(zip(out_names, arrays)))
-
-    return tagged_left.union(tagged_right).groupby(
-        "_bucket", num_partitions=n_buckets
-    ).map_groups(
-        _probe, batch_format="pyarrow"
-    )
-
-
 def _as_i64(arr: pa.ChunkedArray):
     """View a value column as an int64/float64 numpy array for band
     math: timestamps become epoch-microseconds, numerics pass
@@ -1030,7 +875,7 @@ def skew_join(left, right, on: str,
     return res_hot.union(res_cold)
 
 
-def asof_join(left, right, on: str, ts_col: str,
+def asof_join(left, right, on: str, ts_col: str = "ts",
               right_cols: Optional[List[str]] = None,
               suffix: str = "_r", strict: bool = False,
               how: str = "left", n_buckets: int = 64):
@@ -1066,6 +911,8 @@ def asof_join(left, right, on: str, ts_col: str,
 
     from ..functions.segments import key_segments
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     left_schema = left.schema()
     right_schema = right.schema()
     left_cols = list(left_schema.names)

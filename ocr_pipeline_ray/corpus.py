@@ -308,8 +308,15 @@ def generate_pages_table(
     dup_fraction: float = 0.03,
     near_dup_fraction: float = 0.03,
     invalid_utf8_fraction: float = 0.005,
+    pdf_fraction: float = 0.0,
 ) -> pa.Table:
-    """Build one deterministic shard of the pages table."""
+    """Build one deterministic shard of the pages table.
+
+    ``pdf_fraction`` opts a share of rows into real PDF payloads
+    (mixed-format corpus). It defaults to 0.0 and, when 0, consumes
+    no RNG draws — the long-pinned HTML/ALTO/PAGE fixture bytes are
+    unchanged for every existing (seed, shard).
+    """
     rng = random.Random(f"{seed}:{shard}")
     urls: List[str] = []
     tss: List[datetime] = []
@@ -328,6 +335,8 @@ def generate_pages_table(
         else:
             host = rng.choice(_HOSTS_COLD)
         kind = rng.choice(_KIND_WHEEL)
+        if pdf_fraction > 0 and rng.random() < pdf_fraction:
+            kind = "pdf"
         html = build_page(rng, idx, kind, lang)
         url = f"http://{host}/seite-{idx}.html"
         ts = _BASE_TS + timedelta(seconds=idx % 2_000_000)
@@ -379,6 +388,7 @@ def write_pages_corpus(
     seed: int = 42,
     n_shards: int = 8,
     overwrite: bool = False,
+    pdf_fraction: float = 0.0,
 ) -> List[str]:
     """Write a sharded Parquet corpus; returns the shard file paths.
 
@@ -395,6 +405,7 @@ def write_pages_corpus(
         paths.append(path)
         if os.path.exists(path) and not overwrite:
             continue
-        table = generate_pages_table(rows, seed=seed, shard=shard)
+        table = generate_pages_table(rows, seed=seed, shard=shard,
+                                     pdf_fraction=pdf_fraction)
         pq.write_table(table, path, compression="zstd")
     return paths

@@ -304,3 +304,57 @@ class TestFatPages:
             expected = process_page(htmls[i])
             assert row["extracted_text"] == expected["extracted_text"]
             assert row["hit_ratio"] == expected["hit_ratio"]
+
+
+class TestMixedFormatCorpus:
+    """Opt-in ``pdf_fraction``: one corpus mixing HTML/ALTO/PAGE/PDF
+    payloads flows through the UNCHANGED pipeline, every row
+    byte-identical to the single-process oracle."""
+
+    def test_pdf_fraction_zero_is_pinned_default(self):
+        from ocr_pipeline_ray.corpus import generate_pages_table
+
+        base = generate_pages_table(60, seed=7, shard=3)
+        explicit = generate_pages_table(60, seed=7, shard=3,
+                                        pdf_fraction=0.0)
+        assert base.equals(explicit)
+        assert not any(
+            (h or b"").startswith(b"%PDF-")
+            for h in base.column("html").to_pylist()
+        )
+
+    def test_mixed_corpus_byte_identical_to_oracle(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.corpus import generate_pages_table
+        from ocr_pipeline_ray.pipelines.extraction import build_pipeline
+
+        tbl = generate_pages_table(120, seed=11, shard=0,
+                                   pdf_fraction=0.3)
+        htmls = {
+            (u, t): h for u, t, h in zip(
+                tbl.column("url").to_pylist(),
+                tbl.column("warc_ts").to_pylist(),
+                tbl.column("html").to_pylist(),
+            )
+        }
+        n_pdf = sum(
+            1 for h in htmls.values()
+            if (h or b"").startswith(b"%PDF-")
+        )
+        assert n_pdf >= 10  # the mix really happened
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        rows = build_pipeline(ds).take_all()
+        assert len(rows) == tbl.num_rows
+        n_pdf_seen = 0
+        for row in rows:
+            src = htmls[(row["url"], row["warc_ts"])]
+            expected = process_page(src)
+            assert row["extracted_text"] == expected["extracted_text"]
+            assert row["hit_ratio"] == expected["hit_ratio"]
+            assert row["error"] == expected["error"]
+            if (src or b"").startswith(b"%PDF-"):
+                n_pdf_seen += 1
+                assert row["error"] is None
+                assert row["extracted_text"]
+        assert n_pdf_seen == n_pdf

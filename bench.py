@@ -98,7 +98,7 @@ def corpus_rows_for(sf_dir: str) -> int:
     return max(8000, int(3_000_000 * sf))
 
 
-def ensure_corpus(sf_dir: str):
+def ensure_corpus(sf_dir: str, pdf_fraction: float = 0.0):
     """Parallel, deterministic, cached corpus generation."""
     import ray
 
@@ -109,8 +109,9 @@ def ensure_corpus(sf_dir: str):
     # fused read→extract→write tasks load-balance without stragglers
     n_shards = max(64, rows // 1000)
     # v2: corpus generator now emits ALTO/PAGE XML document kinds too
+    tag = f"_pdf{int(pdf_fraction * 100)}" if pdf_fraction > 0 else ""
     out_dir = os.path.join(
-        BENCH_ROOT, f"pages_{sf_label(sf_dir)}_{rows}_{n_shards}_v2"
+        BENCH_ROOT, f"pages_{sf_label(sf_dir)}_{rows}_{n_shards}_v2{tag}"
     )
     os.makedirs(out_dir, exist_ok=True)
     per_shard = [rows // n_shards] * n_shards
@@ -131,7 +132,8 @@ def ensure_corpus(sf_dir: str):
     def _gen(shard: int, n: int, path: str) -> float:
         import pyarrow.parquet as pq
 
-        table = generate_pages_table(n, seed=42, shard=shard)
+        table = generate_pages_table(n, seed=42, shard=shard,
+                                     pdf_fraction=pdf_fraction)
         pq.write_table(table, path + ".tmp", compression="zstd")
         os.replace(path + ".tmp", path)
         return sum(len(x) for x in table.column("html").to_pylist()) / 1e6

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "churned_users", "value_outliers", "lang_confusion",
     "host_entropy", "lang_doc_rank_dist", "ks_drift", "chi2_drift",
     "doc_novelty", "asof_last_purchase", "extraction_pdf_roundtrip",
+    "link_graph", "events_value_corr",
 ]
 
 

@@ -6188,6 +6188,80 @@ ORACLE_SQL["locf_fill"] = (
     "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS value FROM e"
 )
 
+def q_link_graph(sf_dir: str):
+    """Host-level link graph from the raw HTML (stages/web.py
+    ``link_graph``): the CC-webgraph construction. Pages are
+    synthesized from the documents table with deterministic absolute
+    outlinks (``doc_id % 4`` anchors to hosts ``(doc_id*7+j) % 97``)
+    plus a relative nav link that the graph drops by design; href
+    extraction is one compiled findall per doc, edges combine
+    map-side per block, and ONE small (src,dst) groupby sums them —
+    the html payloads never shuffle."""
+    from .stages.web import link_graph
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    )
+
+    def _to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for i in ids:
+            anchors = "".join(
+                f'<a href="http://host{(i * 7 + j) % 97}.example.com'
+                f'/p/{j}">ref {j}</a> '
+                for j in range(1, i % 4 + 1)
+            )
+            htmls.append((
+                "<html><body>"
+                "<nav><a href='/about'>About</a></nav>"
+                f"<p>doc {i} {anchors}</p>"
+                "</body></html>"
+            ).encode("utf-8"))
+        return pa.table({
+            "url": batch.column("url"),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    return link_graph(pages)
+
+
+def q_events_value_corr(sf_dir: str):
+    """Per-type Pearson correlation between hour-of-day and value
+    (stages/stats.py ``grouped_corr``): sufficient-statistic partials
+    per block, one tiny groupby, key-scale finish — the
+    ``grouped_moments`` shape extended to cross moments. Grid-rounded
+    to the repo-wide 1e-6 float contract."""
+    from .stages.stats import grouped_corr
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": pc.cast(pc.hour(batch.column("ts")), pa.float64()),
+            "value": batch.column("value"),
+        })
+
+    out = grouped_corr(
+        events.map_batches(_hour, batch_format="pyarrow"),
+        "event_type", "hour", "value")
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        c = batch.column("corr_xy")
+        g = pc.divide(pc.floor(pc.add(pc.multiply(c, 1e6), 0.5)), 1e6)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "corr_hour_value": g,
+        })
+
+    return out.map_batches(_grid, batch_format="pyarrow")
+
+
 ORACLE_SQL["snapshot_diff"] = (
     _DIFF_SNAPSHOTS_SQL + "SELECT doc_id, status FROM d"
 )
@@ -6199,6 +6273,24 @@ ORACLE_SQL["snapshot_diff_summary"] = (
     "CAST(count(*) FILTER (status = 'changed') AS BIGINT) AS n_changed, "
     "CAST(count(*) FILTER (status = 'unchanged') AS BIGINT) "
     "AS n_unchanged FROM d"
+)
+
+ORACLE_SQL["link_graph"] = (
+    "SELECT 'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
+    "'.example.com' AS src_host, "
+    "'host' || CAST((doc_id * 7 + j) % 97 AS VARCHAR) || "
+    "'.example.com' AS dst_host, "
+    "count(*) AS n_links "
+    "FROM (SELECT doc_id, unnest(range(1, doc_id % 4 + 1)) AS j "
+    "FROM documents) "
+    "GROUP BY 1, 2"
+)
+
+ORACLE_SQL["events_value_corr"] = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "FLOOR(corr(CAST(extract(hour FROM ts) AS DOUBLE), value) * 1e6 "
+    "+ 0.5) / 1e6 AS corr_hour_value "
+    "FROM events GROUP BY event_type"
 )
 
 QUERIES = {
@@ -6354,4 +6446,6 @@ QUERIES = {
     "chi2_drift": q_chi2_drift,
     "doc_novelty": q_doc_novelty,
     "asof_last_purchase": q_asof_last_purchase,
+    "link_graph": q_link_graph,
+    "events_value_corr": q_events_value_corr,
 }

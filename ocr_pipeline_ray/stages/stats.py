@@ -659,6 +659,84 @@ def grouped_moments(ds, key_col: str, value_col: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
+    """Per-key Pearson correlation via SUFFICIENT STATISTICS: each
+    block contributes one ``(key, n, sx, sy, sxx, syy, sxy)`` partial
+    row (Arrow ``group_by``), ONE tiny per-key groupby sums them, and
+    the key-scale finish computes
+    ``r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))``.
+    The corpus is touched once; the shuffle carries keys x blocks
+    rows — the ``grouped_moments`` contract extended to cross
+    moments.
+
+    SQL parity (``corr(x, y)``): rows where EITHER side is NULL are
+    ignored; keys with ``n < 2`` or a zero-variance side yield NULL.
+    Downstream comparison happens on the repo-wide 1e-6 grid, which
+    absorbs the ulp-level differences between this two-pass form and
+    DuckDB's streaming update formula.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.float64())
+        y = pc.cast(batch.column(y_col), pa.float64())
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        sub = pa.table({
+            "key": batch.column(key_col),
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        }).filter(ok)
+        agg = sub.group_by(["key"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return pa.table({
+            key_col: agg.column("key"),
+            "n": pc.cast(agg.column("x_count"), pa.int64()),
+            "sx": agg.column("x_sum"), "sy": agg.column("y_sum"),
+            "sxx": agg.column("xx_sum"), "syy": agg.column("yy_sum"),
+            "sxy": agg.column("xy_sum"),
+        })
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"),
+                   Sum("sxy", alias_name="sxy"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        syy = batch.column("syy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        # float cancellation can push a zero variance slightly negative
+        vx = np.maximum(n * sxx - sx * sx, 0.0)
+        vy = np.maximum(n * syy - sy * sy, 0.0)
+        denom = np.sqrt(vx * vy)
+        bad = (n < 2) | (denom == 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (n * sxy - sx * sy) / denom
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "corr_xy": pa.array(np.where(bad, 0.0, r), pa.float64(),
+                                mask=bad),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def cms_sketch(ds, text_col: str = "text", width: int = 1024,
                depth: int = 4):
     """Count-Min sketch of the corpus token frequency — the

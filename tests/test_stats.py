@@ -873,3 +873,57 @@ class TestJoinSize:
             "k", "k").column("n_join_rows").to_pylist()[0]
         assert est >= exact          # overestimate-only
         assert est <= exact * 2      # tight at this width
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_and_null_semantics(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_corr
+
+        rng = np.random.RandomState(7)
+        xs = rng.rand(60) * 10
+        ys = 2.0 * xs + rng.rand(60)            # strongly correlated
+        tbl = pa.table({
+            "key": pa.array(
+                ["a"] * 30 + ["b"] * 26 + ["one"] + ["flat"] * 3,
+                pa.string()),
+            # "one": n=1 -> NULL; "flat": zero x variance -> NULL
+            "x": pa.array(
+                list(xs[:30]) + list(xs[30:56]) + [1.0] + [5.0] * 3,
+                pa.float64()),
+            "y": pa.array(
+                list(ys[:30]) + list(-ys[30:56]) + [1.0, 1.0, 2.0, 3.0],
+                pa.float64()),
+        })
+        out = {
+            r["key"]: (r["n"], r["corr_xy"])
+            for r in grouped_corr(
+                ray.data.from_arrow(tbl).repartition(4),
+                "key", "x", "y").take_all()
+        }
+        assert out["one"] == (1, None)
+        assert out["flat"] == (3, None)
+        na, ra = out["a"]
+        nb, rb = out["b"]
+        assert (na, nb) == (30, 26)
+        assert abs(ra - np.corrcoef(xs[:30], ys[:30])[0, 1]) < 1e-9
+        assert abs(rb - np.corrcoef(xs[30:56], -ys[30:56])[0, 1]) < 1e-9
+        assert rb < 0
+
+    def test_null_rows_ignored(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_corr
+
+        tbl = pa.table({
+            "key": pa.array(["k"] * 4, pa.string()),
+            "x": pa.array([1.0, 2.0, None, 3.0], pa.float64()),
+            "y": pa.array([1.0, 2.0, 9.0, None], pa.float64()),
+        })
+        (row,) = grouped_corr(
+            ray.data.from_arrow(tbl), "key", "x", "y").take_all()
+        # only (1,1) and (2,2) survive -> perfect correlation, n=2
+        assert row["n"] == 2
+        assert abs(row["corr_xy"] - 1.0) < 1e-12

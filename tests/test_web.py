@@ -126,3 +126,50 @@ class TestCanonicalizeUrl:
             "http://site.com/page?utm_campaign=x",
         ]
         assert len(set(self._canon(variants))) == 1
+
+
+class TestOutlinks:
+    def test_href_quoting_and_absolute_filter(self):
+        from ocr_pipeline_ray.stages.web import outlink_hosts
+
+        html = (
+            b"<html><body>"
+            b'<a href="http://A.Example.com/p">x</a>'
+            b"<a href='https://b.net:8080/q?r#s'>y</a>"
+            b"<a href=http://c.org/bare>z</a>"
+            b'<a href="/relative">rel</a>'
+            b'<a href="ftp://files.net/f">ftp</a>'
+            b'<a href="http://a.example.com/again">dup host</a>'
+            b"<a name='no-href'>skip</a>"
+            b"</body></html>"
+        )
+        assert outlink_hosts(html) == [
+            "a.example.com", "b.net", "c.org", "a.example.com",
+        ]
+
+    def test_link_graph_counts(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.web import link_graph
+
+        rows = [
+            ("http://s1.x/a",
+             b'<a href="http://d1.x/">1</a><a href="http://d2.x/">2</a>'),
+            ("http://s1.x/b",
+             b'<a href="http://d1.x/p">3</a><a href="/rel">no</a>'),
+            ("http://s2.x/c", b'<a href="http://d1.x/">4</a>'),
+            ("http://s2.x/d", b"no links here"),
+        ]
+        ds = ray.data.from_arrow(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+        })).repartition(3)
+        got = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in link_graph(ds).take_all()
+        }
+        assert got == {
+            ("s1.x", "d1.x"): 2,
+            ("s1.x", "d2.x"): 1,
+            ("s2.x", "d1.x"): 1,
+        }

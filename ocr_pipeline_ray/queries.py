@@ -3845,6 +3845,50 @@ def q_events_rollup(sf_dir: str):
     ).drop_columns(["_et_ord", "_day_ord"])
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): all four grouping sets —
+    (type, day), (type), (day), () — with GROUPING() ids, over the
+    same int64 value-cents measure as ``events_rollup`` (bit-exact
+    vs the DuckDB CUBE twin). The day-only subtotal is the set
+    ROLLUP cannot produce."""
+    import numpy as np
+
+    from .stages.rollup import cube_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    prep = ds.map_batches(_prep, batch_format="pyarrow")
+    cubed = cube_agg(prep, keys=["event_type", "day"],
+                     value_col="cents")
+
+    # null-key sort hazard: sort on null-filled helper keys
+    # (see q_events_rollup / tests/test_rollup.py)
+    def _sortable(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_et_ord", pc.fill_null(batch.column("event_type"), "")
+        ).append_column(
+            "_day_ord", pc.fill_null(
+                pc.cast(batch.column("day"), pa.int64()), -1))
+
+    return cubed.map_batches(_sortable, batch_format="pyarrow").sort(
+        ["gid", "_et_ord", "_day_ord"]
+    ).drop_columns(["_et_ord", "_day_ord"])
+
+
 def q_events_pivot(sf_dir: str):
     """PIVOT: one row per day, one int64 count column per event type
     (fixed column set, strict — an unseen type raises, never a silent
@@ -5619,6 +5663,17 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM e GROUP BY ROLLUP(event_type, day) "
         "ORDER BY gid, event_type, day"
     ),
+    "events_cube": (
+        "WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM events) "
+        "SELECT event_type, day, "
+        "CAST(2 * grouping(event_type) + grouping(day) AS BIGINT) "
+        "AS gid, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(cents) AS BIGINT) AS sum_val "
+        "FROM e GROUP BY CUBE(event_type, day) "
+        "ORDER BY gid, event_type, day"
+    ),
     "events_pivot": (
         "SELECT date_trunc('day', ts) AS day, "
         "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) "
@@ -6384,6 +6439,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "event_gaps": q_event_gaps,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
     "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,

@@ -32,34 +32,35 @@ def _composite_key(batch: pa.Table, cols: List[str]) -> pa.Array:
     return pc.binary_join_element_wise(*parts, "")
 
 
-def rollup_agg(ds, keys: List[str], value_col: str,
-               n_buckets: int = 32):
-    """``GROUP BY ROLLUP(keys...)`` over an int64 measure: one output
-    row per group at every rollup level — ``(k1..kn)``, ``(k1..k n-1)``,
-    …, ``()`` — with dropped keys NULL and ``gid`` the DuckDB
+def grouping_sets_agg(ds, keys: List[str], value_col: str,
+                      sets: List[Sequence[int]], n_buckets: int = 32):
+    """``GROUP BY GROUPING SETS`` over an int64 measure: one output
+    row per group in every requested set (each set = the key INDICES
+    kept), with dropped keys NULL and ``gid`` the DuckDB
     ``GROUPING()`` bitmask (bit i set ⇔ ``keys[i]`` aggregated away,
     ``keys[0]`` most significant).
 
     Map-side: each batch emits Arrow ``group_by`` partials for EVERY
-    level (level row counts are bounded by the level's group count,
+    set (set row counts are bounded by the set's group count,
     not the batch's row count), so the single exchange moves
     group-scale rows. In-bucket: one multi-column Arrow ``group_by``
     merges the partials. Output: ``keys..., gid, n_rows, sum_val``.
     """
-    key_types = None
 
     def _partials(batch: pa.Table) -> pa.Table:
-        nonlocal key_types
         out = []
         n_keys = len(keys)
         base = batch.select(keys + [value_col])
-        for level in range(n_keys, -1, -1):
-            gid = sum(1 << (n_keys - 1 - i) for i in range(level, n_keys))
-            grouped = base.group_by(keys[:level]).aggregate([
-                (value_col, "sum"), ([], "count_all")])
+        for kept in sets:
+            kept_set = set(kept)
+            gid = sum(1 << (n_keys - 1 - i) for i in range(n_keys)
+                      if i not in kept_set)
+            grouped = base.group_by(
+                [keys[i] for i in kept]).aggregate([
+                    (value_col, "sum"), ([], "count_all")])
             arrays, names = [], []
             for i, k in enumerate(keys):
-                if i < level:
+                if i in kept_set:
                     arrays.append(grouped.column(k))
                 else:
                     arrays.append(pa.nulls(grouped.num_rows,
@@ -121,6 +122,31 @@ def rollup_agg(ds, keys: List[str], value_col: str,
         _partials, batch_format="pyarrow"
     ).groupby("_bucket", num_partitions=n_buckets).map_groups(
         _merge, batch_format="pyarrow")
+
+
+def rollup_agg(ds, keys: List[str], value_col: str,
+               n_buckets: int = 32):
+    """``GROUP BY ROLLUP(keys...)``: the prefix grouping sets
+    ``(k1..kn), (k1..k n-1), …, ()``. See ``grouping_sets_agg``."""
+    sets = [list(range(level)) for level in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, value_col, sets,
+                             n_buckets=n_buckets)
+
+
+def cube_agg(ds, keys: List[str], value_col: str,
+             n_buckets: int = 32):
+    """``GROUP BY CUBE(keys...)``: ALL ``2^n`` key subsets as
+    grouping sets (the full OLAP cube). Each batch emits one Arrow
+    ``group_by`` partial per subset, so the exchange still moves
+    group-scale rows — the ``2^n`` factor multiplies the (bounded)
+    distinct-group partials, never the event rows; with the usual
+    n ≤ 3-4 cube dimensions this is a small constant.
+    See ``grouping_sets_agg``."""
+    n = len(keys)
+    sets = [[i for i in range(n) if mask & (1 << i)]
+            for mask in range(1 << n)]
+    return grouping_sets_agg(ds, keys, value_col, sets,
+                             n_buckets=n_buckets)
 
 
 def pivot_counts(ds, row_col: str, col_col: str,

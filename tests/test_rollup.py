@@ -35,6 +35,24 @@ class TestRollupAgg:
             (None, None, 3): (5, 31),
         }
 
+    def test_cube_all_subsets(self, ray_session):
+        from ocr_pipeline_ray.stages.rollup import cube_agg
+
+        got = {(r["t"], r["d"], r["gid"]): (r["n_rows"], r["sum_val"])
+               for r in cube_agg(_events(), keys=["t", "d"],
+                                 value_col="v",
+                                 n_buckets=4).take_all()}
+        assert got == {
+            ("a", "d1", 0): (2, 3),
+            ("b", "d1", 0): (1, 4),
+            ("b", "d2", 0): (2, 24),
+            ("a", None, 1): (2, 3),
+            ("b", None, 1): (3, 28),
+            (None, "d1", 2): (3, 7),
+            (None, "d2", 2): (2, 24),
+            (None, None, 3): (5, 31),
+        }
+
     def test_layout_invariance(self, ray_session):
         import ray.data
 

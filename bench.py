@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "inverted_index", "pagerank_pregel", "triangle_count",
     "events_hourly", "events_by_type_salted", "user_sessions",
     "event_gaps", "events_rollup", "events_pivot",
-    "events_cube",
+    "events_cube", "events_frame_window",
     "events_sliding_window", "click_attribution", "peak_sessions",
     "events_value_histogram",
     "campaign_attribution", "sequence_packing", "revenue_by_nation",

@@ -3931,6 +3931,40 @@ def q_events_sliding_window(sf_dir: str):
     return sliding_window_agg(ds, window_hours=3)
 
 
+def q_events_frame_window(sf_dir: str):
+    """Positional ROWS-frame window per user (stages/temporal.py
+    ``frame_window``): trailing-4-event spend sum + LEAD(cents) for
+    every event, ordered by (ts, event_id). One row per event; the
+    int64 cents measure keeps the DuckDB ``ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW`` / ``lead()`` twin bit-exact."""
+    import numpy as np
+
+    from .stages.temporal import frame_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "event_id": batch.column("event_id"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    prep = ds.map_batches(_prep, batch_format="pyarrow")
+    out = frame_window(prep, key_col="user_id",
+                       order_cols=["ts", "event_id"],
+                       val_col="cents", preceding=3)
+    return out.sort(["user_id", "ts", "event_id"])
+
+
 def q_events_json_agg(sf_dir: str):
     """JSON scalar extraction (§2.8's JSON family — the reference
     parses LanguageTool's JSON response, `lib/ocr_step.py:395-402`):
@@ -5674,6 +5708,19 @@ ORACLE_SQL: Dict[str, str] = {
         "FROM e GROUP BY CUBE(event_type, day) "
         "ORDER BY gid, event_type, day"
     ),
+    "events_frame_window": (
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM events) "
+        "SELECT user_id, ts, event_id, cents, "
+        "CAST(sum(cents) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS win_sum, "
+        "lead(cents) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS lead_val "
+        "FROM e ORDER BY user_id, ts, event_id"
+    ),
     "events_pivot": (
         "SELECT date_trunc('day', ts) AS day, "
         "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) "
@@ -6440,6 +6487,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
+    "events_frame_window": q_events_frame_window,
     "events_pivot": q_events_pivot,
     "events_sliding_window": q_events_sliding_window,
     "events_by_type_salted": q_events_by_type_salted,

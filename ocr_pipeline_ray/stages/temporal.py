@@ -392,6 +392,63 @@ def peak_concurrency(ds, start_col: str = "session_start",
     })
 
 
+def frame_window(ds, key_col: str, order_cols: List[str],
+                 val_col: str, preceding: int = 3,
+                 n_buckets: int = 64):
+    """Positional (ROWS) frame windows per key, one row per input
+    row: ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    BETWEEN preceding PRECEDING AND CURRENT ROW)`` as ``win_sum``
+    plus ``LEAD(val)`` as ``lead_val`` (NULL at each partition's last
+    row). Complements ``sliding_window_agg`` (a RANGE/value frame
+    over pre-aggregated hours) with the positional-frame twin over
+    raw rows.
+
+    ``val_col`` must be int64 so the frame sums are order-free and
+    the DuckDB twin is bit-exact. Standard skew-safe layout: ONE
+    key-hash shuffle, then per whole bucket a single Arrow sort by
+    ``(key, *order_cols)`` and fully-vectorized frame math — a global
+    int64 cumsum with per-segment clamp (``win = csum[i] -
+    csum[frame_lo - 1]``), no per-key loop at all.
+    """
+    from ..functions.segments import key_segments
+
+    def _frames(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_kbucket"])
+        if base.num_rows == 0:
+            return base.append_column(
+                "win_sum", pa.array([], pa.int64())
+            ).append_column("lead_val", pa.array([], pa.int64()))
+        sort_keys = [(key_col, "ascending")] + [
+            (c, "ascending") for c in order_cols]
+        g = base.sort_by(sort_keys)
+        keys = g.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vals = g.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(vals)
+        seg_start, seg_len = key_segments(keys)
+        row_seg_start = np.repeat(seg_start, seg_len)
+        pos = np.arange(n, dtype=np.int64) - row_seg_start
+        lo = np.arange(n, dtype=np.int64) - np.minimum(pos, preceding)
+        csum = np.cumsum(vals)
+        win = csum - np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0)
+        seg_end = row_seg_start + np.repeat(seg_len, seg_len)
+        has_next = np.arange(n, dtype=np.int64) + 1 < seg_end
+        lead = np.empty(n, np.int64)
+        lead[:-1] = vals[1:]
+        lead[-1] = 0
+        return g.append_column(
+            "win_sum", pa.array(win, pa.int64())
+        ).append_column(
+            "lead_val", pa.array(lead, pa.int64(),
+                                 mask=~has_next))
+
+    bucketed = _bucket_by(ds, key_col, n_buckets)
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_frames, batch_format="pyarrow")
+
+
 def locf_fill(ds, key_col: str, order_cols: List[str], val_col: str,
               n_buckets: int = 64):
     """Last-observation-carried-forward gap fill — the SQL window

@@ -477,3 +477,48 @@ class TestFunnelWindowed:
         # unwindowed: user 1's late C also converts
         got2 = funnel_counts(ds, ["A", "B", "C"], n_buckets=4)
         assert got2.column("n_users").to_pylist() == [2, 2, 2]
+
+
+class TestFrameWindow:
+    def test_rows_frame_and_lead(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import frame_window
+
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 100, 200], pa.int64()),
+        })
+        out = frame_window(
+            ray.data.from_arrow(tbl), key_col="k", order_cols=["o"],
+            val_col="v", preceding=2, n_buckets=4,
+        ).sort(["k", "o"]).take_all()
+        assert [r["win_sum"] for r in out] == [
+            1, 3, 7, 14, 28, 100, 300]
+        assert [r["lead_val"] for r in out] == [
+            2, 4, 8, 16, None, 200, None]
+
+    def test_layout_invariance(self, ray_session):
+        import ray
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.temporal import frame_window
+
+        tbl = pa.table({
+            "k": pa.array([3, 1, 2, 1, 3, 2, 1], pa.int64()),
+            "o": pa.array([2, 3, 1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array([5, 7, 11, 13, 17, 19, 23], pa.int64()),
+        })
+        one = frame_window(
+            ray.data.from_arrow(tbl), "k", ["o"], "v",
+            preceding=1, n_buckets=4,
+        ).sort(["k", "o"]).take_all()
+        many = frame_window(
+            ray.data.from_arrow_refs(
+                [ray.put(tbl.slice(i, 1)) for i in range(tbl.num_rows)]),
+            "k", ["o"], "v", preceding=1, n_buckets=4,
+        ).sort(["k", "o"]).take_all()
+        assert one == many

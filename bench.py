@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "bucket_point_lookup", "customer_orders_full",
     "distinct_users_by_type", "events_value_stats",
     "doc_chunks", "cms_sketch", "approx_users_by_type",
+    "hll_users_by_type",
     "lang_doc_rank", "source_extract", "quality_classifier",
     "fuzzy_name_pairs", "user_event_trail", "docs_checksum", "user_retention",
     "near_dup_incremental",

@@ -4157,6 +4157,23 @@ def q_approx_users_by_type(sf_dir: str):
                        n_buckets=32)
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Per-key HyperLogLog distinct sketch (stages/stats.py
+    ``grouped_hll``, m=64) — the fixed-size mergeable sketch beside
+    KMV: the shuffle carries <= keys x 64 register rows per block
+    and merge is plain max. Registers AND the estimate are
+    oracle-pinned bit-for-bit (md5 hashes, exact dyadic register
+    sum, identical float ops, 1e-6 grid)."""
+    from .stages.stats import grouped_hll
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+    )
+    return grouped_hll(events, "event_type", "user_id",
+                       n_buckets=32).sort("event_type")
+
+
 def q_cms_sketch(sf_dir: str):
     """Count-Min sketch of corpus token counts (stages/stats.py
     ``cms_sketch``): 4x1024 counters from one md5 per distinct token
@@ -5885,6 +5902,31 @@ ORACLE_SQL["approx_users_by_type"] = (
     "* 1000000.0 + 0.5) / 1000000.0 END AS kmv_estimate FROM km"
 )
 
+ORACLE_SQL["hll_users_by_type"] = (
+    "WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events "
+    "WHERE user_id IS NOT NULL), "
+    "h AS (SELECT event_type, "
+    "CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS BIGINT) AS h1, "
+    "CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) "
+    "AS UBIGINT) AS BIGINT) AS h2 FROM pairs), "
+    "r AS (SELECT event_type, h1 % 64 AS reg, "
+    "CASE WHEN h2 = 0 THEN 33 ELSE "
+    "CAST(floor(log2(CAST((h2 & -h2) AS DOUBLE))) AS BIGINT) + 1 "
+    "END AS rho FROM h), "
+    "m AS (SELECT event_type, reg, max(rho) AS mr FROM r "
+    "GROUP BY event_type, reg), "
+    "agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nset, "
+    "sum(power(2.0, -mr)) AS s FROM m GROUP BY event_type), "
+    "est AS (SELECT event_type, nset, "
+    "0.709 * 4096.0 / (s + (64 - nset)) AS raw FROM agg) "
+    "SELECT event_type, nset AS n_registers_set, "
+    "floor((CASE WHEN raw <= 160.0 AND nset < 64 "
+    "THEN 64.0 * ln(64.0 / (64.0 - nset)) ELSE raw END) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS hll_estimate "
+    "FROM est ORDER BY event_type"
+)
+
 ORACLE_SQL["cms_sketch"] = (
     "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t "
     "FROM documents WHERE text IS NOT NULL), "
@@ -6511,6 +6553,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "cms_sketch": q_cms_sketch,
     "approx_users_by_type": q_approx_users_by_type,
+    "hll_users_by_type": q_hll_users_by_type,
     "lang_doc_rank": q_lang_doc_rank,
     "docs_union": q_docs_union,
     "source_extract": q_source_extract,

@@ -962,6 +962,137 @@ def grouped_kmv(ds, key_col: str, value_col: str, k: int = 16,
     ).map_groups(_bucket, batch_format="pyarrow")
 
 
+def grouped_hll(ds, key_col: str, value_col: str,
+                n_buckets: int = 64):
+    """Per-key HyperLogLog distinct sketch (Flajolet et al. 2007),
+    m = 64 registers — the FIXED-SIZE mergeable twin of
+    :func:`grouped_kmv`: where KMV carries ``keys x k`` hash rows,
+    HLL carries at most ``keys x 64`` (key, register, max_rho) rows
+    through the shuffle whatever the value cardinality, and register
+    merge is a plain ``max`` — the sketch unions across any number
+    of blocks/hosts losslessly.
+
+    Deterministic + oracle-pinnable construction: one md5 per
+    block-distinct (key, value) pair; register = first 8 hex chars
+    mod 64, rho = 1 + trailing zeros of the second 8 hex chars
+    (33 when that 32-bit word is 0). The estimate
+    ``0.709 * m^2 / sum(2^-M_j)`` is EXACT float math — every
+    ``2^-M`` term is a dyadic ≥ 2^-33 and the sum stays below 2^6,
+    so all 39 significand bits fit in a double and the sum is
+    order-independent — which makes the estimate reproducible
+    bit-for-bit in SQL after the repo-wide 1e-6 grid. Small-range
+    (linear-counting) correction applies when ``raw <= 2.5 m`` and
+    empty registers exist; the 32-bit large-range correction is
+    unreachable at these register counts and is omitted.
+
+    Shape: map-side (key, value) dedup + Arrow group_by max(rho)
+    per (key, register), ONE key-hash co-shuffle of register rows,
+    whole-bucket lexsort + reduceat merge — no per-key UDF.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+    from .rollup import _composite_key
+
+    M = 64
+
+    def _empty(key_type) -> pa.Table:
+        return pa.table({
+            "_bucket": pa.array([], pa.int64()),
+            "k": pa.array([], key_type),
+            "reg": pa.array([], pa.int64()),
+            "rho": pa.array([], pa.int64()),
+        })
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "k": batch.column(key_col),
+            "v": batch.column(value_col),
+        })
+        sub = sub.filter(pc.is_valid(sub.column("v")))
+        if not sub.num_rows:
+            return _empty(batch.column(key_col).type)
+        ck = _composite_key(sub, ["k", "v"])
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        cidx = pc.dictionary_encode(ck).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _, fst = np.unique(cidx, return_index=True)
+        sub = sub.take(pa.array(fst, pa.int64()))
+        digests = [
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in sub.column("v").to_pylist()]
+        h1 = np.fromiter((int(d[:8], 16) for d in digests),
+                         dtype=np.int64, count=sub.num_rows)
+        h2 = np.fromiter((int(d[8:16], 16) for d in digests),
+                         dtype=np.int64, count=sub.num_rows)
+        low = h2 & -h2
+        rho = np.where(
+            h2 == 0, np.int64(33),
+            np.log2(np.maximum(low, 1)).astype(np.int64) + 1)
+        t = pa.table({
+            "k": sub.column("k"),
+            "reg": pa.array(h1 % M, pa.int64()),
+            "rho": pa.array(rho, pa.int64()),
+        })
+        g = t.group_by(["k", "reg"]).aggregate([("rho", "max")])
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(g.column("k"), n_buckets), pa.int64()),
+            "k": g.column("k"),
+            "reg": g.column("reg"),
+            "rho": g.column("rho_max"),
+        })
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field("k").type
+        if group.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], key_type),
+                "n_registers_set": pa.array([], pa.int64()),
+                "hll_estimate": pa.array([], pa.float64()),
+            })
+        # null-safe key codes (the grouped_kmv precedent: after the
+        # shuffle, hash group_by on raw nullable keys is unsafe)
+        karr = group.column("k").combine_chunks()
+        codes = pc.dictionary_encode(karr).indices.fill_null(
+            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        reg = group.column("reg").to_numpy(zero_copy_only=False)
+        rho = group.column("rho").to_numpy(zero_copy_only=False)
+        order = np.lexsort((reg, codes))
+        c_s, r_s, rho_s = codes[order], reg[order], rho[order]
+        pair_start = np.ones(len(c_s), dtype=bool)
+        pair_start[1:] = (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])
+        p_idx = np.flatnonzero(pair_start)
+        mr = np.maximum.reduceat(rho_s, p_idx)
+        pc_codes = c_s[p_idx]
+        key_start = np.ones(len(pc_codes), dtype=bool)
+        key_start[1:] = pc_codes[1:] != pc_codes[:-1]
+        k_idx = np.flatnonzero(key_start)
+        k_end = np.append(k_idx[1:], len(pc_codes))
+        nset = (k_end - k_idx).astype(np.int64)
+        s = np.add.reduceat(np.power(2.0, -mr.astype(np.float64)),
+                            k_idx)
+        denom = s + (M - nset).astype(np.float64)
+        raw = 0.709 * 4096.0 / denom
+        lin_arg = np.where(nset < M, M - nset, 1).astype(np.float64)
+        lin = M * np.log(M / lin_arg)
+        est = np.where((raw <= 2.5 * M) & (nset < M), lin, raw)
+        est = np.floor(est * 1e6 + 0.5) / 1e6
+        rep = karr.take(pa.array(order[p_idx][k_idx], pa.int64()))
+        return pa.table({
+            key_col: rep,
+            "n_registers_set": pa.array(nset, pa.int64()),
+            "hll_estimate": pa.array(est, pa.float64()),
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_bucket, batch_format="pyarrow")
+
+
 def grouped_concat(ds, key_col: str, value_col: str, order_cols,
                    sep: str = ",", out_col: str = "agg",
                    n_buckets: int = 64):

@@ -927,3 +927,80 @@ class TestGroupedCorr:
         # only (1,1) and (2,2) survive -> perfect correlation, n=2
         assert row["n"] == 2
         assert abs(row["corr_xy"] - 1.0) < 1e-12
+
+
+class TestGroupedHll:
+    @pytest.mark.parametrize("layout", [1, 8])
+    def test_matches_reference_sketch(self, ray_session, layout):
+        import hashlib
+        import math
+        import random
+
+        import ray
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_hll
+
+        rng = random.Random(23)
+        n = 800
+        ks = [f"g{rng.randrange(3)}" for _ in range(n)]
+        vs = [None if rng.random() < 0.05 else rng.randrange(300)
+              for _ in range(n)]
+        tbl = pa.table({"k": pa.array(ks, pa.string()),
+                        "v": pa.array(vs, pa.int64())})
+
+        def ref():
+            byk = {}
+            for kk, vv in zip(ks, vs):
+                if vv is None:
+                    continue
+                byk.setdefault(kk, set()).add(vv)
+            out = {}
+            for kk, vals in byk.items():
+                regs = {}
+                for v in vals:
+                    d = hashlib.md5(str(v).encode()).hexdigest()
+                    h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+                    if h2 == 0:
+                        rho = 33
+                    else:
+                        rho = ((h2 & -h2).bit_length() - 1) + 1
+                    j = h1 % 64
+                    regs[j] = max(regs.get(j, 0), rho)
+                nset = len(regs)
+                s = sum(2.0 ** -r for r in regs.values())
+                raw = 0.709 * 4096.0 / (s + (64 - nset))
+                if raw <= 160.0 and nset < 64:
+                    est = 64.0 * math.log(64.0 / (64.0 - nset))
+                else:
+                    est = raw
+                out[kk] = (nset, math.floor(est * 1e6 + 0.5) / 1e6)
+            return out
+
+        if layout == 1:
+            ds = ray.data.from_arrow(tbl)
+        else:
+            step = (n + layout - 1) // layout
+            ds = ray.data.from_arrow_refs([
+                ray.put(tbl.slice(i, step))
+                for i in range(0, n, step)])
+        got = {r["k"]: (r["n_registers_set"], r["hll_estimate"])
+               for r in grouped_hll(ds, "k", "v",
+                                    n_buckets=4).take_all()}
+        assert got == ref()
+
+    def test_estimate_accuracy(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.stats import grouped_hll
+
+        n_distinct = 1000
+        tbl = pa.table({
+            "k": pa.array(["a"] * n_distinct, pa.string()),
+            "v": pa.array(list(range(n_distinct)), pa.int64()),
+        })
+        [row] = grouped_hll(
+            ray.data.from_arrow(tbl), "k", "v",
+            n_buckets=2).take_all()
+        # m=64 standard error is ~1.04/sqrt(64) = 13%; allow 3 sigma
+        assert abs(row["hll_estimate"] - n_distinct) < 0.4 * n_distinct

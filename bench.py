@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",
     "paragraph_dedup", "substring_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
+    "semantic_dedup",
     "pii_redact", "host_stats", "host_skew_stats", "host_cap", "heavy_hitters",
     # pagerank (Dataset plan) is oracle-gated but benched via its
     # Pregel twin: the Dataset plan pays one sort-barrier exchange

@@ -1099,6 +1099,24 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (stages/similarity.py ``semantic_dedup``): k-means
+    clusters the embedding space (bit-exact integer Lloyd), then
+    cosine near-dups are searched WITHIN each cluster only, keeping
+    the lowest-id representative per neighborhood. The pair space
+    shrinks from O(N²) to per-cluster quadratic — the algorithm's own
+    scale knob is k. Oracle: the chained-CTE Lloyd twin + a
+    same-cluster NOT EXISTS anti-join."""
+    from .stages.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(
+        ds, k=KMEANS_K, iters=KMEANS_ITERS,
+        threshold=NEAR_DUP_THRESHOLD, scale=KMEANS_SCALE,
+    ).sort("vec_id")
+
+
 PACK_SEQ_LEN = 512
 
 
@@ -5816,6 +5834,18 @@ ORACLE_SQL["split_leakage_safe"] = (
     "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"
 )
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
+ORACLE_SQL["semantic_dedup"] = (
+    "WITH km AS (" + _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
+    + "), e AS (SELECT km.vec_id, km.cluster, em.embedding "
+    "FROM km JOIN embeddings em USING (vec_id)) "
+    "SELECT a.vec_id, a.cluster, NOT EXISTS ("
+    "SELECT 1 FROM e b WHERE b.cluster = a.cluster "
+    "AND b.vec_id < a.vec_id "
+    "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) > "
+    f"{NEAR_DUP_THRESHOLD}) AS keep "
+    "FROM e a ORDER BY a.vec_id"
+)
 ORACLE_SQL["lm_score"] = _lm_score_sql(LM_MIN_COUNT, LM_SCALE)
 ORACLE_SQL["lm_buckets"] = (
     "WITH scored AS (SELECT * FROM ("
@@ -6554,6 +6584,7 @@ QUERIES = {
     "cms_sketch": q_cms_sketch,
     "approx_users_by_type": q_approx_users_by_type,
     "hll_users_by_type": q_hll_users_by_type,
+    "semantic_dedup": q_semantic_dedup,
     "lang_doc_rank": q_lang_doc_rank,
     "docs_union": q_docs_union,
     "source_extract": q_source_extract,

@@ -496,3 +496,84 @@ def ivf_topk(
     pruned = ds.map_batches(_probe_filter, batch_format="pyarrow")
     return brute_force_topk(pruned, query_vec, k, id_col, emb_col,
                             exclude_id)
+
+
+def semantic_dedup(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cluster: int = 200_000,
+    scale: int = None,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    cluster the embedding space, then search for cosine near-dups
+    WITHIN each cluster only — the pair space shrinks from O(N²) to
+    sum over clusters of O(|c|²), and k is chosen so clusters stay
+    small at scale. A row is dropped iff a SAME-CLUSTER neighbor
+    with a smaller id exceeds the threshold (the deterministic
+    keep-one-representative rule; no RNG, no transitive closure).
+
+    Output: one row per vector — ``(id_col, cluster, keep)``.
+
+    Shape: integer Lloyd's (``stages/kmeans.kmeans_int`` — bit-exact
+    centroids) runs first; ONE labeling pass then recomputes the
+    final assignment from the broadcast centroid matrix fused with
+    L2 normalization, so the cluster groupby is the only exchange
+    the vectors ride. In-cluster the kernel is a single matmul +
+    lower-triangle any() over ids sorted ascending. A cluster
+    larger than ``max_cluster`` raises (never a silent cap) — at
+    real scale raise k, which is the algorithm's own knob.
+    """
+    from .kmeans import DEFAULT_SCALE, _assign, kmeans_int, \
+        quantize_batch
+
+    if scale is None:
+        scale = DEFAULT_SCALE
+    _, centroids = kmeans_int(ds, k=k, iters=iters, scale=scale,
+                              id_col=id_col, emb_col=emb_col)
+
+    def _label_norm(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(emb_col))
+        if not mat.size:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                emb_col: pa.array([], pa.list_(pa.float64())),
+            })
+        qmat = quantize_batch(batch.column(emb_col), scale)
+        cl = _assign(qmat, centroids)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            emb_col: _from_matrix(norm),
+        })
+
+    def _cluster_dedup(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            })
+        if group.num_rows > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {group.num_rows} rows "
+                f"exceeds max_cluster={max_cluster}; raise k")
+        g = group.sort_by([(id_col, "ascending")])
+        ids = g.column(id_col).combine_chunks().to_numpy()
+        mat = _to_matrix(g.column(emb_col))
+        sims = mat @ mat.T
+        dup = np.tril(sims > threshold, -1).any(axis=1)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": g.column("cluster"),
+            "keep": pa.array(~dup, pa.bool_()),
+        })
+
+    labeled = ds.map_batches(_label_norm, batch_format="pyarrow")
+    return labeled.groupby("cluster").map_groups(
+        _cluster_dedup, batch_format="pyarrow")

@@ -1116,3 +1116,79 @@ class TestContainmentMetric:
         b = jaccard_dup_pairs(ds, threshold=0.9, metric="containment",
                               join="shuffle").to_pandas()
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestSemanticDedup:
+    def _vecs(self):
+        import numpy as np
+
+        # two tight directions + noise vectors; ids interleaved
+        rng = np.random.default_rng(5)
+        base_a = np.array([1.0, 0.0, 0.0, 0.0])
+        base_b = np.array([0.0, 1.0, 0.0, 0.0])
+        rows = []
+        for i in range(40):
+            if i % 3 == 0:
+                v = base_a + rng.normal(0, 0.01, 4)
+            elif i % 3 == 1:
+                v = base_b + rng.normal(0, 0.01, 4)
+            else:
+                v = rng.normal(0, 1, 4)
+            rows.append((i, [float(x) for x in v]))
+        return rows
+
+    def test_keep_rule_matches_reference(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.kmeans import (
+            _assign, kmeans_int, quantize_batch)
+        from ocr_pipeline_ray.stages.similarity import semantic_dedup
+
+        rows = self._vecs()
+        tbl = pa.table({
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows],
+                                  pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        got = {r["vec_id"]: (r["cluster"], r["keep"])
+               for r in semantic_dedup(
+                   ds, k=4, iters=2, threshold=0.95,
+                   scale=1_000_000).take_all()}
+
+        # reference: same centroids -> same assignment, then the
+        # keep-lowest-id rule per cluster on exact cosine
+        _, cents = kmeans_int(ray.data.from_arrow(tbl), k=4, iters=2,
+                              scale=1_000_000)
+        q = quantize_batch(tbl.column("embedding"), 1_000_000)
+        cl = _assign(q, cents)
+        mat = np.array([r[1] for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        expect = {}
+        for i, r in enumerate(rows):
+            dup = any(
+                cl[j] == cl[i] and rows[j][0] < r[0]
+                and float(mat[i] @ mat[j]) > 0.95
+                for j in range(len(rows)))
+            expect[r[0]] = (int(cl[i]), not dup)
+        assert got == expect
+        # sanity: the tight directions actually deduplicate
+        assert sum(1 for _, k in got.values() if not k) > 5
+
+    def test_oversize_cluster_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ocr_pipeline_ray.stages.similarity import semantic_dedup
+
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(30)), pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0]] * 30, pa.list_(pa.float64())),
+        })
+        with pytest.raises(Exception):
+            semantic_dedup(ray.data.from_arrow(tbl), k=2, iters=1,
+                           max_cluster=5).take_all()

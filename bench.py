@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "quality_report",
     "dedup_exact", "dedup_first_rows", "minhash_signatures",
     "minhash_dup_pairs", "dup_clusters", "dedup_canonical",
-    "jaccard_dup_pairs", "simhash", "dedup_incremental_bloom",
+    "jaccard_dup_pairs", "prefix_jaccard_pairs", "simhash",
+    "dedup_incremental_bloom",
     "paragraph_dedup", "substring_dedup",
     "winnow_fingerprint", "ann_topk", "embedding_near_dup",
     "semantic_dedup",

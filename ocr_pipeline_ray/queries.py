@@ -1099,6 +1099,19 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     return pa.Table.from_pylist(pairs.take_all(), schema=schema)
 
 
+def q_prefix_jaccard_pairs(sf_dir: str):
+    """EXACT set-similarity self-join via AllPairs prefix filtering
+    (stages/dedup.py ``prefix_jaccard_pairs``): recall 1.0 vs the
+    O(N²) scan by the prefix-filter theorem, candidates generated
+    only from each doc's rarest (df-ordered) prefix shingles. The
+    oracle is the exact all-pairs join — identity, not recall, is
+    the claim."""
+    from .stages.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs(sf_dir), threshold=0.8).sort(["d1", "d2"])
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (stages/similarity.py ``semantic_dedup``): k-means
     clusters the embedding space (bit-exact integer Lloyd), then
@@ -5470,6 +5483,16 @@ ORACLE_SQL: Dict[str, str] = {
         "SELECT d1, d2, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard "
         "FROM j WHERE jac >= 0.8"
     ),
+    "prefix_jaccard_pairs": (
+        "WITH " + SHINGLE_CTE + ", "
+        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac "
+        "FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id) "
+        "SELECT d1, d2, floor(jac * 1000000.0 + 0.5) / 1000000.0 "
+        "AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"
+    ),
     "lsh_recall": (
         "WITH " + SIG_CTE + ", "
         "cand AS (" + CAND_SELECT + "), "
@@ -6585,6 +6608,7 @@ QUERIES = {
     "approx_users_by_type": q_approx_users_by_type,
     "hll_users_by_type": q_hll_users_by_type,
     "semantic_dedup": q_semantic_dedup,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "lang_doc_rank": q_lang_doc_rank,
     "docs_union": q_docs_union,
     "source_extract": q_source_extract,

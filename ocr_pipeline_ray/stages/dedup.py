@@ -502,6 +502,96 @@ def _broadcast_shingle_map(refs):
     return sh_map
 
 
+def _set_pair_score(sh_a, sh_b, metric: str) -> float:
+    """Exact set-similarity score of two shingle sets."""
+    inter = len(sh_a & sh_b)
+    if metric == "containment":
+        lo = min(len(sh_a), len(sh_b))
+        return 1.0 if lo == 0 else inter / lo
+    union = len(sh_a) + len(sh_b) - inter
+    return 1.0 if union == 0 else inter / union
+
+
+def _collect_pair_ids(cands) -> set:
+    """Distinct doc ids of a (d1, d2) pair Dataset — driver holds the
+    int id set only (small by construction: candidates, not corpus)."""
+    ids = set()
+    for batch in cands.iter_batches(batch_format="pyarrow"):
+        ids.update(batch.column("d1").to_pylist())
+        ids.update(batch.column("d2").to_pylist())
+    return ids
+
+
+def score_pairs_broadcast(ds, cands, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3,
+                          threshold: float = 0.8,
+                          metric: str = "jaccard"):
+    """Exact re-score of a candidate-pair Dataset by n-gram set
+    similarity — the broadcast hash-join shape shared by every
+    candidate generator (MinHash LSH, prefix filtering): the
+    candidate docs' DISTINCT shingle sets are computed distributed,
+    materialized in the OBJECT STORE, and joined against the pair
+    stream inside ``map_batches`` (deserialized once per worker,
+    cached). Output: ``(d1, d2, <metric>·round6)`` for pairs scoring
+    ≥ threshold."""
+    import ray
+    import ray.data
+
+    score_col = metric
+    cand_ids = _collect_pair_ids(cands)
+    if not cand_ids:
+        return ray.data.from_arrow(pa.table({
+            "d1": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+            score_col: pa.array([], pa.float64()),
+        }))
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    def _project_shingles(batch: pa.Table) -> pa.Table:
+        wanted = _cached_get(ids_ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        keys, shs = [], []
+        for rid, t in zip(ids, texts):
+            if rid in wanted:
+                keys.append(rid)
+                shs.append(sorted(set(shingles((t or "").split(" "), k))))
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "sh": pa.array(shs, pa.list_(pa.string())),
+        })
+
+    sh_ds = ds.map_batches(
+        _project_shingles, batch_format="pyarrow"
+    ).materialize()
+    from .similarity import _nonempty_block_refs
+
+    sh_refs = tuple(_nonempty_block_refs(sh_ds))
+
+    def _score_pairs(batch: pa.Table) -> pa.Table:
+        sh_map = _broadcast_shingle_map(sh_refs)
+        d1 = batch.column("d1").to_pylist()
+        d2 = batch.column("d2").to_pylist()
+        d1s, d2s, scores = [], [], []
+        for a, b in zip(d1, d2):
+            sh_a = sh_map.get(a)
+            sh_b = sh_map.get(b)
+            if sh_a is None or sh_b is None:
+                continue
+            score = _set_pair_score(sh_a, sh_b, metric)
+            if score >= threshold:
+                d1s.append(a)
+                d2s.append(b)
+                scores.append(_round6(score))
+        return pa.table({
+            "d1": pa.array(d1s, pa.int64()),
+            "d2": pa.array(d2s, pa.int64()),
+            score_col: pa.array(scores, pa.float64()),
+        })
+
+    return cands.map_batches(_score_pairs, batch_format="pyarrow")
+
+
 def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.8,
                       n_hashes: int = 4, max_bucket: int = 1000,
@@ -543,70 +633,22 @@ def jaccard_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     score_col = metric
 
     def _pair_score(sh_a, sh_b) -> float:
-        inter = len(sh_a & sh_b)
-        if metric == "containment":
-            lo = min(len(sh_a), len(sh_b))
-            return 1.0 if lo == 0 else inter / lo
-        union = len(sh_a) + len(sh_b) - inter
-        return 1.0 if union == 0 else inter / union
+        return _set_pair_score(sh_a, sh_b, metric)
 
     cands = minhash_dup_pairs(
         ds, id_col, text_col, n_hashes, k, max_bucket
     ).materialize()  # tiny: (int64, int64) per candidate pair
 
+    if join == "broadcast":
+        return score_pairs_broadcast(
+            ds, cands, id_col=id_col, text_col=text_col, k=k,
+            threshold=threshold, metric=metric)
+
     # broadcast the candidate id SET (small side) to prune the scan
-    cand_ids = set()
-    for batch in cands.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(batch.column("d1").to_pylist())
-        cand_ids.update(batch.column("d2").to_pylist())
+    cand_ids = _collect_pair_ids(cands)
     if not cand_ids:
         return ray.data.from_arrow(_EMPTY_PAIRS)
     ids_ref = ray.put(frozenset(cand_ids))
-
-    if join == "broadcast":
-        def _project_shingles(batch: pa.Table) -> pa.Table:
-            wanted = _cached_get(ids_ref)
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            keys, shs = [], []
-            for rid, t in zip(ids, texts):
-                if rid in wanted:
-                    keys.append(rid)
-                    shs.append(sorted(set(shingles((t or "").split(" "), k))))
-            return pa.table({
-                "key": pa.array(keys, pa.int64()),
-                "sh": pa.array(shs, pa.list_(pa.string())),
-            })
-
-        sh_ds = ds.map_batches(
-            _project_shingles, batch_format="pyarrow"
-        ).materialize()
-        from .similarity import _nonempty_block_refs
-
-        sh_refs = tuple(_nonempty_block_refs(sh_ds))
-
-        def _score_pairs(batch: pa.Table) -> pa.Table:
-            sh_map = _broadcast_shingle_map(sh_refs)
-            d1 = batch.column("d1").to_pylist()
-            d2 = batch.column("d2").to_pylist()
-            d1s, d2s, scores = [], [], []
-            for a, b in zip(d1, d2):
-                sh_a = sh_map.get(a)
-                sh_b = sh_map.get(b)
-                if sh_a is None or sh_b is None:
-                    continue
-                score = _pair_score(sh_a, sh_b)
-                if score >= threshold:
-                    d1s.append(a)
-                    d2s.append(b)
-                    scores.append(_round6(score))
-            return pa.table({
-                "d1": pa.array(d1s, pa.int64()),
-                "d2": pa.array(d2s, pa.int64()),
-                score_col: pa.array(scores, pa.float64()),
-            })
-
-        return cands.map_batches(_score_pairs, batch_format="pyarrow")
 
     from zlib import crc32
 
@@ -799,6 +841,198 @@ def jaccard_all_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return ray.data.from_items(idx_pairs).map_batches(
         _block_pair, batch_size=1, batch_format="pyarrow"
     )
+
+
+def prefix_jaccard_pairs(ds, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         threshold: float = 0.8,
+                         n_buckets: int = 128):
+    """EXACT set-similarity self-join, recall = 1 — AllPairs/SSJoin
+    prefix filtering (Bayardo/Ma/Srikant WWW'07; Chaudhuri et al.
+    ICDE'06): the scale path between :func:`jaccard_dup_pairs`
+    (MinHash candidates, recall < 1) and :func:`jaccard_all_pairs`
+    (O(N²) ground truth). Output ``(d1, d2, jaccard·round6)``,
+    identical to the exact-all-pairs result by the prefix-filter
+    theorem: two sets with Jaccard ≥ τ MUST share a token within
+    their first ``s - ceil(τ·s) + 1`` tokens under ANY common total
+    order.
+
+    The order used is global document frequency ascending (ties by
+    token) — the canonical AllPairs choice: prefixes then hold each
+    doc's RAREST shingles, so boilerplate shared by thousands of
+    docs never generates candidates. Pipeline (all exchanges carry
+    (token, int) rows, never documents):
+
+    1. distinct (doc, shingle) rows → ONE token-hash groupby; df =
+       segment length (rows are doc-distinct), attached in-bucket;
+    2. doc-hash groupby: per-doc vectorized (df, token) sort +
+       prefix mask — ceil is computed recall-safe
+       (``ceil(τ·s - 1e-9)``: float error may only LENGTHEN a
+       prefix, never shorten it);
+    3. token-hash groupby of prefix rows: per-segment candidate
+       pairs under the size filter ``min ≥ τ·max`` (same safe
+       epsilon);
+    4. pair-hash groupby dedup, then exact verification via
+       :func:`score_pairs_broadcast` — the same verifier the LSH
+       path uses, so scores are bit-identical across paths.
+    """
+    from zlib import crc32
+
+    import numpy as np
+
+    def _tok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        b_, t_, d_, s_ = [], [], [], []
+        for rid, t in zip(ids, texts):
+            sh = sorted(set(shingles((t or "").split(" "), k)))
+            for tok in sh:
+                b_.append(crc32(tok.encode()) % n_buckets)
+                t_.append(tok)
+                d_.append(rid)
+                s_.append(len(sh))
+        return pa.table({
+            "_b": pa.array(b_, pa.int64()),
+            "tok": pa.array(t_, pa.string()),
+            "doc": pa.array(d_, pa.int64()),
+            "sz": pa.array(s_, pa.int64()),
+        })
+
+    def _attach_df(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "_b": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.string()),
+                "doc": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        g = group.sort_by([("tok", "ascending")])
+        toks = g.column("tok").combine_chunks()
+        codes = pc.dictionary_encode(toks).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        from ..functions.segments import key_segments
+
+        seg_start, seg_len = key_segments(codes)
+        df = np.repeat(seg_len, seg_len).astype(np.int64)
+        docs = g.column("doc").combine_chunks().to_numpy()
+        dbucket = np.fromiter(
+            (crc32(str(d).encode()) % n_buckets for d in docs),
+            np.int64, len(docs))
+        return pa.table({
+            "_b": pa.array(dbucket, pa.int64()),
+            "tok": g.column("tok"),
+            "doc": g.column("doc"),
+            "sz": g.column("sz"),
+            "df": pa.array(df, pa.int64()),
+        })
+
+    def _prefixes(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "_b": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.string()),
+                "doc": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int64()),
+            })
+        g = group.sort_by([("doc", "ascending"), ("df", "ascending"),
+                           ("tok", "ascending")])
+        docs = g.column("doc").combine_chunks().to_numpy()
+        szs = g.column("sz").combine_chunks().to_numpy()
+        from ..functions.segments import key_segments, segment_ranks
+
+        seg_start, seg_len = key_segments(docs)
+        rank = segment_ranks(seg_start, seg_len)
+        # recall-safe prefix length: s - ceil(τ·s) + 1, epsilon only
+        # ever rounds the ceil DOWN (longer prefix, more candidates)
+        need = np.ceil(threshold * szs - 1e-9).astype(np.int64)
+        keep = rank < (szs - need + 1)
+        kept = g.filter(pa.array(keep))
+        toks = kept.column("tok").to_pylist()
+        tbucket = np.fromiter(
+            (crc32(tk.encode()) % n_buckets for tk in toks),
+            np.int64, len(toks))
+        return pa.table({
+            "_b": pa.array(tbucket, pa.int64()),
+            "tok": kept.column("tok"),
+            "doc": kept.column("doc"),
+            "sz": kept.column("sz"),
+        })
+
+    def _cand_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "_b": pa.array([], pa.int64()),
+            "d1": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+        })
+        if group.num_rows < 2:
+            return empty
+        g = group.sort_by([("tok", "ascending"), ("doc", "ascending")])
+        toks = g.column("tok").combine_chunks()
+        codes = pc.dictionary_encode(toks).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docs = g.column("doc").combine_chunks().to_numpy()
+        szs = g.column("sz").combine_chunks().to_numpy()
+        from ..functions.segments import key_segments
+
+        seg_start, seg_len = key_segments(codes)
+        d1s, d2s = [], []
+        for s, ln in zip(seg_start, seg_len):
+            if ln < 2:
+                continue
+            r, c = np.triu_indices(int(ln), 1)
+            da, db = docs[s + r], docs[s + c]
+            sa, sb = szs[s + r], szs[s + c]
+            ok = np.minimum(sa, sb) >= (
+                threshold * np.maximum(sa, sb) - 1e-9)
+            ok &= da != db
+            d1s.append(np.minimum(da[ok], db[ok]))
+            d2s.append(np.maximum(da[ok], db[ok]))
+        if not d1s:
+            return empty
+        d1 = np.concatenate(d1s)
+        d2 = np.concatenate(d2s)
+        pb = np.fromiter(
+            (crc32(f"{a}|{b}".encode()) % n_buckets
+             for a, b in zip(d1, d2)),
+            np.int64, len(d1))
+        return pa.table({
+            "_b": pa.array(pb, pa.int64()),
+            "d1": pa.array(d1, pa.int64()),
+            "d2": pa.array(d2, pa.int64()),
+        })
+
+    def _unique_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "d1": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+            })
+        d1 = group.column("d1").combine_chunks().to_numpy()
+        d2 = group.column("d2").combine_chunks().to_numpy()
+        order = np.lexsort((d2, d1))
+        a, b = d1[order], d2[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({
+            "d1": pa.array(a[first], pa.int64()),
+            "d2": pa.array(b[first], pa.int64()),
+        })
+
+    rows = ds.map_batches(_tok_rows, batch_format="pyarrow")
+    with_df = rows.groupby("_b", num_partitions=n_buckets).map_groups(
+        _attach_df, batch_format="pyarrow")
+    prefixes = with_df.groupby(
+        "_b", num_partitions=n_buckets).map_groups(
+        _prefixes, batch_format="pyarrow")
+    cands = prefixes.groupby(
+        "_b", num_partitions=n_buckets).map_groups(
+        _cand_pairs, batch_format="pyarrow")
+    uniq = cands.groupby("_b", num_partitions=n_buckets).map_groups(
+        _unique_pairs, batch_format="pyarrow")
+    return score_pairs_broadcast(
+        ds, uniq.materialize(), id_col=id_col, text_col=text_col,
+        k=k, threshold=threshold, metric="jaccard")
 
 
 def winnow_fingerprint_fn(batch: pa.Table, text_col: str = "text",

@@ -1192,3 +1192,75 @@ class TestSemanticDedup:
         with pytest.raises(Exception):
             semantic_dedup(ray.data.from_arrow(tbl), k=2, iters=1,
                            max_cluster=5).take_all()
+
+
+class TestPrefixJaccardJoin:
+    def _corpus(self):
+        # near-dup pairs + heavy shared boilerplate + unique docs
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        boiler = "terms of service apply all rights reserved contact us"
+        docs = []
+        for i in range(20):
+            if i % 4 == 0:
+                docs.append(f"{base} {boiler}")
+            elif i % 4 == 1:
+                docs.append(f"{base} extra{i} {boiler}")
+            elif i % 4 == 2:
+                docs.append(f"doc {i} unique words here "
+                            f"number{i} token{i} {boiler}")
+            else:
+                docs.append(f"totally different content {i} "
+                            f"with its own vocabulary{i}")
+        return docs
+
+    def test_matches_exact_all_pairs(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import (
+            jaccard_all_pairs, prefix_jaccard_pairs)
+
+        docs = self._corpus()
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl)
+        got = sorted(
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in prefix_jaccard_pairs(
+                ds, threshold=0.8, n_buckets=8).take_all())
+        expect = sorted(
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in jaccard_all_pairs(
+                ray.data.from_arrow(tbl),
+                threshold=0.8).take_all())
+        assert got == expect
+        assert len(got) >= 10  # the %4∈{0,1} docs are mutual near-dups
+
+    def test_layout_invariance(self, ray_session):
+        import ray
+        import pyarrow as pa
+        import ray.data
+
+        from ocr_pipeline_ray.stages.dedup import prefix_jaccard_pairs
+
+        docs = self._corpus()
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        })
+        one = sorted(
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in prefix_jaccard_pairs(
+                ray.data.from_arrow(tbl), threshold=0.8,
+                n_buckets=8).take_all())
+        many = sorted(
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in prefix_jaccard_pairs(
+                ray.data.from_arrow_refs([
+                    ray.put(tbl.slice(i, 3))
+                    for i in range(0, tbl.num_rows, 3)]),
+                threshold=0.8, n_buckets=8).take_all())
+        assert one == many

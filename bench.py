@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "host_entropy", "lang_doc_rank_dist", "ks_drift", "chi2_drift",
     "doc_novelty", "asof_last_purchase", "extraction_pdf_roundtrip",
     "link_graph", "events_value_corr",
+    # session-5 additions
+    "event_transitions", "dq_audit", "dsir_weights", "anchor_texts",
+    "events_winsorized", "image_dhash",
 ]
 
 

@@ -6385,6 +6385,31 @@ ORACLE_SQL["locf_fill"] = (
     "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS value FROM e"
 )
 
+def _synth_link_pages(batch: pa.Table) -> pa.Table:
+    """Deterministic page synth shared by the web-graph queries:
+    ``doc_id % 4`` absolute anchors (``ref j`` → host
+    ``(doc_id*7+j) % 97``) plus a relative nav link that host-level
+    operators drop by design."""
+    ids = batch.column("doc_id").to_pylist()
+    htmls = []
+    for i in ids:
+        anchors = "".join(
+            f'<a href="http://host{(i * 7 + j) % 97}.example.com'
+            f'/p/{j}">ref {j}</a> '
+            for j in range(1, i % 4 + 1)
+        )
+        htmls.append((
+            "<html><body>"
+            "<nav><a href='/about'>About</a></nav>"
+            f"<p>doc {i} {anchors}</p>"
+            "</body></html>"
+        ).encode("utf-8"))
+    return pa.table({
+        "url": batch.column("url"),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
 def q_link_graph(sf_dir: str):
     """Host-level link graph from the raw HTML (stages/web.py
     ``link_graph``): the CC-webgraph construction. Pages are
@@ -6399,28 +6424,7 @@ def q_link_graph(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
         _url_augment, batch_format="pyarrow"
     )
-
-    def _to_pages(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        htmls = []
-        for i in ids:
-            anchors = "".join(
-                f'<a href="http://host{(i * 7 + j) % 97}.example.com'
-                f'/p/{j}">ref {j}</a> '
-                for j in range(1, i % 4 + 1)
-            )
-            htmls.append((
-                "<html><body>"
-                "<nav><a href='/about'>About</a></nav>"
-                f"<p>doc {i} {anchors}</p>"
-                "</body></html>"
-            ).encode("utf-8"))
-        return pa.table({
-            "url": batch.column("url"),
-            "html": pa.array(htmls, pa.binary()),
-        })
-
-    pages = ds.map_batches(_to_pages, batch_format="pyarrow")
+    pages = ds.map_batches(_synth_link_pages, batch_format="pyarrow")
     return link_graph(pages)
 
 
@@ -6490,7 +6494,251 @@ ORACLE_SQL["events_value_corr"] = (
     "FROM events GROUP BY event_type"
 )
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event trails
+    (stages/temporal.event_transitions): global counts of consecutive
+    ``(src_type, dst_type)`` pairs ordered by (ts, event_id) within
+    each user. ONE user-bucket co-shuffle + in-bucket Arrow group_by
+    partials; bit-exact vs the DuckDB lead() OVER twin."""
+    from .stages.temporal import event_transitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_transitions(ds).sort(["src_type", "dst_type"])
+
+
+def q_dq_audit(sf_dir: str):
+    """Data-quality expectation suite (stages/profile.dq_audit): six
+    exact assertions — null/empty text, n_chars consistency, doc_id
+    uniqueness (one int64-key co-shuffle), orders→customer
+    referential integrity (broadcast anti-probe), events value
+    domain. One row per check, driver folds scalar partials."""
+    import pyarrow.parquet as pq
+
+    from .stages.profile import dq_audit
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["value"])
+    # the customer dimension is the broadcast small side by design;
+    # a driver-side pruned read of the key column IS the broadcast
+    # prep (same contract as stages/join.broadcast_join)
+    customer_keys = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).column("c_custkey")
+    return dq_audit(docs, orders, customer_keys, events)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance scores (stages/dsir.py, Xie et al. 2023):
+    hashed-unigram target-vs-raw log-likelihood ratio per doc, target
+    = lang 'en'. Two streaming passes (bincount partials driver-fold
+    → broadcast 256-bucket int64 micro-nat weight table → vectorized
+    per-doc sums); NO shuffle. Bit-exact vs the DuckDB twin because
+    per-doc sums are int64."""
+    from .stages.dsir import dsir_scores
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_target",
+            pc.equal(pc.fill_null(batch.column("lang"), ""), "en"),
+        )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        _mark, batch_format="pyarrow")
+    return dsir_scores(ds, dim=256).sort("doc_id")
+
+
+def q_anchor_texts(sf_dir: str):
+    """Per-destination-host anchor-text aggregation
+    (stages/web.anchor_stats) over the same deterministic synthetic
+    pages as `link_graph`: total mentions, distinct anchor strings,
+    and the arg-max anchor per host (ties → lexicographic). Payloads
+    never shuffle; only (host, anchor, n) partials move."""
+    from .stages.web import anchor_stats
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(_synth_link_pages, batch_format="pyarrow")
+    return anchor_stats(pages).sort("dst_host")
+
+
+def q_events_winsorized(sf_dir: str):
+    """Winsorized per-type mean (stages/stats.winsorized_group_mean):
+    int64 cents clipped to the exact global percentile_disc
+    [p05, p95], then one map-side-combined groupby. Robust-KPI shape:
+    two streaming passes, bounds broadcast as scalars."""
+    import numpy as np
+
+    from .stages.stats import winsorized_group_mean
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+    return winsorized_group_mean(
+        cents, "event_type", "cents", 0.05, 0.95
+    ).sort("event_type")
+
+
+def q_image_dhash(sf_dir: str):
+    """Image near-dup via 64-bit PERCEPTUAL HASH (dHash) computed
+    from REAL decoded pixels (stages/multimodal.PerceptualHasher →
+    decode_pnm): every doc becomes a deterministic 9x8 gradient PGM
+    (pixel = (11·doc_id + 7x + 13y) mod 83, so docs sharing
+    doc_id mod 83 are pixel-identical), the actor pool decodes and
+    hashes, and ONE groupby over the 16-hex dhash yields dup groups.
+    The DuckDB twin recomputes the hash from the pixel FORMULA — a
+    header-faking decoder cannot match it."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Min
+
+    from .stages.multimodal import encode_pgm, image_dhash_stage
+
+    ys, xs = np.mgrid[0:8, 0:9]
+
+    def _to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array([f"m{i:06d}" for i in ids], pa.string()),
+            "payload": pa.array(
+                [encode_pgm(9, 8, (11 * i + 7 * xs + 13 * ys) % 83)
+                 for i in ids],
+                pa.binary()),
+        })
+
+    imgs = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _to_images, batch_format="pyarrow")
+    hashed = image_dhash_stage(imgs)
+    agg = hashed.groupby("dhash").aggregate(
+        Count(), Min("media_id", alias_name="min_media_id"))
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dhash": batch.column("dhash"),
+            "n_images": pc.cast(batch.column("count()"), pa.int64()),
+            "min_media_id": batch.column("min_media_id"),
+        })
+
+    return agg.map_batches(_rename, batch_format="pyarrow").sort("dhash")
+
+
+ORACLE_SQL["event_transitions"] = (
+    "SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n FROM ("
+    "SELECT event_type AS src_type, lead(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS dst_type "
+    "FROM events) WHERE dst_type IS NOT NULL "
+    "GROUP BY src_type, dst_type ORDER BY src_type, dst_type"
+)
+
+ORACLE_SQL["dq_audit"] = (
+    "SELECT * FROM ("
+    "SELECT 'documents.dup_doc_id' AS check_name, "
+    "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS violations "
+    "FROM documents "
+    "UNION ALL SELECT 'documents.empty_text', CAST(count(*) FILTER ("
+    "text IS NOT NULL AND length(text) = 0) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'documents.n_chars_mismatch', "
+    "CAST(count(*) FILTER (coalesce(length(text), 0) != "
+    "coalesce(n_chars, -1)) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'documents.null_text', "
+    "CAST(count(*) FILTER (text IS NULL) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'events.negative_value', "
+    "CAST(count(*) FILTER (value < 0) AS BIGINT) FROM events "
+    "UNION ALL SELECT 'orders.orphan_custkey', "
+    "CAST(count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN "
+    "(SELECT c_custkey FROM customer)) AS BIGINT) FROM orders"
+    ") ORDER BY check_name"
+)
+
+ORACLE_SQL["dsir_weights"] = (
+    "WITH tok AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(t), 1, 8))"
+    " AS UBIGINT) % 256 AS BIGINT) AS bucket, is_tgt FROM ("
+    "SELECT doc_id, lang = 'en' AS is_tgt, "
+    "unnest(string_split(text, ' ')) AS t "
+    "FROM documents WHERE text IS NOT NULL)), "
+    "cnt AS (SELECT bucket, count(*) AS n_raw, "
+    "coalesce(count(*) FILTER (is_tgt), 0) AS n_tgt "
+    "FROM tok GROUP BY bucket), "
+    "tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM cnt), "
+    "w AS (SELECT bucket, CAST(floor((ln((n_tgt + 1) / (t_tgt + 256.0)) "
+    "- ln((n_raw + 1) / (t_raw + 256.0))) * 1e6 + 0.5) AS BIGINT) AS wt "
+    "FROM cnt CROSS JOIN tot) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(wt) AS BIGINT) AS dsir_micro_nats "
+    "FROM tok JOIN w USING (bucket) GROUP BY doc_id ORDER BY doc_id"
+)
+
+ORACLE_SQL["anchor_texts"] = (
+    "WITH l AS (SELECT (doc_id * 7 + j) % 97 AS hid, "
+    "'ref ' || CAST(j AS VARCHAR) AS anchor FROM ("
+    "SELECT doc_id, unnest(range(1, doc_id % 4 + 1)) AS j "
+    "FROM documents)), "
+    "c AS (SELECT hid, anchor, count(*) AS n FROM l GROUP BY 1, 2), "
+    "r AS (SELECT hid, anchor, row_number() OVER (PARTITION BY hid "
+    "ORDER BY n DESC, anchor ASC) AS rk, "
+    "sum(n) OVER (PARTITION BY hid) AS tot, "
+    "count(*) OVER (PARTITION BY hid) AS nd FROM c) "
+    "SELECT 'host' || CAST(hid AS VARCHAR) || '.example.com' AS dst_host, "
+    "CAST(tot AS BIGINT) AS n_mentions, "
+    "CAST(nd AS BIGINT) AS n_distinct_anchors, anchor AS top_anchor "
+    "FROM r WHERE rk = 1 ORDER BY dst_host"
+)
+
+ORACLE_SQL["events_winsorized"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), "
+    "b AS (SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) "
+    "AS lo, percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS hi "
+    "FROM c) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "floor(sum(least(greatest(cents, lo), hi)) / count(*) / 100.0 "
+    "* 1000.0 + 0.5) / 1000.0 AS mean_winsorized "
+    "FROM c CROSS JOIN b GROUP BY event_type, lo, hi "
+    "ORDER BY event_type"
+)
+
+ORACLE_SQL["image_dhash"] = (
+    "WITH bits AS (SELECT doc_id, y, x, "
+    "CASE WHEN (11 * doc_id + 7 * (x + 1) + 13 * y) % 83 > "
+    "(11 * doc_id + 7 * x + 13 * y) % 83 THEN 1 ELSE 0 END AS b "
+    "FROM (SELECT doc_id, unnest(range(0, 8)) AS y FROM documents), "
+    "(SELECT unnest(range(0, 8)) AS x)), "
+    "h AS (SELECT doc_id, "
+    "sum(CASE WHEN y * 8 + x >= 32 THEN b * (CAST(1 AS BIGINT) << "
+    "CAST(y * 8 + x - 32 AS INTEGER)) ELSE 0 END) AS hi, "
+    "sum(CASE WHEN y * 8 + x < 32 THEN b * (CAST(1 AS BIGINT) << "
+    "CAST(y * 8 + x AS INTEGER)) ELSE 0 END) AS lo "
+    "FROM bits GROUP BY doc_id) "
+    "SELECT lower(lpad(to_hex(hi), 8, '0')) || "
+    "lower(lpad(to_hex(lo), 8, '0')) AS dhash, "
+    "CAST(count(*) AS BIGINT) AS n_images, "
+    "min('m' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS min_media_id "
+    "FROM h GROUP BY 1 ORDER BY dhash"
+)
+
+
 QUERIES = {
+    "event_transitions": q_event_transitions,
+    "dq_audit": q_dq_audit,
+    "dsir_weights": q_dsir_weights,
+    "anchor_texts": q_anchor_texts,
+    "events_winsorized": q_events_winsorized,
+    "image_dhash": q_image_dhash,
     "replace_chars": q_replace_chars,
     "replace_chars_stats": q_replace_chars_stats,
     "replace_regex": q_replace_regex,

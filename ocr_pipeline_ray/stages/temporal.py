@@ -766,3 +766,70 @@ def sliding_distinct(ds, key_col: str = "event_type",
     return exploded.groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_count, batch_format="pyarrow")
+
+
+def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id", n_buckets: int = 64):
+    """Markov transition counts over per-user event trails: for every
+    consecutive event pair within a user (ordered by ``(ts,
+    order_col)``), count global ``(src_type, dst_type)`` occurrences
+    — the behavioral transition matrix (the LEAD window folded into
+    a pair aggregate).
+
+    Shape: ONE user-hash-bucket co-shuffle (users never split across
+    buckets, so no pair crosses a boundary), then per whole bucket a
+    single Arrow sort + boundary-mask adjacency and an in-bucket
+    Arrow ``group_by`` partial — the shuffle carries raw events once
+    and the final exchange carries only ``types² × buckets`` partial
+    rows. All counts int64 → the DuckDB ``lead() OVER`` twin is
+    bit-exact.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src_type": pa.array([], pa.string()),
+            "dst_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if group.num_rows < 2:
+            return empty
+        g = group.sort_by([(user_col, "ascending"),
+                           (ts_col, "ascending"),
+                           (order_col, "ascending")])
+        users = g.column(user_col).combine_chunks().to_numpy()
+        same = pa.array(users[1:] == users[:-1])
+        types = g.column(type_col).combine_chunks()
+        src = types.slice(0, len(types) - 1).filter(same)
+        if len(src) == 0:
+            return empty
+        dst = types.slice(1).filter(same)
+        part = pa.table({"src_type": src, "dst_type": dst}).group_by(
+            ["src_type", "dst_type"]
+        ).aggregate([([], "count_all")])
+        return pa.table({
+            "src_type": part.column("src_type"),
+            "dst_type": part.column("dst_type"),
+            "n": pc.cast(part.column("count_all"), pa.int64()),
+        })
+
+    bucketed = _bucket_by(
+        ds.select_columns([user_col, ts_col, order_col, type_col]),
+        user_col, n_buckets,
+    )
+    partials = bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_pairs, batch_format="pyarrow")
+    agg = partials.groupby(["src_type", "dst_type"]).aggregate(Sum("n"))
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_type": batch.column("src_type"),
+            "dst_type": batch.column("dst_type"),
+            "n": pc.cast(batch.column("sum(n)"), pa.int64()),
+        })
+
+    return agg.map_batches(_rename, batch_format="pyarrow")

@@ -242,3 +242,118 @@ def canonicalize_url_fn(batch: pa.Table, url_col: str = "url",
     for pattern, repl in CANON_STEPS:
         u = pc.replace_substring_regex(u, pattern, repl)
     return batch.append_column(out_col, u)
+
+
+_ANCHOR_RE = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))"""
+    rb"""[^>]*>(.*?)</a\s*>""",
+    re.I | re.S,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"\s+")
+
+
+def anchor_pairs(html_bytes: bytes) -> List[tuple]:
+    """``(dst_host, anchor_text)`` for every ABSOLUTE http(s) link of
+    one page, document order, duplicates kept. Anchor text is the
+    tag's inner markup with nested tags stripped and whitespace
+    collapsed (the Common-Crawl anchor-corpus convention)."""
+    out: List[tuple] = []
+    for m in _ANCHOR_RE.finditer(html_bytes):
+        href = m.group(1) or m.group(2) or m.group(3)
+        hm = _ABS_HOST_RE.match(href)
+        if hm is None:
+            continue
+        text = _WS_RE.sub(b" ", _TAG_RE.sub(b"", m.group(4))).strip()
+        out.append((hm.group(1).lower().decode("utf-8", "replace"),
+                    text.decode("utf-8", "replace")))
+    return out
+
+
+def anchor_stats(ds, html_col: str = "html", n_buckets: int = 64):
+    """Per-destination-host ANCHOR-TEXT aggregation — the classic
+    web-corpus signal (anchor corpora describe a page better than
+    its own boilerplate; used for retrieval training sets and host
+    labeling). Output: ``(dst_host, n_mentions, n_distinct_anchors,
+    top_anchor)`` where ``top_anchor`` is the most frequent anchor
+    string (ties → lexicographically smallest).
+
+    Shape mirrors :func:`link_graph`: the html payloads never
+    shuffle. Each block reduces map-side to distinct
+    ``(dst_host, anchor, n)`` partial rows; ONE multi-key groupby
+    sums them; then a host-hash-bucket co-shuffle of those (already
+    anchor-vocabulary-scale) rows lets a whole-bucket kernel pick
+    per-host totals and the arg-max anchor with a single Arrow sort
+    + boundary masks — no per-host UDF invocation.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+    from ..functions.hashing import bucket_ids
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hosts: List[str] = []
+        anchors: List[str] = []
+        for payload in batch.column(html_col).to_pylist():
+            if not payload:
+                continue
+            for h, a in anchor_pairs(payload):
+                hosts.append(h)
+                anchors.append(a)
+        pairs = pa.table({
+            "dst_host": pa.array(hosts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        })
+        g = pairs.group_by(["dst_host", "anchor"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "dst_host": g.column("dst_host"),
+            "anchor": g.column("anchor"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    pair_counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["dst_host", "anchor"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _host_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_hbucket", pa.array(
+            bucket_ids(batch.column("dst_host"), n_buckets), pa.int64()))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "dst_host": pa.array([], pa.string()),
+            "n_mentions": pa.array([], pa.int64()),
+            "n_distinct_anchors": pa.array([], pa.int64()),
+            "top_anchor": pa.array([], pa.string()),
+        })
+        if group.num_rows == 0:
+            return empty
+        # one sort: host asc, count desc, anchor asc → first row per
+        # host IS the arg-max anchor with the deterministic tie-break
+        g = group.sort_by([("dst_host", "ascending"),
+                           ("n", "descending"),
+                           ("anchor", "ascending")])
+        hosts = g.column("dst_host").combine_chunks()
+        n = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.ones(len(n), dtype=bool)
+        codes = pc.dictionary_encode(hosts).indices.to_numpy(
+            zero_copy_only=False)
+        first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(n))
+        cs = np.concatenate([[0], np.cumsum(n, dtype=np.int64)])
+        return pa.table({
+            "dst_host": hosts.take(pa.array(starts, pa.int64())),
+            "n_mentions": pa.array(cs[ends] - cs[starts], pa.int64()),
+            "n_distinct_anchors": pa.array(ends - starts, pa.int64()),
+            "top_anchor": g.column("anchor").take(
+                pa.array(starts, pa.int64())),
+        })
+
+    return pair_counts.map_batches(
+        _host_bucket, batch_format="pyarrow"
+    ).groupby("_hbucket", num_partitions=n_buckets).map_groups(
+        _rollup, batch_format="pyarrow")

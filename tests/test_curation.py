@@ -1,0 +1,247 @@
+"""Unit tests for the session-5 curation wave: event transitions,
+dq_audit, DSIR scoring, anchor aggregation, winsorized means, and the
+perceptual image hash."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _events_tbl(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+class TestEventTransitions:
+    def test_pairs_and_block_invariance(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.temporal import event_transitions
+
+        us = 1_000_000
+        rows = [
+            (1, 0 * us, 1, "view"),
+            (1, 1 * us, 2, "click"),
+            (1, 2 * us, 3, "view"),
+            (2, 0 * us, 4, "view"),
+            (2, 5 * us, 5, "click"),
+            (3, 9 * us, 6, "buy"),  # single event: no transition
+        ]
+        want = {("click", "view"): 1, ("view", "click"): 2}
+        for layout in (1, 3, 6):
+            ds = ray.data.from_arrow(_events_tbl(rows)).repartition(layout)
+            got = {
+                (r["src_type"], r["dst_type"]): r["n"]
+                for r in event_transitions(ds, n_buckets=4).take_all()
+            }
+            assert got == want, layout
+
+    def test_tie_break_by_event_id(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.temporal import event_transitions
+
+        rows = [(1, 0, 2, "b"), (1, 0, 1, "a"), (1, 0, 3, "c")]
+        got = {
+            (r["src_type"], r["dst_type"]): r["n"]
+            for r in event_transitions(
+                ray.data.from_arrow(_events_tbl(rows)), n_buckets=2
+            ).take_all()
+        }
+        assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+class TestDqAudit:
+    def test_violations_counted(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.profile import dq_audit
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 2, 3], pa.int64()),
+            "text": pa.array(["ok", "", None, "abcd"], pa.string()),
+            "n_chars": pa.array([2, 0, 0, 3], pa.int64()),
+        })
+        orders = pa.table({
+            "o_custkey": pa.array([10, 11, 99, None], pa.int64()),
+        })
+        events = pa.table({
+            "value": pa.array([1.0, -2.0, None, -0.5], pa.float64()),
+        })
+        keys = pa.array([10, 11], pa.int64())
+        out = dq_audit(
+            ray.data.from_arrow(docs).repartition(2),
+            ray.data.from_arrow(orders),
+            keys,
+            ray.data.from_arrow(events),
+        )
+        got = dict(zip(out.column("check_name").to_pylist(),
+                       out.column("violations").to_pylist()))
+        assert got == {
+            "documents.dup_doc_id": 1,
+            "documents.empty_text": 1,
+            # row 3 (NULL text, n_chars=0): coalesce(len,0)=0 == n_chars
+            # -> not a mismatch; row 4: len 4 != 3 -> mismatch
+            "documents.n_chars_mismatch": 1,
+            "documents.null_text": 1,
+            "events.negative_value": 2,
+            "orders.orphan_custkey": 1,
+        }
+
+
+class TestDsir:
+    def test_weight_table_direction(self):
+        from ocr_pipeline_ray.stages.dsir import dsir_weight_table
+
+        n_raw = np.array([100, 100], dtype=np.int64)
+        n_tgt = np.array([90, 0], dtype=np.int64)
+        w = dsir_weight_table(n_raw, n_tgt)
+        # bucket 0 is target-enriched, bucket 1 target-absent
+        assert w[0] > 0 > w[1]
+
+    def test_scores_follow_target_vocab(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.dsir import dsir_scores
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "alpha alpha beta", "alpha beta",
+                "gamma delta", "gamma gamma delta",
+            ], pa.string()),
+            "is_target": pa.array([True, True, False, False]),
+        })
+        out = dsir_scores(
+            ray.data.from_arrow(docs).repartition(2), dim=64
+        ).take_all()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["n_tokens"] == 3
+        # target-vocab docs must outscore raw-only-vocab docs
+        assert min(by_id[1]["dsir_micro_nats"],
+                   by_id[2]["dsir_micro_nats"]) > max(
+            by_id[3]["dsir_micro_nats"], by_id[4]["dsir_micro_nats"])
+
+
+class TestAnchorStats:
+    def test_parse_and_rollup(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.web import anchor_pairs, anchor_stats
+
+        html = (
+            b"<html><a href='/rel'>skip</a>"
+            b"<a href='http://A.com/x'>Widget <b>Pro</b></a>"
+            b'<a href="https://a.com/y">widget</a>'
+            b"<a href=http://a.com/z>widget</a></html>"
+        )
+        pairs = anchor_pairs(html)
+        assert pairs == [("a.com", "Widget Pro"), ("a.com", "widget"),
+                         ("a.com", "widget")]
+        pages = pa.table({
+            "url": pa.array(["http://src.com/p"], pa.string()),
+            "html": pa.array([html], pa.binary()),
+        })
+        out = anchor_stats(ray.data.from_arrow(pages),
+                           n_buckets=4).take_all()
+        assert len(out) == 1
+        row = out[0]
+        assert row["dst_host"] == "a.com"
+        assert row["n_mentions"] == 3
+        assert row["n_distinct_anchors"] == 2
+        assert row["top_anchor"] == "widget"
+
+    def test_top_anchor_tie_is_lexicographic(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.web import anchor_stats
+
+        html = (b"<a href='http://h.com/1'>zeta</a>"
+                b"<a href='http://h.com/2'>alpha</a>")
+        pages = pa.table({
+            "url": pa.array(["http://s.com/"], pa.string()),
+            "html": pa.array([html], pa.binary()),
+        })
+        row = anchor_stats(ray.data.from_arrow(pages),
+                           n_buckets=2).take_all()[0]
+        assert row["top_anchor"] == "alpha"
+
+
+class TestWinsorized:
+    def test_clipping_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from ocr_pipeline_ray.stages.stats import winsorized_group_mean
+
+        rng = np.random.RandomState(7)
+        keys = rng.choice(["a", "b", "c"], size=300).tolist()
+        cents = rng.randint(-500, 50_000, size=300).astype(np.int64)
+        tbl = pa.table({
+            "k": pa.array(keys, pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        got = winsorized_group_mean(
+            ray.data.from_arrow(tbl).repartition(4), "k", "cents"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.sql(
+            "WITH b AS (SELECT percentile_disc(0.05) WITHIN GROUP "
+            "(ORDER BY cents) AS lo, percentile_disc(0.95) WITHIN GROUP "
+            "(ORDER BY cents) AS hi FROM t) "
+            "SELECT k, CAST(count(*) AS BIGINT) AS n, "
+            "floor(sum(least(greatest(cents, lo), hi)) / count(*) "
+            "/ 100.0 * 1000.0 + 0.5) / 1000.0 AS mean_winsorized "
+            "FROM t CROSS JOIN b GROUP BY k, lo, hi ORDER BY k"
+        ).df()
+        assert got["n"].tolist() == want["n"].tolist()
+        assert got["mean_winsorized"].tolist() == \
+            want["mean_winsorized"].tolist()
+
+
+class TestImageDhash:
+    def test_dhash_bits(self):
+        from ocr_pipeline_ray.stages.multimodal import dhash64
+
+        # strictly increasing rows -> every comparison true -> all 64
+        # bits set
+        px = np.tile(np.arange(9, dtype=np.uint8), (8, 1))
+        assert dhash64(px) == 0xFFFFFFFFFFFFFFFF
+        # constant raster -> no bit set
+        assert dhash64(np.zeros((8, 9), dtype=np.uint8)) == 0
+        with pytest.raises(ValueError):
+            dhash64(np.zeros((8, 8), dtype=np.uint8))
+
+    def test_hasher_stage_and_error_path(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.multimodal import (
+            encode_pgm,
+            image_dhash_stage,
+        )
+
+        good = encode_pgm(9, 8, np.arange(72, dtype=np.uint8).reshape(8, 9))
+        wrong_dims = encode_pgm(4, 4, 7)
+        garbage = b"not an image"
+        tbl = pa.table({
+            "media_id": pa.array(["a", "b", "c"], pa.string()),
+            "payload": pa.array([good, wrong_dims, garbage], pa.binary()),
+        })
+        rows = {r["media_id"]: r for r in image_dhash_stage(
+            ray.data.from_arrow(tbl), concurrency=(1, 2)).take_all()}
+        assert rows["a"]["dhash"] is not None
+        assert rows["a"]["decode_error"] is None
+        assert rows["b"]["dhash"] is None
+        assert "raster" in rows["b"]["decode_error"]
+        assert rows["c"]["dhash"] is None
+        assert rows["c"]["decode_error"]

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     # session-5 additions
     "event_transitions", "dq_audit", "dsir_weights", "anchor_texts",
     "events_winsorized", "image_dhash",
+    "scd2_build", "user_mode_event", "robots_allowed",
+    "distinctive_terms",
 ]
 
 

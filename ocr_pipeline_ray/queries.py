@@ -6732,7 +6732,144 @@ ORACLE_SQL["image_dhash"] = (
 )
 
 
+def q_scd2_build(sf_dir: str):
+    """SCD2 history build (stages/temporal.scd2_intervals): collapse
+    each user's consecutive equal event_type runs into validity
+    intervals (valid_from = run start, valid_to = next run start,
+    NULL = current). ONE user co-shuffle + boundary masks; bit-exact
+    vs the DuckDB lag-filter-lead twin."""
+    from .stages.temporal import scd2_intervals
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return scd2_intervals(ds).sort(["user_id", "valid_from"])
+
+
+def q_user_mode_event(sf_dir: str):
+    """Exact per-user MODE event type (stages/stats.grouped_mode):
+    map-side (user, type, n) partial combine → one user-bucket
+    co-shuffle → whole-bucket sort + boundary-mask arg-max with the
+    (count desc, value asc) tie rule."""
+    from .stages.stats import grouped_mode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type").sort("user_id")
+
+
+def q_robots_allowed(sf_dir: str):
+    """Robots-style disallow-prefix URL filtering
+    (stages/web.robots_filter): per-host Disallow rules broadcast
+    once, probed with O(distinct prefix lengths) vectorized is_in
+    kernels per batch — the crawl-politeness / takedown gate. Rules
+    here derive from the host id (h%3→'/p/1', h%5→'/p/2',
+    h%7→'/p/33') so the DuckDB NOT EXISTS twin reproduces them."""
+    from .stages.web import robots_filter
+
+    hosts, prefixes = [], []
+    for h in range(97):
+        host = f"host{h}.example.com"
+        if h % 3 == 0:
+            hosts.append(host)
+            prefixes.append("/p/1")
+        if h % 5 == 0:
+            hosts.append(host)
+            prefixes.append("/p/2")
+        if h % 7 == 0:
+            hosts.append(host)
+            prefixes.append("/p/33")
+    rules = pa.table({"host": pa.array(hosts, pa.string()),
+                      "prefix": pa.array(prefixes, pa.string())})
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow")
+    return robots_filter(ds, rules).select_columns(
+        ["doc_id", "url"]).sort("doc_id")
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Fightin'-Words distinctive terms (Monroe et al. 2008;
+    stages/textstats.distinctive_terms): top-20 tokens
+    characterizing 'en' vs 'de' docs by add-one-prior log-odds
+    z-score. One vocab-scale token groupby (never broadcast),
+    blocks-scale scalar fold, per-block local top-k + tiny global
+    sort — exact int64 counts drive the identical float expression
+    on both engines (1e-6 grid)."""
+    from .stages.textstats import distinctive_terms
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_a", pc.equal(pc.fill_null(batch.column("lang"), ""),
+                             "en"))
+
+    ds = _docs(sf_dir, columns=["text", "lang"]).filter(
+        expr="lang == 'en' or lang == 'de'"
+    ).map_batches(_mark, batch_format="pyarrow")
+    return distinctive_terms(ds, side_col="is_a", k=20)
+
+
+ORACLE_SQL["scd2_build"] = (
+    "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_type FROM events), "
+    "s AS (SELECT user_id, event_type, ts AS valid_from, event_id "
+    "FROM o WHERE prev_type IS NULL OR prev_type != event_type) "
+    "SELECT user_id, event_type, valid_from, "
+    "lead(valid_from) OVER (PARTITION BY user_id "
+    "ORDER BY valid_from, event_id) AS valid_to "
+    "FROM s ORDER BY user_id, valid_from"
+)
+
+ORACLE_SQL["user_mode_event"] = (
+    "SELECT user_id, mode_value, n FROM ("
+    "SELECT user_id, event_type AS mode_value, "
+    "CAST(count(*) AS BIGINT) AS n, row_number() OVER ("
+    "PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) "
+    "AS rk FROM events GROUP BY user_id, event_type) "
+    "WHERE rk = 1 ORDER BY user_id"
+)
+
+ORACLE_SQL["robots_allowed"] = (
+    "WITH hs AS (SELECT unnest(range(0, 97)) AS h), "
+    "rules AS ("
+    "SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host, "
+    "'/p/1' AS prefix FROM hs WHERE h % 3 = 0 "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com', "
+    "'/p/2' FROM hs WHERE h % 5 = 0 "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com', "
+    "'/p/33' FROM hs WHERE h % 7 = 0), "
+    "u AS (SELECT doc_id, "
+    "'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || '.example.com' "
+    "AS host, '/p/' || CAST(doc_id AS VARCHAR) AS path, "
+    "'http://host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
+    "'.example.com/p/' || CAST(doc_id AS VARCHAR) AS url "
+    "FROM documents) "
+    "SELECT doc_id, url FROM u WHERE NOT EXISTS ("
+    "SELECT 1 FROM rules r WHERE r.host = u.host "
+    "AND starts_with(u.path, r.prefix)) ORDER BY doc_id"
+)
+
+ORACLE_SQL["distinctive_terms"] = (
+    "WITH tok AS (SELECT lang = 'en' AS a, "
+    "unnest(string_split(text, ' ')) AS token FROM documents "
+    "WHERE lang IN ('en', 'de') AND text IS NOT NULL), "
+    "c AS (SELECT token, coalesce(count(*) FILTER (a), 0) AS ya, "
+    "coalesce(count(*) FILTER (NOT a), 0) AS yb FROM tok "
+    "GROUP BY token), "
+    "t AS (SELECT sum(ya) AS na, sum(yb) AS nb, count(*) AS v FROM c) "
+    "SELECT token, floor((ln((ya + 1) / (na + v - ya - 1.0)) "
+    "- ln((yb + 1) / (nb + v - yb - 1.0))) "
+    "/ sqrt(1.0 / (ya + 1) + 1.0 / (yb + 1)) * 1e6 + 0.5) / 1e6 AS z "
+    "FROM c CROSS JOIN t ORDER BY z DESC, token ASC LIMIT 20"
+)
+
+
 QUERIES = {
+    "scd2_build": q_scd2_build,
+    "user_mode_event": q_user_mode_event,
+    "robots_allowed": q_robots_allowed,
+    "distinctive_terms": q_distinctive_terms,
     "event_transitions": q_event_transitions,
     "dq_audit": q_dq_audit,
     "dsir_weights": q_dsir_weights,

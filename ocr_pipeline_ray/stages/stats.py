@@ -1501,3 +1501,65 @@ def winsorized_group_mean(ds, key_col: str, cents_col: str,
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, value_col: str, n_buckets: int = 64):
+    """Exact per-key MODE: the most frequent ``value_col`` per
+    ``key_col`` with deterministic tie-break (count desc, value asc)
+    — e.g. each user's dominant event type. SQL's
+    ``mode() WITHIN GROUP`` with a pinned tie rule.
+
+    Shape: map-side ``(key, value, n)`` partial combine (the shuffle
+    carries distinct pairs per block, never raw rows), then ONE
+    key-hash co-shuffle of the pair partials; each whole-bucket UDF
+    re-combines with one Arrow group_by and picks first-per-key via a
+    single sort + boundary mask — no per-key UDF invocation.
+
+    Returns ``(key_col, mode_value, n)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col, value_col]).group_by(
+            [key_col, value_col]).aggregate([([], "count_all")])
+        out = pa.table({
+            key_col: g.column(key_col),
+            value_col: g.column(value_col),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+        return out.append_column("_kbucket", pa.array(
+            bucket_ids(out.column(key_col), n_buckets), pa.int64()))
+
+    def _mode(group: pa.Table) -> pa.Table:
+        key_t = group.schema.field(key_col).type
+        val_t = group.schema.field(value_col).type
+        empty = pa.table({
+            key_col: pa.array([], key_t),
+            "mode_value": pa.array([], val_t),
+            "n": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        # fold the per-block partials, then one sort + first-per-key
+        g = group.select([key_col, value_col, "n"]).group_by(
+            [key_col, value_col]).aggregate([("n", "sum")])
+        g = g.sort_by([(key_col, "ascending"), ("n_sum", "descending"),
+                       (value_col, "ascending")])
+        keys = g.column(key_col).combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        idx = pa.array(np.flatnonzero(first), pa.int64())
+        return pa.table({
+            key_col: keys.take(idx),
+            "mode_value": g.column(value_col).take(idx),
+            "n": pc.cast(g.column("n_sum").take(idx), pa.int64()),
+        })
+
+    return ds.select_columns([key_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("_kbucket", num_partitions=n_buckets).map_groups(
+        _mode, batch_format="pyarrow")

@@ -833,3 +833,68 @@ def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
         })
 
     return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def scd2_intervals(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   attr_col: str = "event_type",
+                   order_col: str = "event_id", n_buckets: int = 64):
+    """Type-2 slowly-changing-dimension history build (the CDC
+    compaction): per key, collapse CONSECUTIVE runs of an equal
+    attribute value into validity intervals ``(user, attr,
+    valid_from, valid_to)`` — ``valid_from`` is the run's first
+    event time, ``valid_to`` the next run's first event time (NULL
+    for the current value). Events order by ``(ts, order_col)``
+    within a key; a value that recurs after an interruption opens a
+    NEW interval (true SCD2, not a distinct list).
+
+    Same skew-safe layout as every keyed window here: ONE user-hash
+    co-shuffle, then per whole bucket a single Arrow sort + two
+    boundary masks (key change | attr change) and a shifted take for
+    ``valid_to`` — no per-key loop.
+    """
+    import pyarrow.compute as pc
+
+    def _runs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            user_col: pa.array([], pa.int64()),
+            attr_col: pa.array([], pa.string()),
+            "valid_from": pa.array([], pa.timestamp("us")),
+            "valid_to": pa.array([], pa.timestamp("us")),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([(user_col, "ascending"),
+                           (ts_col, "ascending"),
+                           (order_col, "ascending")])
+        users = g.column(user_col).combine_chunks().to_numpy()
+        attrs = pc.dictionary_encode(
+            g.column(attr_col).combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(users), dtype=bool)
+        new_run[1:] = (users[1:] != users[:-1]) | (attrs[1:] != attrs[:-1])
+        starts = np.flatnonzero(new_run)
+        # next run's start within the same user, else null
+        nxt = np.concatenate([starts[1:], [-1]])
+        same_user = np.zeros(len(starts), dtype=bool)
+        if len(starts) > 1:
+            same_user[:-1] = users[starts[1:]] == users[starts[:-1]]
+        ts = g.column(ts_col).combine_chunks()
+        valid_to = ts.take(pa.array(
+            np.where(same_user, nxt, 0), pa.int64()))
+        valid_to = pc.if_else(pa.array(same_user), valid_to,
+                              pa.scalar(None, ts.type))
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            user_col: g.column(user_col).take(idx),
+            attr_col: g.column(attr_col).take(idx),
+            "valid_from": ts.take(idx),
+            "valid_to": valid_to,
+        })
+
+    bucketed = _bucket_by(
+        ds.select_columns([user_col, ts_col, order_col, attr_col]),
+        user_col, n_buckets,
+    )
+    return bucketed.groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_runs, batch_format="pyarrow")

@@ -710,3 +710,102 @@ def bm25_topk(ds, query_tokens, k: int = 10, id_col: str = "doc_id",
     return (
         cands.sort(["_neg", id_col]).limit(k).drop_columns(["_neg"])
     )
+
+
+def distinctive_terms(ds, side_col: str, text_col: str = "text",
+                      k: int = 20):
+    """Distinctive-terms comparison between two sub-corpora (Monroe
+    et al. 2008 "Fightin' Words": log-odds with add-one Dirichlet
+    prior, z-scored) — "which words characterize side A vs side B",
+    the standard corpus-linguistics / source-audit operator.
+
+    ``side_col`` is boolean (True = side A). Per token:
+    ``z = (ln((ya+1)/(na+V−ya−1)) − ln((yb+1)/(nb+V−yb−1))) /
+    sqrt(1/(ya+1) + 1/(yb+1))`` with V = vocabulary size. All inputs
+    are exact int64 counts, so both engines evaluate the identical
+    float expression; z lands on the 1e-6 grid.
+
+    Shape: vectorized per-block token partials → ONE vocab-scale
+    token groupby (never broadcast); global scalars (na, nb, V) fold
+    from per-block partials of THAT table (blocks-scale driver
+    state); scoring + local top-k run per block and a tiny global
+    sort/limit closes — the ann_topk shape.
+
+    Returns top-``k`` side-A-distinctive ``(token, z)`` (z desc,
+    token asc).
+    """
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column(text_col)))
+        if b.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "ya": pa.array([], pa.int64()),
+                             "yb": pa.array([], pa.int64())})
+        flat, offsets, n_tokens = _token_lists(b, text_col)
+        is_a = b.column(side_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(bool)
+        tok_a = np.repeat(is_a, n_tokens)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nd = len(enc.dictionary)
+        ya = np.bincount(codes[tok_a], minlength=nd)
+        yb = np.bincount(codes[~tok_a], minlength=nd)
+        return pa.table({
+            "token": enc.dictionary,
+            "ya": pa.array(ya, pa.int64()),
+            "yb": pa.array(yb, pa.int64()),
+        })
+
+    vocab = ds.select_columns([text_col, side_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("token").aggregate(Sum("ya", alias_name="ya"),
+                                 Sum("yb", alias_name="yb"))
+
+    # global scalars from blocks-scale partials of the vocab table
+    def _tots(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "na": pa.array([pc.sum(batch.column("ya")).as_py() or 0],
+                           pa.int64()),
+            "nb": pa.array([pc.sum(batch.column("yb")).as_py() or 0],
+                           pa.int64()),
+            "v": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    na = nb = v = 0
+    for b in vocab.map_batches(_tots, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        na += pc.sum(b.column("na")).as_py() or 0
+        nb += pc.sum(b.column("nb")).as_py() or 0
+        v += pc.sum(b.column("v")).as_py() or 0
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "z": pa.array([], pa.float64())})
+        ya = batch.column("ya").to_pylist()
+        yb = batch.column("yb").to_pylist()
+        # math.log/math.sqrt (libm scalars) — identical to the SQL
+        # engine's ln/sqrt; numpy's SIMD transcendentals are not
+        # guaranteed bit-equal, so the vocab rows score via the
+        # scalar kernels (one pass over vocab-scale rows per block)
+        z = [
+            math.floor(
+                (math.log((a + 1) / (na + v - a - 1.0))
+                 - math.log((b_ + 1) / (nb + v - b_ - 1.0)))
+                / math.sqrt(1.0 / (a + 1) + 1.0 / (b_ + 1))
+                * 1e6 + 0.5) / 1e6
+            for a, b_ in zip(ya, yb)
+        ]
+        t = pa.table({"token": batch.column("token"),
+                      "z": pa.array(z, pa.float64())})
+        # local top-k per block bounds the global sort input
+        return t.sort_by([("z", "descending"),
+                          ("token", "ascending")]).slice(0, k)
+
+    return vocab.map_batches(_score, batch_format="pyarrow").sort(
+        key=["z", "token"], descending=[True, False]).limit(k)

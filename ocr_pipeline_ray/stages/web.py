@@ -357,3 +357,63 @@ def anchor_stats(ds, html_col: str = "html", n_buckets: int = 64):
         _host_bucket, batch_format="pyarrow"
     ).groupby("_hbucket", num_partitions=n_buckets).map_groups(
         _rollup, batch_format="pyarrow")
+
+
+# scheme://host then the path (everything from the first '/';
+# missing path → null → treated as '/')
+_PATH_PATTERN = r"^[a-z][a-z0-9+.-]*://[^/]*(?P<path>/.*)?$"
+
+
+def robots_filter(ds, rules: pa.Table, url_col: str = "url",
+                  how: str = "keep"):
+    """Robots-style URL filtering: drop rows whose url's path starts
+    with any disallow ``prefix`` registered for its ``host`` —
+    the crawl-politeness / takedown-list gate every web corpus runs.
+
+    ``rules`` is a small ``(host, prefix)`` table (the parsed
+    Disallow lines). It broadcasts ONCE via the object store; probing
+    is fully vectorized with NO per-rule kernel: rules are grouped by
+    PREFIX LENGTH (a handful of distinct lengths in practice), and
+    for each length L one ``is_in`` probes the composite key
+    ``host + '\\x00' + path[:L]`` against that length's rule set —
+    O(distinct_lengths) kernels per batch regardless of rule count.
+    For rule sets beyond worker heap, swap the is_in value sets for
+    the bloom pre-prune of `dedup_incremental_bloom`; the probe shape
+    is unchanged.
+
+    ``how``: ``"keep"`` returns allowed rows, ``"drop"`` returns
+    blocked rows (audit mode).
+    """
+    import numpy as np
+    import ray
+
+    if how not in ("keep", "drop"):
+        raise ValueError(f"how must be keep|drop, got {how!r}")
+    hosts = rules.column("host").to_pylist()
+    prefixes = rules.column("prefix").to_pylist()
+    by_len: dict = {}
+    for h, p in zip(hosts, prefixes):
+        by_len.setdefault(len(p), []).append(f"{h}\x00{p}")
+    # deterministic value sets, broadcast once
+    sets_ref = ray.put({
+        n: pa.array(sorted(keys), pa.string())
+        for n, keys in by_len.items()
+    })
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        rule_sets = ray.get(sets_ref)
+        b = url_host_fn(batch, url_col)
+        host = b.column("host")
+        path = pc.fill_null(pc.struct_field(
+            pc.extract_regex(pc.fill_null(batch.column(url_col), ""),
+                             _PATH_PATTERN), "path"), "/")
+        blocked = np.zeros(batch.num_rows, dtype=bool)
+        for n, keys in rule_sets.items():
+            composite = pc.binary_join_element_wise(
+                host, "\x00", pc.utf8_slice_codeunits(path, 0, n), "")
+            blocked |= pc.is_in(composite, value_set=keys).to_numpy(
+                zero_copy_only=False)
+        mask = ~blocked if how == "keep" else blocked
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

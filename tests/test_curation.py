@@ -245,3 +245,102 @@ class TestImageDhash:
         assert "raster" in rows["b"]["decode_error"]
         assert rows["c"]["dhash"] is None
         assert rows["c"]["decode_error"]
+
+
+class TestScd2:
+    def test_runs_and_reopen(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.temporal import scd2_intervals
+
+        us = 1_000_000
+        rows = [
+            (1, 0 * us, 1, "a"),
+            (1, 1 * us, 2, "a"),   # same run
+            (1, 2 * us, 3, "b"),   # change
+            (1, 3 * us, 4, "a"),   # 'a' reopens as a NEW interval
+            (2, 0 * us, 5, "x"),
+        ]
+        for layout in (1, 5):
+            got = scd2_intervals(
+                ray.data.from_arrow(_events_tbl(rows)).repartition(layout),
+                n_buckets=4,
+            ).take_all()
+            got = sorted(
+                [(r["user_id"], r["event_type"],
+                  r["valid_from"].timestamp() if r["valid_from"] else None,
+                  r["valid_to"].timestamp() if r["valid_to"] else None)
+                 for r in got]
+            )
+            assert got == [
+                (1, "a", 0.0, 2.0), (1, "a", 3.0, None),
+                (1, "b", 2.0, 3.0), (2, "x", 0.0, None),
+            ], layout
+
+
+class TestGroupedMode:
+    def test_mode_and_tie(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.stats import grouped_mode
+
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array(["b", "b", "a", "z", "a"], pa.string()),
+        })
+        got = {r["k"]: (r["mode_value"], r["n"]) for r in grouped_mode(
+            ray.data.from_arrow(tbl).repartition(3), "k", "v",
+            n_buckets=4).take_all()}
+        # key 1: 'b' wins by count; key 2: tie broken lexicographically
+        assert got == {1: ("b", 2), 2: ("a", 1)}
+
+
+class TestRobotsFilter:
+    def test_prefix_semantics(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.web import robots_filter
+
+        rules = pa.table({
+            "host": pa.array(["a.com", "a.com", "b.com"], pa.string()),
+            "prefix": pa.array(["/p/1", "/secret", "/p"], pa.string()),
+        })
+        urls = [
+            "http://a.com/p/1",      # blocked (exact)
+            "http://a.com/p/12",     # blocked (prefix)
+            "http://a.com/p/2",      # allowed
+            "http://a.com/secretX",  # blocked (prefix, len 7)
+            "http://b.com/p/1",      # blocked (b.com /p rule)
+            "http://c.com/p/1",      # allowed (no rules for c.com)
+            "http://a.com",          # allowed (path '/')
+        ]
+        tbl = pa.table({"url": pa.array(urls, pa.string())})
+        kept = [r["url"] for r in robots_filter(
+            ray.data.from_arrow(tbl), rules).take_all()]
+        assert sorted(kept) == sorted([
+            "http://a.com/p/2", "http://c.com/p/1", "http://a.com"])
+        dropped = [r["url"] for r in robots_filter(
+            ray.data.from_arrow(tbl), rules, how="drop").take_all()]
+        assert len(dropped) == 4
+
+
+class TestDistinctiveTerms:
+    def test_side_separation(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.textstats import distinctive_terms
+
+        docs = pa.table({
+            "text": pa.array([
+                "apple apple pie", "apple tart",
+                "kuchen brot", "brot brot butter",
+            ], pa.string()),
+            "is_a": pa.array([True, True, False, False]),
+        })
+        out = distinctive_terms(
+            ray.data.from_arrow(docs).repartition(2), "is_a", k=3
+        ).take_all()
+        # side-A vocabulary must rank above side-B vocabulary
+        assert out[0]["token"] == "apple"
+        assert all(r["z"] >= out[-1]["z"] for r in out)
+        assert "brot" not in {r["token"] for r in out}

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "events_winsorized", "image_dhash",
     "scd2_build", "user_mode_event", "robots_allowed",
     "distinctive_terms",
+    "lang_top_tokens", "host_components", "host_gini",
+    "dedup_best_survivor",
 ]
 
 

@@ -6865,7 +6865,151 @@ ORACLE_SQL["distinctive_terms"] = (
 )
 
 
+def q_lang_top_tokens(sf_dir: str):
+    """Per-language top-5 vocabulary (stages/stats.grouped_topk —
+    grouped heavy hitters, grouped_mode's k>1 generalization):
+    vectorized per-block (lang, token) partial counts, one key
+    co-shuffle of the pair partials, whole-bucket rank kernel."""
+    from .stages.stats import grouped_topk
+    from .stages.textstats import _token_lists
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = batch.filter(pc.is_valid(batch.column("text")))
+        flat, offsets, n_tokens = _token_lists(b, "text")
+        langs = b.column("lang").combine_chunks()
+        return pa.table({
+            "lang": langs.take(pa.array(np.repeat(
+                np.arange(b.num_rows, dtype=np.int64), n_tokens))),
+            "token": flat,
+        })
+
+    pairs = _docs(sf_dir, columns=["text", "lang"]).map_batches(
+        _pairs, batch_format="pyarrow")
+    return grouped_topk(pairs, "lang", "token", k=5).sort(["lang", "rk"])
+
+
+def q_host_components(sf_dir: str):
+    """Connected components over the HOST link graph — the
+    string-keyed reuse of the distributed block-fold union-find
+    (stages/cluster.connected_components, cluster = lexicographic
+    min host): pages → link_graph edges → (host, component)."""
+    from .stages.cluster import connected_components
+    from .stages.web import link_graph
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(_synth_link_pages, batch_format="pyarrow")
+    edges = link_graph(pages)
+    return connected_components(
+        edges, a_col="src_host", b_col="dst_host"
+    ).sort("node")
+
+
+def q_host_gini(sf_dir: str):
+    """Crawl concentration: Gini coefficient of docs over hosts
+    (stages/web.host_gini) — hosts-scale driver fold of the map-side-
+    combined host_stats counts; all-integer numerator, one terminal
+    division on the 1e-6 grid."""
+    from .stages.web import host_gini
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow")
+    return host_gini(ds)
+
+
+ORACLE_SQL["lang_top_tokens"] = (
+    "SELECT lang, token, n, rk FROM ("
+    "SELECT lang, token, CAST(count(*) AS BIGINT) AS n, "
+    "row_number() OVER (PARTITION BY lang "
+    "ORDER BY count(*) DESC, token ASC) AS rk FROM ("
+    "SELECT lang, unnest(string_split(text, ' ')) AS token "
+    "FROM documents WHERE text IS NOT NULL) GROUP BY lang, token) "
+    "WHERE rk <= 5 ORDER BY lang, rk"
+)
+
+ORACLE_SQL["host_components"] = (
+    "WITH RECURSIVE e0 AS (SELECT "
+    "'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || '.example.com' "
+    "AS src, 'host' || CAST((doc_id * 7 + j) % 97 AS VARCHAR) || "
+    "'.example.com' AS dst FROM (SELECT doc_id, "
+    "unnest(range(1, doc_id % 4 + 1)) AS j FROM documents)), "
+    "edges AS (SELECT src AS u, dst AS v FROM e0 "
+    "UNION ALL SELECT dst, src FROM e0), "
+    "lbl(node, lab) AS ("
+    "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+    "UNION SELECT e.u, l.lab FROM edges e JOIN lbl l ON l.node = e.v) "
+    "SELECT node, MIN(lab) AS cluster FROM lbl GROUP BY node "
+    "ORDER BY node"
+)
+
+ORACLE_SQL["host_gini"] = (
+    "WITH h AS (SELECT " + _HOST_ID_SQL + " AS hid, count(*) AS n "
+    "FROM documents GROUP BY 1), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n, hid) AS i, "
+    "count(*) OVER () AS cnt, sum(n) OVER () AS tot FROM h) "
+    "SELECT CAST(max(cnt) AS BIGINT) AS n_hosts, "
+    "floor(sum((2 * i - cnt - 1) * n) / (max(cnt) * max(tot)) * 1e6 "
+    "+ 0.5) / 1e6 AS gini FROM r"
+)
+
+
+def q_dedup_best_survivor(sf_dir: str):
+    """QUALITY-AWARE dedup survivor: per near-dup cluster keep the
+    BEST member (max n_chars, tie min doc_id) instead of
+    `dedup_canonical`'s min-id convention — the curation-grade
+    survivor rule (keep the longest/cleanest copy of a template).
+    Composition: connected components over the bit-exact MinHash
+    pairs → broadcast the cluster-member-scale label table into one
+    pruned corpus scan (no corpus shuffle) →
+    stages/stats.grouped_argmax (per-block partial arg-max, one
+    keys×blocks exchange)."""
+    from .stages.cluster import connected_components
+    from .stages.join import broadcast_join
+    from .stages.stats import grouped_argmax
+
+    clusters = connected_components(minhash_dup_pairs(_docs(sf_dir)))
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("node"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("cluster"), pa.int64()),
+        })
+
+    labels = clusters.map_batches(_ren, batch_format="pyarrow")
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    joined = broadcast_join(docs, labels, on="doc_id")
+    best = grouped_argmax(joined, "cluster_id", "n_chars", "doc_id")
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": batch.column("cluster_id"),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+        })
+
+    return best.map_batches(_fin, batch_format="pyarrow").sort(
+        "cluster_id")
+
+
+ORACLE_SQL["dedup_best_survivor"] = (
+    "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+    + CC_CTE +
+    " SELECT cluster_id, doc_id, n_chars FROM ("
+    "SELECT c.cluster_id AS cluster_id, d.doc_id, "
+    "CAST(d.n_chars AS BIGINT) AS n_chars, row_number() OVER ("
+    "PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id ASC) "
+    "AS rk FROM clusters c JOIN documents d ON d.doc_id = c.node) "
+    "WHERE rk = 1 ORDER BY cluster_id"
+)
+
+
 QUERIES = {
+    "dedup_best_survivor": q_dedup_best_survivor,
+    "lang_top_tokens": q_lang_top_tokens,
+    "host_components": q_host_components,
+    "host_gini": q_host_gini,
     "scd2_build": q_scd2_build,
     "user_mode_event": q_user_mode_event,
     "robots_allowed": q_robots_allowed,

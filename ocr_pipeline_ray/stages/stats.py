@@ -1563,3 +1563,116 @@ def grouped_mode(ds, key_col: str, value_col: str, n_buckets: int = 64):
         _partial, batch_format="pyarrow"
     ).groupby("_kbucket", num_partitions=n_buckets).map_groups(
         _mode, batch_format="pyarrow")
+
+
+def grouped_topk(ds, key_col: str, value_col: str, k: int,
+                 n_buckets: int = 64):
+    """Exact top-``k`` values per key by frequency (grouped heavy
+    hitters): ``(key, value, n, rk)`` for the k most frequent
+    ``value_col`` per ``key_col`` — e.g. each language's dominant
+    vocabulary. Tie rule pinned: count desc, value asc.
+    :func:`grouped_mode` is the k = 1 special case.
+
+    Same shape as grouped_mode: map-side (key, value, n) partial
+    combine, ONE key-hash co-shuffle of the pair partials, per
+    whole bucket one Arrow group_by + sort + vectorized per-key rank
+    (cumcount via boundary subtraction) and a rank filter.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col, value_col]).group_by(
+            [key_col, value_col]).aggregate([([], "count_all")])
+        out = pa.table({
+            key_col: g.column(key_col),
+            value_col: g.column(value_col),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+        return out.append_column("_kbucket", pa.array(
+            bucket_ids(out.column(key_col), n_buckets), pa.int64()))
+
+    def _topk(group: pa.Table) -> pa.Table:
+        key_t = group.schema.field(key_col).type
+        val_t = group.schema.field(value_col).type
+        empty = pa.table({
+            key_col: pa.array([], key_t),
+            value_col: pa.array([], val_t),
+            "n": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.select([key_col, value_col, "n"]).group_by(
+            [key_col, value_col]).aggregate([("n", "sum")])
+        g = g.sort_by([(key_col, "ascending"), ("n_sum", "descending"),
+                       (value_col, "ascending")])
+        keys = g.column(key_col).combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False)
+        pos = np.arange(len(codes), dtype=np.int64)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        seg_start = pos[first][np.cumsum(first) - 1]
+        rk = pos - seg_start + 1
+        sel = rk <= k
+        idx = pa.array(pos[sel], pa.int64())
+        return pa.table({
+            key_col: keys.take(idx),
+            value_col: g.column(value_col).take(idx),
+            "n": pc.cast(g.column("n_sum").take(idx), pa.int64()),
+            "rk": pa.array(rk[sel], pa.int64()),
+        })
+
+    return ds.select_columns([key_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("_kbucket", num_partitions=n_buckets).map_groups(
+        _topk, batch_format="pyarrow")
+
+
+def grouped_argmax(ds, key_col: str, value_col: str, id_col: str,
+                   n_buckets: int = 64):
+    """Per-key ARG-MAX row: for each key, the ``(id, value)`` with
+    the largest ``value_col`` (ties → smallest ``id_col``) — the
+    survivor-selection primitive (best doc per duplicate cluster,
+    best candidate per query, latest version per key).
+
+    Scale shape: each block first reduces to ONE candidate row per
+    key it contains (vectorized sort + boundary mask — a legal
+    partial because argmax is associative), so the single key-hash
+    co-shuffle carries keys × blocks candidate rows, never raw rows;
+    the whole-bucket UDF re-runs the same kernel to finish.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    def _best(tbl: pa.Table) -> pa.Table:
+        g = tbl.sort_by([(key_col, "ascending"),
+                         (value_col, "descending"),
+                         (id_col, "ascending")])
+        keys = g.column(key_col).combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        return g.take(pa.array(np.flatnonzero(first), pa.int64()))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = batch.select([key_col, value_col, id_col])
+        if b.num_rows == 0:
+            return b.append_column("_kbucket", pa.array([], pa.int64()))
+        best = _best(b)
+        return best.append_column("_kbucket", pa.array(
+            bucket_ids(best.column(key_col), n_buckets), pa.int64()))
+
+    def _final(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_kbucket"])
+        if base.num_rows == 0:
+            return base
+        return _best(base)
+
+    return ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_final, batch_format="pyarrow")

@@ -417,3 +417,35 @@ def robots_filter(ds, rules: pa.Table, url_col: str = "url",
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def host_gini(ds, url_col: str = "url"):
+    """Corpus CONCENTRATION index: the Gini coefficient of documents
+    over hosts — the one-number answer to "is this crawl dominated by
+    a few giant hosts?" (0 = uniform, →1 = one host owns the corpus).
+    The standard companion to `host_entropy` in crawl audits.
+
+    Shape: the :func:`host_stats` map-side-combined per-host counts
+    (hosts-scale, one small groupby), folded on the driver in sorted
+    order with the exact integer formula
+    ``gini = Σ (2i − n − 1)·x_i / (n · Σx)`` over counts sorted
+    ascending — all-int numerator/denominator, ONE terminal division
+    on the 1e-6 grid, so the SQL window twin is bit-exact.
+    """
+    import math
+
+    counts = []
+    for b in host_stats(ds, url_col=url_col).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        counts.extend(zip(b.column("n_docs").to_pylist(),
+                          b.column("host").to_pylist()))
+    counts.sort()  # (n asc, host asc) — ties don't affect the sum
+    n = len(counts)
+    tot = sum(c for c, _ in counts)
+    num = sum((2 * (i + 1) - n - 1) * c
+              for i, (c, _) in enumerate(counts))
+    gini = math.floor(num / (n * tot) * 1e6 + 0.5) / 1e6 if tot else None
+    return pa.table({
+        "n_hosts": pa.array([n], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    })

@@ -344,3 +344,68 @@ class TestDistinctiveTerms:
         assert out[0]["token"] == "apple"
         assert all(r["z"] >= out[-1]["z"] for r in out)
         assert "brot" not in {r["token"] for r in out}
+
+
+class TestGroupedTopk:
+    def test_rank_and_tie(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.stats import grouped_topk
+
+        tbl = pa.table({
+            "k": pa.array(["x"] * 6 + ["y"] * 2, pa.string()),
+            "v": pa.array(["b", "b", "b", "a", "a", "c", "q", "p"],
+                          pa.string()),
+        })
+        got = [(r["k"], r["v"], r["n"], r["rk"]) for r in grouped_topk(
+            ray.data.from_arrow(tbl).repartition(3), "k", "v", k=2,
+            n_buckets=4).sort(["k", "rk"]).take_all()]
+        assert got == [
+            ("x", "b", 3, 1), ("x", "a", 2, 2),
+            # y: tie at n=1 broken lexicographically, k=2 keeps both
+            ("y", "p", 1, 1), ("y", "q", 1, 2),
+        ]
+
+
+class TestHostGini:
+    def test_uniform_and_concentrated(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.web import host_gini
+
+        uniform = pa.table({"url": pa.array(
+            [f"http://h{i}.com/p" for i in range(4) for _ in range(5)],
+            pa.string())})
+        out = host_gini(ray.data.from_arrow(uniform))
+        assert out.column("gini")[0].as_py() == 0.0
+        assert out.column("n_hosts")[0].as_py() == 4
+        skewed = pa.table({"url": pa.array(
+            ["http://big.com/p"] * 97 + ["http://s1.com/p",
+                                         "http://s2.com/p",
+                                         "http://s3.com/p"],
+            pa.string())})
+        g = host_gini(ray.data.from_arrow(skewed)).column(
+            "gini")[0].as_py()
+        assert g > 0.7
+
+
+class TestGroupedArgmax:
+    def test_partial_argmax_block_invariance(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.stats import grouped_argmax
+
+        tbl = pa.table({
+            "cluster": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "score": pa.array([5, 9, 9, 3, 3], pa.int64()),
+            "doc": pa.array([10, 30, 20, 7, 4], pa.int64()),
+        })
+        for layout in (1, 2, 5):
+            got = sorted(
+                (r["cluster"], r["doc"], r["score"])
+                for r in grouped_argmax(
+                    ray.data.from_arrow(tbl).repartition(layout),
+                    "cluster", "score", "doc", n_buckets=4).take_all())
+            # cluster 1: max score 9, tie -> min doc 20
+            # cluster 2: tie at 3 -> min doc 4
+            assert got == [(1, 20, 9), (2, 4, 3)], layout

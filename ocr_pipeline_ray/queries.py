@@ -7005,7 +7005,155 @@ ORACLE_SQL["dedup_best_survivor"] = (
 )
 
 
+def q_wordlist_gate(sf_dir: str):
+    """C4-style bad-words gate (stages/textstats.wordlist_gate_fn):
+    per-doc blocklisted-token count + kept flag — one is_in kernel
+    over the flat token array per block, no shuffle. The blocklist
+    here is corpus-vocabulary words so the gate is load-bearing."""
+    from .stages.textstats import wordlist_gate_fn
+
+    words = ["join", "merge", "query"]
+    return _docs(sf_dir).map_batches(
+        lambda b: wordlist_gate_fn(b, words), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def q_minhash_jaccard_estimate(sf_dir: str):
+    """Signature-based Jaccard ESTIMATE per candidate pair (matching
+    minhash fraction — the estimation step between LSH candidacy and
+    exact verification in the standard near-dup chain). Scale shape:
+    the pair-scale candidate id set broadcasts into the signature
+    scan (is_in filter), and the candidates-only signature table —
+    small by construction, same argument as the verified-Jaccard
+    chain — broadcasts into two vectorized hash-joins over the pair
+    list. Bit-exact: signatures are bit-exact vs SQL, the estimate is
+    a single division."""
+    from .stages.join import broadcast_join
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dup_pairs(docs)
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_format="pyarrow",
+                                batch_size=None):
+        cand_ids.update(b.column("d1").to_pylist())
+        cand_ids.update(b.column("d2").to_pylist())
+    id_set = pa.array(sorted(cand_ids), pa.int64())
+
+    def _cand_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=id_set))
+
+    sigs = minhash_signatures(docs).map_batches(
+        _cand_only, batch_format="pyarrow")
+
+    def _ren(side: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            cols = {side: batch.column("doc_id")}
+            for i in range(4):
+                cols[f"{side}_h{i}"] = batch.column(f"h{i}")
+            return pa.table(cols)
+        return _fn
+
+    a = sigs.map_batches(_ren("d1"), batch_format="pyarrow")
+    b = sigs.map_batches(_ren("d2"), batch_format="pyarrow")
+    joined = broadcast_join(broadcast_join(pairs, a, on="d1"), b,
+                            on="d2")
+
+    def _est(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        match = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in range(4):
+            match += pc.equal(
+                batch.column(f"d1_h{i}"), batch.column(f"d2_h{i}")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "d1": batch.column("d1"),
+            "d2": batch.column("d2"),
+            "est_jaccard": pa.array(match / 4.0, pa.float64()),
+        })
+
+    return joined.map_batches(_est, batch_format="pyarrow").sort(
+        ["d1", "d2"])
+
+
+def q_mirror_hosts(sf_dir: str):
+    """Template-syndication report: UNORDERED host pairs linked by
+    near-dup content (the MinHash candidate pairs), with pair counts
+    — the mirror/content-farm detection rollup. Pair-scale all the
+    way: hosts derive per side, least/greatest normalizes the pair,
+    map-side partial combine feeds one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    pairs = minhash_dup_pairs(_docs(sf_dir))
+
+    def _hosts(batch: pa.Table) -> pa.Table:
+        def hid(col):
+            hot = pc.equal(_int_mod(col, 3), 0)
+            return pc.if_else(hot, pa.scalar(0, pa.int64()),
+                              _int_mod(col, 97))
+
+        h1, h2 = hid(batch.column("d1")), hid(batch.column("d2"))
+        lo = pc.min_element_wise(h1, h2)
+        hi = pc.max_element_wise(h1, h2)
+
+        def name(c):
+            return pc.binary_join_element_wise(
+                "host", pc.cast(c, pa.string()), ".example.com", "")
+
+        t = pa.table({"host_a": name(lo), "host_b": name(hi)})
+        g = t.group_by(["host_a", "host_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "host_a": g.column("host_a"),
+            "host_b": g.column("host_b"),
+            "n_pairs": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return pairs.map_batches(_hosts, batch_format="pyarrow").groupby(
+        ["host_a", "host_b"]
+    ).aggregate(Sum("n_pairs", alias_name="n_pairs")).sort(
+        ["host_a", "host_b"])
+
+
+ORACLE_SQL["wordlist_gate"] = (
+    "SELECT doc_id, CAST(coalesce(len(list_filter("
+    "string_split(text, ' '), t -> t IN ('join', 'merge', 'query'))), "
+    "0) AS BIGINT) AS n_blocked, "
+    "coalesce(len(list_filter(string_split(text, ' '), "
+    "t -> t IN ('join', 'merge', 'query'))), 0) = 0 AS kept "
+    "FROM documents ORDER BY doc_id"
+)
+
+ORACLE_SQL["minhash_jaccard_estimate"] = (
+    "WITH " + SIG_CTE + ", cand AS (" + CAND_SELECT + ") "
+    "SELECT c.d1, c.d2, "
+    "((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)) / 4.0 AS est_jaccard "
+    "FROM cand c JOIN sig a ON a.doc_id = c.d1 "
+    "JOIN sig b ON b.doc_id = c.d2 ORDER BY c.d1, c.d2"
+)
+
+ORACLE_SQL["mirror_hosts"] = (
+    "WITH " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+    "hp AS (SELECT "
+    "least(CASE WHEN d1 % 3 = 0 THEN 0 ELSE d1 % 97 END, "
+    "CASE WHEN d2 % 3 = 0 THEN 0 ELSE d2 % 97 END) AS lo, "
+    "greatest(CASE WHEN d1 % 3 = 0 THEN 0 ELSE d1 % 97 END, "
+    "CASE WHEN d2 % 3 = 0 THEN 0 ELSE d2 % 97 END) AS hi FROM cand) "
+    "SELECT 'host' || CAST(lo AS VARCHAR) || '.example.com' AS host_a, "
+    "'host' || CAST(hi AS VARCHAR) || '.example.com' AS host_b, "
+    "CAST(count(*) AS BIGINT) AS n_pairs FROM hp "
+    "GROUP BY 1, 2 ORDER BY host_a, host_b"
+)
+
+
 QUERIES = {
+    "wordlist_gate": q_wordlist_gate,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "mirror_hosts": q_mirror_hosts,
     "dedup_best_survivor": q_dedup_best_survivor,
     "lang_top_tokens": q_lang_top_tokens,
     "host_components": q_host_components,

@@ -809,3 +809,28 @@ def distinctive_terms(ds, side_col: str, text_col: str = "text",
 
     return vocab.map_batches(_score, batch_format="pyarrow").sort(
         key=["z", "token"], descending=[True, False]).limit(k)
+
+
+def wordlist_gate_fn(batch: pa.Table, words, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """C4-style BAD-WORDS gate (Raffel et al. 2020 §2.2 "List of
+    Dirty, Naughty ... Words"): per doc, count tokens on the
+    blocklist and flag docs carrying none as kept. Vectorized: one
+    split kernel, ONE ``is_in`` against the (closure-captured,
+    worker-cached) word set over the flat token array, per-doc
+    counts by cumsum difference — no shuffle, no per-row Python.
+
+    Returns ``(id_col, n_blocked: int64, kept: bool)``.
+    """
+    import numpy as np
+
+    value_set = pa.array(sorted(set(words)), pa.string())
+    flat, offsets, _ = _token_lists(batch, text_col)
+    mask = pc.is_in(flat, value_set=value_set).to_numpy(
+        zero_copy_only=False)
+    n_blocked = _segment_sum(mask, offsets)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_blocked": pa.array(n_blocked, pa.int64()),
+        "kept": pa.array(n_blocked == 0),
+    })

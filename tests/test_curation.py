@@ -409,3 +409,25 @@ class TestGroupedArgmax:
             # cluster 1: max score 9, tie -> min doc 20
             # cluster 2: tie at 3 -> min doc 4
             assert got == [(1, 20, 9), (2, 4, 3)], layout
+
+
+class TestWordlistGate:
+    def test_counts_and_flag(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.textstats import wordlist_gate_fn
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["bad stuff bad", "all clean here", "", None],
+                pa.string()),
+        })
+        out = wordlist_gate_fn(docs, ["bad", "worse"])
+        got = {i: (n, k) for i, n, k in zip(
+            out.column("doc_id").to_pylist(),
+            out.column("n_blocked").to_pylist(),
+            out.column("kept").to_pylist())}
+        # '' and NULL split to one '' token -> not blocked, kept
+        assert got == {1: (2, False), 2: (0, True),
+                       3: (0, True), 4: (0, True)}

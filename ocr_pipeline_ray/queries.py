@@ -7150,7 +7150,35 @@ ORACLE_SQL["mirror_hosts"] = (
 )
 
 
+def q_cocitation_pairs(sf_dir: str):
+    """Host co-citation (stages/web.cocitation_pairs): distinct
+    unordered host pairs linked together by the same page, summed
+    over the corpus — the webgraph relatedness signal. Pair-scale
+    map-side combine + one groupby; the pair is normalized by host
+    NAME (lexicographic), matching the SQL least/greatest twin."""
+    from .stages.web import cocitation_pairs
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(_synth_link_pages, batch_format="pyarrow")
+    return cocitation_pairs(pages).sort(["host_a", "host_b"])
+
+
+ORACLE_SQL["cocitation_pairs"] = (
+    "WITH e AS (SELECT doc_id, 'host' || CAST((doc_id * 7 + j) % 97 "
+    "AS VARCHAR) || '.example.com' AS h, j FROM ("
+    "SELECT doc_id, unnest(range(1, doc_id % 4 + 1)) AS j "
+    "FROM documents)), "
+    "p AS (SELECT DISTINCT a.doc_id, least(a.h, b.h) AS host_a, "
+    "greatest(a.h, b.h) AS host_b FROM e a JOIN e b "
+    "ON a.doc_id = b.doc_id AND a.j < b.j AND a.h != b.h) "
+    "SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_pages "
+    "FROM p GROUP BY 1, 2 ORDER BY host_a, host_b"
+)
+
+
 QUERIES = {
+    "cocitation_pairs": q_cocitation_pairs,
     "wordlist_gate": q_wordlist_gate,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "mirror_hosts": q_mirror_hosts,

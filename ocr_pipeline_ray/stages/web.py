@@ -449,3 +449,55 @@ def host_gini(ds, url_col: str = "url"):
         "n_hosts": pa.array([n], pa.int64()),
         "gini": pa.array([gini], pa.float64()),
     })
+
+
+def cocitation_pairs(ds, html_col: str = "html", max_links: int = 64,
+                     n_buckets: int = 64):
+    """Host CO-CITATION counts: for every page, the distinct
+    unordered pairs of DISTINCT hosts it links together; summed over
+    the corpus — "hosts that get cited side-by-side", the classic
+    relatedness signal of webgraph analysis (co-citation coupling).
+
+    Per page the pair expansion is O(L²) over its ≤ ``max_links``
+    distinct outlink hosts (pages beyond the cap contribute their
+    first ``max_links`` hosts in document order — a measured cap:
+    count capped pages via `host_stats` on outlink fan-out before
+    raising it). Pairs combine map-side per block (Arrow group_by),
+    then ONE (host_a, host_b) groupby sums the partials — pair-scale
+    rows shuffle, payloads never do.
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pa_, pb_ = [], []
+        for payload in batch.column(html_col).to_pylist():
+            if not payload:
+                continue
+            seen: List[str] = []
+            seen_set = set()
+            for h in outlink_hosts(payload):
+                if h not in seen_set:
+                    seen.append(h)
+                    seen_set.add(h)
+                if len(seen) >= max_links:
+                    break
+            for a, b in combinations(sorted(seen), 2):
+                pa_.append(a)
+                pb_.append(b)
+        t = pa.table({
+            "host_a": pa.array(pa_, pa.string()),
+            "host_b": pa.array(pb_, pa.string()),
+        })
+        g = t.group_by(["host_a", "host_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "host_a": g.column("host_a"),
+            "host_b": g.column("host_b"),
+            "n_pages": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        ["host_a", "host_b"]
+    ).aggregate(Sum("n_pages", alias_name="n_pages"))

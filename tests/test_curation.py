@@ -431,3 +431,30 @@ class TestWordlistGate:
         # '' and NULL split to one '' token -> not blocked, kept
         assert got == {1: (2, False), 2: (0, True),
                        3: (0, True), 4: (0, True)}
+
+
+class TestCocitation:
+    def test_distinct_pairs_per_page(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.web import cocitation_pairs
+
+        # page 1 links a,b,a (dup) -> one (a,b) pair; page 2 links
+        # a,b again -> total 2 pages; page 3 links only c -> no pair
+        def page(hosts):
+            return "".join(
+                f"<a href='http://{h}/x'>t</a>" for h in hosts
+            ).encode()
+
+        pages = pa.table({
+            "html": pa.array([
+                page(["a.com", "b.com", "a.com"]),
+                page(["b.com", "a.com"]),
+                page(["c.com"]),
+            ], pa.binary()),
+        })
+        got = [(r["host_a"], r["host_b"], r["n_pages"])
+               for r in cocitation_pairs(
+                   ray.data.from_arrow(pages).repartition(2)
+               ).take_all()]
+        assert got == [("a.com", "b.com", 2)]

@@ -149,6 +149,12 @@ def main(argv=None) -> int:
     parser.add_argument("--min-ratio", type=float, default=50.0,
                         help="quality gate for --training-data "
                              "(keep hit_ratio >= this; default 50)")
+    parser.add_argument("--audit", action="store_true",
+                        help="after extraction, write out/audit.json: "
+                             "data-quality expectation counts (null/"
+                             "empty text, duplicate urls, error rows, "
+                             "unscored rows) + host concentration "
+                             "(gini, n_hosts)")
     args = parser.parse_args(argv)
 
     log = _init_logger(args.logdir)
@@ -252,7 +258,91 @@ def main(argv=None) -> int:
         _write_report(args.out, parts=args.report_parts)
     if args.training_data:
         _write_training_data(args.out, args.min_ratio, log)
+    if args.audit:
+        _write_audit(args.out, log)
     return 0
+
+
+def _write_audit(out_root: str, log) -> None:
+    """Corpus-audit tail over the extraction output (the CLI surface
+    of the `dq_audit` / `host_gini` operators): exact expectation
+    counts from per-block scalar partials (driver folds blocks-scale
+    rows), duplicate urls via ONE url-hash co-shuffle of the key
+    column only, and host concentration from the map-side-combined
+    host partials. Three pruned reads, no corpus-wide shuffle of
+    content columns; the artifact is one small audit.json."""
+    import json as jsonmod
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ocr_pipeline_ray.functions.hashing import bucket_ids
+    from ocr_pipeline_ray.stages.web import host_gini
+
+    pattern = sorted(
+        globmod.glob(os.path.join(out_root, "pid=*", "*.parquet"))
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("extracted_text")
+        lens = pc.utf8_length(pc.fill_null(text, ""))
+        return pa.table({
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "null_text": pa.array([text.null_count], pa.int64()),
+            "empty_text": pa.array([pc.sum(pc.cast(pc.and_(
+                pc.is_valid(text), pc.equal(lens, 0)),
+                pa.int64())).as_py() or 0], pa.int64()),
+            "error_rows": pa.array([pc.sum(pc.cast(pc.is_valid(
+                batch.column("error")), pa.int64())).as_py() or 0],
+                pa.int64()),
+            "unscored_rows": pa.array([pc.sum(pc.cast(pc.equal(
+                pc.fill_null(batch.column("hit_ratio"), -1.0), -1.0),
+                pa.int64())).as_py() or 0], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        pattern, columns=["extracted_text", "error", "hit_ratio"])
+    totals = {"n_rows": 0, "null_text": 0, "empty_text": 0,
+              "error_rows": 0, "unscored_rows": 0}
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k in totals:
+            totals[k] += pc.sum(b.column(k)).as_py() or 0
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        return pa.table({
+            "url": urls,
+            "_kbucket": pa.array(bucket_ids(urls, 64), pa.int64()),
+        })
+
+    def _dups(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        uniq = len(pc.unique(group.column("url")))
+        return pa.table({"d": pa.array([n - uniq], pa.int64())})
+
+    dup_urls = 0
+    for b in ray.data.read_parquet(pattern, columns=["url"]).map_batches(
+            _keyed, batch_format="pyarrow").groupby(
+            "_kbucket", num_partitions=64).map_groups(
+            _dups, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        dup_urls += pc.sum(b.column("d")).as_py() or 0
+
+    hosts = host_gini(ray.data.read_parquet(pattern, columns=["url"]))
+    audit = dict(totals)
+    audit["dup_urls"] = dup_urls
+    audit["n_hosts"] = hosts.column("n_hosts")[0].as_py()
+    audit["host_gini"] = hosts.column("gini")[0].as_py()
+    path = os.path.join(out_root, "audit.json")
+    with open(path, "w", encoding="UTF-8") as fh:
+        jsonmod.dump(audit, fh, sort_keys=True)
+    line = (f"audit → {path} ({audit['n_rows']} rows, "
+            f"{audit['dup_urls']} dup urls, "
+            f"{audit['error_rows']} errors, gini {audit['host_gini']})")
+    log.info("%s", line)
+    print(line)
 
 
 def _write_training_data(out_root: str, min_ratio: float, log) -> None:

@@ -385,3 +385,28 @@ class TestCliTrainingData:
         n2 = con.execute(q).fetchone()[0]
         con.close()
         assert n1 == n2
+
+
+class TestCliAudit:
+    def test_audit_artifact(self, ray_session, small_corpus, tmp_path):
+        import json
+
+        out = str(tmp_path / "out_audit")
+        rc = main([*small_corpus, "-o", out, "--audit"])
+        assert rc == 0
+        with open(os.path.join(out, "audit.json"), encoding="UTF-8") as fh:
+            audit = json.load(fh)
+        assert audit["n_rows"] == 240
+        # the synthetic corpus plants duplicate-url fixtures — the
+        # audit must find exactly the count DuckDB sees in the input
+        import duckdb
+
+        want_dups = duckdb.sql(
+            "SELECT count(*) - count(DISTINCT url) FROM read_parquet("
+            f"{small_corpus!r})").fetchone()[0]
+        assert audit["dup_urls"] == want_dups > 0
+        assert audit["null_text"] == 0
+        assert audit["error_rows"] > 0         # invalid-UTF-8 fixtures
+        assert audit["unscored_rows"] >= audit["error_rows"]
+        assert audit["n_hosts"] > 1
+        assert 0.0 <= audit["host_gini"] <= 1.0

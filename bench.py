@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "lang_top_tokens", "host_components", "host_gini",
     "dedup_best_survivor",
     "wordlist_gate", "minhash_jaccard_estimate", "mirror_hosts",
-    "cocitation_pairs",
+    "cocitation_pairs", "polyglot_hosts", "event_type_affinity",
 ]
 
 

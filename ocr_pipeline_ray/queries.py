@@ -7177,7 +7177,55 @@ ORACLE_SQL["cocitation_pairs"] = (
 )
 
 
+def q_polyglot_hosts(sf_dir: str):
+    """Mixed-language hosts (stages/web.polyglot_hosts): hosts
+    serving ≥ 2 languages with doc counts and dominant language —
+    the MT-spam curation signal. One (host, lang) partial co-shuffle,
+    whole-bucket rollup."""
+    from .stages.web import polyglot_hosts, url_host_fn
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(lambda b: url_host_fn(b), batch_format="pyarrow")
+    return polyglot_hosts(ds).sort("host")
+
+
+def q_event_type_affinity(sf_dir: str):
+    """Market-basket pair supports (stages/temporal.
+    event_type_affinity): users exhibiting each unordered distinct
+    event-type pair — the Apriori first pass. Map-side distinct,
+    one user co-shuffle, vectorized basket expansion."""
+    from .stages.temporal import event_type_affinity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return event_type_affinity(ds).sort(["type_a", "type_b"])
+
+
+ORACLE_SQL["polyglot_hosts"] = (
+    "WITH d AS (SELECT 'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) "
+    "|| '.example.com' AS host, lang FROM documents), "
+    "c AS (SELECT host, lang, count(*) AS n FROM d GROUP BY 1, 2), "
+    "r AS (SELECT host, lang, n, row_number() OVER (PARTITION BY host "
+    "ORDER BY n DESC, lang ASC) AS rk, sum(n) OVER (PARTITION BY host) "
+    "AS tot, count(*) OVER (PARTITION BY host) AS nl FROM c) "
+    "SELECT host, CAST(tot AS BIGINT) AS n_docs, "
+    "CAST(nl AS BIGINT) AS n_langs, lang AS top_lang FROM r "
+    "WHERE rk = 1 AND nl >= 2 ORDER BY host"
+)
+
+ORACLE_SQL["event_type_affinity"] = (
+    "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM d a JOIN d b "
+    "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+    "GROUP BY 1, 2 ORDER BY type_a, type_b"
+)
+
+
 QUERIES = {
+    "polyglot_hosts": q_polyglot_hosts,
+    "event_type_affinity": q_event_type_affinity,
     "cocitation_pairs": q_cocitation_pairs,
     "wordlist_gate": q_wordlist_gate,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,

@@ -898,3 +898,72 @@ def scd2_intervals(ds, user_col: str = "user_id", ts_col: str = "ts",
     return bucketed.groupby(
         "_kbucket", num_partitions=n_buckets
     ).map_groups(_runs, batch_format="pyarrow")
+
+
+def event_type_affinity(ds, user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        n_buckets: int = 64):
+    """Market-basket pair affinity: for each UNORDERED pair of
+    distinct event types, how many users exhibit both — the Apriori
+    first pass (pair support counts) over per-user behavior baskets.
+
+    Shape: map-side DISTINCT (user, type) per block (Arrow group_by
+    — the shuffle carries distinct pairs per block, never raw
+    events), ONE user-hash co-shuffle, whole-bucket kernel
+    re-distincts, sorts, and expands each user's ≤ |types| basket
+    into unordered pairs with a vectorized segment walk; final tiny
+    (type_a, type_b) groupby sums supports.
+    """
+    from itertools import combinations
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        g = batch.select([user_col, type_col]).group_by(
+            [user_col, type_col]).aggregate([])
+        from ..functions.hashing import bucket_ids
+
+        return g.append_column("_kbucket", pa.array(
+            bucket_ids(g.column(user_col), n_buckets), pa.int64()))
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.select([user_col, type_col]).group_by(
+            [user_col, type_col]).aggregate([])
+        g = g.sort_by([(user_col, "ascending"),
+                       (type_col, "ascending")])
+        users = g.column(user_col).combine_chunks().to_numpy()
+        types = g.column(type_col).to_pylist()
+        pa_, pb_ = [], []
+        i = 0
+        while i < len(users):
+            j = i
+            while j < len(users) and users[j] == users[i]:
+                j += 1
+            for a, b in combinations(types[i:j], 2):
+                pa_.append(a)
+                pb_.append(b)
+            i = j
+        t = pa.table({"type_a": pa.array(pa_, pa.string()),
+                      "type_b": pa.array(pb_, pa.string())})
+        c = t.group_by(["type_a", "type_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "type_a": c.column("type_a"),
+            "type_b": c.column("type_b"),
+            "n_users": pc.cast(c.column("count_all"), pa.int64()),
+        })
+
+    return ds.select_columns([user_col, type_col]).map_batches(
+        _distinct, batch_format="pyarrow"
+    ).groupby("_kbucket", num_partitions=n_buckets).map_groups(
+        _pairs, batch_format="pyarrow"
+    ).groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_users", alias_name="n_users"))

@@ -501,3 +501,70 @@ def cocitation_pairs(ds, html_col: str = "html", max_links: int = 64,
     return ds.map_batches(_partial, batch_format="pyarrow").groupby(
         ["host_a", "host_b"]
     ).aggregate(Sum("n_pages", alias_name="n_pages"))
+
+
+def polyglot_hosts(docs_with_host, lang_col: str = "lang",
+                   n_buckets: int = 64):
+    """Mixed-language host detection — hosts serving ≥ 2 languages,
+    with doc counts and the dominant language. A standard curation
+    signal: hosts mixing many languages are disproportionately MT
+    boilerplate / SEO spam (the CCNet/fastText pipelines gate on it).
+
+    Input needs a ``host`` column (``url_host_fn`` upstream). Shape:
+    per-block (host, lang, n) Arrow partials → ONE host-hash
+    co-shuffle of the partials → whole-bucket kernel (combine, sort,
+    boundary masks) emits ``(host, n_docs, n_langs, top_lang)`` for
+    polyglot hosts only. Tie rule: count desc, lang asc.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["host", lang_col]).group_by(
+            ["host", lang_col]).aggregate([([], "count_all")])
+        out = pa.table({
+            "host": g.column("host"),
+            "lang": g.column(lang_col),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+        return out.append_column("_hbucket", pa.array(
+            bucket_ids(out.column("host"), n_buckets), pa.int64()))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "host": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_langs": pa.array([], pa.int64()),
+            "top_lang": pa.array([], pa.string()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.select(["host", "lang", "n"]).group_by(
+            ["host", "lang"]).aggregate([("n", "sum")])
+        g = g.sort_by([("host", "ascending"), ("n_sum", "descending"),
+                       ("lang", "ascending")])
+        hosts = g.column("host").combine_chunks()
+        n = g.column("n_sum").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        codes = pc.dictionary_encode(hosts).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(codes))
+        n_langs = ends - starts
+        cs = np.concatenate([[0], np.cumsum(n, dtype=np.int64)])
+        sel = n_langs >= 2
+        idx = pa.array(starts[sel], pa.int64())
+        return pa.table({
+            "host": hosts.take(idx),
+            "n_docs": pa.array((cs[ends] - cs[starts])[sel], pa.int64()),
+            "n_langs": pa.array(n_langs[sel], pa.int64()),
+            "top_lang": g.column("lang").take(idx),
+        })
+
+    return docs_with_host.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("_hbucket", num_partitions=n_buckets).map_groups(
+        _rollup, batch_format="pyarrow")

@@ -458,3 +458,41 @@ class TestCocitation:
                    ray.data.from_arrow(pages).repartition(2)
                ).take_all()]
         assert got == [("a.com", "b.com", 2)]
+
+
+class TestPolyglotHosts:
+    def test_threshold_and_top_lang(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.web import polyglot_hosts
+
+        docs = pa.table({
+            "host": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+            "lang": pa.array(["en", "de", "en", "fr", "fr", "en"],
+                             pa.string()),
+        })
+        got = {r["host"]: (r["n_docs"], r["n_langs"], r["top_lang"])
+               for r in polyglot_hosts(
+                   ray.data.from_arrow(docs).repartition(3),
+                   n_buckets=4).take_all()}
+        # b (one lang) and c (one doc) are not polyglot
+        assert got == {"a": (3, 2, "en")}
+
+
+class TestEventTypeAffinity:
+    def test_pair_supports(self, ray_session):
+        import ray
+
+        from ocr_pipeline_ray.stages.temporal import event_type_affinity
+
+        tbl = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["x", "y", "x", "x", "y", "z"],
+                                   pa.string()),
+        })
+        got = {(r["type_a"], r["type_b"]): r["n_users"]
+               for r in event_type_affinity(
+                   ray.data.from_arrow(tbl).repartition(3),
+                   n_buckets=4).take_all()}
+        # duplicate (1, x) collapses; user 3 has no pair
+        assert got == {("x", "y"): 2}

@@ -7030,8 +7030,11 @@ def q_minhash_jaccard_estimate(sf_dir: str):
     a single division."""
     from .stages.join import broadcast_join
 
-    docs = _docs(sf_dir)
-    pairs = minhash_dup_pairs(docs)
+    # hash the corpus ONCE: the materialized signature table feeds
+    # both the candidate-pair plan (precomputed-sig branch of
+    # minhash_dup_pairs) and the estimate joins
+    all_sigs = minhash_signatures(_docs(sf_dir)).materialize()
+    pairs = minhash_dup_pairs(all_sigs)
     cand_ids = set()
     for b in pairs.iter_batches(batch_format="pyarrow",
                                 batch_size=None):
@@ -7043,8 +7046,7 @@ def q_minhash_jaccard_estimate(sf_dir: str):
         return batch.filter(pc.is_in(batch.column("doc_id"),
                                      value_set=id_set))
 
-    sigs = minhash_signatures(docs).map_batches(
-        _cand_only, batch_format="pyarrow")
+    sigs = all_sigs.map_batches(_cand_only, batch_format="pyarrow")
 
     def _ren(side: str):
         def _fn(batch: pa.Table) -> pa.Table:

@@ -270,13 +270,21 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     over (hash, id) pairs only. ``max_bucket`` caps degenerate bands
     (hot-key guard); use :func:`minhash_bucket_stats` to MEASURE what
     a given cap drops — truncation is never silent.
+
+    ``ds`` may already BE a signature table (``h0..hN`` columns
+    attached — detected by schema, same contract as
+    :func:`minhash_cross_pairs`): the signature scan is skipped, so
+    callers composing several minhash consumers hash the corpus once.
     """
     import numpy as np
     from zlib import crc32
 
     n_buckets = 128
 
-    sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
+    if f"h{n_hashes - 1}" in (ds.schema().names or []):
+        sigs = ds  # precomputed signature table
+    else:
+        sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
     exploded = _band_explode(sigs, id_col, n_hashes)
 
     def _bucketize(batch: pa.Table) -> pa.Table:

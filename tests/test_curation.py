@@ -496,3 +496,20 @@ class TestEventTypeAffinity:
                    n_buckets=4).take_all()}
         # duplicate (1, x) collapses; user 3 has no pair
         assert got == {("x", "y"): 2}
+
+
+def test_bench_queries_exist():
+    """Every bench.py entry must name a real QUERIES key (typo guard
+    — a dangling name would crash the driver's per-round bench)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from ocr_pipeline_ray.queries import QUERIES
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)

@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     # session-3 additions
     "snapshot_diff_summary", "locf_fill", "bucketed_upsert",
     "interval_union", "interval_coverage", "events_value_zscore",
-    "priority_sample", "bm25_search", "event_funnel",
+    "priority_sample", "bm25_search", "hybrid_search", "event_funnel",
     "event_funnel_windowed", "sliding_distinct_users",
     "join_size_estimate", "dup_cluster_sizes", "collocations",
     "label_centroids", "containment_pairs", "recency_user_scores",

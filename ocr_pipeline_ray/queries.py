@@ -2352,6 +2352,35 @@ def q_bm25_search(sf_dir: str):
     return bm25_topk(docs, BM25_QUERY, k=10)
 
 
+HYBRID_LEG_K = 20  # candidates per retrieval leg before fusion
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval (stages/rank.py ``rrf_fuse``): reciprocal-
+    rank fusion of the BM25 lexical top-20 and the dense cosine
+    top-20 over the SAME id space (doc_id == vec_id in the corpus) —
+    the standard RAG-curation retrieval shape where neither lexical
+    nor embedding recall alone suffices. Both legs are the existing
+    distributed operators (two scans each, no shuffle); the fuse
+    itself folds 2xK candidate rows on the driver. The SQL twin
+    recomputes both legs with the leg oracles' own ORDER BY rules,
+    ranks via row_number(), and COALESCE-sums 1/(60+rank)."""
+    from .stages.rank import rrf_fuse
+    from .stages.similarity import brute_force_topk
+    from .stages.textstats import bm25_topk
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    lex = bm25_topk(docs, BM25_QUERY, k=HYBRID_LEG_K)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    dense = brute_force_topk(emb, _query_vec(sf_dir, 0),
+                             k=HYBRID_LEG_K, exclude_id=0)
+    return rrf_fuse(
+        {"lex": (lex, "doc_id", "score"),
+         "dense": (dense, "vec_id", "sim")},
+        k=10)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -6102,6 +6131,60 @@ ORACLE_SQL["bm25_search"] = (
     "doc_id LIMIT 10"
 )
 
+# hybrid_search: both legs reuse their own proven oracle shapes
+# (bm25_search / ann_topk above) with LIMIT 20; ranks come from
+# row_number() over the grid-rounded scores (id tie-break), and the
+# fused score is the leg-ordered COALESCE sum of 1/(60+rank),
+# grid-rounded at 1e-9.
+ORACLE_SQL["hybrid_search"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split("
+    "coalesce(text, ''), ' ')) AS t FROM documents), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len "
+    "FROM tok GROUP BY doc_id), "
+    "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(len) AS avgdl "
+    "FROM dl), "
+    "tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf "
+    "FROM tok WHERE t IN ('window', 'merge', 'stream') "
+    "GROUP BY doc_id, t), "
+    "df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+    "FROM tf GROUP BY t), "
+    "sc AS (SELECT tf.doc_id, sum("
+    "ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+    "* tf.tf * (1.2 + 1.0) "
+    "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / st.avgdl))"
+    ") AS score "
+    "FROM tf JOIN df USING (t) JOIN dl ON dl.doc_id = tf.doc_id, st "
+    "GROUP BY tf.doc_id), "
+    "lex_top AS (SELECT doc_id, "
+    "floor(score * 1000000.0 + 0.5) / 1000000.0 AS s FROM sc "
+    "ORDER BY floor(score * 1000000.0 + 0.5) / 1000000.0 DESC, "
+    "doc_id LIMIT 20), "
+    "lex_rank AS (SELECT doc_id, "
+    "row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lex_top), "
+    "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id = 0), "
+    "dense_top AS (SELECT e.vec_id AS doc_id, "
+    "floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "q.qv) * 1000000.0 + 0.5) / 1000000.0 AS s "
+    "FROM embeddings e, q WHERE e.vec_id <> 0 "
+    "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "q.qv) DESC, e.vec_id LIMIT 20), "
+    "dense_rank AS (SELECT doc_id, "
+    "row_number() OVER (ORDER BY s DESC, doc_id) AS r "
+    "FROM dense_top), "
+    "fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, "
+    "COALESCE(1.0 / (60 + l.r), 0.0) + "
+    "COALESCE(1.0 / (60 + d.r), 0.0) AS rrf_raw, "
+    "COALESCE(l.r, 0) AS lex_rank, COALESCE(d.r, 0) AS dense_rank "
+    "FROM lex_rank l FULL OUTER JOIN dense_rank d "
+    "ON l.doc_id = d.doc_id) "
+    "SELECT doc_id, "
+    "floor(rrf_raw * 1000000000.0 + 0.5) / 1000000000.0 AS rrf, "
+    "lex_rank, dense_rank FROM fused "
+    "ORDER BY floor(rrf_raw * 1000000000.0 + 0.5) / 1000000000.0 "
+    "DESC, doc_id LIMIT 10"
+)
+
 ORACLE_SQL["lang_doc_rank_dist"] = (
     "SELECT doc_id, lang, "
     "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) "
@@ -7385,6 +7468,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "priority_sample": q_priority_sample,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
     "event_funnel": q_event_funnel,
     "sliding_distinct_users": q_sliding_distinct_users,
     "join_size_estimate": q_join_size_estimate,

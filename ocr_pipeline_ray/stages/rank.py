@@ -278,3 +278,68 @@ def grouped_rank(ds, key_col: str, order_by, n_dense: int = None,
     return ds.map_batches(_tag, batch_format="pyarrow").groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_bucket, batch_format="pyarrow")
+
+
+def rrf_fuse(legs, k: int = 10, c: int = 60, id_out: str = "doc_id"):
+    """Reciprocal-rank fusion of retrieval legs (Cormack et al.,
+    SIGIR'09): ``rrf(d) = sum over legs of 1/(c + rank_leg(d))``,
+    summing only the legs where ``d`` appears.
+
+    ``legs`` is an ordered dict ``name -> (result, id_col,
+    score_col)`` where each ``result`` is a top-K retrieval output
+    (Dataset or Arrow table) — e.g. the BM25 lexical top-K
+    (``stages/textstats.bm25_topk``) and the dense cosine top-K
+    (``stages/similarity.brute_force_topk``). The fusion itself runs
+    on the driver BY DESIGN: each leg is bounded at K rows by
+    construction (the legs are the distributed operators; their
+    outputs are candidates-scale, never corpus-scale), so the fuse is
+    O(sum of K) no matter the corpus size — the same shape as the
+    repo's other tiny-result folds.
+
+    Rank within a leg is assigned by (score desc, id asc) over the
+    leg's grid-rounded scores (the repo-wide 1e-6 contract), so rank
+    parity with the SQL twin's ``row_number() OVER (ORDER BY score
+    DESC, id)`` is exact wherever the leg scores themselves
+    hash-match. The fused score is summed in leg order (bit-identical
+    double addition vs the SQL twin's COALESCE sum) and grid-rounded
+    to 1e-9.
+
+    Returns an Arrow table (id_out, rrf, <name>_rank ...) sorted by
+    (rrf desc, id asc), limited to ``k``; a leg miss surfaces as
+    rank 0 (COALESCE-with-0 in the twin) so the per-leg provenance
+    of every fused hit is visible in the output.
+    """
+    import math
+
+    fused: dict = {}
+    names = list(legs)
+    for li, name in enumerate(names):
+        result, id_col, score_col = legs[name]
+        if hasattr(result, "take_all"):  # Dataset: K rows by contract
+            rows = result.take_all()
+            ids = [r[id_col] for r in rows]
+            scores = [r[score_col] for r in rows]
+        else:  # Arrow table
+            ids = result.column(id_col).to_pylist()
+            scores = result.column(score_col).to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+        for rank0, i in enumerate(order):
+            ent = fused.setdefault(ids[i], [0.0] * len(names))
+            ent[li] = float(rank0 + 1)
+    out_ids = sorted(fused)
+    rrf = {}
+    for d in out_ids:
+        s = 0.0
+        for li in range(len(names)):
+            r = fused[d][li]
+            s += 1.0 / (c + r) if r else 0.0
+        rrf[d] = math.floor(s * 1e9 + 0.5) / 1e9
+    top = sorted(out_ids, key=lambda d: (-rrf[d], d))[:k]
+    cols = {
+        id_out: pa.array(top, pa.int64()),
+        "rrf": pa.array([rrf[d] for d in top], pa.float64()),
+    }
+    for li, name in enumerate(names):
+        cols[f"{name}_rank"] = pa.array(
+            [int(fused[d][li]) for d in top], pa.int64())
+    return pa.table(cols)

@@ -596,6 +596,48 @@ def q_pagerank(sf_dir: str):
         "doc_id")
 
 
+def q_hits(sf_dir: str):
+    """Integer fixed-point HITS hub/authority scores (2 iterations)
+    over the same deterministic synthetic link graph as q_pagerank
+    (stages/graph.py ``hits_int``). All-int64 arithmetic with
+    int-division L1 renormalization per half-step makes the result
+    bit-exact vs the unrolled DuckDB join-chain twin. Per half-step:
+    ONE bucket exchange (edges cached pre-tagged per key side) plus a
+    blocks-scale driver fold of the normalization total."""
+    import numpy as np
+
+    from .stages.graph import hits_int
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m1, m2 = ids % 3 >= 1, ids % 3 == 2
+        src = np.concatenate([ids, ids[m1], ids[m2]])
+        dst = np.concatenate([(ids * 7 + 1) % n,
+                              (ids[m1] * 13 + 2) % n,
+                              (ids[m2] * 29 + 5) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def _as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id")})
+
+    nodes = docs.map_batches(_as_node, batch_format="pyarrow")
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    scores = hits_int(nodes, edges, iters=2, n_buckets=32)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "auth": batch.column("auth"),
+                         "hub": batch.column("hub")})
+
+    return scores.map_batches(_rename, batch_format="pyarrow").sort(
+        "doc_id")
+
+
 def q_pagerank_pregel(sf_dir: str):
     """Same graph, same int64 PageRank semantics and oracle as
     q_pagerank, Pregel physical plan: edges partitioned once into
@@ -5873,6 +5915,53 @@ ORACLE_SQL: Dict[str, str] = {
 # same graph, same semantics, different physical plan — one SQL twin
 ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
+# hits: same synthetic edge multiset as pagerank; two unrolled
+# authority/hub half-steps in pure BIGINT arithmetic — sum of the
+# opposite score over the edge multiset, then // greatest(total //
+# scale, 1) renormalization, missing nodes COALESCE to 0.
+ORACLE_SQL["hits"] = (
+    "WITH nn AS (SELECT count(*) AS c FROM documents), "
+    "nodes AS (SELECT doc_id AS node FROM documents), "
+    "edges AS (SELECT node AS src, (node*7+1) % nn.c AS dst "
+    "FROM nodes, nn "
+    "UNION ALL SELECT node, (node*13+2) % nn.c FROM nodes, nn "
+    "WHERE node % 3 >= 1 "
+    "UNION ALL SELECT node, (node*29+5) % nn.c FROM nodes, nn "
+    "WHERE node % 3 = 2), "
+    "h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS v FROM nodes), "
+    "a1r AS (SELECT e.dst AS node, sum(h.v) AS s FROM edges e "
+    "JOIN h0 h ON h.node = e.src GROUP BY e.dst), "
+    "a1d AS (SELECT CAST(greatest(sum(s) // 1000000000, 1) AS BIGINT)"
+    " AS d FROM a1r), "
+    "a1 AS (SELECT n.node, "
+    "CAST(coalesce(a1r.s, 0) // a1d.d AS BIGINT) AS v "
+    "FROM nodes n LEFT JOIN a1r USING (node), a1d), "
+    "h1r AS (SELECT e.src AS node, sum(a.v) AS s FROM edges e "
+    "JOIN a1 a ON a.node = e.dst GROUP BY e.src), "
+    "h1d AS (SELECT CAST(greatest(sum(s) // 1000000000, 1) AS BIGINT)"
+    " AS d FROM h1r), "
+    "h1 AS (SELECT n.node, "
+    "CAST(coalesce(h1r.s, 0) // h1d.d AS BIGINT) AS v "
+    "FROM nodes n LEFT JOIN h1r USING (node), h1d), "
+    "a2r AS (SELECT e.dst AS node, sum(h.v) AS s FROM edges e "
+    "JOIN h1 h ON h.node = e.src GROUP BY e.dst), "
+    "a2d AS (SELECT CAST(greatest(sum(s) // 1000000000, 1) AS BIGINT)"
+    " AS d FROM a2r), "
+    "a2 AS (SELECT n.node, "
+    "CAST(coalesce(a2r.s, 0) // a2d.d AS BIGINT) AS v "
+    "FROM nodes n LEFT JOIN a2r USING (node), a2d), "
+    "h2r AS (SELECT e.src AS node, sum(a.v) AS s FROM edges e "
+    "JOIN a2 a ON a.node = e.dst GROUP BY e.src), "
+    "h2d AS (SELECT CAST(greatest(sum(s) // 1000000000, 1) AS BIGINT)"
+    " AS d FROM h2r), "
+    "h2 AS (SELECT n.node, "
+    "CAST(coalesce(h2r.s, 0) // h2d.d AS BIGINT) AS v "
+    "FROM nodes n LEFT JOIN h2r USING (node), h2d) "
+    "SELECT n.node AS doc_id, a2.v AS auth, h2.v AS hub "
+    "FROM nodes n JOIN a2 ON a2.node = n.node "
+    "JOIN h2 ON h2.node = n.node ORDER BY n.node"
+)
+
 ORACLE_SQL["split_leakage_safe"] = (
     "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
     + CC_CTE +
@@ -7353,6 +7442,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "substring_dedup": q_substring_dedup,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "kmeans_assign": q_kmeans_assign,
     "lm_score": q_lm_score,
     "lm_buckets": q_lm_buckets,

@@ -623,3 +623,201 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         if b.num_rows:
             total += int(pc.sum(b.column("n")).as_py() or 0)
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def hits_int(nodes, edges, iters: int = 2, scale: int = 10 ** 9,
+             n_buckets: int = 32, node_col: str = "node",
+             src_col: str = "src", dst_col: str = "dst"):
+    """Integer fixed-point HITS (Kleinberg 1999): mutually-reinforcing
+    hub/authority scores over a directed edge multiset — the classic
+    companion to PageRank for web-corpus source weighting (authority
+    as a per-host quality prior).
+
+    Semantics (bit-exact vs the unrolled SQL twin):
+
+    * ``h0 = scale`` for every node;
+    * authority half-step: ``a_raw(v) = sum of h(u) over edges
+      (u, v)`` (parallel edges count twice), then L1-style
+      renormalization in pure int64: ``a = a_raw // max(A // scale,
+      1)`` where ``A = sum of a_raw`` — keeps every value
+      ~``scale``-sized so int64 never overflows and summation order
+      cannot perturb the result;
+    * hub half-step: symmetric, ``h_raw(u) = sum of a(v)`` over the
+      node's OUT-edges; missing nodes read as 0 (LEFT-JOIN parity).
+
+    Physical plan (the pagerank_int exchange, alternating key sides):
+    the edge multiset is tagged+bucketed TWICE up front (once keyed
+    by src for h->a, once by dst for a->h) and cached; each half-step
+    is ONE bucket exchange — union(keyed edges, score partials,
+    node-universe zeros) -> whole-bucket UDF folds partials into
+    node scores, emits one contribution row per edge keyed by the
+    opposite endpoint -> map-side combine back to partials. The
+    normalization total is folded on the driver from PER-BLOCK
+    partial sums (blocks-scale, never node-scale) and injected into
+    the next half-step's closure. Driver state: one int per
+    half-step.
+
+    Returns (node, auth, hub) int64 rows for the full node universe.
+    """
+    from ..functions.hashing import bucket_ids
+
+    union_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), ("_other", pa.int64()),
+        ("val", pa.int64()),
+    ])
+
+    def _tag_edges(key_name: str, other_name: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = pc.cast(batch.column(key_name), pa.int64())
+            return pa.table({
+                "_bucket": pa.array(bucket_ids(key, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array(np.zeros(n, np.int32)),
+                "_key": key,
+                "_other": pc.cast(batch.column(other_name), pa.int64()),
+                "val": pa.nulls(n, pa.int64()),
+            }, schema=union_schema)
+        return _fn
+
+    def _tag_nodes(val: int, side: int = 1):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = pc.cast(batch.column(node_col), pa.int64())
+            return pa.table({
+                "_bucket": pa.array(bucket_ids(key, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int32)),
+                "_key": key,
+                "_other": pa.nulls(n, pa.int64()),
+                "val": pa.array(np.full(n, val, np.int64)),
+            }, schema=union_schema)
+        return _fn
+
+    def _fold_scores(tbl: pa.Table, div: int):
+        """Partial side-1 rows -> (unique node ids, score = sum//div)."""
+        keys = tbl.column("_key").combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = enc.dictionary.to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(ids), np.int64)
+        np.add.at(sums, codes, tbl.column("val").combine_chunks()
+                  .to_numpy(zero_copy_only=False))
+        return ids, sums // div
+
+    def _make_halfstep(div: int):
+        def _step(group: pa.Table) -> pa.Table:
+            empty = pa.table({node_col: pa.array([], pa.int64()),
+                              "contrib": pa.array([], pa.int64())})
+            if group.num_rows == 0:
+                return empty
+            sides = group.column("_side").combine_chunks().to_numpy()
+            ids, score = _fold_scores(
+                group.filter(pa.array(sides == 1)), div)
+            edges_t = group.filter(pa.array(sides == 0))
+            if edges_t.num_rows == 0:
+                return empty
+            pos = pc.index_in(
+                edges_t.column("_key").combine_chunks(),
+                value_set=pa.array(ids, pa.int64()),
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                node_col: edges_t.column("_other"),
+                "contrib": pa.array(score[pos], pa.int64()),
+            })
+        return _step
+
+    def _partial_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column(node_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vals = batch.column("contrib").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, vals)
+        key = pa.array(uniq, pa.int64())
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.ones(len(uniq), np.int32)),
+            "_key": key,
+            "_other": pa.nulls(len(uniq), pa.int64()),
+            "val": pa.array(sums, pa.int64()),
+        }, schema=union_schema)
+
+    def _total(parts) -> int:
+        def _bs(b: pa.Table) -> pa.Table:
+            s = int(np.sum(b.column("val").combine_chunks().to_numpy(
+                zero_copy_only=False), dtype=np.int64))
+            return pa.table({"s": pa.array([s], pa.int64())})
+        return sum(r["s"] for r in parts.select_columns(
+            ["val"]).map_batches(
+            _bs, batch_format="pyarrow", batch_size=None).take_all())
+
+    edges_by_src = edges.map_batches(
+        _tag_edges(src_col, dst_col), batch_format="pyarrow"
+    ).materialize()
+    edges_by_dst = edges.map_batches(
+        _tag_edges(dst_col, src_col), batch_format="pyarrow"
+    ).materialize()
+    node_sel = nodes.select_columns([node_col])
+    tagged_zeros = node_sel.map_batches(
+        _tag_nodes(0), batch_format="pyarrow").materialize()
+
+    cur = node_sel.map_batches(
+        _tag_nodes(scale), batch_format="pyarrow")  # h0
+    div = 1
+    a_parts = h_parts = None
+    div_a = div_h = 1
+    for _ in range(iters):
+        a_parts = edges_by_src.union(cur).union(tagged_zeros).groupby(
+            "_bucket", num_partitions=n_buckets
+        ).map_groups(
+            _make_halfstep(div), batch_format="pyarrow"
+        ).map_batches(_partial_tagged, batch_format="pyarrow"
+                      ).materialize()
+        div_a = max(_total(a_parts) // scale, 1)
+        h_parts = edges_by_dst.union(a_parts).union(
+            tagged_zeros).groupby(
+            "_bucket", num_partitions=n_buckets
+        ).map_groups(
+            _make_halfstep(div_a), batch_format="pyarrow"
+        ).map_batches(_partial_tagged, batch_format="pyarrow"
+                      ).materialize()
+        div_h = max(_total(h_parts) // scale, 1)
+        cur, div = h_parts, div_h
+
+    # one final exchange folds BOTH score sets per node: re-tag the
+    # authority partials as side 2 so the bucket UDF can split them.
+    def _retag_auth(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            1, "_side",
+            pa.array(np.full(batch.num_rows, 2, np.int32)))
+
+    def _final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({node_col: pa.array([], pa.int64()),
+                             "auth": pa.array([], pa.int64()),
+                             "hub": pa.array([], pa.int64())})
+        sides = group.column("_side").combine_chunks().to_numpy()
+        a_ids, a_sc = _fold_scores(
+            group.filter(pa.array(sides == 2)), div_a)
+        h_ids, h_sc = _fold_scores(
+            group.filter(pa.array(sides == 1)), div_h)
+        all_ids = np.union1d(a_ids, h_ids)
+        auth = np.zeros(len(all_ids), np.int64)
+        auth[np.searchsorted(all_ids, a_ids)] = a_sc
+        hub = np.zeros(len(all_ids), np.int64)
+        hub[np.searchsorted(all_ids, h_ids)] = h_sc
+        return pa.table({
+            node_col: pa.array(all_ids, pa.int64()),
+            "auth": pa.array(auth, pa.int64()),
+            "hub": pa.array(hub, pa.int64()),
+        })
+
+    return a_parts.map_batches(
+        _retag_auth, batch_format="pyarrow"
+    ).union(h_parts).union(tagged_zeros).groupby(
+        "_bucket", num_partitions=n_buckets
+    ).map_groups(_final, batch_format="pyarrow")

@@ -158,3 +158,66 @@ class TestTriangleCount:
                              n_buckets=6)
         assert (out.column("n_triangles").to_pylist()[0]
                 == self._duck_triangles(tbl))
+
+
+class TestHitsInt:
+    @staticmethod
+    def _reference(n_nodes, src, dst, iters=2, scale=10 ** 9):
+        """Sequential fixed-point HITS matching hits_int semantics."""
+        h = [scale] * n_nodes
+        a = [0] * n_nodes
+        for _ in range(iters):
+            a_raw = [0] * n_nodes
+            for s, d in zip(src, dst):
+                a_raw[d] += h[s]
+            div = max(sum(a_raw) // scale, 1)
+            a = [x // div for x in a_raw]
+            h_raw = [0] * n_nodes
+            for s, d in zip(src, dst):
+                h_raw[s] += a[d]
+            div = max(sum(h_raw) // scale, 1)
+            h = [x // div for x in h_raw]
+        return a, h
+
+    @pytest.mark.parametrize("n_blocks,n_buckets", [(1, 4), (3, 2),
+                                                    (5, 8)])
+    def test_matches_reference_across_layouts(self, ray_session,
+                                              n_blocks, n_buckets):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import hits_int
+
+        n = 23
+        src = [i for i in range(n)] + [i for i in range(0, n, 3)]
+        dst = [(i * 5 + 2) % n for i in range(n)] + [
+            (i * 11 + 7) % n for i in range(0, n, 3)]
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array(list(range(n)), pa.int64())}))
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })).repartition(n_blocks)
+        got = {r["node"]: (r["auth"], r["hub"]) for r in hits_int(
+            nodes, edges, iters=2, n_buckets=n_buckets).take_all()}
+        a, h = self._reference(n, src, dst)
+        assert got == {i: (a[i], h[i]) for i in range(n)}
+
+    def test_sink_node_zero_hub(self, ray_session):
+        """A node with no out-edges ends with hub 0; unreferenced
+        node ends with auth 0 — both still appear in the output."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import hits_int
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1, 2], pa.int64())}))
+        # 0 -> 1 only: node 1 is a pure sink, node 2 is isolated
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([0], pa.int64()),
+            "dst": pa.array([1], pa.int64()),
+        }))
+        got = {r["node"]: (r["auth"], r["hub"]) for r in hits_int(
+            nodes, edges, iters=2, n_buckets=2).take_all()}
+        a, h = self._reference(3, [0], [1])
+        assert got == {i: (a[i], h[i]) for i in range(3)}
+        assert got[1][1] == 0 and got[2] == (0, 0)

@@ -31,6 +31,7 @@ _FORMAT_EXTS = {
     "parquet": (".parquet",),
     "jsonl": (".json", ".jsonl"),
     "csv": (".csv",),
+    "warc": (".warc", ".warc.gz"),
 }
 
 
@@ -79,7 +80,9 @@ def _ingest_to_parquet(paths, fmt: str, out_root: str, log) -> list:
     an existing staging dir is REUSED (the conversion itself is the
     resume unit — delete the dir to re-ingest).
     """
-    from ocr_pipeline_ray.sources import pages_from_csv, pages_from_jsonl
+    from ocr_pipeline_ray.sources import (pages_from_csv,
+                                          pages_from_jsonl,
+                                          pages_from_warc)
 
     staging = os.path.join(out_root, "_ingest_parquet")
     if os.path.isdir(staging) and any(
@@ -87,8 +90,8 @@ def _ingest_to_parquet(paths, fmt: str, out_root: str, log) -> list:
     ):
         log.info("reusing ingested parquet staging at %s", staging)
     else:
-        ds = (pages_from_jsonl(paths) if fmt == "jsonl"
-              else pages_from_csv(paths))
+        ds = {"jsonl": pages_from_jsonl, "csv": pages_from_csv,
+              "warc": pages_from_warc}[fmt](paths)
         os.makedirs(staging, exist_ok=True)
         ds.write_parquet(staging)
         log.info("ingested %d %s file(s) → %s", len(paths), fmt, staging)
@@ -106,10 +109,12 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--out", required=True, help="output root")
     parser.add_argument("-c", "--config", default=None,
                         help="INI pipeline config (step_01..NN sections)")
-    parser.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+    parser.add_argument("--format",
+                        choices=["parquet", "jsonl", "csv", "warc"],
                         default="parquet",
                         help="input format; jsonl/csv (wire encoding: "
-                             "base64 html, ISO timestamps) are ingested "
+                             "base64 html, ISO timestamps) and warc "
+                             "(raw crawl shards) are ingested "
                              "once into <out>/_ingest_parquet, then the "
                              "normal resumable parquet flow runs")
     parser.add_argument("-r", "--recursive", action="store_true",

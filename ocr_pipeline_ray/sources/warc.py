@@ -1,0 +1,250 @@
+"""WARC source adapter — the native Common-Crawl wire format.
+
+A WARC file (ISO 28500) is a sequence of records, each a CRLF-headed
+block (``WARC/1.0`` version line + named headers + ``Content-Length``
+octet count) followed by that many payload bytes and a blank-line
+separator; crawl captures are ``WARC-Type: response`` records whose
+payload is the raw HTTP response (status line + headers + body).
+``.warc.gz`` files are per-record (or whole-file) gzip members
+concatenated — stdlib ``gzip`` reads multi-member streams natively,
+so both layouts decode with one call.
+
+Mapping to ``schema.PAGES_SCHEMA``:
+
+* ``url``      ← ``WARC-Target-URI``
+* ``warc_ts``  ← ``WARC-Date`` (ISO-8601; microseconds round-trip via
+  the WARC 1.1 fractional-seconds form)
+* ``html``     ← the HTTP response body, verbatim bytes
+* ``lang``     ← the HTTP ``Content-Language`` header (crawler lang
+  hint); absent header → null
+* ``text``     — null: raw WARC carries no pre-extracted text (that
+  lives in Common Crawl's derived WET files). Pipelines consume
+  (url, warc_ts, html, lang), so results are byte-identical to the
+  Parquet path (pinned by tests/test_sources.py).
+
+Ray shape: one task per WARC file (``read_binary_files`` — the
+Common-Crawl operational unit is the ~1 GB warc.gz shard, sized to a
+worker heap by the format's own convention; 100k-file crawls give
+100k-way parallelism). Parsing is a single linear scan per file;
+non-response records (warcinfo, request, metadata) are skipped. Like
+the JSONL/CSV adapters this is a one-time boundary pass — convert to
+Parquet once (CLI ``--format warc``) for repeated column-pruned runs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime, timezone
+from typing import List, Optional
+
+import pyarrow as pa
+
+from ..schema import PAGES_SCHEMA
+
+_CRLF2 = b"\r\n\r\n"
+
+
+# --- writing (fixtures, exports) ---------------------------------------
+
+def _warc_date(ts_us: Optional[int]) -> str:
+    if ts_us is None:
+        ts_us = 0
+    dt = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+    if ts_us % 1_000_000:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(url: str, ts_us: Optional[int]) -> str:
+    h = hashlib.md5(f"{url}\x1f{ts_us}".encode("utf-8")).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+            f"{h[20:32]}>")
+
+
+def response_record(url: str, ts_us: Optional[int], html: bytes,
+                    lang: Optional[str]) -> bytes:
+    """One deterministic ``WARC-Type: response`` record."""
+    body = html or b""
+    http = [b"HTTP/1.1 200 OK",
+            b"Content-Type: text/html; charset=UTF-8"]
+    if lang is not None:
+        http.append(b"Content-Language: " + lang.encode("utf-8"))
+    http.append(b"Content-Length: " + str(len(body)).encode("ascii"))
+    payload = b"\r\n".join(http) + _CRLF2 + body
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: " + _record_id(url, ts_us).encode("ascii"),
+        b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(payload)).encode("ascii"),
+    ]
+    return b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
+
+
+def _warcinfo_record() -> bytes:
+    payload = b"software: ocr_pipeline_ray\r\nformat: WARC File Format 1.0\r\n"
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: warcinfo",
+        b"WARC-Date: 1970-01-01T00:00:00Z",
+        b"Content-Type: application/warc-fields",
+        b"Content-Length: " + str(len(payload)).encode("ascii"),
+    ]
+    return b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
+
+
+def write_warc_file(tbl: pa.Table, path: str,
+                    compress: bool = True) -> None:
+    """Pages-table block → one ``.warc``/``.warc.gz`` file
+    (warcinfo record + one response record per row, input order)."""
+    urls = tbl.column("url").to_pylist()
+    tss = tbl.column("warc_ts").cast(pa.int64()).to_pylist() \
+        if "warc_ts" in tbl.column_names else [None] * len(urls)
+    htmls = tbl.column("html").to_pylist()
+    langs = tbl.column("lang").to_pylist() \
+        if "lang" in tbl.column_names else [None] * len(urls)
+    buf = io.BytesIO()
+    buf.write(_warcinfo_record())
+    for u, t, h, lg in zip(urls, tss, htmls, langs):
+        buf.write(response_record(u, t, h, lg))
+    data = buf.getvalue()
+    if compress:
+        # mtime=0: deterministic bytes for identical input blocks
+        data = gzip.compress(data, mtime=0)
+    with open(path + ".tmp", "wb") as fh:
+        fh.write(data)
+    import os
+
+    os.replace(path + ".tmp", path)
+
+
+def pages_to_warc(ds, out_dir: str, compress: bool = True) -> None:
+    """Export a pages Dataset as WARC shards (one file per block,
+    written task-side — blocks never visit the driver; file names
+    derive from block content, so re-runs overwrite idempotently)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            first = batch.column("url")[0].as_py()
+            tag = hashlib.md5(
+                f"{first}\x1f{batch.num_rows}".encode("utf-8")
+            ).hexdigest()[:12]
+            write_warc_file(
+                batch, os.path.join(out_dir, f"pages-{tag}{ext}"),
+                compress=compress)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(
+        _write, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+# --- reading ------------------------------------------------------------
+
+def _parse_warc_ts(value: str) -> Optional[int]:
+    value = value.strip()
+    try:
+        if "." in value:
+            dt = datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%fZ")
+        else:
+            dt = datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+
+
+def parse_warc_bytes(data: bytes):
+    """Linear scan of one (decompressed) WARC file → pages rows.
+
+    Yields ``(url, ts_us, html, lang)`` for each response record;
+    skips warcinfo/request/metadata records by ``WARC-Type``.
+    Tolerates missing trailing separators on the last record.
+    """
+    n = len(data)
+    pos = 0
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            sep = line.find(b":")
+            if sep > 0:
+                headers[line[:sep].strip().lower()] = (
+                    line[sep + 1:].strip())
+        try:
+            clen = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            clen = 0
+        payload = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace")
+        ts_us = _parse_warc_ts(
+            headers.get(b"warc-date", b"").decode("ascii", "replace"))
+        http_end = payload.find(_CRLF2)
+        if http_end < 0:
+            body, lang = b"", None
+        else:
+            lang = None
+            for line in payload[:http_end].split(b"\r\n")[1:]:
+                sep = line.find(b":")
+                if sep > 0 and line[:sep].strip().lower() == \
+                        b"content-language":
+                    lang = line[sep + 1:].strip().decode(
+                        "utf-8", "replace")
+            body = payload[http_end + 4:]
+        yield url, ts_us, body, lang
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    if data[:2] == b"\x1f\x8b":
+        # GzipFile reads ALL concatenated members (per-record gz ok)
+        return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    return data
+
+
+def _parse_batch(batch: pa.Table) -> pa.Table:
+    urls: List[Optional[str]] = []
+    tss: List[Optional[int]] = []
+    htmls: List[Optional[bytes]] = []
+    langs: List[Optional[str]] = []
+    for data in batch.column("bytes").to_pylist():
+        for url, ts_us, body, lang in parse_warc_bytes(
+                _maybe_gunzip(data)):
+            urls.append(url)
+            tss.append(ts_us)
+            htmls.append(body)
+            langs.append(lang)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.nulls(len(urls), pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }, schema=PAGES_SCHEMA)
+
+
+def pages_from_warc(paths, columns: Optional[List[str]] = None,
+                    **read_kwargs):
+    """WARC/WARC.GZ crawl shards → PAGES_SCHEMA Dataset
+    (one parse task per file; ``text`` is null — see module doc)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths, **read_kwargs)
+    out = ds.map_batches(_parse_batch, batch_format="pyarrow")
+    return out.select_columns(columns) if columns else out

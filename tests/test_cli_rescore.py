@@ -335,6 +335,35 @@ class TestCliJsonlFormat:
         assert rc == 0
 
 
+class TestCliWarcFormat:
+    def test_warc_ingest_run_matches_parquet_run(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        """--format warc: raw crawl shards ingest to parquet staging,
+        then the normal run matches the parquet path's totals."""
+        import duckdb
+        import ray.data
+
+        from ocr_pipeline_ray.sources import pages_to_warc
+
+        wire = str(tmp_path / "crawl")
+        pages_to_warc(ray.data.read_parquet(list(small_corpus)), wire)
+        assert glob.glob(os.path.join(wire, "*.warc.gz"))
+
+        out_w = str(tmp_path / "out_warc")
+        rc = main([wire, "-o", out_w, "--format", "warc"])
+        assert rc == 0
+
+        out_p = str(tmp_path / "out_parquet")
+        assert main([*small_corpus, "-o", out_p]) == 0
+
+        q = ("SELECT count(*) n, CAST(sum(n_words) AS BIGINT) w FROM "
+             "read_parquet('{}/pid=*/*.parquet')")
+        con = duckdb.connect()
+        assert (con.sql(q.format(out_w)).fetchone()
+                == con.sql(q.format(out_p)).fetchone())
+
+
 class TestCliTrainingData:
     def test_training_tail_end_to_end(self, ray_session, small_corpus,
                                       tmp_path):

@@ -95,3 +95,84 @@ class TestSourceAdapters:
         ds = pages_from_jsonl(out, columns=["url", "lang"])
         assert ds.schema().names == ["url", "lang"]
         assert ds.count() == pages_tbl.num_rows
+
+
+class TestWarcAdapter:
+    def test_warc_round_trip_matches_parquet_path(
+        self, ray_session, pages_tbl, native_results, tmp_path
+    ):
+        import ray.data
+
+        from ocr_pipeline_ray.sources import (
+            pages_from_warc,
+            pages_to_warc,
+        )
+
+        out = str(tmp_path / "warc")
+        pages_to_warc(
+            ray.data.from_arrow(pages_tbl).repartition(3), out
+        )
+        ingested = pages_from_warc(out)
+        assert ingested.schema().names == [
+            "url", "warc_ts", "html", "text", "lang"
+        ]
+        # raw WARC carries no pre-extracted text column
+        assert all(r["text"] is None
+                   for r in ingested.take(5))
+        via_warc = _flagship_by_url(ingested)
+        assert via_warc == native_results
+
+    def test_columns_round_trip_exactly(self, ray_session, pages_tbl,
+                                        tmp_path):
+        """url/warc_ts/html/lang survive the WARC wire byte-exactly,
+        including µs timestamps and non-UTF-8 html bytes."""
+        import ray.data
+
+        from ocr_pipeline_ray.sources import (
+            pages_from_warc,
+            pages_to_warc,
+        )
+
+        out = str(tmp_path / "warc2")
+        pages_to_warc(ray.data.from_arrow(pages_tbl), out,
+                      compress=False)
+        got = {r["url"]: (r["warc_ts"], r["html"], r["lang"])
+               for r in pages_from_warc(out).take_all()}
+        want = {
+            u: (t, h, lg)
+            for u, t, h, lg in zip(
+                pages_tbl.column("url").to_pylist(),
+                pages_tbl.column("warc_ts").to_pylist(),
+                pages_tbl.column("html").to_pylist(),
+                pages_tbl.column("lang").to_pylist(),
+            )
+        }
+        assert got == want
+
+    def test_parser_edge_cases(self):
+        """Bodies containing CRLFCRLF, missing Content-Language,
+        non-response records skipped, multi-member gzip."""
+        import gzip
+
+        from ocr_pipeline_ray.sources.warc import (
+            parse_warc_bytes,
+            response_record,
+            _maybe_gunzip,
+            _warcinfo_record,
+        )
+
+        tricky = b"<p>a</p>\r\n\r\n<p>b</p>\x00\xff"
+        rec1 = response_record("http://x/1", 1_700_000_000_123_456,
+                               tricky, "de")
+        rec2 = response_record("http://x/2", 1_700_000_000_000_000,
+                               b"<i>c</i>", None)
+        raw = _warcinfo_record() + rec1 + rec2
+        rows = list(parse_warc_bytes(raw))
+        assert rows == [
+            ("http://x/1", 1_700_000_000_123_456, tricky, "de"),
+            ("http://x/2", 1_700_000_000_000_000, b"<i>c</i>", None),
+        ]
+        # per-record gzip members concatenated = valid .warc.gz
+        multi = (gzip.compress(_warcinfo_record() + rec1, mtime=0)
+                 + gzip.compress(rec2, mtime=0))
+        assert list(parse_warc_bytes(_maybe_gunzip(multi))) == rows

@@ -2469,8 +2469,6 @@ def q_join_size_estimate(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    exact = join_size_exact(orders, cust, "o_custkey", "c_custkey",
-                            n_buckets=32)
 
     def _as_text(col: str):
         def _fn(batch: pa.Table) -> pa.Table:
@@ -2485,12 +2483,22 @@ def q_join_size_estimate(sf_dir: str):
                  if b.num_rows]
         return pa.concat_tables(parts)
 
-    sk_a = _collect(cms_sketch(
-        orders.map_batches(_as_text("o_custkey"),
-                           batch_format="pyarrow")))
-    sk_b = _collect(cms_sketch(
-        cust.map_batches(_as_text("c_custkey"),
-                         batch_format="pyarrow")))
+    # the three legs are independent Ray jobs — drive them
+    # concurrently (Ray Data executes multiple datasets in parallel;
+    # the per-job fixed costs overlap instead of stacking)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        f_exact = pool.submit(
+            join_size_exact, orders, cust, "o_custkey", "c_custkey",
+            n_buckets=32)
+        f_a = pool.submit(lambda: _collect(cms_sketch(
+            orders.map_batches(_as_text("o_custkey"),
+                               batch_format="pyarrow"))))
+        f_b = pool.submit(lambda: _collect(cms_sketch(
+            cust.map_batches(_as_text("c_custkey"),
+                             batch_format="pyarrow"))))
+        exact, sk_a, sk_b = f_exact.result(), f_a.result(), f_b.result()
     est = cms_inner_product(sk_a, sk_b)
     return pa.table({
         "n_join_rows": exact.column("n_join_rows"),

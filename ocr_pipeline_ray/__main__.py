@@ -134,6 +134,11 @@ def main(argv=None) -> int:
     parser.add_argument("--emit-xml", action="store_true",
                         help="add an alto_xml column (pretty/CRLF ALTO v4 "
                              "serialization of the extracted lines)")
+    parser.add_argument("--emit-wet", action="store_true",
+                        help="after the run, export <out>/wet/ WET "
+                             "shards (WARC conversion records of the "
+                             "extracted text — the Common-Crawl "
+                             "derivative format)")
     parser.add_argument("--profile", action="store_true",
                         help="add a step_wall_us column with per-step "
                              "wall timing (the reference's per-step "
@@ -265,7 +270,29 @@ def main(argv=None) -> int:
         _write_training_data(args.out, args.min_ratio, log)
     if args.audit:
         _write_audit(args.out, log)
+    if args.emit_wet:
+        _write_wet(args.out, log)
     return 0
+
+
+def _write_wet(out_root: str, log) -> None:
+    """WET export tail: pruned read of the published output
+    (url/warc_ts/extracted_text only — the heavy lines/html columns
+    never load), conversion records written task-side per block."""
+    import ray.data
+
+    from ocr_pipeline_ray.sources import extracted_to_wet
+
+    pattern = sorted(
+        globmod.glob(os.path.join(out_root, "pid=*", "*.parquet"))
+    )
+    if not pattern:
+        return
+    ds = ray.data.read_parquet(
+        pattern, columns=["url", "warc_ts", "extracted_text"])
+    wet_dir = os.path.join(out_root, "wet")
+    extracted_to_wet(ds, wet_dir)
+    log.info("WET export → %s", wet_dir)
 
 
 def _write_audit(out_root: str, log) -> None:

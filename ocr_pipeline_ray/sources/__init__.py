@@ -14,7 +14,9 @@ from .ingest import (  # noqa: F401
     pages_to_jsonl,
 )
 from .warc import (  # noqa: F401
+    extracted_to_wet,
     pages_from_warc,
     pages_to_warc,
+    text_from_wet,
     write_warc_file,
 )

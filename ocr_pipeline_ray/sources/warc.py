@@ -248,3 +248,118 @@ def pages_from_warc(paths, columns: Optional[List[str]] = None,
     ds = ray.data.read_binary_files(paths, **read_kwargs)
     out = ds.map_batches(_parse_batch, batch_format="pyarrow")
     return out.select_columns(columns) if columns else out
+
+
+# --- WET (extracted-text conversion records) ----------------------------
+
+def conversion_record(url: str, ts_us: Optional[int],
+                      text: str) -> bytes:
+    """One ``WARC-Type: conversion`` record (the WET shape: the
+    extraction derivative Common Crawl ships next to each crawl)."""
+    body = (text or "").encode("utf-8")
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: " + _record_id(url, ts_us).encode("ascii"),
+        b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    return b"\r\n".join(head) + _CRLF2 + body + _CRLF2
+
+
+def extracted_to_wet(ds, out_dir: str, compress: bool = True,
+                     text_col: str = "extracted_text") -> None:
+    """Extraction-pipeline output → WET shards (one conversion
+    record per doc, one ``.warc.wet[.gz]`` file per block, written
+    task-side). Rows with null OR empty ``text_col`` are skipped —
+    error rows surface as null (in-memory path) or empty (published
+    parquet path) extracted text, and WET carries successful
+    non-empty conversions only."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def _write(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = (batch.column("warc_ts").cast(pa.int64()).to_pylist()
+               if "warc_ts" in batch.column_names
+               else [None] * len(urls))
+        texts = batch.column(text_col).to_pylist()
+        buf = io.BytesIO()
+        buf.write(_warcinfo_record())
+        n = 0
+        for u, t, x in zip(urls, tss, texts):
+            if not x:  # null or empty: no successful conversion
+                continue
+            buf.write(conversion_record(u, t, x))
+            n += 1
+        if n:
+            tag = hashlib.md5(
+                f"{urls[0]}\x1f{len(urls)}".encode("utf-8")
+            ).hexdigest()[:12]
+            data = buf.getvalue()
+            if compress:
+                data = gzip.compress(data, mtime=0)
+            path = os.path.join(out_dir, f"wet-{tag}{ext}")
+            with open(path + ".tmp", "wb") as fh:
+                fh.write(data)
+            os.replace(path + ".tmp", path)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    ds.map_batches(
+        _write, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+def text_from_wet(paths, columns: Optional[List[str]] = None,
+                  **read_kwargs):
+    """WET shards → Dataset of (url, warc_ts, text) — reads the
+    conversion records back (round-trip twin of extracted_to_wet)."""
+    import ray.data
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        urls, tss, texts = [], [], []
+        for data in batch.column("bytes").to_pylist():
+            raw = _maybe_gunzip(data)
+            n = len(raw)
+            pos = 0
+            while pos < n:
+                while pos < n and raw[pos:pos + 2] == b"\r\n":
+                    pos += 2
+                if pos >= n:
+                    break
+                hdr_end = raw.find(_CRLF2, pos)
+                if hdr_end < 0:
+                    break
+                headers = {}
+                for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
+                    sep = line.find(b":")
+                    if sep > 0:
+                        headers[line[:sep].strip().lower()] = (
+                            line[sep + 1:].strip())
+                try:
+                    clen = int(headers.get(b"content-length", b"0"))
+                except ValueError:
+                    clen = 0
+                payload = raw[hdr_end + 4:hdr_end + 4 + clen]
+                pos = hdr_end + 4 + clen
+                if headers.get(b"warc-type") != b"conversion":
+                    continue
+                urls.append(headers.get(b"warc-target-uri", b"")
+                            .decode("utf-8", "replace"))
+                tss.append(_parse_warc_ts(
+                    headers.get(b"warc-date", b"")
+                    .decode("ascii", "replace")))
+                texts.append(payload.decode("utf-8", "replace"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    ds = ray.data.read_binary_files(paths, **read_kwargs)
+    out = ds.map_batches(_parse, batch_format="pyarrow")
+    return out.select_columns(columns) if columns else out

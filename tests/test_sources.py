@@ -176,3 +176,55 @@ class TestWarcAdapter:
         multi = (gzip.compress(_warcinfo_record() + rec1, mtime=0)
                  + gzip.compress(rec2, mtime=0))
         assert list(parse_warc_bytes(_maybe_gunzip(multi))) == rows
+
+
+class TestWetExport:
+    def test_wet_round_trip(self, ray_session, pages_tbl, tmp_path):
+        """extraction output → WET shards → read back: every
+        non-error doc's extracted text survives byte-identically;
+        error rows (null text) are excluded by the format."""
+        import ray.data
+
+        from ocr_pipeline_ray.pipelines.extraction import build_pipeline
+        from ocr_pipeline_ray.sources import (
+            extracted_to_wet,
+            text_from_wet,
+        )
+
+        extracted = build_pipeline(
+            ray.data.from_arrow(pages_tbl)).materialize()
+        want = {r["url"]: (r["warc_ts"], r["extracted_text"])
+                for r in extracted.take_all()
+                if r["extracted_text"]}
+        out = str(tmp_path / "wet")
+        extracted_to_wet(extracted.repartition(3), out)
+        got = {r["url"]: (r["warc_ts"], r["text"])
+               for r in text_from_wet(out).take_all()}
+        assert got == want
+        assert len(want) < pages_tbl.num_rows  # error rows dropped
+
+    def test_cli_emit_wet(self, ray_session, pages_tbl, tmp_path):
+        import glob as globmod
+
+        import pyarrow.parquet as pq
+
+        from ocr_pipeline_ray.__main__ import main
+
+        src = str(tmp_path / "pages.parquet")
+        pq.write_table(pages_tbl, src)
+        out = str(tmp_path / "out")
+        assert main([src, "-o", out, "--emit-wet"]) == 0
+        wet_files = globmod.glob(f"{out}/wet/*.warc.wet.gz")
+        assert wet_files
+
+        from ocr_pipeline_ray.sources import text_from_wet
+
+        import duckdb
+
+        n = text_from_wet(wet_files).count()
+        # exactly the successful non-empty conversions make it to WET
+        n_ok = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/pid=*/*.parquet')"
+            " WHERE extracted_text IS NOT NULL AND extracted_text <> ''"
+        ).fetchone()[0]
+        assert n == n_ok and 0 < n < pages_tbl.num_rows

@@ -48,12 +48,12 @@ _CRLF2 = b"\r\n\r\n"
 
 # --- writing (fixtures, exports) ---------------------------------------
 
-def _warc_date(ts_us: Optional[int]) -> str:
-    if ts_us is None:
-        ts_us = 0
-    dt = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
-    if ts_us % 1_000_000:
-        return dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+def _warc_date(ts_us: int) -> str:
+    # integer µs split (float division would corrupt ~1.6% of values)
+    dt = datetime.fromtimestamp(ts_us // 10 ** 6, tz=timezone.utc)
+    micro = ts_us % 1_000_000
+    if micro:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{micro:06d}Z"
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
@@ -65,7 +65,12 @@ def _record_id(url: str, ts_us: Optional[int]) -> str:
 
 def response_record(url: str, ts_us: Optional[int], html: bytes,
                     lang: Optional[str]) -> bytes:
-    """One deterministic ``WARC-Type: response`` record."""
+    """One deterministic ``WARC-Type: response`` record.
+
+    Null ``ts_us`` omits the WARC-Date header (reads back as null);
+    null ``html`` is coerced to an empty body — empty and absent are
+    indistinguishable on the HTTP wire (documented lossy edge, like
+    ``text``)."""
     body = html or b""
     http = [b"HTTP/1.1 200 OK",
             b"Content-Type: text/html; charset=UTF-8"]
@@ -77,11 +82,14 @@ def response_record(url: str, ts_us: Optional[int], html: bytes,
         b"WARC/1.0",
         b"WARC-Type: response",
         b"WARC-Record-ID: " + _record_id(url, ts_us).encode("ascii"),
-        b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
+    ]
+    if ts_us is not None:
+        head.append(b"WARC-Date: " + _warc_date(ts_us).encode("ascii"))
+    head.extend([
         b"WARC-Target-URI: " + url.encode("utf-8"),
         b"Content-Type: application/http; msgtype=response",
         b"Content-Length: " + str(len(payload)).encode("ascii"),
-    ]
+    ])
     return b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
 
 
@@ -122,21 +130,42 @@ def write_warc_file(tbl: pa.Table, path: str,
     os.replace(path + ".tmp", path)
 
 
+def _block_tag(urls: List[Optional[str]]) -> str:
+    """Collision-proof deterministic shard tag: digest of the FULL
+    url sequence (first-url + count collides on real crawls, which
+    repeat urls)."""
+    h = hashlib.md5()
+    for u in urls:
+        h.update((u or "").encode("utf-8"))
+        h.update(b"\x1f")
+    return h.hexdigest()[:16]
+
+
+def _clear_shards(out_dir: str, prefix: str) -> None:
+    """Remove this exporter's previous shards so a rerun replaces
+    the export instead of mixing stale files into it."""
+    import os
+
+    for f in os.listdir(out_dir):
+        if f.startswith(prefix) and (".warc" in f) and \
+                not f.endswith(".tmp"):
+            os.remove(os.path.join(out_dir, f))
+
+
 def pages_to_warc(ds, out_dir: str, compress: bool = True) -> None:
     """Export a pages Dataset as WARC shards (one file per block,
     written task-side — blocks never visit the driver; file names
-    derive from block content, so re-runs overwrite idempotently)."""
+    digest each block's url sequence, so identical re-runs overwrite
+    idempotently and prior shards are cleared first)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    _clear_shards(out_dir, "pages-")
     ext = ".warc.gz" if compress else ".warc"
 
     def _write(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            first = batch.column("url")[0].as_py()
-            tag = hashlib.md5(
-                f"{first}\x1f{batch.num_rows}".encode("utf-8")
-            ).hexdigest()[:12]
+            tag = _block_tag(batch.column("url").to_pylist())
             write_warc_file(
                 batch, os.path.join(out_dir, f"pages-{tag}{ext}"),
                 compress=compress)
@@ -151,6 +180,8 @@ def pages_to_warc(ds, out_dir: str, compress: bool = True) -> None:
 
 def _parse_warc_ts(value: str) -> Optional[int]:
     value = value.strip()
+    if not value:
+        return None
     try:
         if "." in value:
             dt = datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%fZ")
@@ -158,16 +189,20 @@ def _parse_warc_ts(value: str) -> Optional[int]:
             dt = datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
     except ValueError:
         return None
-    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+    # integer µs arithmetic: float timestamp()*1e6 truncates ~1.6%
+    # of microsecond values one low (float64 has 52 mantissa bits)
+    import calendar
+
+    return (calendar.timegm(dt.timetuple()) * 10 ** 6
+            + dt.microsecond)
 
 
-def parse_warc_bytes(data: bytes):
-    """Linear scan of one (decompressed) WARC file → pages rows.
-
-    Yields ``(url, ts_us, html, lang)`` for each response record;
-    skips warcinfo/request/metadata records by ``WARC-Type``.
-    Tolerates missing trailing separators on the last record.
-    """
+def _iter_records(data: bytes):
+    """The WARC record scan: yields ``(headers, payload)`` per record
+    (headers lower-cased bytes→bytes; payload = Content-Length
+    octets). Tolerates a missing trailing separator on the last
+    record. Shared by the response (pages) and conversion (WET)
+    readers."""
     n = len(data)
     pos = 0
     while pos < n:
@@ -190,6 +225,16 @@ def parse_warc_bytes(data: bytes):
             clen = 0
         payload = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
+        yield headers, payload
+
+
+def parse_warc_bytes(data: bytes):
+    """Linear scan of one (decompressed) WARC file → pages rows.
+
+    Yields ``(url, ts_us, html, lang)`` for each response record;
+    skips warcinfo/request/metadata records by ``WARC-Type``.
+    """
+    for headers, payload in _iter_records(data):
         if headers.get(b"warc-type") != b"response":
             continue
         url = headers.get(b"warc-target-uri", b"").decode(
@@ -261,11 +306,14 @@ def conversion_record(url: str, ts_us: Optional[int],
         b"WARC/1.0",
         b"WARC-Type: conversion",
         b"WARC-Record-ID: " + _record_id(url, ts_us).encode("ascii"),
-        b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
+    ]
+    if ts_us is not None:
+        head.append(b"WARC-Date: " + _warc_date(ts_us).encode("ascii"))
+    head.extend([
         b"WARC-Target-URI: " + url.encode("utf-8"),
         b"Content-Type: text/plain",
         b"Content-Length: " + str(len(body)).encode("ascii"),
-    ]
+    ])
     return b"\r\n".join(head) + _CRLF2 + body + _CRLF2
 
 
@@ -280,6 +328,7 @@ def extracted_to_wet(ds, out_dir: str, compress: bool = True,
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    _clear_shards(out_dir, "wet-")
     ext = ".warc.wet.gz" if compress else ".warc.wet"
 
     def _write(batch: pa.Table) -> pa.Table:
@@ -297,9 +346,7 @@ def extracted_to_wet(ds, out_dir: str, compress: bool = True,
             buf.write(conversion_record(u, t, x))
             n += 1
         if n:
-            tag = hashlib.md5(
-                f"{urls[0]}\x1f{len(urls)}".encode("utf-8")
-            ).hexdigest()[:12]
+            tag = _block_tag(urls)
             data = buf.getvalue()
             if compress:
                 data = gzip.compress(data, mtime=0)
@@ -323,29 +370,7 @@ def text_from_wet(paths, columns: Optional[List[str]] = None,
     def _parse(batch: pa.Table) -> pa.Table:
         urls, tss, texts = [], [], []
         for data in batch.column("bytes").to_pylist():
-            raw = _maybe_gunzip(data)
-            n = len(raw)
-            pos = 0
-            while pos < n:
-                while pos < n and raw[pos:pos + 2] == b"\r\n":
-                    pos += 2
-                if pos >= n:
-                    break
-                hdr_end = raw.find(_CRLF2, pos)
-                if hdr_end < 0:
-                    break
-                headers = {}
-                for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
-                    sep = line.find(b":")
-                    if sep > 0:
-                        headers[line[:sep].strip().lower()] = (
-                            line[sep + 1:].strip())
-                try:
-                    clen = int(headers.get(b"content-length", b"0"))
-                except ValueError:
-                    clen = 0
-                payload = raw[hdr_end + 4:hdr_end + 4 + clen]
-                pos = hdr_end + 4 + clen
+            for headers, payload in _iter_records(_maybe_gunzip(data)):
                 if headers.get(b"warc-type") != b"conversion":
                     continue
                 urls.append(headers.get(b"warc-target-uri", b"")

@@ -755,13 +755,24 @@ def hits_int(nodes, edges, iters: int = 2, scale: int = 10 ** 9,
             ["val"]).map_batches(
             _bs, batch_format="pyarrow", batch_size=None).take_all())
 
+    node_sel = nodes.select_columns([node_col])
+    if iters == 0:
+        # fixed point of zero iterations: the h0 init, no authority
+        def _init_out(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                node_col: pc.cast(batch.column(node_col), pa.int64()),
+                "auth": pa.array(np.zeros(n, np.int64)),
+                "hub": pa.array(np.full(n, scale, np.int64)),
+            })
+        return node_sel.map_batches(_init_out, batch_format="pyarrow")
+
     edges_by_src = edges.map_batches(
         _tag_edges(src_col, dst_col), batch_format="pyarrow"
     ).materialize()
     edges_by_dst = edges.map_batches(
         _tag_edges(dst_col, src_col), batch_format="pyarrow"
     ).materialize()
-    node_sel = nodes.select_columns([node_col])
     tagged_zeros = node_sel.map_batches(
         _tag_nodes(0), batch_format="pyarrow").materialize()
 

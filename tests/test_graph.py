@@ -221,3 +221,17 @@ class TestHitsInt:
         a, h = self._reference(3, [0], [1])
         assert got == {i: (a[i], h[i]) for i in range(3)}
         assert got[1][1] == 0 and got[2] == (0, 0)
+
+    def test_zero_iterations_is_fixed_point(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import hits_int
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1], pa.int64())}))
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([0], pa.int64()),
+            "dst": pa.array([1], pa.int64())}))
+        got = {r["node"]: (r["auth"], r["hub"]) for r in hits_int(
+            nodes, edges, iters=0).take_all()}
+        assert got == {0: (0, 10 ** 9), 1: (0, 10 ** 9)}

@@ -228,3 +228,88 @@ class TestWetExport:
             " WHERE extracted_text IS NOT NULL AND extracted_text <> ''"
         ).fetchone()[0]
         assert n == n_ok and 0 < n < pages_tbl.num_rows
+
+
+class TestWarcReviewRegressions:
+    def test_microsecond_timestamp_precision(self):
+        """int(float_ts*1e6) truncated ~1.6% of µs values one low —
+        the parse must be integer arithmetic end to end."""
+        from ocr_pipeline_ray.sources.warc import (
+            parse_warc_bytes,
+            response_record,
+        )
+
+        bad = 1083088848922968  # reproduced float-truncation case
+        for ts in (bad, 0, 1, 999_999, 1_700_000_000_000_001):
+            rec = response_record("http://x/", ts, b"<p>t</p>", None)
+            (_, got, _, _), = parse_warc_bytes(rec)
+            assert got == ts, ts
+
+    def test_null_warc_ts_round_trips_null(self):
+        from ocr_pipeline_ray.sources.warc import (
+            conversion_record,
+            parse_warc_bytes,
+            response_record,
+        )
+
+        rec = response_record("http://x/", None, b"<p>t</p>", "en")
+        assert b"WARC-Date" not in rec
+        (_, got, _, _), = parse_warc_bytes(rec)
+        assert got is None
+        assert b"WARC-Date" not in conversion_record("http://x/", None,
+                                                     "t")
+
+    def test_shard_tags_collision_proof(self, ray_session, tmp_path):
+        """Two blocks sharing first url AND row count must not
+        overwrite each other's shard file."""
+        import ray.data
+
+        from ocr_pipeline_ray.sources import (
+            pages_from_warc,
+            pages_to_warc,
+        )
+        from ocr_pipeline_ray.schema import PAGES_SCHEMA
+
+        def _block(second_url):
+            return pa.table({
+                "url": pa.array(["http://dup/", second_url]),
+                "warc_ts": pa.array([1_000_000, 2_000_000],
+                                    pa.timestamp("us")),
+                "html": pa.array([b"<p>a</p>", b"<p>b</p>"],
+                                 pa.binary()),
+                "text": pa.nulls(2, pa.string()),
+                "lang": pa.array(["en", "en"]),
+            }, schema=PAGES_SCHEMA)
+
+        ds = ray.data.from_arrow_refs([
+            __import__("ray").put(_block("http://one/")),
+            __import__("ray").put(_block("http://two/")),
+        ])
+        out = str(tmp_path / "dupwarc")
+        pages_to_warc(ds, out)
+        assert pages_from_warc(out).count() == 4
+
+    def test_wet_rerun_replaces_stale_shards(self, ray_session,
+                                             tmp_path):
+        import ray.data
+
+        from ocr_pipeline_ray.sources import (
+            extracted_to_wet,
+            text_from_wet,
+        )
+
+        def _tbl(urls):
+            return pa.table({
+                "url": pa.array(urls),
+                "warc_ts": pa.array([1] * len(urls),
+                                    pa.timestamp("us")),
+                "extracted_text": pa.array(["t " + u for u in urls]),
+            })
+
+        out = str(tmp_path / "wet")
+        extracted_to_wet(
+            ray.data.from_arrow(_tbl(["http://a/", "http://b/"])), out)
+        # rerun with different content: old shard must be gone
+        extracted_to_wet(ray.data.from_arrow(_tbl(["http://c/"])), out)
+        got = sorted(r["url"] for r in text_from_wet(out).take_all())
+        assert got == ["http://c/"]

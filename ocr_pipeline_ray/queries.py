@@ -638,6 +638,39 @@ def q_hits(sf_dir: str):
         "doc_id")
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution (stages/graph.py
+    ``resolve_chains``): every url follows its 3xx chain to the
+    FINAL target — pointer doubling, so a length-L chain resolves in
+    ceil(log2 L) exchanges (chains here reach ~log2(N) hops: doc i
+    with i%7 != 0 redirects to i//2; multiples of 7 and 0 are
+    terminal). The oracle follows the same chains with a recursive
+    CTE; the engine's per-round plan is two scans of the current
+    mapping into one (key,ptr)-bucket co-shuffle."""
+    import numpy as np
+
+    from .stages.graph import resolve_chains
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def _mapping(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 7 != 0]
+        return pa.table({"src": pa.array(ids, pa.int64()),
+                         "dst": pa.array(ids // 2, pa.int64())})
+
+    resolved = resolve_chains(
+        docs.map_batches(_mapping, batch_format="pyarrow"))
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("src"),
+                         "final_id": batch.column("final")})
+
+    return resolved.map_batches(_rename, batch_format="pyarrow").sort(
+        "doc_id")
+
+
 def q_pagerank_pregel(sf_dir: str):
     """Same graph, same int64 PageRank semantics and oracle as
     q_pagerank, Pregel physical plan: edges partitioned once into
@@ -5923,6 +5956,19 @@ ORACLE_SQL: Dict[str, str] = {
 # same graph, same semantics, different physical plan — one SQL twin
 ORACLE_SQL["pagerank_pregel"] = ORACLE_SQL["pagerank"]
 
+# redirect_resolve: follow each chain to its terminal (a node with
+# no outgoing mapping row, i.e. doc_id % 7 = 0 — which includes 0,
+# the halving fixpoint) with a recursive CTE.
+ORACLE_SQL["redirect_resolve"] = (
+    "WITH RECURSIVE m AS (SELECT doc_id AS src, doc_id // 2 AS dst "
+    "FROM documents WHERE doc_id % 7 <> 0), "
+    "r AS (SELECT src, dst AS cur FROM m "
+    "UNION ALL SELECT r.src, m2.dst FROM r "
+    "JOIN m m2 ON m2.src = r.cur) "
+    "SELECT src AS doc_id, cur AS final_id FROM r "
+    "WHERE cur % 7 = 0 ORDER BY src"
+)
+
 # hits: same synthetic edge multiset as pagerank; two unrolled
 # authority/hub half-steps in pure BIGINT arithmetic — sum of the
 # opposite score over the edge multiset, then // greatest(total //
@@ -7451,6 +7497,7 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "redirect_resolve": q_redirect_resolve,
     "kmeans_assign": q_kmeans_assign,
     "lm_score": q_lm_score,
     "lm_buckets": q_lm_buckets,

@@ -832,3 +832,152 @@ def hits_int(nodes, edges, iters: int = 2, scale: int = 10 ** 9,
     ).union(h_parts).union(tagged_zeros).groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_final, batch_format="pyarrow")
+
+
+def resolve_chains(mapping, key_col: str = "src",
+                   ptr_col: str = "dst", n_buckets: int = 32,
+                   max_rounds: int = 40):
+    """Functional-graph chain resolution by pointer doubling — the
+    crawl-curation primitive behind redirect-chain collapsing (every
+    url resolves to its FINAL target through any number of 3xx hops)
+    and symlink/alias flattening.
+
+    ``mapping`` is a Dataset of (key, ptr) rows, one outgoing pointer
+    per key (a functional graph). A node that never appears as a key
+    is terminal. Returns one row per input key: ``(key_col, final,
+    resolved)`` where ``final`` is the chain's terminal and
+    ``resolved`` is false only for keys trapped in a pointer CYCLE
+    (redirect loops — real crawls have them; after ``max_rounds``
+    doublings anything unresolved is loop-bound by construction,
+    since a chain of length L resolves in ceil(log2 L) rounds and
+    2^40 exceeds any acyclic chain).
+
+    Physical plan per round: the current mapping is scanned twice —
+    side 0 keyed by its POINTER (rows seeking their next hop), side
+    1 keyed by its KEY (the lookup table) — into ONE bucket
+    co-shuffle; the whole-bucket UDF rewrites ``ptr -> lookup[ptr]``
+    where defined (pointer doubling: M' = M∘M, so chains halve every
+    round — log-depth, like the label compression in
+    stages/cluster.py but for DIRECTED functional graphs, where
+    min-label CC semantics do not apply). Convergence is detected
+    from blocks-scale changed-count partials folded on the driver;
+    per-round cost is two scans + one exchange of (key, ptr) pairs
+    only.
+    """
+    from ..functions.hashing import bucket_ids
+
+    union_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), ("_val", pa.int64()),
+    ])
+
+    def _tag(side: int, by_col: str):
+        other = {key_col: ptr_col, ptr_col: key_col}[by_col]
+
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            by = pc.cast(batch.column(by_col), pa.int64())
+            return pa.table({
+                "_bucket": pa.array(bucket_ids(by, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int32)),
+                "_key": by,
+                "_val": pc.cast(batch.column(other), pa.int64()),
+            }, schema=union_schema)
+        return _fn
+
+    def _jump(group: pa.Table) -> pa.Table:
+        """side 0: (_key=ptr, _val=key) seeking; side 1:
+        (_key=key, _val=ptr) lookup. Emit (key, new_ptr, changed)."""
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          ptr_col: pa.array([], pa.int64()),
+                          "_chg": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        sides = group.column("_side").combine_chunks().to_numpy()
+        seek = group.filter(pa.array(sides == 0))
+        if seek.num_rows == 0:
+            return empty
+        look = group.filter(pa.array(sides == 1))
+        ptrs = seek.column("_key").combine_chunks()
+        keys = seek.column("_val").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cur = ptrs.to_numpy(zero_copy_only=False).copy()
+        if look.num_rows:
+            lk = look.column("_key").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            lv = look.column("_val").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = pc.index_in(
+                ptrs, value_set=pa.array(lk, pa.int64())
+            ).to_numpy(zero_copy_only=False)
+            hit = ~np.isnan(pos)
+            idx = pos[hit].astype(np.int64)
+            cur[hit] = lv[idx]
+        else:
+            hit = np.zeros(len(cur), bool)
+        changed = hit & (cur != ptrs.to_numpy(zero_copy_only=False))
+        return pa.table({
+            key_col: pa.array(keys, pa.int64()),
+            ptr_col: pa.array(cur, pa.int64()),
+            "_chg": pa.array(changed.astype(np.int64), pa.int64()),
+        })
+
+    def _changed_total(ds) -> int:
+        def _bs(b: pa.Table) -> pa.Table:
+            s = int(np.sum(b.column("_chg").combine_chunks()
+                           .to_numpy(zero_copy_only=False),
+                           dtype=np.int64))
+            return pa.table({"s": pa.array([s], pa.int64())})
+        return sum(r["s"] for r in ds.select_columns(
+            ["_chg"]).map_batches(
+            _bs, batch_format="pyarrow", batch_size=None).take_all())
+
+    cur = mapping.select_columns([key_col, ptr_col]).materialize()
+    rounds = 0
+    while rounds < max_rounds:
+        nxt = cur.map_batches(
+            _tag(0, ptr_col), batch_format="pyarrow"
+        ).union(cur.map_batches(
+            _tag(1, key_col), batch_format="pyarrow"
+        )).groupby("_bucket", num_partitions=n_buckets).map_groups(
+            _jump, batch_format="pyarrow").materialize()
+        rounds += 1
+        if _changed_total(nxt) == 0:
+            cur = nxt
+            break
+        cur = nxt.drop_columns(["_chg"]).materialize() \
+            if "_chg" in nxt.schema().names else nxt
+    # resolved = final pointer is terminal (not itself a key):
+    # one more half-exchange marks cycle members
+    def _mark(group: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "final": pa.array([], pa.int64()),
+                          "resolved": pa.array([], pa.bool_())})
+        if group.num_rows == 0:
+            return empty
+        sides = group.column("_side").combine_chunks().to_numpy()
+        seek = group.filter(pa.array(sides == 0))
+        if seek.num_rows == 0:
+            return empty
+        look = group.filter(pa.array(sides == 1))
+        ptrs = seek.column("_key").combine_chunks()
+        if look.num_rows:
+            lk = look.column("_key").combine_chunks()
+            isin = pc.is_in(ptrs, value_set=pc.unique(lk)).to_numpy(
+                zero_copy_only=False)
+        else:
+            isin = np.zeros(seek.num_rows, bool)
+        return pa.table({
+            key_col: seek.column("_val"),
+            "final": ptrs,
+            "resolved": pa.array(~isin, pa.bool_()),
+        })
+
+    final_ds = cur.select_columns([key_col, ptr_col])
+    return final_ds.map_batches(
+        _tag(0, ptr_col), batch_format="pyarrow"
+    ).union(mapping.select_columns([key_col, ptr_col]).map_batches(
+        _tag(1, key_col), batch_format="pyarrow"
+    )).groupby("_bucket", num_partitions=n_buckets).map_groups(
+        _mark, batch_format="pyarrow")

@@ -235,3 +235,44 @@ class TestHitsInt:
         got = {r["node"]: (r["auth"], r["hub"]) for r in hits_int(
             nodes, edges, iters=0).take_all()}
         assert got == {0: (0, 10 ** 9), 1: (0, 10 ** 9)}
+
+
+class TestResolveChains:
+    @pytest.mark.parametrize("n_blocks,n_buckets", [(1, 2), (4, 8)])
+    def test_long_chain_resolves_log_depth(self, ray_session,
+                                           n_blocks, n_buckets):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import resolve_chains
+
+        # one chain 63 -> 62 -> ... -> 0 (terminal): length 63,
+        # must resolve within max_rounds=7 doublings (2^7 > 63)
+        src = list(range(1, 64))
+        dst = [i - 1 for i in src]
+        mapping = ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })).repartition(n_blocks)
+        rows = resolve_chains(mapping, n_buckets=n_buckets,
+                              max_rounds=7).take_all()
+        assert len(rows) == 63
+        assert all(r["final"] == 0 and r["resolved"] for r in rows)
+
+    def test_cycle_marked_unresolved(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import resolve_chains
+
+        # 1 -> 2 -> 3 -> 1 (a redirect loop), 10 -> 1 (chain INTO
+        # the loop), 20 -> 21 (plain one-hop)
+        mapping = ray.data.from_arrow(pa.table({
+            "src": pa.array([1, 2, 3, 10, 20], pa.int64()),
+            "dst": pa.array([2, 3, 1, 1, 21], pa.int64()),
+        }))
+        got = {r["src"]: (r["final"], r["resolved"])
+               for r in resolve_chains(mapping,
+                                       max_rounds=8).take_all()}
+        assert got[20] == (21, True)
+        for k in (1, 2, 3, 10):
+            final, resolved = got[k]
+            assert resolved is False and final in (1, 2, 3)

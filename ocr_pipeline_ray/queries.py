@@ -7014,6 +7014,38 @@ def q_robots_allowed(sf_dir: str):
         ["doc_id", "url"]).sort("doc_id")
 
 
+def q_robots_rep(sf_dir: str):
+    """Full REP (RFC 9309) robots evaluation
+    (stages/web.robots_rep_filter): longest-prefix rule wins, Allow
+    beats Disallow on length ties, no match allows — the semantics
+    the plain disallow gate can't express (``Disallow: /p/1`` +
+    ``Allow: /p/12`` re-opens /p/12*; host0 re-blocks /p/123*).
+    Rules derive from host-id formulas so the SQL twin rebuilds them
+    and picks each url's verdict with a longest-match LIMIT 1."""
+    from .stages.web import robots_rep_filter
+
+    hosts, dirs, prefixes = [], [], []
+    for h in range(97):
+        host = f"host{h}.example.com"
+        hosts += [host, host]
+        dirs += ["disallow", "allow"]
+        prefixes += ["/p/1", "/p/12"]
+        if h % 2 == 0:
+            hosts.append(host)
+            dirs.append("disallow")
+            prefixes.append("/p/4")
+    hosts.append("host0.example.com")
+    dirs.append("disallow")
+    prefixes.append("/p/123")
+    rules = pa.table({"host": pa.array(hosts, pa.string()),
+                      "directive": pa.array(dirs, pa.string()),
+                      "prefix": pa.array(prefixes, pa.string())})
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow")
+    return robots_rep_filter(ds, rules).select_columns(
+        ["doc_id", "url"]).sort("doc_id")
+
+
 def q_distinctive_terms(sf_dir: str):
     """Fightin'-Words distinctive terms (Monroe et al. 2008;
     stages/textstats.distinctive_terms): top-20 tokens
@@ -7054,6 +7086,30 @@ ORACLE_SQL["user_mode_event"] = (
     "PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) "
     "AS rk FROM events GROUP BY user_id, event_type) "
     "WHERE rk = 1 ORDER BY user_id"
+)
+
+ORACLE_SQL["robots_rep"] = (
+    "WITH hs AS (SELECT unnest(range(0, 97)) AS h), "
+    "rules AS ("
+    "SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host, "
+    "'disallow' AS d, '/p/1' AS p FROM hs "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com',"
+    " 'allow', '/p/12' FROM hs "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com',"
+    " 'disallow', '/p/4' FROM hs WHERE h % 2 = 0 "
+    "UNION ALL SELECT 'host0.example.com', 'disallow', '/p/123'), "
+    "u AS (SELECT doc_id, "
+    "'host' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 "
+    "ELSE doc_id % 97 END AS VARCHAR) || '.example.com' AS host, "
+    "'/p/' || CAST(doc_id AS VARCHAR) AS path, "
+    "'http://host' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 "
+    "ELSE doc_id % 97 END AS VARCHAR) || '.example.com/p/' || "
+    "CAST(doc_id AS VARCHAR) AS url FROM documents) "
+    "SELECT doc_id, url FROM u WHERE COALESCE(("
+    "SELECT r.d = 'allow' FROM rules r WHERE r.host = u.host "
+    "AND starts_with(u.path, r.p) "
+    "ORDER BY length(r.p) DESC, r.d LIMIT 1), TRUE) "
+    "ORDER BY doc_id"
 )
 
 ORACLE_SQL["robots_allowed"] = (
@@ -7465,6 +7521,7 @@ QUERIES = {
     "scd2_build": q_scd2_build,
     "user_mode_event": q_user_mode_event,
     "robots_allowed": q_robots_allowed,
+    "robots_rep": q_robots_rep,
     "distinctive_terms": q_distinctive_terms,
     "event_transitions": q_event_transitions,
     "dq_audit": q_dq_audit,

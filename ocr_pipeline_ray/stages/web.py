@@ -568,3 +568,76 @@ def polyglot_hosts(docs_with_host, lang_col: str = "lang",
         _partial, batch_format="pyarrow"
     ).groupby("_hbucket", num_partitions=n_buckets).map_groups(
         _rollup, batch_format="pyarrow")
+
+
+def robots_rep_filter(ds, rules: pa.Table, url_col: str = "url",
+                      how: str = "keep"):
+    """Full REP evaluation (Robots Exclusion Protocol, RFC 9309):
+    ``rules`` is a small ``(host, directive, prefix)`` table with
+    ``directive`` in {'allow','disallow'}; for each url the MOST
+    SPECIFIC (longest-prefix) matching rule of its host decides,
+    ``allow`` wins length ties, and no match means allowed — the
+    semantics real robots.txt files rely on (``Disallow: /p/`` +
+    ``Allow: /p/public/``), which the plain Disallow-prefix gate
+    (:func:`robots_filter`) cannot express.
+
+    Same scale shape as robots_filter: the rule table broadcasts
+    ONCE; per batch the probe walks the handful of DISTINCT PREFIX
+    LENGTHS in DESCENDING order with one composite-key ``is_in`` per
+    (length, directive), maintaining an undecided mask — each row
+    takes the verdict of the first (longest) length at which any of
+    its host's rules match, so per-batch cost is
+    O(distinct_lengths × 2) vectorized kernels regardless of rule
+    count.
+    """
+    import numpy as np
+    import ray
+
+    if how not in ("keep", "drop"):
+        raise ValueError(f"how must be keep|drop, got {how!r}")
+    by_len: dict = {}
+    for h, d, p in zip(rules.column("host").to_pylist(),
+                       rules.column("directive").to_pylist(),
+                       rules.column("prefix").to_pylist()):
+        if d not in ("allow", "disallow"):
+            raise ValueError(f"directive must be allow|disallow: {d!r}")
+        by_len.setdefault(len(p), {}).setdefault(d, []).append(
+            f"{h}\x00{p}")
+    sets_ref = ray.put({
+        n: {d: pa.array(sorted(keys), pa.string())
+            for d, keys in dirs.items()}
+        for n, dirs in by_len.items()
+    })
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        rule_sets = ray.get(sets_ref)
+        b = url_host_fn(batch, url_col)
+        host = b.column("host")
+        path = pc.fill_null(pc.struct_field(
+            pc.extract_regex(pc.fill_null(batch.column(url_col), ""),
+                             _PATH_PATTERN), "path"), "/")
+        n_rows = batch.num_rows
+        allowed = np.ones(n_rows, dtype=bool)  # default: allowed
+        undecided = np.ones(n_rows, dtype=bool)
+        for n in sorted(rule_sets, reverse=True):  # longest first
+            if not undecided.any():
+                break
+            dirs = rule_sets[n]
+            composite = pc.binary_join_element_wise(
+                host, "\x00", pc.utf8_slice_codeunits(path, 0, n), "")
+            m_allow = (pc.is_in(composite, value_set=dirs["allow"])
+                       .to_numpy(zero_copy_only=False)
+                       if "allow" in dirs
+                       else np.zeros(n_rows, dtype=bool))
+            m_dis = (pc.is_in(composite, value_set=dirs["disallow"])
+                     .to_numpy(zero_copy_only=False)
+                     if "disallow" in dirs
+                     else np.zeros(n_rows, dtype=bool))
+            decide = undecided & (m_allow | m_dis)
+            # allow wins a same-length tie (RFC 9309 §2.2.2)
+            allowed[decide & m_dis & ~m_allow] = False
+            undecided &= ~decide
+        mask = allowed if how == "keep" else ~allowed
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

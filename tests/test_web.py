@@ -173,3 +173,39 @@ class TestOutlinks:
             ("s1.x", "d2.x"): 1,
             ("s2.x", "d1.x"): 1,
         }
+
+
+class TestRobotsRepFilter:
+    def test_longest_match_and_allow_tie(self, ray_session):
+        """RFC 9309: longest prefix wins; allow beats disallow on a
+        same-length tie; no match allows."""
+        import ray.data
+
+        from ocr_pipeline_ray.stages.web import robots_rep_filter
+
+        rules = pa.table({
+            "host": pa.array(["h.com"] * 4 + ["h.com"]),
+            "directive": pa.array(
+                ["disallow", "allow", "disallow", "allow",
+                 "disallow"]),
+            "prefix": pa.array(
+                ["/a", "/a/pub", "/a/pub/x", "/t", "/t"]),
+        })
+        urls = [
+            "http://h.com/a/1",        # /a disallow -> blocked
+            "http://h.com/a/pub/ok",   # /a/pub allow (longer) -> kept
+            "http://h.com/a/pub/x/1",  # /a/pub/x disallow -> blocked
+            "http://h.com/t/tie",      # same-len tie -> allow wins
+            "http://h.com/other",      # no match -> allowed
+            "http://else.com/a/1",     # other host: no rules -> kept
+        ]
+        ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+        kept = sorted(r["url"] for r in robots_rep_filter(
+            ds, rules).take_all())
+        assert kept == sorted([
+            "http://h.com/a/pub/ok", "http://h.com/t/tie",
+            "http://h.com/other", "http://else.com/a/1"])
+        blocked = sorted(r["url"] for r in robots_rep_filter(
+            ds, rules, how="drop").take_all())
+        assert blocked == sorted([
+            "http://h.com/a/1", "http://h.com/a/pub/x/1"])

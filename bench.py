@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "dedup_best_survivor",
     "wordlist_gate", "minhash_jaccard_estimate", "mirror_hosts",
     "cocitation_pairs", "polyglot_hosts", "event_type_affinity",
+    # session-7 additions
+    "url_churn", "embedding_quantize",
 ]
 
 

@@ -7692,3 +7692,137 @@ QUERIES = {
     "link_graph": q_link_graph,
     "events_value_corr": q_events_value_corr,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-7 additions
+# ---------------------------------------------------------------------------
+
+def q_url_churn(sf_dir: str):
+    """Per-URL crawl-revisit churn over planted snapshot history.
+
+    Revisits are synthesized by doc_id formula (url_id = doc_id % 120,
+    visit = doc_id // 120) with a content fingerprint that changes on
+    a per-url cycle (url_id % 3 + 1 distinct versions), so the ORACLE
+    derives every expected statistic independently in SQL — all-int64
+    except the single-division round3 change_ratio.
+    """
+    import numpy as np
+
+    from .stages.web import url_churn
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy()
+        url_id = ids % 120
+        visit = ids // 120
+        fp = url_id * 100 + visit % (url_id % 3 + 1)
+        host = url_id % 10
+        urls = [
+            f"https://host{h}.example.com/p/{u}"
+            for h, u in zip(host.tolist(), url_id.tolist())
+        ]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "fp": pa.array(fp, pa.int64()),
+            "ts": pa.array(1600000000 + ids, pa.int64()),
+        })
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return url_churn(pages)
+
+
+ORACLE_SQL["url_churn"] = """
+WITH s AS (
+  SELECT 'https://host' || CAST((doc_id % 120) % 10 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id % 120 AS VARCHAR) AS url,
+         (doc_id % 120) * 100
+           + (doc_id // 120) % ((doc_id % 120) % 3 + 1) AS fp,
+         1600000000 + doc_id AS ts
+  FROM documents
+)
+SELECT url,
+  CAST(count(*) AS BIGINT) AS n_snapshots,
+  CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+  CAST(min(ts) AS BIGINT) AS first_ts,
+  CAST(max(ts) AS BIGINT) AS last_ts,
+  CASE WHEN count(*) = 1 THEN 0.0
+       ELSE floor((count(DISTINCT fp) - 1.0) / (count(*) - 1.0)
+                  * 1000 + 0.5) / 1000 END AS change_ratio
+FROM s GROUP BY url
+"""
+QUERIES["url_churn"] = q_url_churn
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embeddings table, exactly
+    oracle-pinned: the query reduces each code vector to digest
+    columns (count, sum, position-weighted checksum, md5 of the
+    comma-joined codes) so EVERY code in EVERY position is gated
+    without putting list columns through the row-sort compare.
+    """
+    import numpy as np
+
+    from .stages.similarity import scalar_quantize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    coded = scalar_quantize(ds)
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        codes = batch.column("codes").combine_chunks()
+        n = len(codes)
+        lengths = pc.list_value_length(codes).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(codes.flatten(), dtype=np.int64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        starts = offs[:-1]
+        # 1-based position weights within each row
+        w = np.arange(1, flat.size + 1, dtype=np.int64) - np.repeat(
+            starts, lengths)
+        sums = np.add.reduceat(flat, starts) if flat.size else \
+            np.zeros(n, dtype=np.int64)
+        chks = np.add.reduceat(flat * w, starts) if flat.size else \
+            np.zeros(n, dtype=np.int64)
+        md5s = [
+            hashlib.md5(",".join(
+                str(c) for c in flat[offs[i]:offs[i + 1]].tolist()
+            ).encode("ascii")).hexdigest()
+            for i in range(n)
+        ]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "n_dims": pa.array(lengths, pa.int64()),
+            "code_sum": pa.array(sums, pa.int64()),
+            "code_chk": pa.array(chks, pa.int64()),
+            "codes_md5": pa.array(md5s, pa.string()),
+        })
+
+    return coded.map_batches(_digest, batch_format="pyarrow")
+
+
+ORACLE_SQL["embedding_quantize"] = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS x
+  FROM embeddings
+), s AS (
+  SELECT d, min(x) AS mn, max(x) AS mx FROM v GROUP BY d
+), c AS (
+  SELECT v.vec_id, v.d,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE ((v.x - s.mn) * 510 + (s.mx - s.mn))
+                   // (2 * (s.mx - s.mn)) END AS code
+  FROM v JOIN s USING (d)
+)
+SELECT vec_id,
+  CAST(count(*) AS BIGINT) AS n_dims,
+  CAST(sum(code) AS BIGINT) AS code_sum,
+  CAST(sum(d * code) AS BIGINT) AS code_chk,
+  md5(array_to_string(list(CAST(code AS VARCHAR) ORDER BY d), ','))
+    AS codes_md5
+FROM c GROUP BY vec_id
+"""
+QUERIES["embedding_quantize"] = q_embedding_quantize

@@ -577,3 +577,74 @@ def semantic_dedup(
     labeled = ds.map_batches(_label_norm, batch_format="pyarrow")
     return labeled.groupby("cluster").map_groups(
         _cluster_dedup, batch_format="pyarrow")
+
+
+def scalar_quantize(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                    scale: int = 1_000_000, levels: int = 255):
+    """Int8-style SCALAR QUANTIZATION of an embedding column — the
+    standard 4× memory-compression step before a 100-TB ANN index
+    (each float32 dimension becomes one code in ``0..levels``).
+
+    Exact-integer design so the result is bit-reproducible and
+    SQL-oracle-checkable: values are first fixed-pointed to int64
+    (``x = floor(v * scale)``, the `stages/kmeans.py` trick), then
+
+        code_d = round((x_d - mn_d) * levels / (mx_d - mn_d))
+
+    evaluated as ``((x-mn)*2*levels + rng) // (2*rng)`` — pure int64,
+    no float rounding divergence. Constant dimensions (rng = 0) code
+    to 0.
+
+    Scale shape: pass 1 is SHUFFLE-FREE — each block emits one
+    (mn, mx) per-dimension partial row, and the blocks-scale partial
+    set is folded on the driver (Ray's groupby barrier costs more
+    than the fold for a dim-sized vector; see BASELINE notes). Pass 2
+    is map-only: the dim-sized (mn, rng) arrays are closure-broadcast
+    to every task (bytes, not a shuffle) and each batch encodes with
+    three vectorized int64 ops. The dataset streams twice but never
+    concentrates.
+
+    Returns ``(id_col, codes: list<int64>, n_dims: int64)``.
+    """
+    import ray
+
+    def _fixed_point(tbl_col) -> np.ndarray:
+        return np.floor(_to_matrix(tbl_col) * float(scale)).astype(np.int64)
+
+    def _minmax_partial(batch: pa.Table) -> pa.Table:
+        x = _fixed_point(batch.column(emb_col))
+        if x.size == 0:
+            return pa.table({"mn": pa.array([], pa.list_(pa.int64())),
+                             "mx": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({
+            "mn": pa.array([x.min(axis=0).tolist()], pa.list_(pa.int64())),
+            "mx": pa.array([x.max(axis=0).tolist()], pa.list_(pa.int64())),
+        })
+
+    mn = mx = None
+    for row in ds.map_batches(
+            _minmax_partial, batch_format="pyarrow").iter_rows():
+        bmn = np.asarray(row["mn"], dtype=np.int64)
+        bmx = np.asarray(row["mx"], dtype=np.int64)
+        mn = bmn if mn is None else np.minimum(mn, bmn)
+        mx = bmx if mx is None else np.maximum(mx, bmx)
+    if mn is None:
+        raise ValueError("scalar_quantize: empty dataset")
+    rng = mx - mn
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        x = _fixed_point(batch.column(emb_col))
+        n, dim = x.shape
+        num = (x - mn) * (2 * levels)
+        codes = np.where(rng > 0, (num + rng) // (2 * rng), 0)
+        offsets = pa.array(
+            (np.arange(n + 1, dtype=np.int64) * dim).astype(np.int32))
+        lst = pa.ListArray.from_arrays(
+            offsets, pa.array(codes.reshape(-1), pa.int64()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "codes": lst,
+            "n_dims": pa.array(np.full(n, dim, dtype=np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_encode, batch_format="pyarrow")

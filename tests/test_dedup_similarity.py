@@ -1264,3 +1264,49 @@ class TestPrefixJaccardJoin:
                     for i in range(0, tbl.num_rows, 3)]),
                 threshold=0.8, n_buckets=8).take_all())
         assert one == many
+
+
+class TestScalarQuantize:
+    def test_codes_match_numpy_reference(self, ray_session):
+        import numpy as np
+        import ray
+        from ocr_pipeline_ray.stages.similarity import scalar_quantize
+
+        rng = np.random.RandomState(7)
+        vecs = rng.uniform(-1, 1, size=(40, 6)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        out = scalar_quantize(
+            ray.data.from_arrow(tbl).repartition(4)
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+        x = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+        mn, mx = x.min(axis=0), x.max(axis=0)
+        rng_ = mx - mn
+        expect = np.where(
+            rng_ > 0, ((x - mn) * 510 + rng_) // (2 * rng_), 0)
+        got = np.array([list(c) for c in out["codes"]])
+        assert (got == expect).all()
+        assert got.min() >= 0 and got.max() <= 255
+        assert out["n_dims"].tolist() == [6] * 40
+
+    def test_constant_dimension_codes_zero(self, ray_session):
+        import numpy as np
+        import ray
+        from ocr_pipeline_ray.stages.similarity import scalar_quantize
+
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[0.5, 0.1], [0.5, 0.9], [0.5, 0.4]],
+                pa.list_(pa.float32())),
+        })
+        out = scalar_quantize(
+            ray.data.from_arrow(tbl)).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        codes = np.array([list(c) for c in out["codes"]])
+        assert (codes[:, 0] == 0).all()
+        assert codes[1, 1] == 255 and codes[0, 1] == 0

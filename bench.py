@@ -96,7 +96,8 @@ BENCH_QUERIES = [
     "wordlist_gate", "minhash_jaccard_estimate", "mirror_hosts",
     "cocitation_pairs", "polyglot_hosts", "event_type_affinity",
     # session-7 additions
-    "url_churn", "embedding_quantize",
+    "url_churn", "embedding_quantize", "host_boilerplate",
+    "pq_codes",
 ]
 
 

@@ -7826,3 +7826,154 @@ SELECT vec_id,
 FROM c GROUP BY vec_id
 """
 QUERIES["embedding_quantize"] = q_embedding_quantize
+
+
+def q_host_boilerplate(sf_dir: str):
+    """Per-host template-line removal (CCNet/WET boilerplate rule).
+
+    Every doc gets a host-wide NAV line (removed: 100% > 50%), an
+    alternating HALF line (exactly half the host's docs — pins the
+    STRICT-> threshold: kept), a 20% PROMO line (kept) and its own
+    unique text (kept). The ORACLE recomputes the whole semantics
+    independently (count distinct docs per (host, line), threshold
+    against per-host totals, anti join, ordered reassembly).
+    """
+    from .stages.dedup import host_boilerplate_removal
+
+    sep = "<p>"
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(_int_mod(ids, 25), pa.string()), "")
+        k = pc.divide(ids, pa.scalar(25, pa.int64()))
+        half = pc.if_else(
+            pc.equal(_int_mod(k, 2), 0),
+            pc.binary_join_element_wise("HALF ", host, sep, ""),
+            "")
+        promo = pc.if_else(
+            pc.equal(_int_mod(k, 5), 0),
+            pc.binary_join_element_wise(sep, "PROMO ", host, ""),
+            "")
+        text = pc.binary_join_element_wise(
+            "NAV ", host, sep, half,
+            pc.fill_null(batch.column("text"), ""), promo, "")
+        return pa.table({"doc_id": ids, "host": host, "text": text})
+
+    aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return host_boilerplate_removal(aug, sep=sep)
+
+
+ORACLE_SQL["host_boilerplate"] = """
+WITH aug AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 25 AS VARCHAR) AS host,
+    'NAV h' || CAST(doc_id % 25 AS VARCHAR) || '<p>' ||
+    CASE WHEN (doc_id // 25) % 2 = 0
+         THEN 'HALF h' || CAST(doc_id % 25 AS VARCHAR) || '<p>'
+         ELSE '' END ||
+    COALESCE(text, '') ||
+    CASE WHEN (doc_id // 25) % 5 = 0
+         THEN '<p>' || 'PROMO h' || CAST(doc_id % 25 AS VARCHAR)
+         ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, host,
+         generate_subscripts(string_split(text, '<p>'), 1) AS idx,
+         unnest(string_split(text, '<p>')) AS line
+  FROM aug
+), cnt AS (
+  SELECT host, line, count(DISTINCT doc_id) AS c
+  FROM lines GROUP BY host, line
+), tot AS (
+  SELECT host, count(*) AS t FROM aug GROUP BY host
+), bp AS (
+  SELECT host, line FROM cnt JOIN tot USING (host)
+  WHERE c >= 2 AND c > 0.5 * t
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line FROM lines l
+  ANTI JOIN bp b ON l.host = b.host AND l.line = b.line
+)
+SELECT doc_id,
+  array_to_string(list(line ORDER BY idx), '<p>') AS text_clean,
+  CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+QUERIES["host_boilerplate"] = q_host_boilerplate
+
+
+# --- product quantization -------------------------------------------------
+PQ_M, PQ_K, PQ_ITERS = 4, 4, 2
+PQ_DIM = 64  # testdata embeddings are fixed 64-d (corpus generator)
+
+
+def q_pq_codes(sf_dir: str):
+    """PQ codebook training + encoding, bit-exact vs a chained-CTE
+    SQL twin (the `kmeans_assign` oracle applied per dim-slice)."""
+    from .stages.kmeans import pq_codes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    codes, _ = pq_codes(ds, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+                        scale=KMEANS_SCALE)
+    return codes
+
+
+def _pq_sql(m: int, k: int, iters: int, scale: int, dim: int) -> str:
+    """Per-subspace `_kmeans_sql` chains sharing one flattened-vector
+    CTE and one smallest-ids init CTE; final select joins the m
+    assignment CTEs into (vec_id, code_0..code_{m-1})."""
+    w = dim // m
+
+    def _chain(j: int) -> str:
+        lo = j * w
+        ctes = [
+            f"v{j} AS (SELECT vec_id, d - {lo} AS d, x FROM v "
+            f"WHERE d > {lo} AND d <= {lo + w})",
+            f"c0_{j} AS (SELECT i.cluster, v.d, v.x FROM init i "
+            f"JOIN v{j} v USING (vec_id))",
+        ]
+        for i in range(iters):
+            ctes.append(
+                f"a{i}_{j} AS (SELECT vec_id, cluster FROM ("
+                f"SELECT v.vec_id, c.cluster, row_number() OVER ("
+                f"PARTITION BY v.vec_id "
+                f"ORDER BY sum((v.x - c.x)*(v.x - c.x)), c.cluster) AS rn "
+                f"FROM v{j} v JOIN c{i}_{j} c USING (d) "
+                f"GROUP BY v.vec_id, c.cluster) WHERE rn = 1)")
+            ctes.append(
+                f"c{i + 1}_{j} AS (SELECT c.cluster, c.d, "
+                f"COALESCE(mm.x, c.x) AS x FROM c{i}_{j} c LEFT JOIN ("
+                f"SELECT a.cluster, v.d, sum(v.x) // count(*) AS x "
+                f"FROM a{i}_{j} a JOIN v{j} v USING (vec_id) "
+                f"GROUP BY a.cluster, v.d) mm "
+                f"ON mm.cluster = c.cluster AND mm.d = c.d)")
+        ctes.append(
+            f"f{j} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT v.vec_id, c.cluster, row_number() OVER ("
+            f"PARTITION BY v.vec_id "
+            f"ORDER BY sum((v.x - c.x)*(v.x - c.x)), c.cluster) AS rn "
+            f"FROM v{j} v JOIN c{iters}_{j} c USING (d) "
+            f"GROUP BY v.vec_id, c.cluster) WHERE rn = 1)")
+        return ", ".join(ctes)
+
+    chains = ", ".join(_chain(j) for j in range(m))
+    code_cols = ", ".join(
+        f"f{j}.cluster AS code_{j}" for j in range(m))
+    joins = " ".join(
+        f"JOIN f{j} USING (vec_id)" for j in range(1, m))
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS d, "
+        f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) "
+        "AS BIGINT) AS x FROM embeddings), "
+        "init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cluster FROM (SELECT DISTINCT vec_id FROM v "
+        f"ORDER BY vec_id LIMIT {k})), "
+        f"{chains} "
+        f"SELECT f0.vec_id, {code_cols} FROM f0 {joins}"
+    )
+
+
+ORACLE_SQL["pq_codes"] = _pq_sql(PQ_M, PQ_K, PQ_ITERS, KMEANS_SCALE, PQ_DIM)
+QUERIES["pq_codes"] = q_pq_codes

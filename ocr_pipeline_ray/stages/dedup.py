@@ -1708,3 +1708,237 @@ def doc_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
     return partials.groupby(
         "_dbucket", num_partitions=max(8, n_buckets // 4)
     ).map_groups(_combine, batch_format="pyarrow")
+
+
+def host_boilerplate_removal(ds, id_col: str = "doc_id",
+                             host_col: str = "host",
+                             text_col: str = "text", sep: str = "\n\n",
+                             min_frac: float = 0.5, min_docs: int = 2,
+                             n_buckets: int = 64):
+    """Per-host TEMPLATE removal — the CCNet/WET boilerplate rule the
+    corpus-wide first-wins :func:`paragraph_dedup` cannot express:
+    a line is boilerplate for a host iff it appears in more than
+    ``min_frac`` of that host's documents (and at least ``min_docs``
+    of them), and then EVERY copy is removed — nav bars, footers and
+    cookie banners vanish, while syndicated article text (same line,
+    different hosts) survives.
+
+    Scale shape — one small + two content-sized exchanges:
+
+    1. count: map-side per-block distinct ``(host, fp)`` doc-counts
+       plus per-host doc-total marker rows (fp='' sentinel) co-shuffle
+       by ``crc32(host)``; the whole-bucket UDF resolves the
+       threshold ``cnt > min_frac * total`` per host in one sorted
+       pass and emits only the boilerplate set B. Only deduped
+       fingerprint partials move — never line text. (A mega-host
+       concentrates its DISTINCT-line partials in one bucket; they
+       are dedup-compressed, not page-scale.)
+    2. filter: lines anti-join B co-shuffled by ``crc32(host, fp)``
+       (B is corpus-small but not assumed driver-small — no
+       broadcast requirement).
+    3. reassembly by ``crc32(doc_id)`` — the `paragraph_dedup`
+       segment-concat rebuild; docs whose every line was template
+       disappear.
+
+    ``min_frac`` must be exactly representable in binary (0.5, 0.25,
+    …) for bit parity with a SQL twin. Returns
+    ``(id_col, text_clean, n_kept)``.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        parts = pc.split_pattern(col, sep).combine_chunks()
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.chunk(0) if parts.num_chunks else pa.array(
+                [], pa.list_(pa.string()))
+        offsets = parts.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = parts.values
+        n_per_doc = np.diff(offsets)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hosts = batch.column(host_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_per_doc), pa.int64()),
+            host_col: pa.array(np.repeat(hosts, n_per_doc), pa.string()),
+            "para_idx": pa.array(
+                np.arange(len(flat), dtype=np.int64)
+                - np.repeat(offsets[:-1], n_per_doc), pa.int64()),
+            "para": flat,
+            "fp": pa.array([_md5(p) for p in flat.to_pylist()],
+                           pa.string()),
+        })
+
+    lines = ds.map_batches(_explode, batch_format="pyarrow")
+
+    # --- stage 1: per-(host, fp) doc counts + per-host totals -> B
+    empty_counts = pa.table({
+        host_col: pa.array([], pa.string()),
+        "fp": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "_hbucket": pa.array([], pa.int64()),
+    })
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        # a doc's lines never span blocks (explode emits per input
+        # row), so block-local distinct (host, fp, doc) doc-counts sum
+        # to globally exact counts. Fully vectorized: dictionary-
+        # encode the three key columns, fuse to one int64 composite,
+        # np.unique twice (distinct triples, then pair counts).
+        if batch.num_rows == 0:
+            return empty_counts
+        h = batch.column(host_col).combine_chunks().dictionary_encode()
+        f = batch.column("fp").combine_chunks().dictionary_encode()
+        d = batch.column(id_col).combine_chunks().dictionary_encode()
+        hi = np.asarray(h.indices, dtype=np.int64)
+        fi = np.asarray(f.indices, dtype=np.int64)
+        di = np.asarray(d.indices, dtype=np.int64)
+        nf, nd = len(f.dictionary), len(d.dictionary)
+        # composite fits int64 for any Arrow-sized block (n^3 < 2^63
+        # up to ~2M distinct values per block key column)
+        trip = np.unique((hi * nf + fi) * nd + di)
+        pkeys, pcnt = np.unique(trip // nd, return_counts=True)
+        ph, pf = pkeys // nf, pkeys % nf
+        th, tcnt = np.unique(
+            np.unique(hi * nd + di) // nd, return_counts=True)
+        hosts_out = h.dictionary.take(
+            pa.array(np.concatenate([ph, th]), pa.int64()))
+        fps_out = pa.concat_arrays([
+            f.dictionary.take(pa.array(pf, pa.int64())),
+            pa.array([""] * len(th), pa.string()),
+        ])
+        return pa.table({
+            host_col: hosts_out,
+            "fp": fps_out,
+            "cnt": pa.array(
+                np.concatenate([pcnt, tcnt]).astype(np.int64),
+                pa.int64()),
+            "_hbucket": pa.array(
+                bucket_ids(hosts_out, n_buckets), pa.int64()),
+        })
+
+    def _threshold_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({host_col: pa.array([], pa.string()),
+                          "fp": pa.array([], pa.string())})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        g = group.sort_by([(host_col, "ascending"), ("fp", "ascending")])
+        hosts = g.column(host_col).combine_chunks()
+        fps = g.column("fp").combine_chunks()
+        cnts = g.column("cnt").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_host = np.empty(n, dtype=bool)
+        new_host[0] = True
+        new_pair = np.empty(n, dtype=bool)
+        new_pair[0] = True
+        if n > 1:
+            hn = pc.not_equal(hosts.slice(1, n - 1),
+                              hosts.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            fn = pc.not_equal(fps.slice(1, n - 1),
+                              fps.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            new_host[1:] = hn
+            new_pair[1:] = hn | fn
+        pair_starts = np.flatnonzero(new_pair)
+        pair_cnt = np.add.reduceat(cnts, pair_starts)
+        host_of_pair = np.cumsum(new_host) - 1  # host ordinal per row
+        pair_host = host_of_pair[pair_starts]
+        pair_fp = fps.take(pa.array(pair_starts, pa.int64()))
+        # totals: fp='' sorts first within each host
+        is_tot = np.asarray(
+            pc.equal(pair_fp, ""), dtype=bool)
+        n_hosts = int(new_host.sum())
+        totals = np.zeros(n_hosts, dtype=np.int64)
+        totals[pair_host[is_tot]] = pair_cnt[is_tot]
+        keep = (~is_tot & (pair_cnt >= min_docs)
+                & (pair_cnt > min_frac * totals[pair_host]))
+        idx = pa.array(pair_starts[keep], pa.int64())
+        return pa.table({
+            host_col: hosts.take(idx),
+            "fp": fps.take(idx),
+        })
+
+    boiler = (
+        lines.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("_hbucket", num_partitions=n_buckets)
+        .map_groups(_threshold_bucket, batch_format="pyarrow")
+    )
+
+    # --- stage 2: anti-join lines vs B, co-shuffled by (host, fp)
+    def _pair_bucket(batch: pa.Table, side: int) -> pa.Table:
+        joint = pc.binary_join_element_wise(
+            batch.column(host_col), batch.column("fp"), "\x00")
+        b = bucket_ids(joint, n_buckets)
+        out = batch.append_column("_pbucket", pa.array(b, pa.int64()))
+        return out.append_column(
+            "_side", pa.array(np.full(len(b), side, np.int8)))
+
+    tagged_lines = lines.map_batches(
+        lambda b: _pair_bucket(b, 0), batch_format="pyarrow")
+    tagged_b = boiler.map_batches(
+        lambda b: _pair_bucket(pa.table({
+            host_col: b.column(host_col),
+            "fp": b.column("fp"),
+            id_col: pa.array(np.zeros(b.num_rows, np.int64)),
+            "para_idx": pa.array(np.zeros(b.num_rows, np.int64)),
+            "para": pa.array([""] * b.num_rows, pa.string()),
+        }), 1), batch_format="pyarrow")
+
+    def _anti_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("_side")
+        joint = pc.binary_join_element_wise(
+            group.column(host_col), group.column("fp"), "\x00")
+        if isinstance(joint, pa.ChunkedArray):
+            joint = joint.combine_chunks()
+        bkeys = joint.filter(
+            pc.equal(side, 1).combine_chunks())
+        keep = pc.and_(
+            pc.equal(side, 0),
+            pc.invert(pc.is_in(joint, value_set=bkeys)))
+        return group.filter(keep).drop_columns(
+            ["_pbucket", "_side", "fp"])
+
+    kept = (
+        tagged_lines.union(tagged_b)
+        .groupby("_pbucket", num_partitions=n_buckets)
+        .map_groups(_anti_bucket, batch_format="pyarrow")
+    )
+
+    # --- stage 3: reassembly by doc (paragraph_dedup shape)
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        buckets = bucket_ids(batch.column(id_col), n_buckets)
+        return batch.append_column(
+            "_dbucket", pa.array(buckets, pa.int64()))
+
+    def _reassemble(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending"),
+                           ("para_idx", "ascending")])
+        ids = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+            })
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offsets = np.r_[starts, len(ids)].astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            g.column("para").combine_chunks())
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "text_clean": pc.binary_join(la, sep),
+            "n_kept": pa.array(np.diff(offsets).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (
+        kept.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("_dbucket", num_partitions=n_buckets)
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )

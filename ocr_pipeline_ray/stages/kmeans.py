@@ -217,3 +217,110 @@ def kmeans_int(
         })
 
     return proj.map_batches(_label, batch_format="pyarrow"), centroids
+
+
+def pq_codes(
+    ds,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = DEFAULT_SCALE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cache: bool = True,
+):
+    """PRODUCT QUANTIZATION: per-subspace integer k-means codebooks
+    (Jégou et al., TPAMI 2011) — the memory side of billion-vector
+    ANN (m codes of log2(k) bits replace dim float32s; ADC search
+    scans codes against a per-query distance table).
+
+    Reuses the :func:`kmeans_int` exact-integer machinery so the
+    codebooks AND codes are bit-reproducible and SQL-twin-checkable.
+    All m subspaces train SIMULTANEOUSLY: per iteration ONE
+    ``map_batches`` pass emits (subspace, cluster, int sums, count)
+    partials for every subspace — m× fewer passes than training each
+    codebook separately, still zero shuffle. Init per subspace = the
+    dim-slices of the k smallest ids' quantized vectors (the
+    `kmeans_int` rule applied per slice).
+
+    Returns ``(codes_ds, codebooks)``: codes_ds has ``id_col`` plus
+    int64 columns ``code_0..code_{m-1}``; codebooks is the list of m
+    (k, dim/m) int64 centroid matrices (driver state by design).
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        q = quantize_batch(batch.column(emb_col), scale)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "qvec": _int_list_array(q),
+        })
+
+    proj = ds.map_batches(_project, batch_format="pyarrow")
+    if cache:
+        proj = proj.materialize()
+
+    seed = _bottom_k_rows(proj, k, id_col)
+    dim = seed.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    cents = [seed[:, j * w:(j + 1) * w].copy() for j in range(m)]
+
+    for _ in range(iters):
+        snap = [c.copy() for c in cents]
+
+        def _partials(batch: pa.Table, *, _c=snap) -> pa.Table:
+            qmat = _int_matrix(batch.column("qvec"))
+            if qmat.size == 0:
+                return pa.table({
+                    "sub": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "vsum": _int_list_array(np.empty((0, 0), np.int64)),
+                    "cnt": pa.array([], pa.int64()),
+                })
+            subs, cls, sums_l, cnts_l = [], [], [], []
+            for j in range(m):
+                sub = qmat[:, j * w:(j + 1) * w]
+                a = _assign(sub, _c[j])
+                sums = np.zeros((k, w), dtype=np.int64)
+                np.add.at(sums, a, sub)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                keep = np.flatnonzero(cnt > 0)
+                subs.append(np.full(len(keep), j, np.int64))
+                cls.append(keep.astype(np.int64))
+                sums_l.append(sums[keep])
+                cnts_l.append(cnt[keep])
+            return pa.table({
+                "sub": pa.array(np.concatenate(subs), pa.int64()),
+                "cluster": pa.array(np.concatenate(cls), pa.int64()),
+                "vsum": _int_list_array(np.vstack(sums_l)),
+                "cnt": pa.array(np.concatenate(cnts_l), pa.int64()),
+            })
+
+        rows = proj.map_batches(
+            _partials, batch_format="pyarrow").take_all()
+        sums = np.zeros((m, k, w), dtype=np.int64)
+        cnt = np.zeros((m, k), dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["cluster"]] += np.asarray(
+                r["vsum"], dtype=np.int64)
+            cnt[r["sub"], r["cluster"]] += r["cnt"]
+        for j in range(m):
+            nz = cnt[j] > 0
+            cents[j][nz] = _trunc_div(sums[j][nz], cnt[j][nz, None])
+
+    final = [c.copy() for c in cents]
+
+    def _label(batch: pa.Table) -> pa.Table:
+        qmat = _int_matrix(batch.column("qvec"))
+        cols = {id_col: batch.column(id_col)}
+        for j in range(m):
+            if qmat.size:
+                a = _assign(qmat[:, j * w:(j + 1) * w],
+                            final[j]).astype(np.int64)
+            else:
+                a = np.empty(0, np.int64)
+            cols[f"code_{j}"] = pa.array(a, pa.int64())
+        return pa.table(cols)
+
+    return proj.map_batches(_label, batch_format="pyarrow"), final

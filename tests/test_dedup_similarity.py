@@ -1310,3 +1310,116 @@ class TestScalarQuantize:
         codes = np.array([list(c) for c in out["codes"]])
         assert (codes[:, 0] == 0).all()
         assert codes[1, 1] == 255 and codes[0, 1] == 0
+
+
+class TestHostBoilerplate:
+    def _docs(self):
+        # host A: 4 docs, NAV in all (removed), X in 2/4 (exactly half,
+        # kept), uniques kept; host B: 2 docs sharing NAV text — but on
+        # B it's 2/2 so removed there, independent of A
+        rows = [
+            (0, "A", "NAV<p>X<p>a0"),
+            (1, "A", "NAV<p>X<p>a1"),
+            (2, "A", "NAV<p>a2"),
+            (3, "A", "NAV<p>a3"),
+            (10, "B", "NAV<p>b0"),
+            (11, "B", "NAV<p>b1"),
+        ]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    def test_threshold_semantics(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.dedup import host_boilerplate_removal
+
+        out = host_boilerplate_removal(
+            ray.data.from_arrow(self._docs()).repartition(3), sep="<p>"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["text_clean"].tolist() == [
+            "X<p>a0", "X<p>a1", "a2", "a3", "b0", "b1"]
+        assert out["n_kept"].tolist() == [2, 2, 1, 1, 1, 1]
+
+    def test_doc_vanishes_when_all_template(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.dedup import host_boilerplate_removal
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "host": pa.array(["A"] * 3, pa.string()),
+            "text": pa.array(["NAV", "NAV", "NAV<p>u"], pa.string()),
+        })
+        out = host_boilerplate_removal(
+            ray.data.from_arrow(tbl), sep="<p>"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [2]
+        assert out["text_clean"].tolist() == ["u"]
+
+    def test_layout_independent(self, ray_session):
+        import pandas.testing as pdt
+        import ray
+        from ocr_pipeline_ray.stages.dedup import host_boilerplate_removal
+
+        ref = None
+        for parts in (1, 2, 6):
+            got = host_boilerplate_removal(
+                ray.data.from_arrow(self._docs()).repartition(parts),
+                sep="<p>", n_buckets=4,
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+            if ref is None:
+                ref = got
+            else:
+                pdt.assert_frame_equal(ref, got)
+
+
+class TestPqCodes:
+    def test_codes_layout_independent_and_reconstruct(self, ray_session):
+        import numpy as np
+        import pandas.testing as pdt
+        import ray
+        from ocr_pipeline_ray.stages.kmeans import pq_codes
+
+        rng = np.random.RandomState(3)
+        vecs = rng.uniform(-1, 1, size=(60, 8)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        ref = books_ref = None
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            codes, books = pq_codes(ds, m=2, k=3, iters=2)
+            got = codes.to_pandas().sort_values("vec_id").reset_index(
+                drop=True)
+            if ref is None:
+                ref, books_ref = got, books
+            else:
+                pdt.assert_frame_equal(ref, got)
+                for a, b in zip(books_ref, books):
+                    assert (a == b).all()
+        assert set(ref.columns) == {"vec_id", "code_0", "code_1"}
+        assert ref["code_0"].between(0, 2).all()
+        assert ref["code_1"].between(0, 2).all()
+        # codes must be the argmin against the returned codebooks
+        x = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+        for j, book in enumerate(books_ref):
+            sub = x[:, j * 4:(j + 1) * 4]
+            d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            assert (d.argmin(axis=1) == ref[f"code_{j}"].values).all()
+
+    def test_dim_not_divisible_raises(self, ray_session):
+        import numpy as np
+        import pytest as _pytest
+        import ray
+        from ocr_pipeline_ray.stages.kmeans import pq_codes
+
+        tbl = pa.table({
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array(
+                [[0.1, 0.2, 0.3]] * 5, pa.list_(pa.float32())),
+        })
+        with _pytest.raises(ValueError):
+            pq_codes(ray.data.from_arrow(tbl), m=2, k=2, iters=1)

@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "cocitation_pairs", "polyglot_hosts", "event_type_affinity",
     # session-7 additions
     "url_churn", "embedding_quantize", "host_boilerplate",
-    "pq_codes",
+    "pq_codes", "ann_topk_pq", "interval_overlap",
 ]
 
 

@@ -7977,3 +7977,106 @@ def _pq_sql(m: int, k: int, iters: int, scale: int, dim: int) -> str:
 
 ORACLE_SQL["pq_codes"] = _pq_sql(PQ_M, PQ_K, PQ_ITERS, KMEANS_SCALE, PQ_DIM)
 QUERIES["pq_codes"] = q_pq_codes
+
+
+def q_ann_topk_pq(sf_dir: str):
+    """PQ+ADC approximate top-10 vs the vec_id=0 query — unlike the
+    LSH/IVF approximate paths this one IS exactly oracle-checkable:
+    given the (bit-exact) codebooks and codes, the ADC ranking is a
+    deterministic integer computation the SQL twin reproduces end to
+    end (chains + query distance table + ORDER BY dist, id)."""
+    from .stages.kmeans import pq_adc_topk, pq_codes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    codes, books = pq_codes(ds, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+                            scale=KMEANS_SCALE)
+    q = _query_vec(sf_dir, 0)
+    return pq_adc_topk(codes, books, q, k=10, scale=KMEANS_SCALE,
+                       exclude_id=0)
+
+
+def _pq_adc_sql(m: int, k: int, iters: int, scale: int, dim: int,
+                qid: int, topk: int) -> str:
+    """ADC twin: reuse the `_pq_sql` chain text (same codebooks and
+    codes by construction), add per-subspace query slices qv{j} and
+    distance tables dt{j}, rank by summed table lookups."""
+    w = dim // m
+    base = _pq_sql(m, k, iters, scale, dim)
+    chains = base[:base.rindex(" SELECT f0.vec_id")]
+    extra = []
+    for j in range(m):
+        lo = j * w
+        extra.append(
+            f"qv{j} AS (SELECT d - {lo} AS d, x FROM v "
+            f"WHERE vec_id = {qid} AND d > {lo} AND d <= {lo + w})")
+        extra.append(
+            f"dt{j} AS (SELECT c.cluster, "
+            f"sum((c.x - q.x)*(c.x - q.x)) AS dd "
+            f"FROM c{iters}_{j} c JOIN qv{j} q USING (d) "
+            f"GROUP BY c.cluster)")
+    dist_sum = " + ".join(f"d{j}.dd" for j in range(m))
+    joins = " ".join(
+        f"JOIN f{j} USING (vec_id)" for j in range(1, m)) + " " + " ".join(
+        f"JOIN dt{j} d{j} ON d{j}.cluster = f{j}.cluster"
+        for j in range(m))
+    return (
+        f"{chains}, {', '.join(extra)} "
+        f"SELECT vec_id, CAST({dist_sum} AS BIGINT) AS adc_dist "
+        f"FROM f0 {joins} WHERE vec_id <> {qid} "
+        f"ORDER BY adc_dist, vec_id LIMIT {topk}"
+    )
+
+
+ORACLE_SQL["ann_topk_pq"] = _pq_adc_sql(
+    PQ_M, PQ_K, PQ_ITERS, KMEANS_SCALE, PQ_DIM, qid=0, topk=10)
+QUERIES["ann_topk_pq"] = q_ann_topk_pq
+
+
+def q_interval_overlap(sf_dir: str):
+    """Interval × interval overlap join over doc_id-formula windows
+    (first half of the docs vs second half), grid co-shuffle vs the
+    DuckDB inequality join."""
+    import numpy as np
+
+    from .stages.join import interval_overlap_join
+
+    def _mk(side: int, id_name: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks().to_numpy()
+            if side == 0:
+                keep = ids < 250
+                mul, span = 37, 40
+            else:
+                keep = ids >= 250
+                mul, span = 53, 30
+            ids = ids[keep].astype(np.int64)
+            lo = (ids * mul) % 500
+            return pa.table({
+                id_name: pa.array(ids, pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(lo + ids % span, pa.int64()),
+            })
+        return _fn
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    left = docs.map_batches(_mk(0, "l_id"), batch_format="pyarrow")
+    right = docs.map_batches(_mk(1, "r_id"), batch_format="pyarrow")
+    return interval_overlap_join(left, right, grid=32)
+
+
+ORACLE_SQL["interval_overlap"] = """
+WITH l AS (
+  SELECT doc_id AS l_id, (doc_id * 37) % 500 AS llo,
+         (doc_id * 37) % 500 + doc_id % 40 AS lhi
+  FROM documents WHERE doc_id < 250
+), r AS (
+  SELECT doc_id AS r_id, (doc_id * 53) % 500 AS rlo,
+         (doc_id * 53) % 500 + doc_id % 30 AS rhi
+  FROM documents WHERE doc_id >= 250
+)
+SELECT l_id, r_id,
+  CAST(least(lhi, rhi) - greatest(llo, rlo) + 1 AS BIGINT) AS overlap
+FROM l JOIN r ON llo <= rhi AND rlo <= lhi
+"""
+QUERIES["interval_overlap"] = q_interval_overlap

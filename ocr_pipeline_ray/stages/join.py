@@ -1024,3 +1024,130 @@ def asof_join(left, right, on: str, ts_col: str = "ts",
     return tagged_left.union(tagged_right).groupby(
         "_bucket", num_partitions=n_buckets
     ).map_groups(_asof_bucket, batch_format="pyarrow")
+
+
+def interval_overlap_join(left, right, l_id: str = "l_id",
+                          r_id: str = "r_id",
+                          lo_col: str = "lo", hi_col: str = "hi",
+                          grid: int = 64, n_buckets: int = 64,
+                          chunk: int = 4096):
+    """INTERVAL × INTERVAL overlap join — pairs (l, r) with
+    ``l.lo <= r.hi AND r.lo <= l.hi`` (inclusive int64 bounds), plus
+    the overlap length. The generalization `range_join` (point ∈
+    interval) can't express: session-vs-session concurrency,
+    crawl-window collisions, validity-interval reconciliation.
+
+    Grid-cell co-shuffle, the standard spatial-join shape: the value
+    domain is cut into cells of width ``grid``; EACH side replicates
+    an interval to every cell it touches (factor ≈ len/grid + 1 —
+    pick ``grid`` near the typical interval length), cells co-shuffle
+    via ``bucket_ids(cell)``, and the whole-bucket UDF probes each
+    cell run with a chunked vectorized mask. A pair meeting in many
+    cells is emitted ONLY in the first cell both intervals inhabit
+    (``max(l.lo_cell, r.lo_cell) == cell`` — no global dedup pass,
+    the trick is row-local arithmetic).
+
+    Both inputs need ``(id, lo, hi)`` columns named per the
+    parameters. Returns ``(l_id, r_id, overlap:int64)`` where
+    ``overlap = min(hi) - max(lo) + 1``.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    def _replicate(side: int, id_col: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lo = batch.column(lo_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hi = batch.column(hi_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ok = hi >= lo
+            ids, lo, hi = ids[ok], lo[ok], hi[ok]
+            c_lo = lo // grid
+            n_cells = (hi // grid - c_lo + 1).astype(np.int64)
+            rep = np.repeat(np.arange(len(ids)), n_cells)
+            cell = c_lo[rep] + (
+                np.arange(n_cells.sum(), dtype=np.int64)
+                - np.repeat(np.cumsum(n_cells) - n_cells, n_cells))
+            cells = pa.array(cell, pa.int64())
+            return pa.table({
+                "_iid": pa.array(ids[rep], pa.int64()),
+                "_ilo": pa.array(lo[rep], pa.int64()),
+                "_ihi": pa.array(hi[rep], pa.int64()),
+                "_icell": cells,
+                "_ilocell": pa.array(c_lo[rep], pa.int64()),
+                "_iside": pa.array(
+                    np.full(len(rep), side, np.int8)),
+                "_cbucket": pa.array(
+                    bucket_ids(cells, n_buckets), pa.int64()),
+            })
+        return _fn
+
+    lrep = left.map_batches(_replicate(0, l_id), batch_format="pyarrow")
+    rrep = right.map_batches(_replicate(1, r_id), batch_format="pyarrow")
+
+    empty = pa.table({
+        l_id: pa.array([], pa.int64()),
+        r_id: pa.array([], pa.int64()),
+        "overlap": pa.array([], pa.int64()),
+    })
+
+    def _join_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty
+        g = group.sort_by([("_icell", "ascending"),
+                           ("_iside", "ascending")])
+        cell = g.column("_icell").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        side = g.column("_iside").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = g.column("_iid").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lo = g.column("_ilo").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hi = g.column("_ihi").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        locell = g.column("_ilocell").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        bounds = np.r_[starts, n]
+        out_l, out_r, out_o = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sl = slice(s, e)
+            seg_side = side[sl]
+            lmask = seg_side == 0
+            if not lmask.any() or lmask.all():
+                continue
+            li = np.flatnonzero(lmask) + s
+            ri = np.flatnonzero(~lmask) + s
+            c = cell[s]
+            for cs in range(0, len(li), chunk):
+                lc = li[cs:cs + chunk]
+                m = ((lo[lc][:, None] <= hi[ri][None, :])
+                     & (lo[ri][None, :] <= hi[lc][:, None])
+                     & (np.maximum(locell[lc][:, None],
+                                   locell[ri][None, :]) == c))
+                pl, pr = np.nonzero(m)
+                if len(pl) == 0:
+                    continue
+                al, ar = lc[pl], ri[pr]
+                out_l.append(ids[al])
+                out_r.append(ids[ar])
+                out_o.append(np.minimum(hi[al], hi[ar])
+                             - np.maximum(lo[al], lo[ar]) + 1)
+        if not out_l:
+            return empty
+        return pa.table({
+            l_id: pa.array(np.concatenate(out_l), pa.int64()),
+            r_id: pa.array(np.concatenate(out_r), pa.int64()),
+            "overlap": pa.array(np.concatenate(out_o), pa.int64()),
+        })
+
+    return (
+        lrep.union(rrep)
+        .groupby("_cbucket", num_partitions=n_buckets)
+        .map_groups(_join_bucket, batch_format="pyarrow")
+    )

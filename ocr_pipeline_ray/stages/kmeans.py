@@ -324,3 +324,62 @@ def pq_codes(
         return pa.table(cols)
 
     return proj.map_batches(_label, batch_format="pyarrow"), final
+
+
+def pq_adc_topk(codes_ds, codebooks, query_vec, k: int = 10,
+                scale: int = DEFAULT_SCALE, id_col: str = "vec_id",
+                exclude_id=None):
+    """ADC (asymmetric distance computation) top-k over PQ codes —
+    the search side of product quantization: the query is quantized
+    ONCE into an (m × k_codes) integer distance table on the driver,
+    and each batch scores rows with m table lookups + adds (no
+    float math, no full vectors touched). Exact-integer, so the
+    ranking is bit-reproducible and SQL-twin-checkable.
+
+    Tie handling: ADC distances collide often (only k_codes^m
+    distinct code combinations exist), so the local top-k is an exact
+    ``(dist, id)`` lexsort prefix — a plain argpartition on dist
+    could drop a row that ties at the k-th distance but wins on id.
+    Candidates = blocks × k rows; one tiny global sort + limit.
+
+    Returns a Dataset of ``(id_col, adc_dist:int64)``, ascending
+    ``(adc_dist, id)``.
+    """
+    m = len(codebooks)
+    w = codebooks[0].shape[1]
+    q = np.floor(
+        np.asarray(query_vec, dtype=np.float64) * float(scale)
+    ).astype(np.int64)
+    if len(q) != m * w:
+        raise ValueError(f"query dim {len(q)} != m*w = {m * w}")
+    dt = np.stack([
+        ((book - q[j * w:(j + 1) * w][None, :]) ** 2).sum(axis=1)
+        for j, book in enumerate(codebooks)
+    ])  # (m, k_codes) int64
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "adc_dist": pa.array([], pa.int64())})
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return empty
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for j in range(m):
+            codes = batch.column(f"code_{j}").combine_chunks(
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            dist += dt[j][codes]
+        if exclude_id is not None:
+            mask = ids != exclude_id
+            ids, dist = ids[mask], dist[mask]
+        if len(ids) > k:
+            order = np.lexsort((ids, dist))[:k]
+            ids, dist = ids[order], dist[order]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "adc_dist": pa.array(dist, pa.int64()),
+        })
+
+    cands = codes_ds.map_batches(_local, batch_format="pyarrow")
+    return cands.sort(key=["adc_dist", id_col]).limit(k)

@@ -655,3 +655,68 @@ class TestExpandJoin:
         nulls = [t for t in got if t[0] is None]
         assert sorted(nulls, key=str) == [
             (None, "c", None), (None, None, "rn")]
+
+
+class TestIntervalOverlapJoin:
+    def _sides(self):
+        left = pa.table({
+            "l_id": pa.array([1, 2, 3], pa.int64()),
+            "lo": pa.array([0, 100, 50], pa.int64()),
+            "hi": pa.array([10, 200, 60], pa.int64()),
+        })
+        right = pa.table({
+            "r_id": pa.array([7, 8, 9], pa.int64()),
+            "lo": pa.array([5, 300, 0], pa.int64()),
+            "hi": pa.array([55, 400, 500], pa.int64()),
+        })
+        return left, right
+
+    def _expect(self):
+        # brute force: pairs with lo<=hi both ways + overlap length
+        return sorted([
+            (1, 7, 6), (1, 9, 11), (2, 9, 101),
+            (3, 7, 6), (3, 9, 11),
+        ])
+
+    def test_pairs_and_overlap(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.join import interval_overlap_join
+
+        l, r = self._sides()
+        out = interval_overlap_join(
+            ray.data.from_arrow(l).repartition(2),
+            ray.data.from_arrow(r).repartition(3), grid=16,
+        ).to_pandas()
+        got = sorted(map(tuple, out[["l_id", "r_id", "overlap"]]
+                         .itertuples(index=False)))
+        assert got == self._expect()
+
+    def test_grid_and_layout_invariant(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.join import interval_overlap_join
+
+        l, r = self._sides()
+        for grid in (1, 7, 64, 1000):
+            for parts in (1, 4):
+                out = interval_overlap_join(
+                    ray.data.from_arrow(l).repartition(parts),
+                    ray.data.from_arrow(r).repartition(parts),
+                    grid=grid, n_buckets=3, chunk=2,
+                ).to_pandas()
+                got = sorted(map(tuple, out[["l_id", "r_id", "overlap"]]
+                                 .itertuples(index=False)))
+                assert got == self._expect(), (grid, parts)
+
+    def test_inverted_bounds_dropped(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.join import interval_overlap_join
+
+        l = pa.table({"l_id": pa.array([1], pa.int64()),
+                      "lo": pa.array([10], pa.int64()),
+                      "hi": pa.array([5], pa.int64())})
+        r = pa.table({"r_id": pa.array([2], pa.int64()),
+                      "lo": pa.array([0], pa.int64()),
+                      "hi": pa.array([100], pa.int64())})
+        out = interval_overlap_join(
+            ray.data.from_arrow(l), ray.data.from_arrow(r)).to_pandas()
+        assert len(out) == 0

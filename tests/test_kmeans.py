@@ -118,3 +118,36 @@ class TestTruncDiv:
         want = [duckdb.sql(f"SELECT {a} // {b}").fetchone()[0]
                 for a, b in zip(vals.tolist(), cnt.tolist())]
         assert got == want
+
+
+class TestPqAdc:
+    def test_adc_matches_brute_force_on_codes(self, ray_session):
+        import numpy as np
+        import ray
+        from ocr_pipeline_ray.stages.kmeans import pq_adc_topk, pq_codes
+
+        rng = np.random.RandomState(11)
+        vecs = rng.uniform(-1, 1, size=(80, 8)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(80), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        codes_ds, books = pq_codes(ds, m=2, k=3, iters=2)
+        q = vecs[0].tolist()
+        out = pq_adc_topk(codes_ds, books, q, k=10,
+                          exclude_id=0).to_pandas()
+
+        # driver-side brute force over the same codes
+        codes = codes_ds.to_pandas().sort_values("vec_id")
+        qx = np.floor(np.asarray(q, np.float64) * 1e6).astype(np.int64)
+        dt = [((b - qx[j * 4:(j + 1) * 4][None, :]) ** 2).sum(axis=1)
+              for j, b in enumerate(books)]
+        dist = (dt[0][codes["code_0"].values]
+                + dt[1][codes["code_1"].values])
+        ids = codes["vec_id"].values
+        mask = ids != 0
+        order = np.lexsort((ids[mask], dist[mask]))[:10]
+        assert out["vec_id"].tolist() == ids[mask][order].tolist()
+        assert out["adc_dist"].tolist() == dist[mask][order].tolist()

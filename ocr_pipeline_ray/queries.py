@@ -8080,3 +8080,93 @@ SELECT l_id, r_id,
 FROM l JOIN r ON llo <= rhi AND rlo <= lhi
 """
 QUERIES["interval_overlap"] = q_interval_overlap
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection over REAL decoded Y4M frame planes.
+
+    Every doc gets a genuine multi-frame YUV4MPEG2 payload whose
+    per-frame luma fill follows ``(doc_id*31 + f*f) % 256``; the
+    Ray side counts cuts from the DECODED per-frame plane sums
+    (``|sum_f - sum_{f-1}| > T*w*h`` — exact integers), the ORACLE
+    recomputes the fills and the same threshold rule from the
+    formulas alone. A decoder that fakes per-frame stats from the
+    header cannot pass.
+    """
+    from .stages.multimodal import encode_y4m_frames, scene_cut_stage
+
+    def _to_video(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            w = 8 + 2 * (i % 5)
+            h = 6 + 2 * (i % 4)
+            fills = [(i * 31 + f * f) % 256 for f in range(3 + i % 6)]
+            payloads.append(encode_y4m_frames(w, h, fills))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    vids = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _to_video, batch_format="pyarrow")
+    return scene_cut_stage(vids, threshold=6).select_columns(
+        ["doc_id", "n_frames", "n_cuts", "first_cut"])
+
+
+ORACLE_SQL["video_scene_cuts"] = """
+WITH f AS (
+  SELECT d.doc_id, u.f AS fr,
+         (d.doc_id * 31 + u.f * u.f) % 256 AS fill
+  FROM documents d,
+       LATERAL unnest(generate_series(0, 2 + d.doc_id % 6)) AS u(f)
+), dif AS (
+  SELECT doc_id, fr,
+         abs(fill - lag(fill) OVER (
+             PARTITION BY doc_id ORDER BY fr)) AS dd
+  FROM f
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(count(*) FILTER (dd > 6) AS BIGINT) AS n_cuts,
+  CAST(COALESCE(min(fr) FILTER (dd > 6), -1) AS BIGINT) AS first_cut
+FROM dif GROUP BY doc_id
+"""
+QUERIES["video_scene_cuts"] = q_video_scene_cuts
+
+
+def q_zonemap_scan(sf_dir: str):
+    """File-level zone-map pruning: documents staged ONCE into 10
+    doc_id-range-clustered parquet files; a range scan consults the
+    footer-stats manifest and reads only the files whose interval
+    intersects — 9 of 10 skipped here (pytest pins the skip count;
+    the driver gate pins the surviving rows vs plain SQL)."""
+    import pyarrow.parquet as pq_
+
+    from .stages.bucketed import pruned_read
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"/tmp/ocr_ray_zonemap_{label}"
+    paths = [os.path.join(stage, f"part-{i:02d}.parquet")
+             for i in range(10)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq_.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+        tbl = tbl.sort_by([("doc_id", "ascending")])
+        n = tbl.num_rows
+        cuts = [n * i // 10 for i in range(11)]
+        for i, p in enumerate(paths):
+            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                            p + ".tmp")
+            os.replace(p + ".tmp", p)
+    ds, _n_read, _n_skipped = pruned_read(
+        paths, "doc_id", 100, 149, columns=["doc_id", "n_chars"])
+    return ds
+
+
+ORACLE_SQL["zonemap_scan"] = (
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE doc_id BETWEEN 100 AND 149"
+)
+QUERIES["zonemap_scan"] = q_zonemap_scan

@@ -483,3 +483,94 @@ def read_bucketed(root: str, n_buckets: int,
 
     return ray.data.from_arrow_refs(
         [_read_one.remote(b) for b in range(n_buckets)])
+
+
+def build_zone_map(paths, columns):
+    """File-level ZONE MAP: per-file min/max (and null count) for the
+    given columns, read from parquet FOOTER STATISTICS only — no data
+    pages move. The driver-side manifest is tiny (files × columns)
+    and is the pruning index :func:`pruned_read` consults, extending
+    parquet's built-in row-group pruning one level up: at 100 TB a
+    range predicate should skip whole FILES (and at a real deployment
+    whole storage prefixes) before the scheduler ever sees them.
+
+    Returns a pyarrow Table ``(path, col, vmin, vmax, null_count)``
+    with min/max as their string repr for mixed-type manifests —
+    :func:`pruned_read` re-derives typed bounds per column.
+    """
+    import pyarrow.parquet as pq
+
+    rows = []
+    for path in paths:
+        meta = pq.ParquetFile(path).metadata
+        agg = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in columns:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[name] = None  # unprunable
+                    continue
+                cur = agg.get(name)
+                if cur is None and name in agg:
+                    continue
+                nulls = st.null_count or 0
+                if cur is None:
+                    agg[name] = [st.min, st.max, nulls]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+                    cur[2] += nulls
+        for name, cur in agg.items():
+            if cur is not None:
+                rows.append((path, name, repr(cur[0]), repr(cur[1]),
+                             cur[2]))
+    return pa.table({
+        "path": pa.array([r[0] for r in rows], pa.string()),
+        "col": pa.array([r[1] for r in rows], pa.string()),
+        "vmin": pa.array([r[2] for r in rows], pa.string()),
+        "vmax": pa.array([r[3] for r in rows], pa.string()),
+        "null_count": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def pruned_read(paths, col: str, lo, hi, zone_map: pa.Table = None,
+                columns=None):
+    """Range scan ``lo <= col <= hi`` that SKIPS files whose zone-map
+    interval misses the predicate, then applies the residual filter
+    in-scan (parquet row-group stats prune further for free).
+
+    Returns ``(dataset, n_files_read, n_files_skipped)`` — the skip
+    count is surfaced, not silent, per the no-silent-caps rule (a
+    file without stats is conservatively read).
+    """
+    import ast
+
+    import ray.data
+
+    if zone_map is None:
+        zone_map = build_zone_map(paths, [col])
+    keep, skipped = [], 0
+    zpaths = zone_map.column("path").to_pylist()
+    zcols = zone_map.column("col").to_pylist()
+    zmin = zone_map.column("vmin").to_pylist()
+    zmax = zone_map.column("vmax").to_pylist()
+    bounds = {
+        p: (ast.literal_eval(mn), ast.literal_eval(mx))
+        for p, c, mn, mx in zip(zpaths, zcols, zmin, zmax) if c == col
+    }
+    for p in paths:
+        b = bounds.get(p)
+        if b is not None and (b[0] > hi or b[1] < lo):
+            skipped += 1
+            continue
+        keep.append(p)
+    if not keep:
+        return None, 0, skipped
+    ds = ray.data.read_parquet(keep, columns=columns)
+    ds = ds.filter(expr=f"{col} >= {lo!r} and {col} <= {hi!r}")
+    return ds, len(keep), skipped

@@ -488,3 +488,122 @@ def image_dhash_stage(ds, batch_size: int = 64, concurrency=(1, 8)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def encode_y4m_frames(width: int, height: int, y_fills) -> bytes:
+    """Raw YUV4MPEG2 stream with a DIFFERENT constant luma per frame
+    (chroma 128) — the varying-content companion of :func:`encode_y4m`
+    for motion/scene tests. Dims must be even (C420)."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 dims must be even")
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n"
+    ).encode("ascii")
+    uv = bytes([128]) * (width * height // 2)
+    frames = b"".join(
+        b"FRAME\n" + bytes([int(f) & 0xFF]) * (width * height) + uv
+        for f in y_fills
+    )
+    return header + frames
+
+
+def y4m_frame_luma_sums(payload: bytes):
+    """Per-frame integer luma-plane sums from a YUV4MPEG2 stream.
+
+    Same wire parsing as :func:`decode_y4m` but keeps the PER-FRAME
+    int64 Y-plane sums (decode_y4m folds them into one mean) — the
+    primitive behind cut detection and motion scoring. Returns
+    ``(width, height, [sum_0, sum_1, ...])``.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            "not a YUV4MPEG2 stream (codec formats unsupported "
+            "without external libs)")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    width = height = 0
+    subsampling = _Y4M_420
+    for token in payload[9:nl].decode("ascii", "replace").split():
+        if token[0] == "C":
+            subsampling = _y4m_subsampling(token)
+        elif token[0] == "W":
+            width = int(token[1:])
+        elif token[0] == "H":
+            height = int(token[1:])
+    if width <= 0 or height <= 0:
+        raise ValueError("invalid Y4M dimensions")
+    num, den = subsampling
+    frame_bytes = width * height * num // den
+    luma = width * height
+    pos, n = nl + 1, len(payload)
+    sums = []
+    while pos < n:
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("garbage between Y4M frames")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > n:
+            raise ValueError("truncated Y4M frame")
+        y_plane = np.frombuffer(
+            payload, dtype=np.uint8, count=luma, offset=fnl + 1)
+        sums.append(int(y_plane.sum(dtype=np.int64)))
+        pos = fnl + 1 + frame_bytes
+    return width, height, sums
+
+
+class SceneCutDetector:
+    """Actor-pool scene-cut detection over REAL decoded Y4M planes:
+    a cut is a frame whose mean-luma jump vs the previous frame
+    exceeds ``threshold`` — evaluated in exact integers as
+    ``|sum_f - sum_{f-1}| > threshold * width * height`` (no float
+    division), so the result is SQL-twin-checkable.
+
+    Stateful stage shape: construction cost in ``__init__`` once per
+    actor, per-batch work is decode + a numpy diff. Payloads are
+    DROPPED from the output (features only leave the stage —
+    the multimodal golden rule for MB-sized rows).
+    """
+
+    def __init__(self, threshold: int = 6):
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_frames, n_cuts, first_cut, errors = [], [], [], []
+        for payload in payloads:
+            try:
+                w, h, sums = y4m_frame_luma_sums(payload)
+                s = np.asarray(sums, dtype=np.int64)
+                jumps = np.abs(np.diff(s)) > self.threshold * w * h
+                cuts = np.flatnonzero(jumps) + 1
+                n_frames.append(len(s))
+                n_cuts.append(int(jumps.sum()))
+                first_cut.append(int(cuts[0]) if len(cuts) else -1)
+                errors.append(None)
+            except ValueError as exc:
+                n_frames.append(0)
+                n_cuts.append(0)
+                first_cut.append(-1)
+                errors.append(str(exc))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(n_frames, pa.int64()),
+            "n_cuts": pa.array(n_cuts, pa.int64()),
+            "first_cut": pa.array(first_cut, pa.int64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+def scene_cut_stage(ds, threshold: int = 6, batch_size: int = 16,
+                    concurrency=(1, 8)):
+    """Scene-cut detection as an actor-pool stage (small batches —
+    video rows are MB-scale)."""
+    return ds.map_batches(
+        SceneCutDetector,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

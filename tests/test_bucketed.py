@@ -339,3 +339,42 @@ class TestBucketedUpsert:
         with pytest.raises(ValueError, match="delta columns"):
             bucketed_upsert(root, ray.data.from_arrow(delta),
                             str(tmp_path / "v2"), "k", N_BUCKETS)
+
+
+class TestZoneMap:
+    def _write(self, tmp_path, ranges):
+        import pyarrow.parquet as pq_
+
+        paths = []
+        for i, (lo, hi) in enumerate(ranges):
+            p = str(tmp_path / f"z{i}.parquet")
+            pq_.write_table(pa.table({
+                "k": pa.array(list(range(lo, hi + 1)), pa.int64()),
+                "v": pa.array([f"v{x}" for x in range(lo, hi + 1)]),
+            }), p)
+            paths.append(p)
+        return paths
+
+    def test_prune_skips_disjoint_files(self, tmp_path, ray_session):
+        from ocr_pipeline_ray.stages.bucketed import (
+            build_zone_map,
+            pruned_read,
+        )
+
+        paths = self._write(tmp_path, [(0, 9), (10, 19), (20, 29)])
+        zm = build_zone_map(paths, ["k"])
+        assert zm.num_rows == 3
+        ds, n_read, n_skipped = pruned_read(
+            paths, "k", 12, 14, zone_map=zm)
+        assert (n_read, n_skipped) == (1, 2)
+        assert sorted(ds.to_pandas()["k"]) == [12, 13, 14]
+
+    def test_boundary_overlap_and_empty(self, tmp_path, ray_session):
+        from ocr_pipeline_ray.stages.bucketed import pruned_read
+
+        paths = self._write(tmp_path, [(0, 9), (10, 19)])
+        ds, n_read, n_skipped = pruned_read(paths, "k", 9, 10)
+        assert (n_read, n_skipped) == (2, 0)
+        assert sorted(ds.to_pandas()["k"]) == [9, 10]
+        ds, n_read, n_skipped = pruned_read(paths, "k", 100, 200)
+        assert ds is None and (n_read, n_skipped) == (0, 2)

@@ -513,3 +513,45 @@ def test_bench_queries_exist():
     missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
     assert not missing, missing
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+class TestSceneCuts:
+    def test_cuts_from_decoded_planes(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.multimodal import (
+            encode_y4m_frames,
+            scene_cut_stage,
+            y4m_frame_luma_sums,
+        )
+
+        # fills: 10,10,200 (one cut at frame 2), constant (none)
+        p1 = encode_y4m_frames(4, 4, [10, 10, 200])
+        p2 = encode_y4m_frames(4, 4, [50, 50])
+        w, h, sums = y4m_frame_luma_sums(p1)
+        assert (w, h) == (4, 4)
+        assert sums == [160, 160, 3200]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([p1, p2], pa.binary()),
+        })
+        out = scene_cut_stage(
+            ray.data.from_arrow(tbl), threshold=6,
+            concurrency=(1, 2)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert out["n_frames"].tolist() == [3, 2]
+        assert out["n_cuts"].tolist() == [1, 0]
+        assert out["first_cut"].tolist() == [2, -1]
+        assert out["error"].isna().all()
+
+    def test_non_y4m_payload_errors(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.multimodal import scene_cut_stage
+
+        tbl = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\x00codec"], pa.binary()),
+        })
+        out = scene_cut_stage(
+            ray.data.from_arrow(tbl), concurrency=(1, 1)).to_pandas()
+        assert out["n_frames"].tolist() == [0]
+        assert out["error"].notna().all()

@@ -98,7 +98,7 @@ BENCH_QUERIES = [
     # session-7 additions
     "url_churn", "embedding_quantize", "host_boilerplate",
     "pq_codes", "ann_topk_pq", "interval_overlap",
-    "video_scene_cuts", "zonemap_scan",
+    "video_scene_cuts", "zonemap_scan", "range_shards",
 ]
 
 

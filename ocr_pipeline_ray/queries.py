@@ -8170,3 +8170,39 @@ ORACLE_SQL["zonemap_scan"] = (
     "WHERE doc_id BETWEEN 100 AND 149"
 )
 QUERIES["zonemap_scan"] = q_zonemap_scan
+
+
+def q_range_shards(sf_dir: str):
+    """Histogram-sketch range sharding of documents by n_chars into 8
+    ~equal contiguous ranges; per-doc shard ids are bit-reproduced by
+    the SQL twin (same int64 split rule over the same fixed bins)."""
+    from .stages.stats import range_partition
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    assignments, _splits = range_partition(
+        ds, "n_chars", n_shards=8, lo=0, bin_width=100, n_bins=100)
+    return assignments
+
+
+ORACLE_SQL["range_shards"] = """
+WITH h AS (
+  SELECT LEAST(GREATEST((n_chars - 0) // 100, 0), 99) AS b,
+         count(*) AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cum FROM h
+), tot AS (
+  SELECT max(cum) AS n FROM c
+), sp AS (
+  SELECT ((SELECT min(b) FROM c WHERE cum >=
+           GREATEST((i * tot.n + 7) // 8 - 1, 0) + 1) + 1) * 100 - 1
+         AS v
+  FROM (SELECT unnest(generate_series(1, 7)) AS i), tot
+)
+SELECT doc_id,
+  CAST(CASE WHEN n_chars IS NULL THEN -1
+       ELSE (SELECT count(*) FROM sp WHERE n_chars >= v) END
+       AS BIGINT) AS shard
+FROM documents
+"""
+QUERIES["range_shards"] = q_range_shards

@@ -1676,3 +1676,73 @@ def grouped_argmax(ds, key_col: str, value_col: str, id_col: str,
     return ds.map_batches(_partial, batch_format="pyarrow").groupby(
         "_kbucket", num_partitions=n_buckets
     ).map_groups(_final, batch_format="pyarrow")
+
+
+def range_partition(ds, col: str, n_shards: int, lo: int,
+                    bin_width: int, n_bins: int, id_col: str = "doc_id"):
+    """RANGE sharding — the sorted-layout complement of hash
+    `shuffle_shards`: rows land in ``n_shards`` contiguous key
+    ranges of ~equal row counts, so downstream consumers get
+    globally ordered shards (merge-readable output, range-prunable
+    files — pairs with `bucketed.build_zone_map`).
+
+    Splits come from the same fixed-bin histogram SKETCH as
+    :func:`binned_quantiles` (per-block bincount partials,
+    driver-folded, NO shuffle); split i is the inclusive-upper-edge
+    estimate at rank ``ceil(i*n/n_shards)`` evaluated in PURE int64
+    (``(i*n + n_shards - 1) // n_shards``) so the assignment is
+    bit-reproducible in SQL. Pass 2 is map-only:
+    ``shard = #(splits <= x)`` via one searchsorted per batch;
+    NULL keys get shard -1.
+
+    Returns ``(assignments, splits)``: assignments is a Dataset of
+    ``(id_col, shard:int64)``; splits the (n_shards-1,) int64 array
+    (driver state — it IS the partitioner).
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.filter(pc.is_valid(arr))
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) // bin_width, 0, n_bins - 1)
+        return pa.table({
+            "b": pa.array(np.arange(n_bins, dtype=np.int64)),
+            "n": pa.array(np.bincount(b, minlength=n_bins).astype(
+                np.int64)),
+        })
+
+    hist = np.zeros(n_bins, dtype=np.int64)
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        hist[t.column("b").to_numpy(zero_copy_only=False)] += (
+            t.column("n").to_numpy(zero_copy_only=False))
+    cum = np.cumsum(hist)
+    n = int(cum[-1]) if n_bins else 0
+    if n == 0:
+        raise ValueError(f"range_partition: column {col!r} is all-null")
+    splits = np.empty(n_shards - 1, dtype=np.int64)
+    for i in range(1, n_shards):
+        r = max(0, (i * n + n_shards - 1) // n_shards - 1)
+        b = int(np.searchsorted(cum, r + 1, side="left"))
+        splits[i - 1] = lo + (b + 1) * bin_width - 1
+    final = splits.copy()
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        v = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        shard = np.searchsorted(final, v, side="right").astype(np.int64)
+        shard[~valid] = -1
+        return pa.table({
+            id_col: batch.column(id_col),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    return ds.map_batches(_assign, batch_format="pyarrow"), final

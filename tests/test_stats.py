@@ -1004,3 +1004,43 @@ class TestGroupedHll:
             n_buckets=2).take_all()
         # m=64 standard error is ~1.04/sqrt(64) = 13%; allow 3 sigma
         assert abs(row["hll_estimate"] - n_distinct) < 0.4 * n_distinct
+
+
+class TestRangePartition:
+    def test_balanced_contiguous_shards(self, ray_session):
+        import numpy as np
+        import ray
+        from ocr_pipeline_ray.stages.stats import range_partition
+
+        vals = list(range(1000))
+        tbl = pa.table({
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "n_chars": pa.array(vals, pa.int64()),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        asn, splits = range_partition(
+            ds, "n_chars", n_shards=4, lo=0, bin_width=10, n_bins=100)
+        df = asn.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(splits) == 3 and list(splits) == sorted(splits)
+        # contiguity: shard is monotone in the key
+        order = np.argsort(tbl.column("n_chars").to_numpy())
+        shards = df["shard"].values[order]
+        assert (np.diff(shards) >= 0).all()
+        # balance: each shard within bin_width-resolution of n/4
+        counts = df["shard"].value_counts()
+        assert set(counts.index) == {0, 1, 2, 3}
+        assert counts.max() - counts.min() <= 2 * 10  # 2 bins slack
+
+    def test_null_keys_get_minus_one(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.stats import range_partition
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "n_chars": pa.array([5, None, 15, 25], pa.int64()),
+        })
+        asn, _ = range_partition(
+            ray.data.from_arrow(tbl), "n_chars",
+            n_shards=2, lo=0, bin_width=10, n_bins=10)
+        df = asn.to_pandas().sort_values("doc_id")
+        assert df["shard"].tolist()[1] == -1

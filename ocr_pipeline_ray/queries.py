@@ -8206,3 +8206,42 @@ SELECT doc_id,
 FROM documents
 """
 QUERIES["range_shards"] = q_range_shards
+
+
+def q_url_latest_k(sf_dir: str):
+    """Crawl-store retention: keep the LATEST 2 snapshots per url
+    (the url_churn revisit layout; descending group_cap) —
+    one bucketed exchange, whole-bucket rank mask."""
+    import numpy as np
+
+    from .stages.dedup import group_cap
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy()
+        url_id = ids % 120
+        return pa.table({
+            "url": pa.array(
+                [f"u{u}" for u in url_id.tolist()], pa.string()),
+            "ts": pa.array(1600000000 + ids, pa.int64()),
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+        })
+
+    snaps = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return group_cap(snaps, key_col="url", order_col="ts", k=2,
+                     descending=True)
+
+
+ORACLE_SQL["url_latest_k"] = """
+WITH s AS (
+  SELECT 'u' || CAST(doc_id % 120 AS VARCHAR) AS url,
+         1600000000 + doc_id AS ts, doc_id
+  FROM documents
+)
+SELECT url, ts, doc_id FROM (
+  SELECT url, ts, doc_id,
+         row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+  FROM s
+) WHERE rn <= 2
+"""
+QUERIES["url_latest_k"] = q_url_latest_k

@@ -127,7 +127,7 @@ def dedup_first(ds, key_col: str = "url", order_col="warc_ts",
 
 
 def group_cap(ds, key_col: str, order_col="doc_id", k: int = 1,
-              n_buckets: int = 128):
+              n_buckets: int = 128, descending: bool = False):
     """Keep at most ``k`` rows per key — the domain-balancing gate
     ("at most K pages per host"), CCNet/C4 style.
 
@@ -141,6 +141,8 @@ def group_cap(ds, key_col: str, order_col="doc_id", k: int = 1,
 
     Winners are the k smallest by ``order_col`` (string or list;
     pass enough columns for a unique order when determinism matters).
+    ``descending=True`` flips every order column — "keep the LATEST
+    k snapshots per url", the crawl-store retention policy.
     """
     import numpy as np
 
@@ -156,8 +158,9 @@ def group_cap(ds, key_col: str, order_col="doc_id", k: int = 1,
         return batch.append_column(
             "_kbucket", pa.array(buckets, pa.int64()))
 
+    direction = "descending" if descending else "ascending"
     sort_keys = [(key_col, "ascending")] + [
-        (c, "ascending") for c in order_cols
+        (c, direction) for c in order_cols
     ]
 
     def _cap_per_key(group: pa.Table) -> pa.Table:

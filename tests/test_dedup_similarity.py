@@ -1423,3 +1423,20 @@ class TestPqCodes:
         })
         with _pytest.raises(ValueError):
             pq_codes(ray.data.from_arrow(tbl), m=2, k=2, iters=1)
+
+
+class TestGroupCapDescending:
+    def test_latest_k(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.dedup import group_cap
+
+        tbl = pa.table({
+            "url": pa.array(["a", "a", "a", "b"], pa.string()),
+            "ts": pa.array([1, 3, 2, 9], pa.int64()),
+        })
+        out = group_cap(
+            ray.data.from_arrow(tbl).repartition(2), key_col="url",
+            order_col="ts", k=2, descending=True,
+        ).to_pandas().sort_values(["url", "ts"]).reset_index(drop=True)
+        assert list(map(tuple, out.itertuples(index=False))) == [
+            ("a", 2), ("a", 3), ("b", 9)]

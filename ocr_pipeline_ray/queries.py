@@ -8245,3 +8245,53 @@ SELECT url, ts, doc_id FROM (
 ) WHERE rn <= 2
 """
 QUERIES["url_latest_k"] = q_url_latest_k
+
+
+def q_phrase_match(sf_dir: str):
+    """Positional phrase search for the planted 3-token phrase:
+    docs get 0/1/2 occurrences (plus a near-miss decoy with a gap)
+    by doc_id % 6; the oracle recomputes matches by position
+    arithmetic over the split tokens."""
+    from .stages.index import phrase_match
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        r = _int_mod(ids, 6)
+        suffix = pc.if_else(
+            pc.equal(r, 0), " zq1 zq2 zq3",
+            pc.if_else(
+                pc.equal(r, 1), " zq1 zq2 zq3 zq1 zq2 zq3",
+                pc.if_else(pc.equal(r, 2), " zq1 zq2 x zq3", "")))
+        text = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("text"), ""), suffix, "")
+        return pa.table({"doc_id": ids, "text": text})
+
+    aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return phrase_match(aug, ["zq1", "zq2", "zq3"])
+
+
+ORACLE_SQL["phrase_match"] = """
+WITH aug AS (
+  SELECT doc_id, COALESCE(text, '') || CASE doc_id % 6
+    WHEN 0 THEN ' zq1 zq2 zq3'
+    WHEN 1 THEN ' zq1 zq2 zq3 zq1 zq2 zq3'
+    WHEN 2 THEN ' zq1 zq2 x zq3'
+    ELSE '' END AS text
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM aug
+), m AS (
+  SELECT a.doc_id, a.pos FROM tk a
+  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.token = 'zq1' AND b.token = 'zq2' AND c.token = 'zq3'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+"""
+QUERIES["phrase_match"] = q_phrase_match

@@ -121,3 +121,123 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("_tbucket", num_partitions=n_buckets)
         .map_groups(_build, batch_format="pyarrow")
     )
+
+
+def phrase_match(ds, phrase, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int = 64):
+    """Distributed POSITIONAL phrase search: docs containing the exact
+    token sequence ``phrase`` (the positional-intersection query a
+    bag-of-words `inverted_index` / BM25 cannot answer).
+
+    Scale shape: the posting stream is pruned AT THE SCAN to the
+    phrase's tokens (one vectorized ``is_in`` per batch — shuffle
+    volume is phrase-postings-scale, never corpus-scale). Each
+    surviving posting is normalized per phrase SLOT it could fill
+    (``pos' = pos - slot``; repeated phrase tokens emit one row per
+    slot), then ONE doc-hash co-shuffle and a whole-bucket sort +
+    boundary-mask counts distinct slots per (doc, pos') — a start
+    position matches iff all ``len(phrase)`` slots are present.
+
+    Returns ``(id_col, n_matches:int64, first_pos:int64)`` for
+    matching docs only; ``pos``/``first_pos`` are 1-based.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+    from .textstats import _token_lists
+
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must have at least one token")
+    phrase_arr = pa.array(list(phrase), pa.string())
+    # slot lists per distinct token (a token may fill several slots)
+    slot_map = {}
+    for s, t in enumerate(phrase):
+        slot_map.setdefault(t, []).append(s)
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        flat, offsets, n_tokens = _token_lists(batch, text_col)
+        n_docs = batch.num_rows
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs), n_tokens)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(offsets[:-1], n_tokens) + 1)  # 1-based
+        hit = pc.is_in(flat, value_set=phrase_arr).to_numpy(
+            zero_copy_only=False)
+        idx = np.flatnonzero(hit)
+        if len(idx) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "_start": pa.array([], pa.int64()),
+                "_slot": pa.array([], pa.int64()),
+                "_dbucket": pa.array([], pa.int64()),
+            })
+        toks = flat.take(pa.array(idx, pa.int64())).to_pylist()
+        out_doc, out_start, out_slot = [], [], []
+        for i, t in zip(idx.tolist(), toks):
+            for s in slot_map[t]:
+                start = pos[i] - s
+                if start >= 1:
+                    out_doc.append(ids[doc_of[i]])
+                    out_start.append(start)
+                    out_slot.append(s)
+        doc_arr = pa.array(out_doc, pa.int64())
+        return pa.table({
+            id_col: doc_arr,
+            "_start": pa.array(out_start, pa.int64()),
+            "_slot": pa.array(out_slot, pa.int64()),
+            "_dbucket": pa.array(
+                bucket_ids(doc_arr, n_buckets), pa.int64()),
+        })
+
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "n_matches": pa.array([], pa.int64()),
+        "first_pos": pa.array([], pa.int64()),
+    })
+
+    def _intersect(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty
+        g = group.sort_by([(id_col, "ascending"),
+                           ("_start", "ascending"),
+                           ("_slot", "ascending")])
+        doc = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        start = g.column("_start").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        slot = g.column("_slot").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        new_pair = np.empty(n, dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (doc[1:] != doc[:-1]) | (start[1:] != start[:-1])
+        # distinct slots per (doc, start): slots are sorted within the
+        # run, so a boundary mask on slot change counts distinct
+        new_slot = np.empty(n, dtype=bool)
+        new_slot[0] = True
+        new_slot[1:] = new_pair[1:] | (slot[1:] != slot[:-1])
+        p_starts = np.flatnonzero(new_pair)
+        n_slots = np.add.reduceat(new_slot.astype(np.int64), p_starts)
+        ok = n_slots == m
+        if not ok.any():
+            return empty
+        pdoc = doc[p_starts[ok]]
+        ppos = start[p_starts[ok]]
+        d_starts = np.flatnonzero(
+            np.r_[True, pdoc[1:] != pdoc[:-1]])
+        return pa.table({
+            id_col: pa.array(pdoc[d_starts], pa.int64()),
+            "n_matches": pa.array(np.diff(
+                np.append(d_starts, len(pdoc))).astype(np.int64),
+                pa.int64()),
+            "first_pos": pa.array(
+                np.minimum.reduceat(ppos, d_starts), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_postings, batch_format="pyarrow")
+        .groupby("_dbucket", num_partitions=n_buckets)
+        .map_groups(_intersect, batch_format="pyarrow")
+    )

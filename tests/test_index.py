@@ -77,3 +77,41 @@ class TestInvertedIndex:
         ]
         assert self._run(texts, cap=8, n_blocks=n_blocks,
                          n_buckets=n_buckets) == _naive(texts, cap=8)
+
+
+class TestPhraseMatch:
+    def test_matches_counts_and_positions(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.index import phrase_match
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "x a b c y a b c",   # 2 matches at pos 2 and 6
+                "a b x c",            # gap -> no match
+                "c b a",              # wrong order -> no match
+                "a b c",              # match at pos 1
+            ], pa.string()),
+        })
+        out = phrase_match(
+            ray.data.from_arrow(tbl).repartition(3),
+            ["a", "b", "c"], n_buckets=4,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [1, 4]
+        assert out["n_matches"].tolist() == [2, 1]
+        assert out["first_pos"].tolist() == [2, 1]
+
+    def test_repeated_phrase_tokens(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.index import phrase_match
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a b", "a b a"], pa.string()),
+        })
+        out = phrase_match(
+            ray.data.from_arrow(tbl), ["a", "a"],
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [1]
+        assert out["n_matches"].tolist() == [1]
+        assert out["first_pos"].tolist() == [1]

@@ -99,7 +99,7 @@ BENCH_QUERIES = [
     "url_churn", "embedding_quantize", "host_boilerplate",
     "pq_codes", "ann_topk_pq", "interval_overlap",
     "video_scene_cuts", "zonemap_scan", "range_shards",
-    "url_latest_k", "phrase_match",
+    "url_latest_k", "phrase_match", "simhash_near_pairs",
 ]
 
 

@@ -8295,3 +8295,55 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
 FROM m GROUP BY doc_id
 """
 QUERIES["phrase_match"] = q_phrase_match
+
+
+def q_simhash_near_pairs(sf_dir: str):
+    """EXACT SimHash Hamming join (pigeonhole banding, Manku WWW'07):
+    corpus ∪ perturbed copies of every 5th doc (one appended token →
+    small nonzero distances); the oracle is the brute-force O(n²)
+    bit_count(xor) join over the bit-exact simhash CTE, so BOTH the
+    lossless candidate generation and the popcount verify are gated.
+    """
+    import numpy as np
+
+    from .stages.dedup import simhash_near_pairs
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        mask = ids % 5 == 0
+        cp_ids = ids[mask] + 100000
+        cp_texts = [(t or "") + " xx1"
+                    for t, m in zip(texts, mask.tolist()) if m]
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids, cp_ids]), pa.int64()),
+            "text": pa.array(list(texts) + cp_texts, pa.string()),
+        })
+
+    aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return simhash_near_pairs(aug, max_dist=3)
+
+
+def _simhash_near_sql(max_dist: int) -> str:
+    body = ORACLE_SQL["simhash"]
+    cut = body.rindex(" SELECT doc_id, array_to_string")
+    ctes = body[len("WITH "):cut].replace("FROM documents)", "FROM aug)", 1)
+    final = body[cut + 1:]
+    return (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, COALESCE(text, '') || ' xx1' "
+        "FROM documents WHERE doc_id % 5 = 0), "
+        f"{ctes}, sh AS ({final}), "
+        "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(bit_count(xor(CAST('0x' || a.simhash AS UBIGINT), "
+        "CAST('0x' || b.simhash AS UBIGINT))) AS BIGINT) AS dist "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+        f"SELECT d1, d2, dist FROM pairs WHERE dist <= {max_dist}"
+    )
+
+
+ORACLE_SQL["simhash_near_pairs"] = _simhash_near_sql(3)
+QUERIES["simhash_near_pairs"] = q_simhash_near_pairs

@@ -1945,3 +1945,156 @@ def host_boilerplate_removal(ds, id_col: str = "doc_id",
         .groupby("_dbucket", num_partitions=n_buckets)
         .map_groups(_reassemble, batch_format="pyarrow")
     )
+
+
+_POPCNT16 = None
+
+
+def _popcount64(x):
+    """Vectorized popcount over uint64 via a 16-bit lookup table."""
+    import numpy as np
+
+    global _POPCNT16
+    if _POPCNT16 is None:
+        _POPCNT16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+    t = _POPCNT16
+    x = x.astype(np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        t[(x & m).astype(np.int64)].astype(np.int64)
+        + t[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + t[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + t[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
+
+def simhash_near_pairs(ds, id_col: str = "doc_id",
+                       text_col: str = "text", max_dist: int = 3,
+                       n_buckets: int = 64, max_band: int = 20000):
+    """EXACT Hamming near-dup join over 64-bit SimHash (Manku,
+    Jain & Sarma, WWW'07): every pair with ``popcount(xor) <=
+    max_dist`` is found — pigeonhole: split the hash into
+    ``max_dist+1`` bands, any pair within distance d agrees on at
+    least one band, so band-equality candidate buckets are LOSSLESS
+    (unlike MinHash LSH recall<1) and the in-bucket popcount check
+    makes the result exact.
+
+    ONE exchange of (band_id, band_val, id, hash) rows — 4 small rows
+    per doc for the default ``max_dist=3``; text never shuffles.
+    Cross-band duplicate candidates dedup ROW-LOCALLY: a pair is
+    emitted only in the FIRST band on which the two hashes agree.
+    Band skew (e.g. a mass of empty docs hashing to 0) concentrates
+    one bucket; ``max_band`` FAILS LOUDLY instead of silently
+    degrading — widen bands or pre-dedup exact duplicates first.
+
+    Returns ``(d1, d2, dist:int64)`` with d1 < d2.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    n_bands = max_dist + 1
+    # floor split: any uncovered top bits only ever REDUCE the number
+    # of covered differences, so the pigeonhole guarantee is intact
+    band_bits = 64 // n_bands
+    shifts = [np.uint64(b * band_bits) for b in range(n_bands)]
+    band_mask = np.uint64((1 << band_bits) - 1)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = np.array(simhash64_batch(texts), dtype=np.uint64)
+        n = len(ids)
+        out_band, out_val, out_id, out_h = [], [], [], []
+        for b in range(n_bands):
+            out_band.append(np.full(n, b, np.int64))
+            out_val.append(
+                ((h >> shifts[b]) & band_mask).astype(np.int64))
+            out_id.append(ids)
+            out_h.append(h)
+        band = np.concatenate(out_band)
+        val = np.concatenate(out_val)
+        key = band * (np.int64(1) << np.int64(band_bits)) + val
+        return pa.table({
+            "_band": pa.array(band, pa.int64()),
+            "_val": pa.array(val, pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "_h": pa.array(
+                np.concatenate(out_h).view(np.int64), pa.int64()),
+            "_bbucket": pa.array(
+                bucket_ids(pa.array(key, pa.int64()), n_buckets),
+                pa.int64()),
+        })
+
+    empty = pa.table({
+        "d1": pa.array([], pa.int64()),
+        "d2": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.int64()),
+    })
+
+    def _pairs_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty
+        g = group.sort_by([("_band", "ascending"), ("_val", "ascending"),
+                           (id_col, "ascending")])
+        band = g.column("_band").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        val = g.column("_val").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = g.column("_h").combine_chunks().to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        starts = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (val[1:] != val[:-1])])
+        bounds = np.r_[starts, n]
+        out1, out2, outd = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            if k > max_band:
+                raise ValueError(
+                    f"simhash_near_pairs: band bucket of {k} rows "
+                    f"exceeds max_band={max_band} (band {band[s]}, "
+                    f"val {val[s]}); pre-dedup exact duplicates or "
+                    f"raise max_band")
+            iu, ju = np.triu_indices(k, 1)
+            a, bb = s + iu, s + ju
+            dist = _popcount64(h[a] ^ h[bb])
+            ok = dist <= max_dist
+            if not ok.any():
+                continue
+            a, bb, dist = a[ok], bb[ok], dist[ok]
+            # first-agreeing-band dedup (row-local, no global pass)
+            cur = band[s]
+            first = np.full(len(a), n_bands, np.int64)
+            for b2 in range(n_bands - 1, -1, -1):
+                eq = ((h[a] >> shifts[b2]) & band_mask) == \
+                     ((h[bb] >> shifts[b2]) & band_mask)
+                first = np.where(eq, b2, first)
+            keep = first == cur
+            if not keep.any():
+                continue
+            a, bb, dist = a[keep], bb[keep], dist[keep]
+            d1 = np.minimum(ids[a], ids[bb])
+            d2 = np.maximum(ids[a], ids[bb])
+            out1.append(d1)
+            out2.append(d2)
+            outd.append(dist.astype(np.int64))
+        if not out1:
+            return empty
+        return pa.table({
+            "d1": pa.array(np.concatenate(out1), pa.int64()),
+            "d2": pa.array(np.concatenate(out2), pa.int64()),
+            "dist": pa.array(np.concatenate(outd), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("_bbucket", num_partitions=n_buckets)
+        .map_groups(_pairs_bucket, batch_format="pyarrow")
+    )

@@ -1440,3 +1440,58 @@ class TestGroupCapDescending:
         ).to_pandas().sort_values(["url", "ts"]).reset_index(drop=True)
         assert list(map(tuple, out.itertuples(index=False))) == [
             ("a", 2), ("a", 3), ("b", 9)]
+
+
+class TestSimhashNearPairs:
+    def test_exact_vs_bruteforce(self, ray_session):
+        import numpy as np
+        import ray
+        from ocr_pipeline_ray.stages.dedup import (
+            simhash64_batch,
+            simhash_near_pairs,
+            _popcount64,
+        )
+
+        texts = [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta zeta",      # near dup of 0
+            "completely different words here",
+            "alpha beta gamma delta epsilon",   # exact dup of 0
+            "one two three four five six",
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        for max_dist in (0, 3, 8):
+            out = simhash_near_pairs(
+                ray.data.from_arrow(tbl).repartition(3),
+                max_dist=max_dist, n_buckets=4,
+            ).to_pandas()
+            got = sorted(map(tuple, out.itertuples(index=False)))
+            h = np.array(simhash64_batch(texts), dtype=np.uint64)
+            want = []
+            for i in range(5):
+                for j in range(i + 1, 5):
+                    d = int(_popcount64(np.array([h[i] ^ h[j]]))[0])
+                    if d <= max_dist:
+                        want.append((i, j, d))
+            assert got == sorted(want), max_dist
+        # the exact-dup pair must appear at dist 0
+        out0 = simhash_near_pairs(
+            ray.data.from_arrow(tbl), max_dist=0).to_pandas()
+        assert (0, 3, 0) in set(map(tuple, out0.itertuples(index=False)))
+
+    def test_max_band_raises(self, ray_session):
+        import pytest as _pytest
+        import ray
+        from ocr_pipeline_ray.stages.dedup import simhash_near_pairs
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["same text here"] * 6, pa.string()),
+        })
+        with _pytest.raises(Exception):
+            simhash_near_pairs(
+                ray.data.from_arrow(tbl), max_band=3,
+            ).to_pandas()

@@ -8347,3 +8347,56 @@ def _simhash_near_sql(max_dist: int) -> str:
 
 ORACLE_SQL["simhash_near_pairs"] = _simhash_near_sql(3)
 QUERIES["simhash_near_pairs"] = q_simhash_near_pairs
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read: documents staged ONCE as two
+    generations — v1 files (doc_id, text) and v2 files (doc_id, text,
+    lang, n_chars:int32 — narrower than the live int64) — then read
+    through `read_harmonized` against the current schema: v1 rows get
+    NULL lang/n_chars, v2's int32 widens. Oracle = UNION ALL with the
+    same NULL/CAST rules straight off the live table."""
+    import pyarrow.parquet as pq_
+
+    from .sources.ingest import read_harmonized
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"/tmp/ocr_ray_schemaevo_{label}"
+    v1 = os.path.join(stage, "v1.parquet")
+    v2 = os.path.join(stage, "v2.parquet")
+    if not (os.path.exists(v1) and os.path.exists(v2)):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq_.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "n_chars"])
+        half = tbl.num_rows // 2
+        old = tbl.slice(0, half).select(["doc_id", "text"])
+        new = tbl.slice(half)
+        new = new.set_column(
+            new.schema.get_field_index("n_chars"), "n_chars",
+            new.column("n_chars").cast(pa.int32()))
+        pq_.write_table(old, v1 + ".tmp")
+        os.replace(v1 + ".tmp", v1)
+        pq_.write_table(new, v2 + ".tmp")
+        os.replace(v2 + ".tmp", v2)
+    target = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("n_chars", pa.int64()),
+    ])
+    return read_harmonized([[v1], [v2]], target)
+
+
+ORACLE_SQL["schema_evolution"] = """
+WITH ranked AS (
+  SELECT doc_id, text, lang, n_chars,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS BIGINT) AS n_chars
+FROM ranked WHERE rn < n // 2
+UNION ALL
+SELECT doc_id, text, lang, n_chars FROM ranked WHERE rn >= n // 2
+"""
+QUERIES["schema_evolution"] = q_schema_evolution

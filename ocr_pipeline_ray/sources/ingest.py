@@ -101,3 +101,56 @@ def pages_to_jsonl(ds, out_dir: str):
     ds.map_batches(_encode_wire, batch_format="pyarrow").write_json(
         out_dir
     )
+
+
+def harmonize_fn(batch: "pa.Table", target: "pa.Schema") -> "pa.Table":
+    """Conform one batch to ``target``: missing columns materialize
+    as typed nulls, compatible types cast (widening int/float,
+    string↔large_string), extra columns drop, order normalized.
+    Pure per-batch Arrow — the map side of schema-evolution reads."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    cols = []
+    for field in target:
+        if field.name in batch.column_names:
+            col = batch.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.table(dict(zip(target.names, cols)))
+
+
+def read_harmonized(path_groups, target: "pa.Schema", columns=None):
+    """Schema-EVOLUTION read: each group of parquet paths may carry a
+    different historical schema (columns added/widened over time —
+    the data-lake reality for a years-long crawl store). Every group
+    is read separately (Ray requires a uniform schema per read), each
+    batch conforms to ``target`` via :func:`harmonize_fn` (map-only,
+    no exchange), and the groups UNION into one logically-uniform
+    dataset — old files never rewritten.
+
+    ``columns`` prunes the read per group to the intersection with
+    that group's actual schema (missing ones appear as nulls after
+    harmonization anyway).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    if columns is not None:
+        target = pa.schema([f for f in target if f.name in columns])
+    parts = []
+    for group in path_groups:
+        have = set(pq.read_schema(group[0]).names)
+        want = [c for c in target.names if c in have]
+        ds = ray.data.read_parquet(list(group), columns=want or None)
+        parts.append(ds.map_batches(
+            lambda b, _t=target: harmonize_fn(b, _t),
+            batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -313,3 +313,44 @@ class TestWarcReviewRegressions:
         extracted_to_wet(ray.data.from_arrow(_tbl(["http://c/"])), out)
         got = sorted(r["url"] for r in text_from_wet(out).take_all())
         assert got == ["http://c/"]
+
+
+class TestSchemaEvolution:
+    def test_harmonize_fn(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.sources.ingest import harmonize_fn
+
+        target = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                            ("c", pa.float64())])
+        batch = pa.table({
+            "b": pa.array(["x", "y"]),
+            "a": pa.array([1, 2], pa.int32()),
+            "zz": pa.array([9, 9]),   # extra column dropped
+        })
+        out = harmonize_fn(batch, target)
+        assert out.schema == target
+        assert out.column("a").to_pylist() == [1, 2]
+        assert out.column("c").null_count == 2
+
+    def test_read_harmonized_union(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_pipeline_ray.sources.ingest import read_harmonized
+
+        p1 = str(tmp_path / "gen1.parquet")
+        p2 = str(tmp_path / "gen2.parquet")
+        pq_.write_table(pa.table({
+            "id": pa.array([1, 2], pa.int32()),
+        }), p1)
+        pq_.write_table(pa.table({
+            "id": pa.array([3], pa.int64()),
+            "lang": pa.array(["de"]),
+        }), p2)
+        target = pa.schema([("id", pa.int64()), ("lang", pa.string())])
+        df = read_harmonized([[p1], [p2]], target).to_pandas()
+        df = df.sort_values("id").reset_index(drop=True)
+        assert df["id"].tolist() == [1, 2, 3]
+        assert df["lang"].tolist()[:2] == [None, None]
+        assert df["lang"].tolist()[2] == "de"

@@ -100,7 +100,7 @@ BENCH_QUERIES = [
     "pq_codes", "ann_topk_pq", "interval_overlap",
     "video_scene_cuts", "zonemap_scan", "range_shards",
     "url_latest_k", "phrase_match", "simhash_near_pairs",
-    "schema_evolution",
+    "schema_evolution", "deobfuscate", "lang_approx_quantiles",
 ]
 
 

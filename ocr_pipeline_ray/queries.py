@@ -8400,3 +8400,76 @@ UNION ALL
 SELECT doc_id, text, lang, n_chars FROM ranked WHERE rn >= n // 2
 """
 QUERIES["schema_evolution"] = q_schema_evolution
+
+
+def q_deobfuscate(sf_dir: str):
+    """Homoglyph de-obfuscation: Cyrillic look-alikes planted into
+    every doc whose id % 4 == 0 ('a'→'а', 'e'→'е'); the cleaner must
+    restore them (and leave pure-ASCII rows on the zero-copy path).
+    Oracle: DuckDB translate() over the full confusable alphabet."""
+    from .stages.normalize import CONFUSABLES, deobfuscate_fn
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        t = pc.fill_null(batch.column("text"), "")
+        dirty = pc.replace_substring(
+            pc.replace_substring(t, "a", "а"), "e", "е")
+        text = pc.if_else(pc.equal(_int_mod(ids, 4), 0), dirty, t)
+        return pa.table({"doc_id": ids, "text": text})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow")
+    out = ds.map_batches(deobfuscate_fn, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_clean"])
+
+
+def _confusable_sql() -> str:
+    from .stages.normalize import CONFUSABLES
+
+    src = "".join(CONFUSABLES)
+    dst = "".join(CONFUSABLES.values())
+    return (
+        "SELECT doc_id, translate(CASE WHEN doc_id % 4 = 0 THEN "
+        "replace(replace(COALESCE(text, ''), 'a', 'а'), 'e', 'е') "
+        f"ELSE COALESCE(text, '') END, '{src}', '{dst}') AS text_clean "
+        "FROM documents"
+    )
+
+
+ORACLE_SQL["deobfuscate"] = _confusable_sql()
+QUERIES["deobfuscate"] = q_deobfuscate
+
+
+def q_lang_approx_quantiles(sf_dir: str):
+    """Per-language n_chars quantile SKETCH (grouped fixed-bin
+    histogram, driver-folded, no shuffle) — deterministic estimate
+    pinned by the same-rule SQL twin."""
+    from .stages.stats import grouped_binned_quantiles
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    return grouped_binned_quantiles(
+        ds, "lang", "n_chars", qs=[0.25, 0.5, 0.9],
+        lo=0, bin_width=100, n_bins=100)
+
+
+ORACLE_SQL["lang_approx_quantiles"] = """
+WITH h AS (
+  SELECT lang, LEAST(GREATEST((n_chars - 0) // 100, 0), 99) AS b,
+         count(*) AS n
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT lang, b, CAST(sum(n) OVER (
+      PARTITION BY lang ORDER BY b) AS BIGINT) AS cum FROM h
+), tot AS (
+  SELECT lang, max(cum) AS n FROM c GROUP BY lang
+), qs AS (
+  SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q
+)
+SELECT t.lang, q.q,
+  CAST(((SELECT min(b) FROM c WHERE c.lang = t.lang AND cum >=
+         GREATEST(CAST(ceil(q.q * t.n) AS BIGINT) - 1, 0) + 1) + 1)
+       * 100 - 1 AS BIGINT) AS value_est
+FROM tot t, qs q
+"""
+QUERIES["lang_approx_quantiles"] = q_lang_approx_quantiles

@@ -228,3 +228,52 @@ def merge_repl_stats(ds) -> Dict[str, int]:
     for row in partials.iter_rows():
         merged[row["key"]] = merged.get(row["key"], 0) + row["n"]
     return merged
+
+
+# Cyrillic/Greek homoglyphs of Latin letters — the classic spam/SEO
+# obfuscation alphabet (a subset of Unicode TR39 confusables that is
+# unambiguous in web text). Keys and values are single code points.
+CONFUSABLES = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "у": "y", "х": "x", "і": "i",
+    "ѕ": "s", "ј": "j",  # Cyrillic
+    "ο": "o", "α": "a", "ε": "e",  # Greek lowercase
+    "А": "A", "Е": "E", "О": "O", "Р": "P",
+    "С": "C", "Х": "X",  # Cyrillic capitals
+}
+
+
+def deobfuscate_fn(batch: pa.Table, col: str = "text",
+                   out_col: str = "text_clean",
+                   table: dict = None) -> pa.Table:
+    """Append ``out_col`` = ``col`` with homoglyph code points mapped
+    to their Latin targets (spam/SEO de-obfuscation: 'сliсk' with
+    Cyrillic с's becomes searchable/dedupable 'click').
+
+    Same shape as :func:`nfc_normalize_fn`: row-local, no shuffle,
+    ASCII fast path passes the dominant rows through zero-copy; only
+    non-ASCII rows pay the (C-speed) ``str.translate``. Semantics ==
+    SQL ``translate(col, from, to)`` over the same pairs.
+    """
+    import pyarrow.compute as pc
+
+    tbl = CONFUSABLES if table is None else table
+    trans = str.maketrans(tbl)
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    needs = pc.fill_null(
+        pc.and_(pc.is_valid(arr), pc.invert(pc.string_is_ascii(arr))),
+        False,
+    )
+    if pc.any(needs).as_py():
+        subset = arr.filter(needs)
+        fixed = pa.array(
+            [s.translate(trans) if s is not None else None
+             for s in subset.to_pylist()],
+            pa.string(),
+        )
+        out = pc.replace_with_mask(arr, needs, fixed)
+    else:
+        out = arr
+    return batch.append_column(out_col, out)

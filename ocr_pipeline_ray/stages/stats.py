@@ -1746,3 +1746,80 @@ def range_partition(ds, col: str, n_shards: int, lo: int,
         })
 
     return ds.map_batches(_assign, batch_format="pyarrow"), final
+
+
+def grouped_binned_quantiles(ds, key_col: str, col: str,
+                             qs: Sequence[float], lo: int,
+                             bin_width: int, n_bins: int) -> pa.Table:
+    """Per-KEY fixed-bin quantile sketch — :func:`binned_quantiles`
+    with a group dimension (per-language length percentiles, per-host
+    size profiles). Each block emits one (key, bin, n) 2-D bincount
+    partial built via dictionary-encode + one flat bincount (no
+    Python loop); the driver folds keys×bins ints per block — NO
+    shuffle, mergeable across corpora like the ungrouped sketch.
+    Same estimate rule: inclusive upper edge of the bin holding the
+    percentile_disc index.
+
+    Returns one row per (key, q): ``(key_col, q, value_est)``.
+    Intended for modest key cardinality (languages, sources — the
+    driver holds keys × n_bins ints); use per-key exact quantiles
+    or a second-level groupby for open-ended keys.
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = batch.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        ok = pc.and_(pc.is_valid(keys), pc.is_valid(vals))
+        keys = keys.filter(ok)
+        vals = vals.filter(ok)
+        if len(keys) == 0:
+            return pa.table({
+                key_col: pa.array([], pa.string()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        enc = keys.dictionary_encode()
+        ki = np.asarray(enc.indices, dtype=np.int64)
+        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) // bin_width, 0, n_bins - 1)
+        flat = np.bincount(ki * n_bins + b,
+                           minlength=len(enc.dictionary) * n_bins)
+        nz = np.flatnonzero(flat)
+        return pa.table({
+            key_col: enc.dictionary.take(
+                pa.array(nz // n_bins, pa.int64())),
+            "b": pa.array((nz % n_bins).astype(np.int64), pa.int64()),
+            "n": pa.array(flat[nz].astype(np.int64), pa.int64()),
+        })
+
+    hists: dict = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for k, b, n in zip(t.column(key_col).to_pylist(),
+                           t.column("b").to_pylist(),
+                           t.column("n").to_pylist()):
+            h = hists.get(k)
+            if h is None:
+                h = hists[k] = np.zeros(n_bins, dtype=np.int64)
+            h[b] += n
+    out_k, out_q, out_v = [], [], []
+    for k in sorted(hists):
+        cum = np.cumsum(hists[k])
+        n = int(cum[-1])
+        for q in qs:
+            r = max(0, math.ceil(q * n) - 1)
+            b = int(np.searchsorted(cum, r + 1, side="left"))
+            out_k.append(k)
+            out_q.append(q)
+            out_v.append(lo + (b + 1) * bin_width - 1)
+    return pa.table({
+        key_col: pa.array(out_k, pa.string()),
+        "q": pa.array(out_q, pa.float64()),
+        "value_est": pa.array(out_v, pa.int64()),
+    })

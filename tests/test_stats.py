@@ -1044,3 +1044,36 @@ class TestRangePartition:
             n_shards=2, lo=0, bin_width=10, n_bins=10)
         df = asn.to_pandas().sort_values("doc_id")
         assert df["shard"].tolist()[1] == -1
+
+
+class TestGroupedBinnedQuantiles:
+    def test_estimate_within_bin_width_and_merge_free(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.stats import grouped_binned_quantiles
+
+        tbl = pa.table({
+            "lang": pa.array(["de"] * 100 + ["en"] * 50, pa.string()),
+            "n_chars": pa.array(
+                list(range(100)) + list(range(0, 500, 10)), pa.int64()),
+        })
+        out = grouped_binned_quantiles(
+            ray.data.from_arrow(tbl).repartition(4), "lang", "n_chars",
+            qs=[0.5], lo=0, bin_width=10, n_bins=60).to_pandas()
+        de = out[out["lang"] == "de"].iloc[0]
+        en = out[out["lang"] == "en"].iloc[0]
+        # true medians 49 / 240; estimate = upper edge of its bin
+        assert abs(de["value_est"] - 49) <= 10
+        assert abs(en["value_est"] - 240) <= 10
+
+    def test_null_keys_and_values_ignored(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.stats import grouped_binned_quantiles
+
+        tbl = pa.table({
+            "lang": pa.array(["de", None, "de"], pa.string()),
+            "n_chars": pa.array([10, 20, None], pa.int64()),
+        })
+        out = grouped_binned_quantiles(
+            ray.data.from_arrow(tbl), "lang", "n_chars",
+            qs=[0.5], lo=0, bin_width=10, n_bins=10).to_pandas()
+        assert out["lang"].tolist() == ["de"]

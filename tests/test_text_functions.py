@@ -476,3 +476,19 @@ class TestBm25Topk:
         })
         got = bm25_topk(ray.data.from_arrow(tbl), ["zzz"], k=5)
         assert got.count() == 0
+
+
+class TestDeobfuscate:
+    def test_homoglyphs_restored_ascii_passthrough(self):
+        import pyarrow as pa
+
+        from ocr_pipeline_ray.stages.normalize import deobfuscate_fn
+
+        batch = pa.table({
+            "text": pa.array(
+                ["сliсk here", "plain ascii", None,
+                 "οk аnd ЕX"], pa.string()),
+        })
+        out = deobfuscate_fn(batch)
+        assert out.column("text_clean").to_pylist() == [
+            "click here", "plain ascii", None, "ok and EX"]

@@ -8473,3 +8473,43 @@ SELECT t.lang, q.q,
 FROM tot t, qs q
 """
 QUERIES["lang_approx_quantiles"] = q_lang_approx_quantiles
+
+
+def q_crawl_depth(sf_dir: str):
+    """BFS crawl-depth labeling over the formula link graph
+    (src = doc_id % 200 → dst = doc_id*7 % 200) from seeds {0, 1};
+    oracle = bounded recursive-CTE shortest hop count."""
+    import numpy as np
+
+    from .stages.graph import bfs_levels
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = ids % 200
+        return pa.table({
+            "src": pa.array(np.concatenate([src, src]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(ids * 7) % 200, (src + 3) % 200]), pa.int64()),
+        })
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _edges, batch_format="pyarrow")
+    return bfs_levels(edges, seeds=[0, 1], max_iters=6)
+
+
+ORACLE_SQL["crawl_depth"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id % 200 AS src, (doc_id * 7) % 200 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 200, (doc_id % 200 + 3) % 200 FROM documents
+), walk(node, dist) AS (
+  SELECT unnest([0, 1]) AS node, 0 AS dist
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w
+  JOIN e ON e.src = w.node WHERE w.dist < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+QUERIES["crawl_depth"] = q_crawl_depth

@@ -981,3 +981,157 @@ def resolve_chains(mapping, key_col: str = "src",
         _tag(1, key_col), batch_format="pyarrow"
     )).groupby("_bucket", num_partitions=n_buckets).map_groups(
         _mark, batch_format="pyarrow")
+
+
+def bfs_levels(edges, seeds, src_col: str = "src", dst_col: str = "dst",
+               max_iters: int = 10, n_buckets: int = 32):
+    """Multi-source BFS hop distances — crawl-DEPTH labeling from a
+    seed set over the link graph (the frontier metric crawl policies
+    budget on), also reachability-within-k.
+
+    Frontier iteration, two exchanges per hop (the `pagerank_int`
+    exchange shape — never a driver-side visited set):
+
+    1. expand: tagged edges (key=src) co-shuffle with the current
+       frontier (key=node); each whole bucket emits the DEDUPED
+       out-neighbors of its frontier members (one ``is_in`` mask —
+       every frontier node this hop has the same distance, so
+       candidates carry no payload).
+    2. merge: candidates co-shuffle with the known (node, dist) set;
+       per node the earliest hop wins (BFS invariant: existing known
+       rows are always older), newly discovered nodes form the next
+       frontier.
+
+    Stops when the frontier empties or after ``max_iters`` hops.
+    ``seeds`` is a small int list (crawl seed sets are tiny by
+    nature); the known set lives distributed, materialized per hop
+    (two consumers: continue + next merge). Returns ``(node,
+    dist:int64)`` for every node within ``max_iters`` hops.
+    """
+    import ray.data
+
+    from ..functions.hashing import bucket_ids
+
+    seeds = sorted(set(int(s) for s in seeds))
+    if not seeds:
+        raise ValueError("bfs_levels: empty seed set")
+
+    edge_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), (dst_col, pa.int64()),
+    ])
+
+    def _tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = pc.cast(batch.column(src_col), pa.int64())
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.zeros(n, np.int32)),
+            "_key": key,
+            dst_col: pc.cast(batch.column(dst_col), pa.int64()),
+        }, schema=edge_schema)
+
+    tagged_edges = edges.map_batches(
+        _tag_edges, batch_format="pyarrow").materialize()
+
+    def _tag_nodes(ds, side: int, schema, extra=None):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = pc.cast(batch.column("node"), pa.int64())
+            cols = {
+                "_bucket": pa.array(
+                    bucket_ids(key, n_buckets), pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int32)),
+                "_key": key,
+            }
+            for name in schema.names[3:]:
+                if extra and name in extra:
+                    cols[name] = pc.cast(batch.column(extra[name]),
+                                         schema.field(name).type) \
+                        if extra[name] in batch.column_names else \
+                        pa.nulls(n, schema.field(name).type)
+                elif name in batch.column_names:
+                    cols[name] = pc.cast(batch.column(name),
+                                         schema.field(name).type)
+                else:
+                    cols[name] = pa.nulls(n, schema.field(name).type)
+            return pa.table(cols, schema=schema)
+        return ds.map_batches(_fn, batch_format="pyarrow")
+
+    def _expand_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("_side")
+        frontier = group.filter(pc.equal(side, 1)).column("_key")
+        if isinstance(frontier, pa.ChunkedArray):
+            frontier = frontier.combine_chunks()
+        out_empty = pa.table({"node": pa.array([], pa.int64())})
+        if len(frontier) == 0:
+            return out_empty
+        e = group.filter(pc.equal(side, 0))
+        if e.num_rows == 0:
+            return out_empty
+        hit = pc.is_in(e.column("_key"), value_set=frontier)
+        dsts = e.filter(hit).column(dst_col)
+        if isinstance(dsts, pa.ChunkedArray):
+            dsts = dsts.combine_chunks()
+        uniq = np.unique(dsts.to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(uniq, pa.int64())})
+
+    merge_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), ("dist", pa.int64()),
+    ])
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64()),
+                             "is_new": pa.array([], pa.bool_())})
+        g = group.sort_by([("_key", "ascending"), ("_side", "ascending")])
+        keys = g.column("_key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        side = g.column("_side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dist = g.column("dist").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        idx = np.flatnonzero(first)
+        return pa.table({
+            "node": pa.array(keys[idx], pa.int64()),
+            "dist": pa.array(dist[idx], pa.int64()),
+            "is_new": pa.array(side[idx] == 1),
+        })
+
+    known = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.int64()),
+        "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+    })).materialize()
+    frontier = known
+
+    for hop in range(1, max_iters + 1):
+        cand = (
+            tagged_edges.union(_tag_nodes(frontier, 1, edge_schema))
+            .groupby("_bucket", num_partitions=n_buckets)
+            .map_groups(_expand_bucket, batch_format="pyarrow")
+        )
+
+        def _cand_dist(batch: pa.Table, *, _d=hop) -> pa.Table:
+            return batch.append_column(
+                "dist", pa.array(
+                    np.full(batch.num_rows, _d, np.int64), pa.int64()))
+
+        cand = cand.map_batches(_cand_dist, batch_format="pyarrow")
+        merged = (
+            _tag_nodes(known, 0, merge_schema)
+            .union(_tag_nodes(cand, 1, merge_schema))
+            .groupby("_bucket", num_partitions=n_buckets)
+            .map_groups(_merge_bucket, batch_format="pyarrow")
+        ).materialize()
+        frontier = merged.filter(expr="is_new == True").select_columns(
+            ["node", "dist"]).materialize()
+        known = merged.select_columns(["node", "dist"])
+        if frontier.count() == 0:
+            break
+        known = known.materialize()
+
+    return known

@@ -276,3 +276,49 @@ class TestResolveChains:
         for k in (1, 2, 3, 10):
             final, resolved = got[k]
             assert resolved is False and final in (1, 2, 3)
+
+
+class TestBfsLevels:
+    def test_hop_distances_and_unreachable(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.graph import bfs_levels
+
+        # 0->1->2->3, 1->4, isolated 9<-8 component
+        edges = pa.table({
+            "src": pa.array([0, 1, 2, 1, 8], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4, 9], pa.int64()),
+        })
+        out = bfs_levels(
+            ray.data.from_arrow(edges).repartition(3), seeds=[0],
+            n_buckets=4,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        assert list(map(tuple, out.itertuples(index=False))) == [
+            (0, 0), (1, 1), (2, 2), (3, 3), (4, 2)]
+
+    def test_multi_seed_and_cycle(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.graph import bfs_levels
+
+        # cycle 0->1->2->0 plus 2->5; seeds {0, 5}
+        edges = pa.table({
+            "src": pa.array([0, 1, 2, 2], pa.int64()),
+            "dst": pa.array([1, 2, 0, 5], pa.int64()),
+        })
+        out = bfs_levels(
+            ray.data.from_arrow(edges), seeds=[0, 5],
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        assert list(map(tuple, out.itertuples(index=False))) == [
+            (0, 0), (1, 1), (2, 2), (5, 0)]
+
+    def test_max_iters_bound(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.graph import bfs_levels
+
+        edges = pa.table({
+            "src": pa.array([0, 1, 2], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+        })
+        out = bfs_levels(
+            ray.data.from_arrow(edges), seeds=[0], max_iters=2,
+        ).to_pandas()
+        assert out["dist"].max() == 2 and 3 not in set(out["node"])

@@ -8513,3 +8513,56 @@ SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY node
 """
 QUERIES["crawl_depth"] = q_crawl_depth
+
+
+def q_kcore(sf_dir: str):
+    """Iterated 3-core pruning (3 fixed rounds) over the formula
+    link graph; chained-CTE SQL twin replays the identical rounds."""
+    import numpy as np
+
+    from .stages.graph import kcore_prune
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = ids % 200
+        return pa.table({
+            "src": pa.array(np.concatenate([src, src]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(ids * 7) % 200, (src + 3) % 200]), pa.int64()),
+        })
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _edges, batch_format="pyarrow")
+    return kcore_prune(edges, k=3, rounds=3)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [
+        "WITH raw AS (SELECT doc_id % 200 AS src, (doc_id * 7) % 200 "
+        "AS dst FROM documents UNION ALL SELECT doc_id % 200, "
+        "(doc_id % 200 + 3) % 200 FROM documents), "
+        "e0 AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM raw WHERE src <> dst)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS (SELECT node, count(*) AS deg FROM ("
+            f"SELECT u AS node FROM e{i} UNION ALL "
+            f"SELECT v FROM e{i}) GROUP BY node)")
+        parts.append(
+            f"s{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f"e{i + 1} AS (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN s{i} a ON a.node = e.u "
+            f"JOIN s{i} b ON b.node = e.v)")
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ("
+        f"SELECT u AS node FROM e{rounds} UNION ALL "
+        f"SELECT v FROM e{rounds}) GROUP BY node"
+    )
+
+
+ORACLE_SQL["kcore"] = _kcore_sql(3, 3)
+QUERIES["kcore"] = q_kcore

@@ -1135,3 +1135,122 @@ def bfs_levels(edges, seeds, src_col: str = "src", dst_col: str = "dst",
         known = known.materialize()
 
     return known
+
+
+def _degrees(edges, n_buckets: int = 32):
+    """Undirected degree per node: explode both endpoints with
+    map-side combine, one node-hash exchange, whole-bucket sums."""
+    from ..functions.hashing import bucket_ids
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        both = np.concatenate([u, v])
+        uniq, cnt = np.unique(both, return_counts=True)
+        arr = pa.array(uniq, pa.int64())
+        return pa.table({
+            "node": arr,
+            "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+            "_nbucket": pa.array(
+                bucket_ids(arr, n_buckets), pa.int64()),
+        })
+
+    def _fold(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        g = group.sort_by([("node", "ascending")])
+        nodes = g.column("node").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        deg = g.column("deg").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        return pa.table({
+            "node": pa.array(nodes[starts], pa.int64()),
+            "deg": pa.array(np.add.reduceat(deg, starts), pa.int64()),
+        })
+
+    return (
+        edges.map_batches(_partial, batch_format="pyarrow")
+        .groupby("_nbucket", num_partitions=n_buckets)
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
+def kcore_prune(edges, k: int = 3, rounds: int = 4,
+                src_col: str = "src", dst_col: str = "dst",
+                n_buckets: int = 32):
+    """Iterated k-CORE pruning of the (undirected) link graph — the
+    link-farm/spam-web signal: repeatedly drop nodes of degree < k
+    and the edges touching them. Runs EXACTLY ``rounds`` pruning
+    rounds (fixed rounds keep it bit-reproducible against a
+    chained-CTE SQL twin; the true k-core is the fixpoint, reached
+    when a round removes nothing).
+
+    Per round: one degree exchange (map-side combined endpoint
+    counts) + two SEMI co-shuffles (edges × surviving nodes on each
+    endpoint — the engine's own `repartition_join`). Iterative
+    multi-exchange like `pagerank_int`; nothing driver-sized.
+
+    Returns the degree table ``(node, deg:int64)`` of the surviving
+    edge set after ``rounds`` rounds.
+    """
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import bucket_ids
+    from .join import repartition_join
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = pc_.cast(batch.column(src_col), pa.int64())
+        d = pc_.cast(batch.column(dst_col), pa.int64())
+        u = pc_.min_element_wise(s, d)
+        v = pc_.max_element_wise(s, d)
+        keep = pc_.not_equal(u, v)
+        tbl = pa.table({"u": u, "v": v}).filter(keep)
+        key = pc_.add(pc_.multiply(tbl.column("u"),
+                                   pa.scalar(1 << 20, pa.int64())),
+                      tbl.column("v"))
+        return tbl.append_column(
+            "_ebucket", pa.array(bucket_ids(key, n_buckets), pa.int64()))
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("u", "ascending"), ("v", "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u = g.column("u").combine_chunks().to_numpy(zero_copy_only=False)
+        v = g.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        return pa.table({
+            "u": pa.array(u[first], pa.int64()),
+            "v": pa.array(v[first], pa.int64()),
+        })
+
+    cur = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby("_ebucket", num_partitions=n_buckets)
+        .map_groups(_dedup, batch_format="pyarrow")
+    ).materialize()
+
+    for _ in range(rounds):
+        deg = _degrees(cur, n_buckets)
+        surv = deg.filter(expr=f"deg >= {k}").select_columns(["node"])
+
+        def _as(name):
+            def _fn(batch: pa.Table) -> pa.Table:
+                return pa.table({name: batch.column("node")})
+            return _fn
+
+        surv = surv.materialize()
+        cur = repartition_join(
+            cur, surv.map_batches(_as("u"), batch_format="pyarrow"),
+            on="u", how="semi", n_buckets=n_buckets)
+        cur = repartition_join(
+            cur, surv.map_batches(_as("v"), batch_format="pyarrow"),
+            on="v", how="semi", n_buckets=n_buckets).materialize()
+
+    return _degrees(cur, n_buckets)

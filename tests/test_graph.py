@@ -322,3 +322,34 @@ class TestBfsLevels:
             ray.data.from_arrow(edges), seeds=[0], max_iters=2,
         ).to_pandas()
         assert out["dist"].max() == 2 and 3 not in set(out["node"])
+
+
+class TestKcore:
+    def test_triangle_plus_tail(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.graph import kcore_prune
+
+        # triangle 1-2-3 (the 2-core) with tails 3-4-5
+        edges = pa.table({
+            "src": pa.array([1, 2, 3, 3, 4, 2], pa.int64()),
+            "dst": pa.array([2, 3, 1, 4, 5, 1], pa.int64()),  # dup 1-2
+        })
+        out = kcore_prune(
+            ray.data.from_arrow(edges).repartition(2), k=2, rounds=3,
+            n_buckets=4,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        assert list(map(tuple, out.itertuples(index=False))) == [
+            (1, 2), (2, 2), (3, 2)]
+
+    def test_everything_pruned(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.graph import kcore_prune
+
+        edges = pa.table({
+            "src": pa.array([1, 2], pa.int64()),
+            "dst": pa.array([2, 3], pa.int64()),
+        })
+        out = kcore_prune(
+            ray.data.from_arrow(edges), k=2, rounds=2,
+        ).to_pandas()
+        assert len(out) == 0

@@ -8566,3 +8566,86 @@ def _kcore_sql(k: int, rounds: int) -> str:
 
 ORACLE_SQL["kcore"] = _kcore_sql(3, 3)
 QUERIES["kcore"] = q_kcore
+
+
+def q_curation_pipeline(sf_dir: str):
+    """END-TO-END web-curation chain over the session-7 operators,
+    oracle-checked as ONE result: per-host template removal (CCNet
+    rule) → min-content gate (n_kept >= 2 — removes the docs whose
+    only surviving line is their own text) → histogram-sketch RANGE
+    sharding by cleaned length → (doc_id, n_kept, text_md5, shard).
+    Every stage is load-bearing in the hash."""
+    import numpy as np
+
+    from .stages.dedup import host_boilerplate_removal
+    from .stages.stats import range_partition
+
+    sep = "<p>"
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(_int_mod(ids, 25), pa.string()), "")
+        k = pc.divide(ids, pa.scalar(25, pa.int64()))
+        half = pc.if_else(
+            pc.equal(_int_mod(k, 2), 0),
+            pc.binary_join_element_wise("HALF ", host, sep, ""), "")
+        promo = pc.if_else(
+            pc.equal(_int_mod(k, 5), 0),
+            pc.binary_join_element_wise(sep, "PROMO ", host, ""), "")
+        text = pc.binary_join_element_wise(
+            "NAV ", host, sep, half,
+            pc.fill_null(batch.column("text"), ""), promo, "")
+        return pa.table({"doc_id": ids, "host": host, "text": text})
+
+    aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    cleaned = host_boilerplate_removal(aug, sep=sep)
+    gated = cleaned.filter(expr="n_kept >= 2")
+
+    def _with_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "len_clean",
+            pc.cast(pc.utf8_length(batch.column("text_clean")),
+                    pa.int64()))
+
+    staged = gated.map_batches(
+        _with_len, batch_format="pyarrow").materialize()
+    _assignments, splits = range_partition(
+        staged, "len_clean", n_shards=4, lo=0, bin_width=100,
+        n_bins=100)
+
+    def _final(batch: pa.Table, *, _sp=splits) -> pa.Table:
+        lens = batch.column("len_clean").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in batch.column("text_clean").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_kept": batch.column("n_kept"),
+            "text_md5": pa.array(md5s, pa.string()),
+            "shard": pa.array(
+                np.searchsorted(_sp, lens, side="right").astype(
+                    np.int64), pa.int64()),
+        })
+
+    return staged.map_batches(_final, batch_format="pyarrow")
+
+
+ORACLE_SQL["curation_pipeline"] = (
+    "WITH hb AS (" + ORACLE_SQL["host_boilerplate"] + "), "
+    "gated AS (SELECT doc_id, text_clean, n_kept, "
+    "length(text_clean) AS lc FROM hb WHERE n_kept >= 2), "
+    "h AS (SELECT LEAST(GREATEST((lc - 0) // 100, 0), 99) AS b, "
+    "count(*) AS n FROM gated GROUP BY 1), "
+    "c AS (SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cum "
+    "FROM h), "
+    "tot AS (SELECT max(cum) AS n FROM c), "
+    "sp AS (SELECT ((SELECT min(b) FROM c WHERE cum >= "
+    "GREATEST((i * tot.n + 3) // 4 - 1, 0) + 1) + 1) * 100 - 1 AS v "
+    "FROM (SELECT unnest(generate_series(1, 3)) AS i), tot) "
+    "SELECT doc_id, n_kept, md5(text_clean) AS text_md5, "
+    "CAST((SELECT count(*) FROM sp WHERE gated.lc >= v) AS BIGINT) "
+    "AS shard FROM gated"
+)
+QUERIES["curation_pipeline"] = q_curation_pipeline

@@ -8649,3 +8649,55 @@ ORACLE_SQL["curation_pipeline"] = (
     "AS shard FROM gated"
 )
 QUERIES["curation_pipeline"] = q_curation_pipeline
+
+
+def q_meta_extract(sf_dir: str):
+    """HTML metadata extraction: title (entity decode load-bearing),
+    meta description (both attribute orders), canonical link and
+    og:title, with per-variant missing fields → NULL. Oracle derives
+    every expected value from the planting formulas."""
+    from .stages.web import meta_extract_fn
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for i in ids:
+            v = i % 4
+            title = f"T{i} &amp; Co" if v == 2 else f"T{i}"
+            parts = [f"<html><head><title> {title} </title>"]
+            if v == 0:
+                parts.append(f'<meta name="description" content="D{i % 7}">')
+            elif v == 2:
+                parts.append(f'<meta content="D{i % 7}" name="description">')
+            if v in (0, 1):
+                parts.append(
+                    f'<link rel="canonical" '
+                    f'href="https://c{i % 5}.example.com/p">')
+            if v in (0, 3):
+                parts.append(f'<meta property="og:title" content="OG{i % 3}">')
+            parts.append("</head><body><p>x</p></body></html>")
+            htmls.append("".join(parts).encode("utf-8"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return pages.map_batches(meta_extract_fn, batch_format="pyarrow")
+
+
+ORACLE_SQL["meta_extract"] = """
+SELECT doc_id,
+  'T' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 4 = 2 THEN ' & Co' ELSE '' END AS title,
+  CASE WHEN doc_id % 4 IN (0, 2)
+       THEN 'D' || CAST(doc_id % 7 AS VARCHAR) END AS description,
+  CASE WHEN doc_id % 4 IN (0, 1)
+       THEN 'https://c' || CAST(doc_id % 5 AS VARCHAR)
+            || '.example.com/p' END AS canonical,
+  CASE WHEN doc_id % 4 IN (0, 3)
+       THEN 'OG' || CAST(doc_id % 3 AS VARCHAR) END AS og_title
+FROM documents
+"""
+QUERIES["meta_extract"] = q_meta_extract

@@ -731,3 +731,74 @@ def url_churn(ds, url_col: str = "url", fp_col: str = "fp",
         .groupby("_kbucket", num_partitions=n_buckets)
         .map_groups(_churn_bucket, batch_format="pyarrow")
     )
+
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.I | re.S)
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*>", re.I)
+_LINK_TAG_RE = re.compile(rb"<link\b[^>]*>", re.I)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z:_-]+)\s*=\s*(?:"([^"]*)"|'([^']*)')""")
+
+
+def _tag_attrs(tag: bytes) -> dict:
+    out = {}
+    for m in _ATTR_RE.finditer(tag):
+        val = m.group(2) if m.group(2) is not None else m.group(3)
+        out[m.group(1).lower()] = val
+    return out
+
+
+def extract_meta(html_bytes: bytes) -> dict:
+    """Page metadata from raw HTML: first ``<title>`` (entities
+    decoded, whitespace collapsed), first ``<meta name="description">``
+    / ``<meta property="og:title">`` (either attribute order), first
+    ``<link rel="canonical">`` href. Missing fields are None.
+    Compiled-regex scans — no DOM build; tolerant of malformed tails
+    like the extractor itself."""
+    import html as html_mod
+
+    def _clean(raw: bytes):
+        s = html_mod.unescape(
+            raw.decode("utf-8", "replace"))
+        return " ".join(s.split()) or None
+
+    title = description = canonical = og_title = None
+    m = _TITLE_RE.search(html_bytes)
+    if m:
+        title = _clean(m.group(1))
+    for tag in _META_TAG_RE.finditer(html_bytes):
+        attrs = _tag_attrs(tag.group(0))
+        name = (attrs.get(b"name") or b"").lower()
+        prop = (attrs.get(b"property") or b"").lower()
+        content = attrs.get(b"content")
+        if content is None:
+            continue
+        if description is None and name == b"description":
+            description = _clean(content)
+        elif og_title is None and prop == b"og:title":
+            og_title = _clean(content)
+    for tag in _LINK_TAG_RE.finditer(html_bytes):
+        attrs = _tag_attrs(tag.group(0))
+        if (attrs.get(b"rel") or b"").lower() == b"canonical":
+            canonical = _clean(attrs.get(b"href") or b"")
+            break
+    return {"title": title, "description": description,
+            "canonical": canonical, "og_title": og_title}
+
+
+def meta_extract_fn(batch: pa.Table, html_col: str = "html",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Batch metadata extraction (stateless map; module-compiled
+    regexes — no per-batch setup)."""
+    metas = [extract_meta(h or b"")
+             for h in batch.column(html_col).to_pylist()]
+    return pa.table({
+        id_col: batch.column(id_col),
+        "title": pa.array([m["title"] for m in metas], pa.string()),
+        "description": pa.array(
+            [m["description"] for m in metas], pa.string()),
+        "canonical": pa.array(
+            [m["canonical"] for m in metas], pa.string()),
+        "og_title": pa.array(
+            [m["og_title"] for m in metas], pa.string()),
+    })

@@ -249,3 +249,33 @@ class TestUrlChurn:
             else:
                 import pandas.testing as pdt
                 pdt.assert_frame_equal(ref, got)
+
+
+class TestMetaExtract:
+    def test_fields_orders_entities_missing(self):
+        from ocr_pipeline_ray.stages.web import extract_meta
+
+        m = extract_meta(b"""<html><head>
+          <title> Hello &amp;   World </title>
+          <meta content="desc here" name="Description">
+          <meta property="og:title" content="OG t">
+          <link href="https://x.example/p" rel="canonical">
+        </head><body></body></html>""")
+        assert m["title"] == "Hello & World"
+        assert m["description"] == "desc here"
+        assert m["og_title"] == "OG t"
+        assert m["canonical"] == "https://x.example/p"
+
+        m2 = extract_meta(b"<html><body>no head</body></html>")
+        assert all(v is None for v in m2.values())
+
+    def test_first_wins_and_malformed_tail(self):
+        from ocr_pipeline_ray.stages.web import extract_meta
+
+        m = extract_meta(
+            b"<title>A</title><title>B</title>"
+            b'<meta name="description" content="one">'
+            b'<meta name="description" content="two">'
+            b"<div><p>Unclosed")
+        assert m["title"] == "A"
+        assert m["description"] == "one"

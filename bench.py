@@ -101,7 +101,7 @@ BENCH_QUERIES = [
     "video_scene_cuts", "zonemap_scan", "range_shards",
     "url_latest_k", "phrase_match", "simhash_near_pairs",
     "schema_evolution", "deobfuscate", "lang_approx_quantiles",
-    "curation_pipeline", "meta_extract",
+    "curation_pipeline", "meta_extract", "html_tables",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

@@ -8701,3 +8701,53 @@ SELECT doc_id,
 FROM documents
 """
 QUERIES["meta_extract"] = q_meta_extract
+
+
+def q_html_tables(sf_dir: str):
+    """Table extraction: formula-planted tables (doc_id % 3 tables of
+    (1 + doc_id % 3) rows × (2 + doc_id % 2) cols; every 5th doc's
+    cells wrap their text in an <a> tag — the strip is load-bearing);
+    oracle regenerates every cell from the formulas."""
+    from .stages.web import table_cells_fn
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for i in ids:
+            n_t, n_r, n_c = i % 3, 1 + i % 3, 2 + i % 2
+            parts = ["<html><body><p>text</p>"]
+            for t in range(n_t):
+                parts.append("<table>")
+                for r in range(n_r):
+                    parts.append("<tr>")
+                    for c in range(n_c):
+                        v = f"c{t}_{r}_{c}_{i % 10}"
+                        if i % 5 == 0:
+                            v = f'<a href="/x"> {v} </a>'
+                        tag = "th" if r == 0 else "td"
+                        parts.append(f"<{tag}>{v}</{tag}>")
+                    parts.append("</tr>")
+                parts.append("</table>")
+            parts.append("</body></html>")
+            htmls.append("".join(parts).encode("utf-8"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return pages.map_batches(table_cells_fn, batch_format="pyarrow")
+
+
+ORACLE_SQL["html_tables"] = """
+SELECT d.doc_id, t.t AS tbl, r.r AS row, c.c AS col,
+  'c' || CAST(t.t AS VARCHAR) || '_' || CAST(r.r AS VARCHAR)
+    || '_' || CAST(c.c AS VARCHAR) || '_'
+    || CAST(d.doc_id % 10 AS VARCHAR) AS cell
+FROM documents d,
+  LATERAL unnest(generate_series(0, d.doc_id % 3 - 1)) AS t(t),
+  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS r(r),
+  LATERAL unnest(generate_series(0, 1 + d.doc_id % 2)) AS c(c)
+"""
+QUERIES["html_tables"] = q_html_tables

@@ -802,3 +802,89 @@ def meta_extract_fn(batch: pa.Table, html_col: str = "html",
         "og_title": pa.array(
             [m["og_title"] for m in metas], pa.string()),
     })
+
+
+class _TableParser:
+    """Minimal stdlib-HTMLParser table extractor: text content of
+    every th/td cell (nested inline tags stripped, whitespace
+    collapsed), grouped into rows and tables in document order.
+    Nested <table> elements are flattened into separate tables in
+    CLOSE order — inner tables surface before the outer one (the
+    curation-relevant shape; layout fidelity is not the goal)."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.stack = []       # open tables: list of rows
+                self.row = None
+                self.cell = None
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "table":
+                    self.stack.append([])
+                elif tag == "tr" and self.stack:
+                    self.row = []
+                elif tag in ("td", "th") and self.row is not None:
+                    self.cell = []
+
+            def handle_endtag(self, tag):
+                if tag in ("td", "th") and self.cell is not None:
+                    self.row.append(" ".join(
+                        "".join(self.cell).split()))
+                    self.cell = None
+                elif tag == "tr" and self.row is not None:
+                    if self.stack:
+                        self.stack[-1].append(self.row)
+                    self.row = None
+                elif tag == "table" and self.stack:
+                    outer.tables.append(self.stack.pop())
+
+            def handle_data(self, data):
+                if self.cell is not None:
+                    self.cell.append(data)
+
+        self.tables = []
+        self._p = _P()
+
+    def feed(self, html_bytes: bytes):
+        self._p.feed(html_bytes.decode("utf-8", "replace"))
+        self._p.close()
+        # unclosed tables at EOF still surface
+        while self._p.stack:
+            self.tables.append(self._p.stack.pop())
+        return self.tables
+
+
+def extract_tables(html_bytes: bytes):
+    """All tables of a page as ``list[table][row][cell]`` strings."""
+    return _TableParser().feed(html_bytes or b"")
+
+
+def table_cells_fn(batch: pa.Table, html_col: str = "html",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Explode each page's tables into ``(doc_id, tbl, row, col, cell)``
+    rows — the structured-data side channel of main-content
+    extraction (pages with no tables emit nothing)."""
+    ids = batch.column(id_col).to_pylist()
+    out_id, out_t, out_r, out_c, out_v = [], [], [], [], []
+    for i, h in zip(ids, batch.column(html_col).to_pylist()):
+        for t, tbl in enumerate(extract_tables(h)):
+            for r, row in enumerate(tbl):
+                for c, cell in enumerate(row):
+                    out_id.append(i)
+                    out_t.append(t)
+                    out_r.append(r)
+                    out_c.append(c)
+                    out_v.append(cell)
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "tbl": pa.array(out_t, pa.int64()),
+        "row": pa.array(out_r, pa.int64()),
+        "col": pa.array(out_c, pa.int64()),
+        "cell": pa.array(out_v, pa.string()),
+    })

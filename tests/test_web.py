@@ -279,3 +279,38 @@ class TestMetaExtract:
             b"<div><p>Unclosed")
         assert m["title"] == "A"
         assert m["description"] == "one"
+
+
+class TestHtmlTables:
+    def test_cells_strip_and_order(self):
+        from ocr_pipeline_ray.stages.web import extract_tables
+
+        tables = extract_tables(b"""
+          <table><tr><th> A </th><th><b>B</b></th></tr>
+                 <tr><td><a href="/x"> link text </a></td><td>2</td></tr>
+          </table>
+          <table><tr><td>solo</td></tr></table>""")
+        assert tables == [
+            [["A", "B"], ["link text", "2"]],
+            [["solo"]],
+        ]
+
+    def test_nested_tables_inner_first_and_unclosed(self):
+        from ocr_pipeline_ray.stages.web import extract_tables
+
+        tables = extract_tables(
+            b"<table><tr><td>outer</td></tr>"
+            b"<table><tr><td>inner</td></tr></table>")
+        # inner closes first; outer never closes but still surfaces
+        assert [t[0][0] for t in tables] == ["inner", "outer"]
+
+    def test_no_tables_emit_nothing(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.web import table_cells_fn
+
+        tbl = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "html": pa.array([b"<html><p>x</p></html>"], pa.binary()),
+        })
+        out = table_cells_fn(tbl)
+        assert out.num_rows == 0

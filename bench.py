@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "url_latest_k", "phrase_match", "simhash_near_pairs",
     "schema_evolution", "deobfuscate", "lang_approx_quantiles",
     "curation_pipeline", "meta_extract", "html_tables",
+    "url_path_rollup",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

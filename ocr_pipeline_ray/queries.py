@@ -8751,3 +8751,43 @@ FROM documents d,
   LATERAL unnest(generate_series(0, 1 + d.doc_id % 2)) AS c(c)
 """
 QUERIES["html_tables"] = q_html_tables
+
+
+def q_url_path_rollup(sf_dir: str):
+    """Path-hierarchy page counts over formula urls
+    (host = doc_id % 10, two path segments from doc_id) at depths
+    0..2; oracle regenerates each ancestor prefix row in SQL."""
+    from .stages.web import url_path_rollup
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        h = pc.cast(_int_mod(ids, 10), pa.string())
+        s1 = pc.cast(_int_mod(ids, 4), pa.string())
+        s2 = pc.cast(ids, pa.string())
+        url = pc.binary_join_element_wise(
+            "https://h", h, ".example.com/sec", s1, "/p", s2, "")
+        return pa.table({"url": url})
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return url_path_rollup(pages, max_depth=3)
+
+
+ORACLE_SQL["url_path_rollup"] = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+         'sec' || CAST(doc_id % 4 AS VARCHAR) AS s1,
+         'p' || CAST(doc_id AS VARCHAR) AS s2
+  FROM documents
+), expanded AS (
+  SELECT host AS prefix, 0 AS depth FROM u
+  UNION ALL
+  SELECT host || '/' || s1, 1 FROM u
+  UNION ALL
+  SELECT host || '/' || s1 || '/' || s2, 2 FROM u
+)
+SELECT prefix, CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM expanded GROUP BY prefix, depth
+"""
+QUERIES["url_path_rollup"] = q_url_path_rollup

@@ -888,3 +888,89 @@ def table_cells_fn(batch: pa.Table, html_col: str = "html",
         "col": pa.array(out_c, pa.int64()),
         "cell": pa.array(out_v, pa.string()),
     })
+
+
+def url_path_rollup(ds, url_col: str = "url", max_depth: int = 3,
+                    n_buckets: int = 64):
+    """Path-HIERARCHY rollup: page counts per (host, path-prefix) at
+    every depth up to ``max_depth`` — the crawl-frontier budget view
+    ('/forum' vs '/static') that flat host_stats can't give and CUBE
+    over unrelated dimensions doesn't express.
+
+    Each url contributes one row per ancestor prefix (depth 0 = the
+    host itself); prefixes are map-side combined per block (Arrow
+    ``group_by``) so the single exchange carries block-distinct
+    (prefix, depth, n) partials, then one bucketed whole-bucket fold.
+    Returns ``(prefix, depth:int64, n_pages:int64)``.
+    """
+    import numpy as np
+
+    from ..functions.hashing import bucket_ids
+
+    empty = pa.table({
+        "prefix": pa.array([], pa.string()),
+        "depth": pa.array([], pa.int64()),
+        "n_pages": pa.array([], pa.int64()),
+        "_pbucket": pa.array([], pa.int64()),
+    })
+
+    def _prefixes(batch: pa.Table) -> pa.Table:
+        pref: List[str] = []
+        depth: List[int] = []
+        for u in batch.column(url_col).to_pylist():
+            if not u:
+                continue
+            rest = u.split("://", 1)[-1]
+            parts = rest.split("/")
+            host = parts[0]
+            pref.append(host)
+            depth.append(0)
+            segs = [p for p in parts[1:] if p]
+            for d in range(1, min(len(segs), max_depth) + 1):
+                pref.append(host + "/" + "/".join(segs[:d]))
+                depth.append(d)
+        if not pref:
+            return empty
+        t = pa.table({
+            "prefix": pa.array(pref, pa.string()),
+            "depth": pa.array(depth, pa.int64()),
+        }).group_by(["prefix", "depth"]).aggregate([([], "count_all")])
+        prefixes = t.column("prefix")
+        if isinstance(prefixes, pa.ChunkedArray):
+            prefixes = prefixes.combine_chunks()
+        return pa.table({
+            "prefix": prefixes,
+            "depth": t.column("depth"),
+            "n_pages": pc.cast(t.column("count_all"), pa.int64()),
+            "_pbucket": pa.array(
+                bucket_ids(prefixes, n_buckets), pa.int64()),
+        })
+
+    def _fold(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty.drop_columns(["_pbucket"])
+        g = group.sort_by([("prefix", "ascending")])
+        prefixes = g.column("prefix").combine_chunks()
+        cnt = g.column("n_pages").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        if n > 1:
+            new[1:] = pc.not_equal(
+                prefixes.slice(1, n - 1), prefixes.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "prefix": prefixes.take(idx),
+            "depth": g.column("depth").combine_chunks().take(idx),
+            "n_pages": pa.array(
+                np.add.reduceat(cnt, starts), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_prefixes, batch_format="pyarrow")
+        .groupby("_pbucket", num_partitions=n_buckets)
+        .map_groups(_fold, batch_format="pyarrow")
+    )

@@ -314,3 +314,28 @@ class TestHtmlTables:
         })
         out = table_cells_fn(tbl)
         assert out.num_rows == 0
+
+
+class TestUrlPathRollup:
+    def test_prefix_counts_and_depth_cap(self, ray_session):
+        import ray
+        from ocr_pipeline_ray.stages.web import url_path_rollup
+
+        urls = [
+            "https://a.x/p/q/r/s",   # depth capped at 2
+            "https://a.x/p/q",
+            "https://a.x/p",
+            "http://b.y/",           # host only
+            None,
+        ]
+        out = url_path_rollup(
+            ray.data.from_arrow(_tbl(urls)).repartition(3),
+            max_depth=2, n_buckets=4,
+        ).to_pandas().sort_values(["depth", "prefix"]).reset_index(
+            drop=True)
+        got = list(map(tuple, out.itertuples(index=False)))
+        assert got == [
+            ("a.x", 0, 3), ("b.y", 0, 1),
+            ("a.x/p", 1, 3),
+            ("a.x/p/q", 2, 2),
+        ]

@@ -7828,6 +7828,41 @@ FROM c GROUP BY vec_id
 QUERIES["embedding_quantize"] = q_embedding_quantize
 
 
+def _boilerplate_aug_fn(batch: pa.Table, sep: str) -> pa.Table:
+    """Shared NAV/HALF/PROMO planting fixture for the host-template
+    queries (host_boilerplate + curation_pipeline) — ONE definition so
+    the component query and the composite cannot silently diverge."""
+    ids = batch.column("doc_id")
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(_int_mod(ids, 25), pa.string()), "")
+    k = pc.divide(ids, pa.scalar(25, pa.int64()))
+    half = pc.if_else(
+        pc.equal(_int_mod(k, 2), 0),
+        pc.binary_join_element_wise("HALF ", host, sep, ""), "")
+    promo = pc.if_else(
+        pc.equal(_int_mod(k, 5), 0),
+        pc.binary_join_element_wise(sep, "PROMO ", host, ""), "")
+    text = pc.binary_join_element_wise(
+        "NAV ", host, sep, half,
+        pc.fill_null(batch.column("text"), ""), promo, "")
+    return pa.table({"doc_id": ids, "host": host, "text": text})
+
+
+def _formula_edges_fn(batch: pa.Table) -> pa.Table:
+    """Shared formula link graph (crawl_depth + kcore): two edge
+    families src=id%200 -> id*7%200 and src -> (src+3)%200."""
+    import numpy as np
+
+    ids = batch.column("doc_id").combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    src = ids % 200
+    return pa.table({
+        "src": pa.array(np.concatenate([src, src]), pa.int64()),
+        "dst": pa.array(np.concatenate(
+            [(ids * 7) % 200, (src + 3) % 200]), pa.int64()),
+    })
+
+
 def q_host_boilerplate(sf_dir: str):
     """Per-host template-line removal (CCNet/WET boilerplate rule).
 
@@ -7841,27 +7876,8 @@ def q_host_boilerplate(sf_dir: str):
     from .stages.dedup import host_boilerplate_removal
 
     sep = "<p>"
-
-    def _aug(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        host = pc.binary_join_element_wise(
-            "h", pc.cast(_int_mod(ids, 25), pa.string()), "")
-        k = pc.divide(ids, pa.scalar(25, pa.int64()))
-        half = pc.if_else(
-            pc.equal(_int_mod(k, 2), 0),
-            pc.binary_join_element_wise("HALF ", host, sep, ""),
-            "")
-        promo = pc.if_else(
-            pc.equal(_int_mod(k, 5), 0),
-            pc.binary_join_element_wise(sep, "PROMO ", host, ""),
-            "")
-        text = pc.binary_join_element_wise(
-            "NAV ", host, sep, half,
-            pc.fill_null(batch.column("text"), ""), promo, "")
-        return pa.table({"doc_id": ids, "host": host, "text": text})
-
     aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        _aug, batch_format="pyarrow")
+        lambda b: _boilerplate_aug_fn(b, sep), batch_format="pyarrow")
     return host_boilerplate_removal(aug, sep=sep)
 
 
@@ -8146,7 +8162,7 @@ def q_zonemap_scan(sf_dir: str):
     from .stages.bucketed import pruned_read
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_zonemap_{label}"
+    stage = f"/tmp/ocr_ray_zonemap_{os.getpid()}_{label}"
     paths = [os.path.join(stage, f"part-{i:02d}.parquet")
              for i in range(10)]
     if not all(os.path.exists(p) for p in paths):
@@ -8361,7 +8377,7 @@ def q_schema_evolution(sf_dir: str):
     from .sources.ingest import read_harmonized
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_schemaevo_{label}"
+    stage = f"/tmp/ocr_ray_schemaevo_{os.getpid()}_{label}"
     v1 = os.path.join(stage, "v1.parquet")
     v2 = os.path.join(stage, "v2.parquet")
     if not (os.path.exists(v1) and os.path.exists(v2)):
@@ -8369,6 +8385,7 @@ def q_schema_evolution(sf_dir: str):
         tbl = pq_.read_table(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "n_chars"])
+        tbl = tbl.sort_by([("doc_id", "ascending")])
         half = tbl.num_rows // 2
         old = tbl.slice(0, half).select(["doc_id", "text"])
         new = tbl.slice(half)
@@ -8479,22 +8496,10 @@ def q_crawl_depth(sf_dir: str):
     """BFS crawl-depth labeling over the formula link graph
     (src = doc_id % 200 → dst = doc_id*7 % 200) from seeds {0, 1};
     oracle = bounded recursive-CTE shortest hop count."""
-    import numpy as np
-
     from .stages.graph import bfs_levels
 
-    def _edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        src = ids % 200
-        return pa.table({
-            "src": pa.array(np.concatenate([src, src]), pa.int64()),
-            "dst": pa.array(np.concatenate(
-                [(ids * 7) % 200, (src + 3) % 200]), pa.int64()),
-        })
-
     edges = _docs(sf_dir, columns=["doc_id"]).map_batches(
-        _edges, batch_format="pyarrow")
+        _formula_edges_fn, batch_format="pyarrow")
     return bfs_levels(edges, seeds=[0, 1], max_iters=6)
 
 
@@ -8518,22 +8523,10 @@ QUERIES["crawl_depth"] = q_crawl_depth
 def q_kcore(sf_dir: str):
     """Iterated 3-core pruning (3 fixed rounds) over the formula
     link graph; chained-CTE SQL twin replays the identical rounds."""
-    import numpy as np
-
     from .stages.graph import kcore_prune
 
-    def _edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        src = ids % 200
-        return pa.table({
-            "src": pa.array(np.concatenate([src, src]), pa.int64()),
-            "dst": pa.array(np.concatenate(
-                [(ids * 7) % 200, (src + 3) % 200]), pa.int64()),
-        })
-
     edges = _docs(sf_dir, columns=["doc_id"]).map_batches(
-        _edges, batch_format="pyarrow")
+        _formula_edges_fn, batch_format="pyarrow")
     return kcore_prune(edges, k=3, rounds=3)
 
 
@@ -8581,25 +8574,8 @@ def q_curation_pipeline(sf_dir: str):
     from .stages.stats import range_partition
 
     sep = "<p>"
-
-    def _aug(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        host = pc.binary_join_element_wise(
-            "h", pc.cast(_int_mod(ids, 25), pa.string()), "")
-        k = pc.divide(ids, pa.scalar(25, pa.int64()))
-        half = pc.if_else(
-            pc.equal(_int_mod(k, 2), 0),
-            pc.binary_join_element_wise("HALF ", host, sep, ""), "")
-        promo = pc.if_else(
-            pc.equal(_int_mod(k, 5), 0),
-            pc.binary_join_element_wise(sep, "PROMO ", host, ""), "")
-        text = pc.binary_join_element_wise(
-            "NAV ", host, sep, half,
-            pc.fill_null(batch.column("text"), ""), promo, "")
-        return pa.table({"doc_id": ids, "host": host, "text": text})
-
     aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        _aug, batch_format="pyarrow")
+        lambda b: _boilerplate_aug_fn(b, sep), batch_format="pyarrow")
     cleaned = host_boilerplate_removal(aug, sep=sep)
     gated = cleaned.filter(expr="n_kept >= 2")
 

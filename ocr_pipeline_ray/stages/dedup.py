@@ -1774,7 +1774,9 @@ def host_boilerplate_removal(ds, id_col: str = "doc_id",
                            pa.string()),
         })
 
-    lines = ds.map_batches(_explode, batch_format="pyarrow")
+    # two consumers (stage-1 counts, stage-2 anti-join): materialize
+    # so the explode + per-paragraph md5 pass runs ONCE
+    lines = ds.map_batches(_explode, batch_format="pyarrow").materialize()
 
     # --- stage 1: per-(host, fp) doc counts + per-host totals -> B
     empty_counts = pa.table({
@@ -2062,29 +2064,39 @@ def simhash_near_pairs(ds, id_col: str = "doc_id",
                     f"exceeds max_band={max_band} (band {band[s]}, "
                     f"val {val[s]}); pre-dedup exact duplicates or "
                     f"raise max_band")
-            iu, ju = np.triu_indices(k, 1)
-            a, bb = s + iu, s + ju
-            dist = _popcount64(h[a] ^ h[bb])
-            ok = dist <= max_dist
-            if not ok.any():
-                continue
-            a, bb, dist = a[ok], bb[ok], dist[ok]
-            # first-agreeing-band dedup (row-local, no global pass)
+            # tiled pair enumeration: memory is O(tile^2), never the
+            # dense k^2 triangle (k=15k would be ~1e8 pairs at once)
+            tile = 2048
             cur = band[s]
-            first = np.full(len(a), n_bands, np.int64)
-            for b2 in range(n_bands - 1, -1, -1):
-                eq = ((h[a] >> shifts[b2]) & band_mask) == \
-                     ((h[bb] >> shifts[b2]) & band_mask)
-                first = np.where(eq, b2, first)
-            keep = first == cur
-            if not keep.any():
-                continue
-            a, bb, dist = a[keep], bb[keep], dist[keep]
-            d1 = np.minimum(ids[a], ids[bb])
-            d2 = np.maximum(ids[a], ids[bb])
-            out1.append(d1)
-            out2.append(d2)
-            outd.append(dist.astype(np.int64))
+            for ci in range(s, e, tile):
+                ce = min(ci + tile, e)
+                for cj in range(ci, e, tile):
+                    je = min(cj + tile, e)
+                    ai = np.arange(ci, ce)
+                    aj = np.arange(cj, je)
+                    m = ai[:, None] < aj[None, :]
+                    pi, pj = np.nonzero(m)
+                    if len(pi) == 0:
+                        continue
+                    a, bb = ai[pi], aj[pj]
+                    dist = _popcount64(h[a] ^ h[bb])
+                    ok = dist <= max_dist
+                    if not ok.any():
+                        continue
+                    a, bb, dist = a[ok], bb[ok], dist[ok]
+                    # first-agreeing-band dedup (row-local)
+                    first = np.full(len(a), n_bands, np.int64)
+                    for b2 in range(n_bands - 1, -1, -1):
+                        eq = ((h[a] >> shifts[b2]) & band_mask) == \
+                             ((h[bb] >> shifts[b2]) & band_mask)
+                        first = np.where(eq, b2, first)
+                    keep = first == cur
+                    if not keep.any():
+                        continue
+                    a, bb, dist = a[keep], bb[keep], dist[keep]
+                    out1.append(np.minimum(ids[a], ids[bb]))
+                    out2.append(np.maximum(ids[a], ids[bb]))
+                    outd.append(dist.astype(np.int64))
         if not out1:
             return empty
         return pa.table({

@@ -1124,20 +1124,24 @@ def interval_overlap_join(left, right, l_id: str = "l_id",
             li = np.flatnonzero(lmask) + s
             ri = np.flatnonzero(~lmask) + s
             c = cell[s]
+            # chunk BOTH sides: mask memory is O(chunk^2) even when a
+            # hot cell holds millions of replicas on one side
             for cs in range(0, len(li), chunk):
                 lc = li[cs:cs + chunk]
-                m = ((lo[lc][:, None] <= hi[ri][None, :])
-                     & (lo[ri][None, :] <= hi[lc][:, None])
-                     & (np.maximum(locell[lc][:, None],
-                                   locell[ri][None, :]) == c))
-                pl, pr = np.nonzero(m)
-                if len(pl) == 0:
-                    continue
-                al, ar = lc[pl], ri[pr]
-                out_l.append(ids[al])
-                out_r.append(ids[ar])
-                out_o.append(np.minimum(hi[al], hi[ar])
-                             - np.maximum(lo[al], lo[ar]) + 1)
+                for rs in range(0, len(ri), chunk):
+                    rc = ri[rs:rs + chunk]
+                    m = ((lo[lc][:, None] <= hi[rc][None, :])
+                         & (lo[rc][None, :] <= hi[lc][:, None])
+                         & (np.maximum(locell[lc][:, None],
+                                       locell[rc][None, :]) == c))
+                    pl, pr = np.nonzero(m)
+                    if len(pl) == 0:
+                        continue
+                    al, ar = lc[pl], rc[pr]
+                    out_l.append(ids[al])
+                    out_r.append(ids[ar])
+                    out_o.append(np.minimum(hi[al], hi[ar])
+                                 - np.maximum(lo[al], lo[ar]) + 1)
         if not out_l:
             return empty
         return pa.table({

@@ -358,3 +358,22 @@ class TestMixedFormatCorpus:
                 assert row["error"] is None
                 assert row["extracted_text"]
         assert n_pdf_seen == n_pdf
+
+
+class TestDeterminism:
+    def test_run_twice_byte_identical(self, ray_session, small_corpus,
+                                      pipeline_rows):
+        """The north rule demands byte-identical per-url text: a
+        SECOND full pipeline execution over the same shards must
+        reproduce every row exactly (no wall-clock, no RNG, no
+        block-layout sensitivity anywhere in the chain)."""
+        second = {
+            (r["url"], r["warc_ts"]): r
+            for r in extraction_pipeline(small_corpus).take_all()
+        }
+        assert len(second) == len(pipeline_rows)
+        for r in pipeline_rows:
+            s = second[(r["url"], r["warc_ts"])]
+            assert s["extracted_text"] == r["extracted_text"]
+            assert s["hit_ratio"] == r["hit_ratio"]
+            assert s.get("error") == r.get("error")

@@ -838,6 +838,35 @@ def q_minhash_dup_pairs(sf_dir: str):
     return minhash_dup_pairs(_docs(sf_dir))
 
 
+def q_minhash_banded_pairs(sf_dir: str):
+    """(b=3 bands × r=2 rows) LSH banding: candidate pairs whose BOTH
+    minhashes of some band agree — the precision-tuned S-curve
+    variant of ``minhash_dup_pairs`` (which is the r=1 corner)."""
+    from .stages.dedup import minhash_banded_pairs
+
+    return minhash_banded_pairs(_docs(sf_dir), b=3, r=2)
+
+
+# Multi-phrase dictionary for dictionary_tag — drawn from the
+# synthetic corpus vocabulary; NO phrase is a prefix of another, so
+# the tagger's longest-first tiebreak never fires and the SQL twin
+# is a plain per-term overlap count.
+TAG_TERMS = (
+    "batch batch", "slow join", "merge data",
+    "window window", "sort merge", "data row",
+)
+
+
+def q_dictionary_tag(sf_dir: str):
+    """Phrase-dictionary tagging: (doc_id, term, n_hits) for every
+    dictionary phrase occurring in the doc, overlaps counted (one
+    automaton pass per doc across the whole lexicon; actor pool)."""
+    from .stages.textstats import dictionary_tag
+
+    return dictionary_tag(
+        _docs(sf_dir, columns=["doc_id", "text"]), TAG_TERMS)
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (hex string)."""
     return simhash_signatures(_docs(sf_dir))
@@ -8767,3 +8796,42 @@ SELECT prefix, CAST(depth AS BIGINT) AS depth,
 FROM expanded GROUP BY prefix, depth
 """
 QUERIES["url_path_rollup"] = q_url_path_rollup
+
+
+# (b=3 × r=2) banded minhash: h0..h3 are the four chunks of md5(s)
+# (identical to SIG_FRAGMENT); h4..h5 come from the salt-1 digest
+# md5('1:' || s) — mirrors stages/dedup.minhash_signature_salted.
+# A band matches when BOTH its r=2 hashes agree.
+ORACLE_SQL["minhash_banded_pairs"] = (
+    "WITH " + SHINGLE_CTE + ", "
+    "sig AS (SELECT doc_id, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS h0, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS h1, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS h2, "
+    "list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS h3, "
+    "list_min(list_transform(shingles, "
+    "s -> substr(md5('1:' || s), 1, 8))) AS h4, "
+    "list_min(list_transform(shingles, "
+    "s -> substr(md5('1:' || s), 9, 8))) AS h5 "
+    "FROM sh) "
+    "SELECT d1, d2 FROM ("
+    "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+    "ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id "
+    "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+    "ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id "
+    "UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b "
+    "ON a.h4 = b.h4 AND a.h5 = b.h5 AND a.doc_id < b.doc_id)"
+)
+QUERIES["minhash_banded_pairs"] = q_minhash_banded_pairs
+
+# dictionary_tag: per-term OVERLAPPING occurrence counts — every
+# char offset i where the phrase starts. No dictionary phrase is a
+# prefix of another (see TAG_TERMS), so no tiebreak term is needed.
+ORACLE_SQL["dictionary_tag"] = "WITH hits AS (" + " UNION ALL ".join(
+    "SELECT doc_id, '" + t + "' AS term, "
+    "CAST(len(list_filter(generate_series(1, len(text) - "
+    + str(len(t)) + " + 1), i -> substr(text, i, " + str(len(t))
+    + ") = '" + t + "')) AS BIGINT) AS n_hits FROM documents"
+    for t in TAG_TERMS
+) + ") SELECT doc_id, term, n_hits FROM hits WHERE n_hits > 0"
+QUERIES["dictionary_tag"] = q_dictionary_tag

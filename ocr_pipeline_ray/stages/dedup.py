@@ -263,32 +263,19 @@ def _band_explode(sigs, id_col: str, n_hashes: int):
     return sigs.map_batches(_explode, batch_format="pyarrow")
 
 
-def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                      n_hashes: int = 4, k: int = 3, max_bucket: int = 1000):
-    """Candidate near-duplicate pairs: docs sharing ANY band value.
+def _pairs_from_band_rows(exploded, id_col: str, max_bucket: int,
+                          n_buckets: int = 128):
+    """(band, id) rows → distinct candidate (d1, d2) pairs.
 
-    band explode → groupby(crc32-BUCKET of band) → per-band pair
-    expansion inside whole-bucket UDFs (Arrow/numpy, no pandas, no
-    per-band UDF invocation) → global pair dedup. Two small shuffles
-    over (hash, id) pairs only. ``max_bucket`` caps degenerate bands
-    (hot-key guard); use :func:`minhash_bucket_stats` to MEASURE what
-    a given cap drops — truncation is never silent.
-
-    ``ds`` may already BE a signature table (``h0..hN`` columns
-    attached — detected by schema, same contract as
-    :func:`minhash_cross_pairs`): the signature scan is skipped, so
-    callers composing several minhash consumers hash the corpus once.
+    The shared LSH back half: groupby(crc32-BUCKET of band) →
+    per-band pair expansion inside whole-bucket UDFs (Arrow/numpy,
+    no pandas, no per-band UDF invocation) → global pair dedup. Two
+    small shuffles over (hash, id) pairs only. ``max_bucket`` caps
+    degenerate bands (hot-key guard) — use
+    :func:`minhash_bucket_stats` to MEASURE what a cap drops.
     """
     import numpy as np
     from zlib import crc32
-
-    n_buckets = 128
-
-    if f"h{n_hashes - 1}" in (ds.schema().names or []):
-        sigs = ds  # precomputed signature table
-    else:
-        sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
-    exploded = _band_explode(sigs, id_col, n_hashes)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         buckets = [
@@ -338,6 +325,26 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return agg.select_columns(["d1", "d2"])
 
 
+def minhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = 4, k: int = 3, max_bucket: int = 1000):
+    """Candidate near-duplicate pairs: docs sharing ANY band value.
+
+    band explode → :func:`_pairs_from_band_rows` (bucketed
+    whole-bucket pair expansion + global pair dedup).
+
+    ``ds`` may already BE a signature table (``h0..hN`` columns
+    attached — detected by schema, same contract as
+    :func:`minhash_cross_pairs`): the signature scan is skipped, so
+    callers composing several minhash consumers hash the corpus once.
+    """
+    if f"h{n_hashes - 1}" in (ds.schema().names or []):
+        sigs = ds  # precomputed signature table
+    else:
+        sigs = minhash_signatures(ds, id_col, text_col, n_hashes, k)
+    exploded = _band_explode(sigs, id_col, n_hashes)
+    return _pairs_from_band_rows(exploded, id_col, max_bucket)
+
+
 def minhash_bucket_stats(ds, id_col: str = "doc_id", text_col: str = "text",
                          n_hashes: int = 4, k: int = 3,
                          max_bucket: int = 1000):
@@ -382,6 +389,104 @@ def minhash_bucket_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         "max_bucket_size": pa.array([agg["max(max_size)"] or 0], pa.int64()),
         "dropped_ids": pa.array([agg["sum(dropped_ids)"] or 0], pa.int64()),
     })
+
+
+# ------------------------------------------------------ banded minhash
+
+def minhash_signature_salted(text: str, n_hashes: int, k: int = 3
+                             ) -> List[Optional[str]]:
+    """Bottom-1 minhash for ``n_hashes`` > 4 hash functions.
+
+    Extends :func:`minhash_signature` past one digest's 4 chunks by
+    SALTING: hash function ``i`` is the 4-byte chunk ``i % 4`` of
+    ``md5(s)`` when ``i < 4`` and of ``md5(f"{i//4}:{s}")``
+    otherwise — so the first four functions are bit-identical to the
+    unsalted kernel and the DuckDB twin stays a one-line
+    ``substr(md5(...), pos, 8)`` expression. One md5 per (salt,
+    distinct shingle): ``ceil(n/4)`` digests per shingle.
+    """
+    toks = text.split(" ")
+    sh = set(shingles(toks, k))
+    if not sh:
+        return [None] * n_hashes
+    n_digests = (n_hashes + 3) // 4
+    out: List[Optional[str]] = []
+    for d in range(n_digests):
+        if d == 0:
+            digests = [hashlib.md5(s.encode("utf-8")).digest() for s in sh]
+        else:
+            digests = [
+                hashlib.md5(f"{d}:{s}".encode("utf-8")).digest() for s in sh
+            ]
+        for c in range(4):
+            i = 4 * d + c
+            if i >= n_hashes:
+                break
+            out.append(min(g[4 * c: 4 * c + 4] for g in digests).hex())
+    return out
+
+
+def minhash_banded_signatures(ds, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_hashes: int = 8, k: int = 3):
+    """doc_id + h0..h{n-1} for arbitrary ``n_hashes`` (no shuffle)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sigs = [minhash_signature_salted(t or "", n_hashes, k)
+                for t in texts]
+        out = batch.select([id_col])
+        for i in range(n_hashes):
+            out = out.append_column(
+                f"h{i}", pa.array([s[i] for s in sigs], pa.string()))
+        return out
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def minhash_banded_pairs(ds, id_col: str = "doc_id",
+                         text_col: str = "text", b: int = 3, r: int = 2,
+                         k: int = 3, max_bucket: int = 1000):
+    """Candidate pairs under classic (b bands × r rows) LSH banding
+    (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3):
+    docs collide when ALL ``r`` minhashes of SOME band agree, giving
+    the S-curve ``P(candidate) = 1 - (1 - J^r)^b`` — ``r > 1`` trades
+    recall for precision vs the repo's default 1-row bands
+    (:func:`minhash_dup_pairs` is the ``r=1`` special case; at
+    b=3, r=2 the curve's midpoint sits near J≈0.63, so low-overlap
+    pairs that single-hash bands propose in droves never leave the
+    map side).
+
+    Scale shape identical to the 1-row path: the band key is the
+    CONCATENATION of the band's r hex minhashes, exploded to
+    (band, id) rows — the only data that shuffles — then
+    :func:`_pairs_from_band_rows` does the bucketed whole-bucket
+    pair expansion + global pair dedup. Docs with no shingles
+    (< k tokens) produce no bands.
+    """
+    n_hashes = b * r
+    sigs = minhash_banded_signatures(ds, id_col, text_col, n_hashes, k)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, bands = [], []
+        id_vals = batch.column(id_col).to_pylist()
+        cols = [batch.column(f"h{i}").to_pylist()
+                for i in range(n_hashes)]
+        for j in range(b):
+            rows = cols[j * r: (j + 1) * r]
+            for t, rid in enumerate(id_vals):
+                hs = [rows[x][t] for x in range(r)]
+                if hs[0] is None:
+                    continue
+                ids.append(rid)
+                bands.append(f"{j}:{''.join(hs)}")
+        return pa.table({
+            "band": pa.array(bands, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+        })
+
+    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+    return _pairs_from_band_rows(exploded, id_col, max_bucket)
 
 
 # -------------------------------------------------------------- simhash

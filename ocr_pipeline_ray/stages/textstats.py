@@ -834,3 +834,75 @@ def wordlist_gate_fn(batch: pa.Table, words, text_col: str = "text",
         "n_blocked": pa.array(n_blocked, pa.int64()),
         "kept": pa.array(n_blocked == 0),
     })
+
+
+class DictionaryTagger:
+    """Multi-phrase dictionary tagging — the blocklist-phrase /
+    keyword-spotting primitive (spam phrase lists, policy terms,
+    brand lexicons). One automaton pass per document over the WHOLE
+    phrase set, not one scan per phrase.
+
+    Actor-pool shape: the combined alternation automaton is compiled
+    ONCE per actor in ``__init__`` from the (broadcast) phrase list —
+    ``re`` compiles a literal alternation into a single C-speed
+    scanner, the same one-pass-many-patterns idea as Aho–Corasick —
+    and ``__call__`` streams batches through it. Matches are counted
+    at EVERY start offset including overlaps (the lookahead wrapper
+    ``(?=(p1|p2|...))`` advances one char per match), with the
+    longest phrase winning at a shared start offset (alternation is
+    ordered longest-first). Output: one ``(id, term, n_hits)`` row
+    per matched phrase per doc — row-local, no shuffle; corpus
+    totals are one small groupby downstream.
+    """
+
+    def __init__(self, terms, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import re
+
+        if not terms:
+            raise ValueError("empty phrase dictionary")
+        self.text_col = text_col
+        self.id_col = id_col
+        # longest-first so a shared start offset reports the longest
+        # phrase (deterministic, order-independent of the input list)
+        ordered = sorted(set(terms), key=lambda t: (-len(t), t))
+        alt = "|".join(re.escape(t) for t in ordered)
+        self._scan = re.compile(f"(?=({alt}))").finditer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids_out, terms_out, hits_out = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for rid, t in zip(ids, texts):
+            if not t:
+                continue
+            counts = Counter(m.group(1) for m in self._scan(t))
+            for term in sorted(counts):
+                ids_out.append(rid)
+                terms_out.append(term)
+                hits_out.append(counts[term])
+        return pa.table({
+            self.id_col: pa.array(ids_out, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "n_hits": pa.array(hits_out, pa.int64()),
+        })
+
+
+def dictionary_tag(ds, terms, text_col: str = "text",
+                   id_col: str = "doc_id", concurrency=(1, 8),
+                   batch_size: int = 256):
+    """Tag every document against a phrase dictionary (see
+    :class:`DictionaryTagger`). ``terms`` is driver-resident and
+    small (a lexicon); it ships once per ACTOR via the constructor,
+    never per batch."""
+    return ds.map_batches(
+        DictionaryTagger,
+        fn_constructor_kwargs={
+            "terms": list(terms), "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

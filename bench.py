@@ -104,7 +104,8 @@ BENCH_QUERIES = [
     "curation_pipeline", "meta_extract", "html_tables",
     "url_path_rollup",
     # session-8 additions
-    "minhash_banded_pairs", "dictionary_tag",
+    "minhash_banded_pairs", "dictionary_tag", "prefix_dup",
+    "char_entropy", "oov_rate",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

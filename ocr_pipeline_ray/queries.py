@@ -867,6 +867,35 @@ def q_dictionary_tag(sf_dir: str):
         _docs(sf_dir, columns=["doc_id", "text"]), TAG_TERMS)
 
 
+def q_prefix_dup(sf_dir: str):
+    """Truncation-mirror groups: docs sharing the md5 of their first
+    32 tokens (head-hash dedup; exact-dedup shape, (pfp, id) shuffle
+    only)."""
+    from .stages.dedup import prefix_dup_groups
+
+    return prefix_dup_groups(
+        _docs(sf_dir, columns=["doc_id", "text"]), p=32)
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc character-level Shannon entropy (nats, round6) — the
+    gibberish/binary-junk curation signal; row-local, no shuffle."""
+    from .stages.textstats import char_entropy_fn
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        char_entropy_fn, batch_format="pyarrow")
+
+
+def q_oov_rate(sf_dir: str):
+    """Tokenizer-coverage report: per-doc OOV fraction against the
+    corpus's own top-100 vocabulary (global token totals → tiny
+    top-V sort → broadcast is_in scan; all-integer until the final
+    division)."""
+    from .stages.textstats import oov_rate
+
+    return oov_rate(_docs(sf_dir, columns=["doc_id", "text"]), v=100)
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (hex string)."""
     return simhash_signatures(_docs(sf_dir))
@@ -8835,3 +8864,46 @@ ORACLE_SQL["dictionary_tag"] = "WITH hits AS (" + " UNION ALL ".join(
     for t in TAG_TERMS
 ) + ") SELECT doc_id, term, n_hits FROM hits WHERE n_hits > 0"
 QUERIES["dictionary_tag"] = q_dictionary_tag
+
+
+# prefix-fingerprint dup groups: md5 of the first-32-token join;
+# toks[1:32] clamps for shorter docs (prefix == full text there)
+ORACLE_SQL["prefix_dup"] = (
+    "WITH t AS (SELECT doc_id, "
+    "md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS pfp "
+    "FROM documents) "
+    "SELECT pfp, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM t "
+    "GROUP BY pfp HAVING count(*) > 1"
+)
+QUERIES["prefix_dup"] = q_prefix_dup
+
+# char-level Shannon entropy, both sides rounded to the 1e-6 grid
+# (summation order differs; the grid absorbs last-ulp noise)
+ORACLE_SQL["char_entropy"] = (
+    "WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+    "FROM documents WHERE len(coalesce(text, '')) > 0), "
+    "cc AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch), "
+    "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nn FROM cc "
+    "GROUP BY doc_id) "
+    "SELECT cc.doc_id, CAST(max(nn) AS BIGINT) AS n_chars, "
+    "floor(-sum((n / CAST(nn AS DOUBLE)) * ln(n / CAST(nn AS DOUBLE))) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS char_entropy "
+    "FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id"
+)
+QUERIES["char_entropy"] = q_char_entropy
+
+# OOV rate vs the corpus top-100 vocab (count desc, token asc ties)
+ORACLE_SQL["oov_rate"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "vocab AS (SELECT t FROM tok GROUP BY t "
+    "QUALIFY row_number() OVER (ORDER BY count(*) DESC, t) <= 100), "
+    "flags AS (SELECT doc_id, CAST(t IN (SELECT t FROM vocab) AS INT) "
+    "AS in_v FROM tok) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) - sum(in_v) AS BIGINT) AS n_oov, "
+    "CAST(count(*) - sum(in_v) AS DOUBLE) / count(*) AS oov_rate "
+    "FROM flags GROUP BY doc_id"
+)
+QUERIES["oov_rate"] = q_oov_rate

@@ -391,6 +391,46 @@ def minhash_bucket_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     })
 
 
+def prefix_dup_groups(ds, p: int = 32, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Duplicate groups by PREFIX fingerprint: md5 of the first ``p``
+    tokens — the truncation-mirror detector (a syndicated copy cut at
+    a different length, a page re-crawled with a shorter render, a
+    doc whose tail differs only in injected chrome shares its head
+    verbatim; CCNet-style head-hash dedup). Exact dedup
+    (:func:`exact_dedup_summary`) misses these because ANY tail byte
+    breaks the whole-content hash.
+
+    Same scale shape as exact dedup: the map side ships (pfp, id)
+    only — one hash-partition shuffle, content never moves — and only
+    groups with >1 member survive. Docs shorter than ``p`` tokens
+    fingerprint their full text (prefix == text), so for them this
+    degrades to exact dedup rather than dropping rows.
+    """
+    def _pfp(batch: pa.Table) -> pa.Table:
+        fps = [
+            _md5(" ".join((t or "").split(" ")[:p]))
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({
+            "pfp": pa.array(fps, pa.string()),
+            id_col: batch.column(id_col),
+        })
+
+    agg = ds.map_batches(_pfp, batch_format="pyarrow").groupby(
+        "pfp").aggregate(Min(id_col), Count())
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        out = batch.rename_columns([
+            {"pfp": "pfp", f"min({id_col})": "keep_id",
+             "count()": "n_docs"}.get(c, c)
+            for c in batch.column_names
+        ])
+        return out.filter(pc.greater(out.column("n_docs"), 1))
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------ banded minhash
 
 def minhash_signature_salted(text: str, n_hashes: int, k: int = 3

@@ -906,3 +906,114 @@ def dictionary_tag(ds, terms, text_col: str = "text",
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def char_entropy_fn(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Per-document character-level Shannon entropy (nats) — the
+    gibberish / binary-junk detector used by public curation
+    pipelines (Dolma's linear filters, RefinedWeb's quality gates):
+    keyboard-mash and base64 blobs sit far from natural text's
+    ~2.5–4.5 nats. Rounded to the 1e-6 grid so the DuckDB twin's
+    different summation order cannot surface float noise.
+
+    Vectorized via the packed-key trick (cf. repetition_stats_fn):
+    one utf-32 decode per doc (a single C call each), then ONE
+    ``np.unique`` over ``doc_idx * 0x110000 + codepoint`` for the
+    whole batch and per-doc entropy by a bincount fold — no Python
+    loop over characters. Docs with empty/null text are dropped
+    (entropy of nothing is undefined). Row-local, no shuffle.
+    """
+    import math
+
+    import numpy as np
+
+    texts = batch.column(text_col).to_pylist()
+    parts, doc_rows, n_chars = [], [], []
+    for row, t in enumerate(texts):
+        if not t:
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+        parts.append(cps.astype(np.int64))
+        doc_rows.append(row)
+        n_chars.append(len(cps))
+    if not parts:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "char_entropy": pa.array([], pa.float64()),
+        })
+    lens = np.array(n_chars, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(parts), dtype=np.int64), lens)
+    keys = doc_idx * 0x110000 + np.concatenate(parts)
+    uniq, counts = np.unique(keys, return_counts=True)
+    udoc = uniq // 0x110000
+    p = counts / lens[udoc]
+    h = np.bincount(udoc, weights=-p * np.log(p), minlength=len(parts))
+    h6 = np.floor(h * 1000000.0 + 0.5) / 1000000.0
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(doc_rows, pa.int64())),
+        "n_chars": pa.array(lens, pa.int64()),
+        "char_entropy": pa.array(h6, pa.float64()),
+    })
+
+
+def oov_rate(ds, v: int = 100, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``v`` vocabulary — the tokenizer-coverage report run before
+    committing a vocab size (what fraction of each doc would map to
+    <unk>?).
+
+    Two phases, both scale-safe:
+
+    1. Global token totals: map-side partial Counters (bytes per
+       DISTINCT token per block, not per occurrence) → one small
+       token groupby → top-``v`` by a tiny sort+limit with the
+       deterministic (count desc, token asc) tie-break.
+    2. The vocab (``v`` strings) broadcasts to every task
+       closure-captured; per doc ONE vectorized ``is_in`` over the
+       flat token array + cumsum-diff segment sums (the
+       wordlist_gate_fn kernel) gives in-vocab counts. No shuffle.
+
+    All-integer until the final division, so the SQL twin is
+    bit-exact. Output: (id, n_tokens, n_oov, oov_rate).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for text in batch.column(text_col).to_pylist():
+            for tok in (text or "").split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    top = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("n"))
+        .sort(key=["sum(n)", "token"], descending=[True, False])
+        .limit(v)
+    )
+    vocab = pa.array(
+        sorted(r["token"] for r in top.take_all()), pa.string())
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        flat, offsets, n_tokens = _token_lists(batch, text_col)
+        inv = pc.is_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False)
+        n_in = _segment_sum(inv, offsets)
+        n_tok = np.asarray(n_tokens, dtype=np.int64)
+        n_oov = n_tok - n_in
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "oov_rate": pa.array(n_oov / n_tok, pa.float64()),
+        })
+
+    return ds.map_batches(_rate, batch_format="pyarrow")

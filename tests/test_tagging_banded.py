@@ -113,3 +113,72 @@ class TestDictionaryTagger:
         ])
         rows = dictionary_tag(ds, ["slow join"], concurrency=2).take_all()
         assert rows == [{"doc_id": 1, "term": "slow join", "n_hits": 2}]
+
+
+class TestCharEntropy:
+    def test_uniform_and_degenerate(self):
+        from ocr_pipeline_ray.stages.textstats import char_entropy_fn
+        import math
+
+        out = char_entropy_fn(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aaaa", "ab", None, ""], pa.string()),
+        })).to_pylist()
+        # null/empty dropped; single-char alphabet → 0; 50/50 → ln 2
+        assert [r["doc_id"] for r in out] == [1, 2]
+        assert out[0]["char_entropy"] == 0.0
+        assert abs(out[1]["char_entropy"] - math.log(2)) < 1e-6
+        assert out[1]["n_chars"] == 2
+
+    def test_multibyte_codepoints(self):
+        from ocr_pipeline_ray.stages.textstats import char_entropy_fn
+        import math
+
+        out = char_entropy_fn(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["日本語日本語"], pa.string()),
+        })).to_pylist()
+        assert out[0]["n_chars"] == 6
+        assert abs(out[0]["char_entropy"] - math.log(3)) < 1e-6
+
+
+class TestOovRate:
+    def test_top_v_coverage(self, ray_session):
+        from ocr_pipeline_ray.stages.textstats import oov_rate
+
+        # 'a' dominates; with v=1 the vocab is exactly {'a'}
+        ds = _ds([(1, "a a a rare"), (2, "a a"), (3, "x y")])
+        rows = {r["doc_id"]: r for r in oov_rate(ds, v=1).take_all()}
+        assert rows[1]["n_oov"] == 1 and rows[1]["n_tokens"] == 4
+        assert rows[2]["n_oov"] == 0 and rows[2]["oov_rate"] == 0.0
+        assert rows[3]["n_oov"] == 2 and rows[3]["oov_rate"] == 1.0
+
+    def test_tie_break_token_asc(self, ray_session):
+        from ocr_pipeline_ray.stages.textstats import oov_rate
+
+        # 'b' and 'c' tie on count; token-asc keeps 'b' at v=1
+        ds = _ds([(1, "b c"), (2, "c b")])
+        rows = {r["doc_id"]: r for r in oov_rate(ds, v=1).take_all()}
+        assert rows[1]["n_oov"] == 1 and rows[2]["n_oov"] == 1
+
+
+class TestPrefixDup:
+    def test_shared_head_different_tail(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import prefix_dup_groups
+
+        head = " ".join(f"t{i}" for i in range(32))
+        ds = _ds([
+            (1, head + " original tail"),
+            (2, head + " syndicated copy with extra chrome"),
+            (3, "completely different document head entirely"),
+        ])
+        rows = prefix_dup_groups(ds, p=32).take_all()
+        assert len(rows) == 1
+        assert rows[0]["keep_id"] == 1 and rows[0]["n_docs"] == 2
+
+    def test_short_docs_degrade_to_exact(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import prefix_dup_groups
+
+        ds = _ds([(1, "kurz"), (2, "kurz"), (3, "anders")])
+        rows = prefix_dup_groups(ds, p=32).take_all()
+        assert len(rows) == 1 and rows[0]["n_docs"] == 2

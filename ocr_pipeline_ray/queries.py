@@ -8870,7 +8870,8 @@ QUERIES["dictionary_tag"] = q_dictionary_tag
 # toks[1:32] clamps for shorter docs (prefix == full text there)
 ORACLE_SQL["prefix_dup"] = (
     "WITH t AS (SELECT doc_id, "
-    "md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS pfp "
+    "md5(array_to_string("
+    "string_split(coalesce(text, ''), ' ')[1:32], ' ')) AS pfp "
     "FROM documents) "
     "SELECT pfp, CAST(min(doc_id) AS BIGINT) AS keep_id, "
     "CAST(count(*) AS BIGINT) AS n_docs FROM t "
@@ -8895,7 +8896,8 @@ QUERIES["char_entropy"] = q_char_entropy
 
 # OOV rate vs the corpus top-100 vocab (count desc, token asc ties)
 ORACLE_SQL["oov_rate"] = (
-    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "WITH tok AS (SELECT doc_id, "
+    "unnest(string_split(coalesce(text, ''), ' ')) AS t "
     "FROM documents), "
     "vocab AS (SELECT t FROM tok GROUP BY t "
     "QUALIFY row_number() OVER (ORDER BY count(*) DESC, t) <= 100), "

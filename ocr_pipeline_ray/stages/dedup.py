@@ -243,18 +243,29 @@ def minhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text",
     ).select_columns([id_col] + [f"h{i}" for i in range(n_hashes)])
 
 
-def _band_explode(sigs, id_col: str, n_hashes: int):
-    """(id, h0..hN) → (band, id) rows — the only data that shuffles."""
+def _band_explode(sigs, id_col: str, n_hashes: int, r: int = 1):
+    """(id, h0..hN) → (band, id) rows — the only data that shuffles.
+
+    Band ``j`` is the concatenation of the ``r`` consecutive hashes
+    ``h_{j·r} .. h_{j·r+r-1}`` (classic LSH banding); ``r=1`` is the
+    one-hash-per-band default. A doc with NULL hashes (no shingles)
+    emits no bands — all of a doc's hashes come from the same
+    shingle set, so checking the band's first hash suffices.
+    """
+    n_bands = n_hashes // r
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, bands = [], []
         id_vals = batch.column(id_col).to_pylist()
-        for i in range(n_hashes):
-            col = batch.column(f"h{i}").to_pylist()
-            for rid, h in zip(id_vals, col):
-                if h is not None:
-                    ids.append(rid)
-                    bands.append(f"{i}:{h}")
+        cols = [batch.column(f"h{i}").to_pylist() for i in range(n_hashes)]
+        for j in range(n_bands):
+            rows = cols[j * r: (j + 1) * r]
+            for t, rid in enumerate(id_vals):
+                if rows[0][t] is None:
+                    continue
+                ids.append(rid)
+                bands.append(
+                    f"{j}:{''.join(rows[x][t] for x in range(r))}")
         return pa.table({
             "band": pa.array(bands, pa.string()),
             id_col: pa.array(ids, pa.int64()),
@@ -506,26 +517,7 @@ def minhash_banded_pairs(ds, id_col: str = "doc_id",
     """
     n_hashes = b * r
     sigs = minhash_banded_signatures(ds, id_col, text_col, n_hashes, k)
-
-    def _explode(batch: pa.Table) -> pa.Table:
-        ids, bands = [], []
-        id_vals = batch.column(id_col).to_pylist()
-        cols = [batch.column(f"h{i}").to_pylist()
-                for i in range(n_hashes)]
-        for j in range(b):
-            rows = cols[j * r: (j + 1) * r]
-            for t, rid in enumerate(id_vals):
-                hs = [rows[x][t] for x in range(r)]
-                if hs[0] is None:
-                    continue
-                ids.append(rid)
-                bands.append(f"{j}:{''.join(hs)}")
-        return pa.table({
-            "band": pa.array(bands, pa.string()),
-            id_col: pa.array(ids, pa.int64()),
-        })
-
-    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+    exploded = _band_explode(sigs, id_col, n_hashes, r)
     return _pairs_from_band_rows(exploded, id_col, max_bucket)
 
 

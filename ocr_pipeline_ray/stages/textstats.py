@@ -859,6 +859,7 @@ class DictionaryTagger:
                  id_col: str = "doc_id"):
         import re
 
+        terms = [t for t in terms if t]  # '' would match at EVERY offset
         if not terms:
             raise ValueError("empty phrase dictionary")
         self.text_col = text_col
@@ -984,13 +985,11 @@ def oov_rate(ds, v: int = 100, id_col: str = "doc_id",
     from ray.data.aggregate import Sum
 
     def _partial(batch: pa.Table) -> pa.Table:
-        counts: Dict[str, int] = {}
-        for text in batch.column(text_col).to_pylist():
-            for tok in (text or "").split(" "):
-                counts[tok] = counts.get(tok, 0) + 1
+        flat, _, _ = _token_lists(batch, text_col)
+        vc = pc.value_counts(flat)
         return pa.table({
-            "token": pa.array(list(counts.keys()), pa.string()),
-            "n": pa.array(list(counts.values()), pa.int64()),
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
         })
 
     top = (

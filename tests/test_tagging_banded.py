@@ -105,6 +105,16 @@ class TestDictionaryTagger:
     def test_empty_dictionary_rejected(self):
         with pytest.raises(ValueError):
             DictionaryTagger([])
+        with pytest.raises(ValueError):
+            DictionaryTagger([""])  # '' matches at every offset
+
+    def test_empty_string_terms_filtered(self):
+        tagger = DictionaryTagger(["a b", ""])
+        out = tagger(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["a b c"], pa.string()),
+        })).to_pylist()
+        assert out == [{"doc_id": 1, "term": "a b", "n_hits": 1}]
 
     def test_actor_pool_stage(self, ray_session):
         ds = _ds([

@@ -105,7 +105,7 @@ BENCH_QUERIES = [
     "url_path_rollup",
     # session-8 additions
     "minhash_banded_pairs", "dictionary_tag", "prefix_dup",
-    "char_entropy", "oov_rate",
+    "char_entropy", "oov_rate", "events_by_type_adaptive",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

@@ -8909,3 +8909,27 @@ ORACLE_SQL["oov_rate"] = (
     "FROM flags GROUP BY doc_id"
 )
 QUERIES["oov_rate"] = q_oov_rate
+
+
+def q_events_by_type_adaptive(sf_dir: str):
+    """ADAPTIVE salted aggregate: per-key salt fan-out measured from
+    a deterministic plan-time sample (only hot keys salt; cold keys
+    skip the fan-out the fixed-salt shape pays everywhere). Values
+    identical to the plain groupby — the sample tunes the plan."""
+    from .stages.stats import adaptive_salted_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"])
+    plan = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    # tiny target so the sample actually classifies keys as hot at
+    # test scale (every event_type is hot here — mirrors the salted
+    # query's premise)
+    return adaptive_salted_agg(
+        ds, "event_type", "value", "user_id",
+        target_per_reducer=200, plan_ds=plan)
+
+
+ORACLE_SQL["events_by_type_adaptive"] = ORACLE_SQL["events_by_type_salted"]
+QUERIES["events_by_type_adaptive"] = q_events_by_type_adaptive

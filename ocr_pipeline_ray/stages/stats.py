@@ -1823,3 +1823,103 @@ def grouped_binned_quantiles(ds, key_col: str, col: str,
         "q": pa.array(out_q, pa.float64()),
         "value_est": pa.array(out_v, pa.int64()),
     })
+
+
+def adaptive_salted_agg(ds, key_col: str, value_col: str, salt_src: str,
+                        sample_mod: int = 20,
+                        target_per_reducer: int = 200_000,
+                        max_salt: int = 64, plan_ds=None):
+    """Grouped count/sum with MEASURED, per-key salting — the
+    adaptive version of the fixed-fan-out salted shape (cf.
+    ``q_events_by_type_salted``): a fixed salt multiplies EVERY key's
+    phase-2 input by the fan-out, which is exactly wrong at 10^9 cold
+    keys; here only keys a plan-time sample says are hot get salted,
+    each with a fan-out sized to its estimated volume.
+
+    Three phases, result identical to a plain groupby (the sample
+    tunes the PLAN, never the values):
+
+    0. Plan sample: a pruned ``columns=[key]`` read of the
+       deterministic ``crc32(str(salt_src)) % sample_mod == 0`` row
+       slice → map-side per-key partial counts → tiny key groupby →
+       the driver keeps only keys whose extrapolated count exceeds
+       ``target_per_reducer`` (the hot dict is bounded by data volume
+       / target, not by key cardinality).
+    1. Salted partial combine: salt = crc32(str(salt_src)) %
+       fan_out(key) (1 for cold keys) → groupby (key, salt).
+    2. Re-aggregate the ≤ fan_out partials per key.
+
+    Output: ``(key, n_events: int64, sum_value: float round6)``.
+    """
+    import math
+    from zlib import crc32
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def _row_hash(col) -> np.ndarray:
+        return np.fromiter(
+            (crc32(str(v).encode()) for v in col.to_pylist()),
+            np.int64, len(col))
+
+    def _sample_counts(batch: pa.Table) -> pa.Table:
+        h = _row_hash(batch.column(salt_src))
+        t = batch.filter(pa.array(h % sample_mod == 0))
+        agg = t.select([key_col]).group_by([key_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            key_col: agg.column(key_col),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    # the plan pass only touches (key, salt_src) — pass a pruned
+    # read as plan_ds so the sample never lifts the value column
+    sampled = (plan_ds if plan_ds is not None else ds).map_batches(
+        _sample_counts, batch_format="pyarrow"
+    ).groupby(key_col).aggregate(Sum("n"))
+    hot: dict = {}
+    for row in sampled.take_all():
+        est = row["sum(n)"] * sample_mod
+        if est > target_per_reducer:
+            hot[row[key_col]] = min(
+                max_salt, math.ceil(est / target_per_reducer))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if hot:
+            fan = np.fromiter(
+                (hot.get(k, 1) for k in
+                 batch.column(key_col).to_pylist()),
+                np.int64, batch.num_rows)
+            salt = _row_hash(batch.column(salt_src)) % fan
+        else:
+            salt = np.zeros(batch.num_rows, np.int64)
+        return partial_sum_count(
+            pa.table({
+                key_col: batch.column(key_col),
+                "salt": pa.array(salt, pa.int64()),
+                value_col: batch.column(value_col),
+            }),
+            [key_col, "salt"], value_col,
+        )
+
+    phase1 = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        [key_col, "salt"]
+    ).aggregate(Sum("n_events"), Sum("sum_value"))
+    phase2 = phase1.groupby(key_col).aggregate(
+        Sum("sum(n_events)"), Sum("sum(sum_value)"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sums = [
+            math.floor(s * 1000000.0 + 0.5) / 1000000.0
+            for s in batch.column("sum(sum(sum_value))").to_pylist()
+        ]
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_events": pc.cast(
+                batch.column("sum(sum(n_events))"), pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        })
+
+    return phase2.map_batches(_finish, batch_format="pyarrow")

@@ -8933,3 +8933,37 @@ def q_events_by_type_adaptive(sf_dir: str):
 
 ORACLE_SQL["events_by_type_adaptive"] = ORACLE_SQL["events_by_type_salted"]
 QUERIES["events_by_type_adaptive"] = q_events_by_type_adaptive
+
+
+def q_sparse_cosine_pairs(sf_dir: str):
+    """Weighted sparse cosine self-join over 3-shingle count vectors
+    (postings-based all-pairs; repetition-sensitive, unlike the
+    set-Jaccard twin). df > 1000 terms excluded by operator
+    semantics, mirrored in the SQL twin."""
+    from .stages.dedup import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        k=3, threshold=0.8, df_cap=1000)
+
+
+ORACLE_SQL["sparse_cosine_pairs"] = (
+    "WITH " + SHINGLE_CTE + ", "
+    "u AS (SELECT doc_id, unnest(shingles) AS term FROM sh), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM u GROUP BY doc_id, term), "
+    "nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nsq "
+    "FROM tf GROUP BY doc_id), "
+    "keepterms AS (SELECT term FROM tf GROUP BY term "
+    "HAVING count(*) <= 1000), "
+    "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+    "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot "
+    "FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id "
+    "JOIN keepterms kt ON kt.term = a.term GROUP BY 1, 2) "
+    "SELECT d1, d2, floor(dot / (sqrt(na.nsq) * sqrt(nb.nsq)) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS cosine "
+    "FROM p JOIN nrm na ON na.doc_id = p.d1 "
+    "JOIN nrm nb ON nb.doc_id = p.d2 "
+    "WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.8"
+)
+QUERIES["sparse_cosine_pairs"] = q_sparse_cosine_pairs

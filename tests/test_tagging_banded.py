@@ -224,3 +224,35 @@ class TestAdaptiveSaltedAgg:
             self._events(rows), "k", "v", "uid",
             sample_mod=2, target_per_reducer=10_000).take_all()
         assert out == [{"k": "a", "n_events": 10, "sum_value": 20.0}]
+
+
+class TestSparseCosinePairs:
+    def test_repetition_sensitivity_vs_jaccard(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import sparse_cosine_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        # doc 2 = doc 1 with one shingle region repeated many times:
+        # identical shingle SET (Jaccard high) but skewed counts
+        rep = base + (" alpha beta gamma" * 10)
+        ds = _ds([(1, base), (2, rep), (3, base)])
+        rows = {(r["d1"], r["d2"]): r["cosine"]
+                for r in sparse_cosine_pairs(
+                    ds, threshold=0.0, df_cap=100).take_all()}
+        assert rows[(1, 3)] == 1.0           # identical docs
+        assert rows[(1, 2)] < rows[(1, 3)]   # repetition drags cosine
+
+    def test_df_cap_excludes_common_terms(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import sparse_cosine_pairs
+
+        # the only shared shingle appears in all 3 docs -> df=3 > cap
+        shared = "x y z"
+        ds = _ds([(1, shared + " a b c"), (2, shared + " d e f"),
+                  (3, shared + " g h i")])
+        out = sparse_cosine_pairs(ds, threshold=0.0, df_cap=2).take_all()
+        assert out == []
+
+    def test_short_docs_no_rows(self, ray_session):
+        from ocr_pipeline_ray.stages.dedup import sparse_cosine_pairs
+
+        ds = _ds([(1, "nur zwei"), (2, "nur zwei")])
+        assert sparse_cosine_pairs(ds).count() == 0

@@ -8967,3 +8967,32 @@ ORACLE_SQL["sparse_cosine_pairs"] = (
     "WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.8"
 )
 QUERIES["sparse_cosine_pairs"] = q_sparse_cosine_pairs
+
+
+def q_rarity_dispersion(sf_dir: str):
+    """Second-moment rarity: per-doc variance of token document
+    frequency (MGT/template "burstiness" heuristic — narrow-band
+    frequency profiles score low at a given mean). Same plan as
+    token_rarity + one extra int64 partial."""
+    from .stages.textstats import rarity_dispersion
+
+    return rarity_dispersion(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+ORACLE_SQL["rarity_dispersion"] = (
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS tok FROM documents WHERE text IS NOT NULL), "
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t "
+    "GROUP BY doc_id, tok), "
+    "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok) "
+    "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+    "CAST(sum(tf.tf * df.df) AS DOUBLE) / CAST(sum(tf.tf) AS BIGINT) "
+    "AS mean_df, "
+    "CAST(sum(tf.tf * df.df * df.df) AS DOUBLE) / "
+    "CAST(sum(tf.tf) AS BIGINT) - "
+    "(CAST(sum(tf.tf * df.df) AS DOUBLE) / CAST(sum(tf.tf) AS BIGINT)) "
+    "* (CAST(sum(tf.tf * df.df) AS DOUBLE) / CAST(sum(tf.tf) AS BIGINT)) "
+    "AS var_df "
+    "FROM tf JOIN df USING (tok) GROUP BY tf.doc_id"
+)
+QUERIES["rarity_dispersion"] = q_rarity_dispersion

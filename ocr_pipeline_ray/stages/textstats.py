@@ -1016,3 +1016,70 @@ def oov_rate(ds, v: int = 100, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_rate, batch_format="pyarrow")
+
+
+def rarity_dispersion(ds, id_col: str = "doc_id", text_col: str = "text",
+                      n_buckets: int = 64):
+    """Per-doc DISPERSION of token corpus-frequency — the
+    second-moment companion to :func:`token_rarity` (same physical
+    plan, one extra int64 partial). Human text mixes frequent
+    function words with rare content words (high df variance);
+    template/machine-generated text clusters in a narrow frequency
+    band (low variance at a given mean) — the published
+    "burstiness/uniformity" family of MGT heuristics.
+
+    All sums are int64 (exact, order-free); the final
+    ``var = Σtf·df²/Σtf − (Σtf·df/Σtf)²`` is the same float
+    expression the SQL twin evaluates, so the oracle is bit-exact.
+    Int64 bound: the df² partial overflows once df > ~3e9 — at
+    10^12-doc corpus scale compute the second moment in float64
+    instead (the int64 path is what buys bit-exactness at gate
+    scale).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    tf = ds.map_batches(
+        tf_rows_fn, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    )
+    joined = attach_df_by_token_bucket(tf, n_buckets=n_buckets)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tfv = batch.column("tf").combine_chunks().to_numpy()
+        dfv = batch.column("df").combine_chunks().to_numpy()
+        uniq, inv = np.unique(ids, return_inverse=True)
+        tfdf = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tfdf, inv, tfv * dfv)
+        tfd2 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tfd2, inv, tfv * dfv * dfv)
+        tfs = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tfs, inv, tfv)
+        return pa.table({
+            id_col: pa.array(uniq, batch.schema.field(id_col).type),
+            "tfdf": pa.array(tfdf, pa.int64()),
+            "tfd2": pa.array(tfd2, pa.int64()),
+            "tfs": pa.array(tfs, pa.int64()),
+        })
+
+    agg = joined.map_batches(_partial, batch_format="pyarrow").groupby(
+        id_col
+    ).aggregate(Sum("tfdf", alias_name="tfdf"),
+                Sum("tfd2", alias_name="tfd2"),
+                Sum("tfs", alias_name="tfs"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        tfdf = batch.column("tfdf").combine_chunks().to_numpy()
+        tfd2 = batch.column("tfd2").combine_chunks().to_numpy()
+        tfs = batch.column("tfs").combine_chunks().to_numpy()
+        mean = tfdf / tfs
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(tfs, pa.int64()),
+            "mean_df": pa.array(mean, pa.float64()),
+            "var_df": pa.array(tfd2 / tfs - mean * mean, pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -256,3 +256,24 @@ class TestSparseCosinePairs:
 
         ds = _ds([(1, "nur zwei"), (2, "nur zwei")])
         assert sparse_cosine_pairs(ds).count() == 0
+
+
+class TestRarityDispersion:
+    def test_uniform_vs_mixed_dispersion(self, ray_session):
+        from ocr_pipeline_ray.stages.textstats import rarity_dispersion
+
+        # docs 1-3 share 'common' (df=4); 'rare*' tokens have df=1.
+        # doc 4 is all-common (zero variance); doc 1 mixes df=4 and
+        # df=1 tokens (positive variance).
+        ds = _ds([
+            (1, "common rare1 rare2"),
+            (2, "common rarex"),
+            (3, "common rarey"),
+            (4, "common common common"),
+        ])
+        rows = {r["doc_id"]: r for r in rarity_dispersion(ds).take_all()}
+        assert rows[4]["var_df"] == 0.0
+        assert rows[4]["mean_df"] == 4.0
+        assert rows[1]["var_df"] > 0.0
+        # doc 1: dfs (4,1,1) -> mean 2, var = (16+1+1)/3 - 4 = 2
+        assert rows[1]["mean_df"] == 2.0 and rows[1]["var_df"] == 2.0

@@ -106,7 +106,7 @@ BENCH_QUERIES = [
     # session-8 additions
     "minhash_banded_pairs", "dictionary_tag", "prefix_dup",
     "char_entropy", "oov_rate", "events_by_type_adaptive",
-    "sparse_cosine_pairs", "rarity_dispersion",
+    "sparse_cosine_pairs", "rarity_dispersion", "paragraph_lang_mix",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

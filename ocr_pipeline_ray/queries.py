@@ -8996,3 +8996,58 @@ ORACLE_SQL["rarity_dispersion"] = (
     "FROM tf JOIN df USING (tok) GROUP BY tf.doc_id"
 )
 QUERIES["rarity_dispersion"] = q_rarity_dispersion
+
+
+def q_paragraph_lang_mix(sf_dir: str):
+    """Paragraph-level code-switching detection (CCNet runs lang-ID
+    per paragraph): docs augmented with a second paragraph in a
+    rotating language + an unk-profile third, then one row-local
+    vectorized pass computes per-doc paragraph-language mixing."""
+    from .stages.textstats import paragraph_lang_mix_fn
+
+    sep = "\n\n"
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        second = pc.if_else(
+            pc.equal(_int_mod(ids, 3), pa.scalar(0, pa.int64())),
+            pa.scalar("der die das und"), pa.scalar("the a the"))
+        t = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("text"), ""), sep,
+            second, sep, "keine stopwords hier", "",
+        )
+        return pa.table({"doc_id": ids, "text": t})
+
+    aug = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return aug.map_batches(
+        paragraph_lang_mix_fn, batch_format="pyarrow",
+        fn_kwargs={"sep": sep})
+
+
+ORACLE_SQL["paragraph_lang_mix"] = (
+    "WITH aug AS (SELECT doc_id, coalesce(text, '') || chr(10) || "
+    "chr(10) || CASE WHEN doc_id % 3 = 0 THEN 'der die das und' "
+    "ELSE 'the a the' END || chr(10) || chr(10) || "
+    "'keine stopwords hier' AS text FROM documents), "
+    "p AS (SELECT doc_id, unnest(string_split(text, "
+    "chr(10) || chr(10))) AS para FROM aug), "
+    "sc AS (SELECT doc_id, "
+    "len(list_filter(string_split(para, ' '), "
+    "x -> x = 'the' OR x = 'a')) AS s_en, "
+    "len(list_filter(string_split(para, ' '), "
+    "x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS s_de "
+    "FROM p), "
+    "l AS (SELECT doc_id, CASE WHEN s_en > s_de THEN 'en' "
+    "WHEN s_de > s_en THEN 'de' ELSE 'unk' END AS lp FROM sc), "
+    "c AS (SELECT doc_id, lp, count(*) AS n FROM l GROUP BY doc_id, lp), "
+    "sel AS (SELECT doc_id, lp AS major_lang, n AS maj_n FROM c "
+    "QUALIFY row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY n DESC, lp) = 1), "
+    "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_paras, "
+    "CAST(count(*) AS BIGINT) AS n_langs FROM c GROUP BY doc_id) "
+    "SELECT tot.doc_id, n_paras, n_langs, major_lang, "
+    "1.0 - CAST(maj_n AS DOUBLE) / n_paras AS mix_frac "
+    "FROM tot JOIN sel ON sel.doc_id = tot.doc_id"
+)
+QUERIES["paragraph_lang_mix"] = q_paragraph_lang_mix

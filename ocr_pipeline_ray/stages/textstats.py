@@ -1083,3 +1083,71 @@ def rarity_dispersion(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def paragraph_lang_mix_fn(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sep: str = "\n\n") -> pa.Table:
+    """Paragraph-level language mixing — the CCNet-style
+    code-switching signal (Wenzek et al. 2020 run lang-ID per
+    PARAGRAPH, not per page: navigation chrome in one language
+    around content in another is the single biggest lang-label
+    error source on web pages).
+
+    Per doc: paragraph count, number of distinct predicted
+    paragraph languages, the majority language (ties broken
+    lexicographically) and ``mix_frac = 1 − majority/n_paras``.
+    Fully vectorized and row-local (a doc's paragraphs never leave
+    its row): two nested split kernels (doc→para, para→token), two
+    ``is_in`` scans over the flat token array, per-para stopword
+    scores by cumsum-diff, per-doc language counts via ONE
+    ``np.unique`` over packed ``doc·3 + lang_code`` keys. No
+    shuffle, no Python loop over rows/paras/tokens.
+    """
+    import numpy as np
+
+    # lang codes ordered LEXICOGRAPHICALLY (de < en < unk) so that
+    # numpy argmax's first-max tie-break == SQL ORDER BY n DESC, lp
+    langs = np.array(["de", "en", "unk"])
+
+    def _flatten(list_arr):
+        if isinstance(list_arr, pa.ChunkedArray):
+            list_arr = list_arr.combine_chunks()
+        if isinstance(list_arr, pa.ChunkedArray):  # zero-chunk case
+            list_arr = (list_arr.chunk(0) if list_arr.num_chunks
+                        else pa.array([], pa.list_(pa.string())))
+        return list_arr
+
+    col = pc.fill_null(batch.column(text_col), "")
+    paras = _flatten(pc.split_pattern(col, sep))
+    p_offsets = paras.offsets.to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    flat_paras = paras.values
+    n_docs = batch.num_rows
+    n_paras = np.diff(p_offsets)
+
+    toks = _flatten(pc.split_pattern(flat_paras, " "))
+    t_offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    flat_toks = toks.values
+    en = _segment_sum(pc.is_in(
+        flat_toks, value_set=pa.array(sorted(STOPWORDS_EN))
+    ).to_numpy(zero_copy_only=False), t_offsets)
+    de = _segment_sum(pc.is_in(
+        flat_toks, value_set=pa.array(sorted(STOPWORDS_DE))
+    ).to_numpy(zero_copy_only=False), t_offsets)
+    code = np.where(en > de, 1, np.where(de > en, 0, 2))  # de,en,unk
+
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_paras)
+    uniq, ucnt = np.unique(doc_idx * 3 + code, return_counts=True)
+    counts = np.zeros((n_docs, 3), dtype=np.int64)
+    counts[uniq // 3, uniq % 3] = ucnt
+    maj_n = counts.max(axis=1)
+    maj_code = counts.argmax(axis=1)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_paras": pa.array(n_paras, pa.int64()),
+        "n_langs": pa.array((counts > 0).sum(axis=1), pa.int64()),
+        "major_lang": pa.array(langs[maj_code].tolist(), pa.string()),
+        "mix_frac": pa.array(1.0 - maj_n / n_paras, pa.float64()),
+    })

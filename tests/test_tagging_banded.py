@@ -277,3 +277,34 @@ class TestRarityDispersion:
         assert rows[1]["var_df"] > 0.0
         # doc 1: dfs (4,1,1) -> mean 2, var = (16+1+1)/3 - 4 = 2
         assert rows[1]["mean_df"] == 2.0 and rows[1]["var_df"] == 2.0
+
+
+class TestParagraphLangMix:
+    def test_mixing_and_majority(self):
+        from ocr_pipeline_ray.stages.textstats import paragraph_lang_mix_fn
+
+        out = paragraph_lang_mix_fn(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "the a here\n\nder die das\n\nthe a again",  # en,de,en
+                "der und die\n\nder die",                    # de,de
+                "nichts here",                               # unk only
+            ], pa.string()),
+        })).to_pylist()
+        r = {x["doc_id"]: x for x in out}
+        assert r[1]["n_paras"] == 3 and r[1]["n_langs"] == 2
+        assert r[1]["major_lang"] == "en"
+        assert abs(r[1]["mix_frac"] - (1.0 - 2 / 3)) < 1e-12
+        assert r[2] == {"doc_id": 2, "n_paras": 2, "n_langs": 1,
+                        "major_lang": "de", "mix_frac": 0.0}
+        assert r[3]["major_lang"] == "unk" and r[3]["mix_frac"] == 0.0
+
+    def test_tie_breaks_lexicographic(self):
+        from ocr_pipeline_ray.stages.textstats import paragraph_lang_mix_fn
+
+        # one en para, one de para: tie -> 'de' (lexicographic min)
+        out = paragraph_lang_mix_fn(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["the a\n\nder die"], pa.string()),
+        })).to_pylist()
+        assert out[0]["major_lang"] == "de" and out[0]["n_langs"] == 2

@@ -9051,3 +9051,53 @@ ORACLE_SQL["paragraph_lang_mix"] = (
     "FROM tot JOIN sel ON sel.doc_id = tot.doc_id"
 )
 QUERIES["paragraph_lang_mix"] = q_paragraph_lang_mix
+
+
+def q_zorder_scan(sf_dir: str):
+    """Z-ORDER clustered layout + 2-D zone-map pruning: documents are
+    staged ONCE into 16 files clustered by the Morton interleave of
+    (doc_id, n_chars) (`stages/bucketed.zorder_key` — the lakehouse
+    OPTIMIZE ZORDER BY layout), then a conjunctive 2-D range scan
+    (`pruned_read_multi`) consults the footer-stats manifest for BOTH
+    columns and reads only files whose (doc_id × n_chars) rectangle
+    intersects the predicate box. A 1-D sorted layout can prune only
+    its sort column; pytest pins that the Z layout skips strictly
+    more files on the same box. The oracle is the plain 2-D BETWEEN —
+    pruning must never change results."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from .stages.bucketed import pruned_read_multi, zorder_key
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"/tmp/ocr_ray_zorder_{os.getpid()}_{label}"
+    paths = [os.path.join(stage, f"part-{i:02d}.parquet")
+             for i in range(16)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq_.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+        z = zorder_key(tbl.column("doc_id").to_numpy(),
+                       tbl.column("n_chars").to_numpy())
+        tbl = tbl.take(pa.array(np.argsort(z, kind="stable")))
+        n = tbl.num_rows
+        cuts = [n * i // 16 for i in range(17)]
+        for i, p in enumerate(paths):
+            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                            p + ".tmp")
+            os.replace(p + ".tmp", p)
+    ds, _n_read, _n_skipped = pruned_read_multi(
+        paths, {"doc_id": (100, 249), "n_chars": (150, 400)},
+        columns=["doc_id", "n_chars"])
+    if ds is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    return ds
+
+
+ORACLE_SQL["zorder_scan"] = (
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE doc_id BETWEEN 100 AND 249 "
+    "AND n_chars BETWEEN 150 AND 400"
+)
+QUERIES["zorder_scan"] = q_zorder_scan

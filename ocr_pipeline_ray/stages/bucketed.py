@@ -538,6 +538,77 @@ def build_zone_map(paths, columns):
     })
 
 
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each value so consecutive source bits
+    land two positions apart (the classic Morton magic-number ladder)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_key(xs, ys) -> np.ndarray:
+    """Vectorized 2-D Morton (Z-order) key: interleave the low 16 bits
+    of two int columns into one int64 sort key. A layout CLUSTERED by
+    this key keeps both dimensions locally narrow in every file, so
+    ONE zone map prunes 2-D range predicates — the lakehouse Z-ORDER
+    trick (Delta/Iceberg `OPTIMIZE ZORDER BY`), here as plain numpy
+    bit math. Values are clamped to [0, 2^16): callers whose domain
+    exceeds 16 bits pre-scale (the key orders files, it never has to
+    be collision-free). NULLs are treated as 0 (sort first).
+    """
+    x = np.nan_to_num(
+        np.asarray(xs, dtype=np.float64), nan=0.0).astype(np.int64)
+    y = np.nan_to_num(
+        np.asarray(ys, dtype=np.float64), nan=0.0).astype(np.int64)
+    x = np.clip(x, 0, 0xFFFF)
+    y = np.clip(y, 0, 0xFFFF)
+    z = _spread16(x) | (_spread16(y) << np.uint64(1))
+    return z.astype(np.int64)
+
+
+def pruned_read_multi(paths, preds: dict, zone_map: pa.Table = None,
+                      columns=None):
+    """Conjunctive multi-column zone-map scan: skip a file when ANY
+    predicate column's footer-stats interval misses its ``(lo, hi)``
+    range. The residual filter applies every predicate in-scan.
+    Returns ``(dataset, n_files_read, n_files_skipped)`` like
+    :func:`pruned_read` (files without stats for a column are read
+    conservatively).
+    """
+    import ast
+
+    import ray.data
+
+    if zone_map is None:
+        zone_map = build_zone_map(paths, list(preds))
+    bounds: dict = {}
+    for p, c, mn, mx in zip(zone_map.column("path").to_pylist(),
+                            zone_map.column("col").to_pylist(),
+                            zone_map.column("vmin").to_pylist(),
+                            zone_map.column("vmax").to_pylist()):
+        if c in preds:
+            bounds.setdefault(p, {})[c] = (ast.literal_eval(mn),
+                                           ast.literal_eval(mx))
+    keep, skipped = [], 0
+    for p in paths:
+        cols = bounds.get(p, {})
+        if any(c in cols and (cols[c][0] > hi or cols[c][1] < lo)
+               for c, (lo, hi) in preds.items()):
+            skipped += 1
+            continue
+        keep.append(p)
+    if not keep:
+        return None, 0, skipped
+    ds = ray.data.read_parquet(keep, columns=columns)
+    expr = " and ".join(f"{c} >= {lo!r} and {c} <= {hi!r}"
+                        for c, (lo, hi) in preds.items())
+    ds = ds.filter(expr=expr)
+    return ds, len(keep), skipped
+
+
 def pruned_read(paths, col: str, lo, hi, zone_map: pa.Table = None,
                 columns=None):
     """Range scan ``lo <= col <= hi`` that SKIPS files whose zone-map

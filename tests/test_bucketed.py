@@ -378,3 +378,67 @@ class TestZoneMap:
         assert sorted(ds.to_pandas()["k"]) == [9, 10]
         ds, n_read, n_skipped = pruned_read(paths, "k", 100, 200)
         assert ds is None and (n_read, n_skipped) == (0, 2)
+
+
+class TestZorder:
+    def test_morton_interleave_known_values(self):
+        import numpy as np
+
+        from ocr_pipeline_ray.stages.bucketed import zorder_key
+
+        # y occupies odd bits, x even bits: z(2,3) = y1 x1 y0 x0 = 1110
+        z = zorder_key(np.array([0, 1, 0, 1, 2]),
+                       np.array([0, 0, 1, 1, 3]))
+        assert z.tolist() == [0, 1, 2, 3, 14]
+        # clamping: out-of-domain values saturate, never wrap
+        z = zorder_key(np.array([1 << 20, -5]), np.array([0, 0]))
+        assert z.tolist() == [zorder_key([0xFFFF], [0])[0], 0]
+
+    def _stage(self, tmp_path, order_cols, n_files=8):
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from ocr_pipeline_ray.stages.bucketed import zorder_key
+
+        n = 1024
+        x = np.arange(n, dtype=np.int64)
+        y = (x * 37) % n  # decorrelated second dimension
+        tbl = pa.table({"x": x, "y": y})
+        if order_cols == "z":
+            key = zorder_key(x, y)
+        else:
+            key = x
+        tbl = tbl.take(pa.array(np.argsort(key, kind="stable")))
+        paths = []
+        cuts = [n * i // n_files for i in range(n_files + 1)]
+        for i in range(n_files):
+            p = str(tmp_path / f"{order_cols}-{i}.parquet")
+            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+            paths.append(p)
+        return paths
+
+    def test_2d_prune_beats_1d_layout(self, tmp_path, ray_session):
+        from ocr_pipeline_ray.stages.bucketed import pruned_read_multi
+
+        preds = {"x": (200, 327), "y": (100, 227)}
+        z_paths = self._stage(tmp_path, "z")
+        x_paths = self._stage(tmp_path, "x")
+        zds, _, z_skip = pruned_read_multi(z_paths, preds)
+        xds, _, x_skip = pruned_read_multi(x_paths, preds)
+        zrows = sorted(map(tuple, zds.to_pandas().values.tolist()))
+        xrows = sorted(map(tuple, xds.to_pandas().values.tolist()))
+        assert zrows == xrows  # pruning never changes results
+        expect = [(x, (x * 37) % 1024) for x in range(200, 328)
+                  if 100 <= (x * 37) % 1024 <= 227]
+        assert zrows == sorted(expect)
+        # the point of Z-ordering: a 2-D box prunes on BOTH columns
+        assert z_skip > x_skip
+
+    def test_multi_pred_conjunction_and_empty(self, tmp_path,
+                                              ray_session):
+        from ocr_pipeline_ray.stages.bucketed import pruned_read_multi
+
+        paths = self._stage(tmp_path, "z", n_files=4)
+        ds, n_read, n_skipped = pruned_read_multi(
+            paths, {"x": (5000, 6000), "y": (0, 10)})
+        assert ds is None and n_read == 0 and n_skipped == 4

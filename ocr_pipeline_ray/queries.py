@@ -9101,3 +9101,50 @@ ORACLE_SQL["zorder_scan"] = (
     "AND n_chars BETWEEN 150 AND 400"
 )
 QUERIES["zorder_scan"] = q_zorder_scan
+
+
+def q_stitch_pairs(sf_dir: str):
+    """Paginated-crawl stitching (stages/dedup.stitch_pairs): pairs
+    whose k=3-token seam matches (tail of A == head of B) — the
+    split-article reassembly signal both exact and near dedup miss.
+    The corpus is deterministically augmented so every ``doc_id % 10
+    == 1`` doc's tail continues into ``doc_id + 1`` (seam tokens
+    carry the pair id); the oracle replays the augmentation and joins
+    head/tail slices directly."""
+    from .stages.dedup import stitch_pairs
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            t = t or ""
+            if i % 10 == 1:
+                t = f"{t} stitch pg{i} marker"
+            elif i % 10 == 2:
+                t = f"stitch pg{i - 1} marker {t}"
+            out.append(t)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    return stitch_pairs(ds, k=3).sort(["a_id", "b_id"])
+
+
+ORACLE_SQL["stitch_pairs"] = (
+    "WITH aug AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 10 = 1 THEN coalesce(text, '') || ' stitch pg' || "
+    "CAST(doc_id AS VARCHAR) || ' marker' "
+    "WHEN doc_id % 10 = 2 THEN 'stitch pg' || "
+    "CAST(doc_id - 1 AS VARCHAR) || ' marker ' || coalesce(text, '') "
+    "ELSE coalesce(text, '') END AS text FROM documents), "
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug), "
+    "ht AS (SELECT doc_id, array_to_string(toks[1:3], ' ') AS head, "
+    "array_to_string(toks[-3:], ' ') AS tail FROM t "
+    "WHERE len(toks) >= 3) "
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+    "FROM ht a JOIN ht b ON a.tail = b.head AND a.doc_id <> b.doc_id"
+)
+QUERIES["stitch_pairs"] = q_stitch_pairs

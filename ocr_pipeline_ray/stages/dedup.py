@@ -2389,3 +2389,83 @@ def simhash_near_pairs(ds, id_col: str = "doc_id",
         .groupby("_bbucket", num_partitions=n_buckets)
         .map_groups(_pairs_bucket, batch_format="pyarrow")
     )
+
+
+def stitch_pairs(ds, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int = 64):
+    """Document STITCHING pairs: ``(a, b)`` where the last ``k``
+    tokens of ``a`` equal the first ``k`` tokens of ``b`` — the
+    paginated-crawl reassembly signal (one article split across
+    "page 1/2/3" URLs repeats its boundary sentence on both sides of
+    the cut; CC render truncation produces the same overlap). Exact
+    and near dedup both miss these: the TWO HALVES of a split doc
+    share almost no content, only the seam.
+
+    Scale shape (the exact-dedup one): per doc emit two tiny rows —
+    ``(md5(tail_k), side=0, id)`` and ``(md5(head_k), side=1, id)``;
+    ONE crc32(seam)-bucket co-shuffle; inside each whole-bucket UDF a
+    sort + run-boundary mask crosses the tail rows of every seam run
+    against its head rows (self pairs excluded). Content never moves,
+    and the output is pair-scale. Docs with fewer than ``k`` tokens
+    cannot overlap by ``k`` and emit nothing.
+
+    Output: ``(a_id, b_id)`` — ``a``'s tail continues into ``b``.
+    """
+    import numpy as np
+    from zlib import crc32
+
+    def _ends(batch: pa.Table) -> pa.Table:
+        ids, keys, sides = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = (t or "").split(" ")
+            if len(toks) < k:
+                continue
+            ids += [i, i]
+            keys.append(_md5(" ".join(toks[-k:])))
+            keys.append(_md5(" ".join(toks[:k])))
+            sides += [0, 1]
+        return pa.table({
+            "seam": pa.array(keys, pa.string()),
+            "side": pa.array(sides, pa.int8()),
+            id_col: pa.array(ids, pa.int64()),
+            "_sbucket": pa.array(
+                [crc32(x.encode()) % n_buckets for x in keys],
+                pa.int32()),
+        })
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        sub = group.sort_by([("seam", "ascending")])
+        seams = np.asarray(sub.column("seam"))
+        sides = sub.column("side").to_numpy()
+        ids = sub.column(id_col).to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], seams[1:] != seams[:-1])))
+        ends = np.concatenate((starts[1:], [len(seams)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            tails = ids[s:e][sides[s:e] == 0]
+            heads = ids[s:e][sides[s:e] == 1]
+            if len(tails) == 0 or len(heads) == 0:
+                continue
+            aa = np.repeat(tails, len(heads))
+            bb = np.tile(heads, len(tails))
+            keep = aa != bb
+            a_out.append(aa[keep])
+            b_out.append(bb[keep])
+        if not a_out:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+            "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_ends, batch_format="pyarrow")
+        .groupby("_sbucket", num_partitions=n_buckets)
+        .map_groups(_bucket, batch_format="pyarrow")
+    )

@@ -9148,3 +9148,129 @@ ORACLE_SQL["stitch_pairs"] = (
     "FROM ht a JOIN ht b ON a.tail = b.head AND a.doc_id <> b.doc_id"
 )
 QUERIES["stitch_pairs"] = q_stitch_pairs
+
+
+def q_user_skyline(sf_dir: str):
+    """Pareto-frontier user selection (stages/stats.skyline_2d —
+    SKYLINE OF n_rows MAX, n_distinct MAX, Börzsönyi ICDE'01): users
+    not dominated on BOTH activity axes. Points come from ONE
+    (user, type, n) partial co-shuffle
+    (stats.grouped_count_and_distinct); the skyline itself is
+    map-side local frontiers + one frontier-scale final pass."""
+    from .stages.stats import grouped_count_and_distinct, skyline_2d
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    pts = grouped_count_and_distinct(ev, "user_id", "event_type")
+    return skyline_2d(pts, "n_rows", "n_distinct").sort("user_id")
+
+
+ORACLE_SQL["user_skyline"] = (
+    "WITH pts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, n_rows, n_distinct FROM pts q "
+    "WHERE NOT EXISTS (SELECT 1 FROM pts p "
+    "WHERE p.n_rows >= q.n_rows AND p.n_distinct >= q.n_distinct "
+    "AND (p.n_rows > q.n_rows OR p.n_distinct > q.n_distinct)) "
+    "ORDER BY user_id"
+)
+QUERIES["user_skyline"] = q_user_skyline
+
+
+def q_events_trend(sf_dir: str):
+    """Per-type value trend over crawl time (stages/stats.grouped_ols
+    — the SQL regr_slope/regr_intercept pair from one
+    sufficient-statistic pass): x = day index since 2024-01-01 (small
+    ints by design — the normal-equation form is shift-invariant, so
+    shift), y = value. Compared on the repo-wide 1e-6 grid like
+    events_value_corr."""
+    from .stages.stats import grouped_ols
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        day = pc.subtract(
+            pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            pa.scalar(19723, pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": day,
+            "value": batch.column("value"),
+        })
+
+    out = grouped_ols(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        "event_type", "day", "value")
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        def _r6(col):
+            return pc.divide(
+                pc.floor(pc.add(pc.multiply(col, 1e6), 0.5)), 1e6)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "slope": _r6(batch.column("slope")),
+            "intercept": _r6(batch.column("intercept")),
+        })
+
+    return out.map_batches(_grid, batch_format="pyarrow").sort(
+        "event_type")
+
+
+ORACLE_SQL["events_trend"] = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "FLOOR(regr_slope(value, "
+    "CAST(floor(epoch(ts) / 86400) AS BIGINT) - 19723) * 1e6 + 0.5) "
+    "/ 1e6 AS slope, "
+    "FLOOR(regr_intercept(value, "
+    "CAST(floor(epoch(ts) / 86400) AS BIGINT) - 19723) * 1e6 + 0.5) "
+    "/ 1e6 AS intercept "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+QUERIES["events_trend"] = q_events_trend
+
+
+def q_mutual_nn_pairs(sf_dir: str):
+    """Reciprocal cosine-NN pairs between the even- and odd-id halves
+    of the embeddings table (stages/similarity.mutual_nn_pairs — the
+    bitext-mining hub filter). Block-pair matmul fan-out with local
+    argmax partials, grid-quantized BEFORE argmax so tie-breaks are
+    SQL-replicable; the oracle is the double QUALIFY row_number twin
+    over list_cosine_similarity."""
+    from .stages.similarity import mutual_nn_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    def _half(parity: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id")
+            return batch.filter(pc.equal(
+                pc.bit_wise_and(ids, pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64())))
+        return _f
+
+    ds_a = emb.map_batches(_half(0), batch_format="pyarrow")
+    ds_b = emb.map_batches(_half(1), batch_format="pyarrow")
+    return mutual_nn_pairs(ds_a, ds_b, max_blocks=8).sort("a_id")
+
+
+ORACLE_SQL["mutual_nn_pairs"] = (
+    "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id % 2 = 0), "
+    "b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id % 2 = 1), "
+    "s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+    "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) "
+    "AS BIGINT) AS sq FROM a, b), "
+    "na AS (SELECT a_id, b_id, sq FROM s QUALIFY row_number() OVER "
+    "(PARTITION BY a_id ORDER BY sq DESC, b_id ASC) = 1), "
+    "nb AS (SELECT a_id, b_id FROM s QUALIFY row_number() OVER "
+    "(PARTITION BY b_id ORDER BY sq DESC, a_id ASC) = 1) "
+    "SELECT na.a_id, na.b_id, CAST(na.sq AS DOUBLE) / 1e6 AS sim "
+    "FROM na JOIN nb ON na.a_id = nb.a_id AND na.b_id = nb.b_id "
+    "ORDER BY na.a_id"
+)
+QUERIES["mutual_nn_pairs"] = q_mutual_nn_pairs

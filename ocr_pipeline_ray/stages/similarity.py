@@ -648,3 +648,119 @@ def scalar_quantize(ds, emb_col: str = "embedding", id_col: str = "vec_id",
         })
 
     return ds.map_batches(_encode, batch_format="pyarrow")
+
+
+def mutual_nn_pairs(ds_a, ds_b, id_col: str = "vec_id",
+                    emb_col: str = "embedding", max_blocks: int = 16,
+                    n_buckets: int = 64):
+    """MUTUAL nearest-neighbor pairs across two embedding sets — the
+    bitext-mining / cross-snapshot alignment primitive (Artetxe &
+    Schwenk's margin-mining keeps a candidate only when the match is
+    reciprocal): ``(a, b)`` such that b is a's cosine-NN in B AND a
+    is b's cosine-NN in A. One-directional NN drags every vector to a
+    hub; mutuality is the standard hub filter.
+
+    Scale shape: both sides normalize into object-store blocks
+    (driver holds refs); one task per (i, j) block pair does ONE
+    matmul and reduces it LOCALLY to per-row best-candidate partials
+    (argmax is associative), so the exchange carries 2·|A∪B| partial
+    rows per block pair, never the similarity matrix. A key-hash
+    groupby arg-max (stats.grouped_argmax) finishes each direction,
+    and one pair-scale co-shuffle join keeps the reciprocal rows.
+
+    Exactness: similarities are quantized to the repo-wide 1e-6 grid
+    BEFORE any argmax (int64 thereafter), so tie-breaks (smaller id
+    wins) and fold order are bit-deterministic and SQL-replicable.
+    Output: ``(a_id, b_id, sim)`` with sim on the grid.
+    """
+    import ray
+    import ray.data
+
+    from .join import repartition_join
+    from .stats import grouped_argmax
+
+    refs_a = _norm_blocks(ds_a, id_col, emb_col, max_blocks)
+    refs_b = _norm_blocks(ds_b, id_col, emb_col, max_blocks)
+    idx_pairs = [{"i": i, "j": j}
+                 for i in range(len(refs_a))
+                 for j in range(len(refs_b))]
+
+    def _block_pair(batch: pa.Table) -> pa.Table:
+        skeys, cands, sqs = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            blk_a, blk_b = ray.get([refs_a[i], refs_b[j]])
+            ids_a = blk_a.column(id_col).combine_chunks().to_numpy()
+            ids_b = blk_b.column(id_col).combine_chunks().to_numpy()
+            mat_a = _to_matrix(blk_a.column(emb_col))
+            mat_b = _to_matrix(blk_b.column(emb_col))
+            if not mat_a.size or not mat_b.size:
+                continue
+            # candidate axes sorted by id so argmax's first-max rule
+            # IS the smallest-id tie-break
+            oa, ob = np.argsort(ids_a), np.argsort(ids_b)
+            ids_a, mat_a = ids_a[oa], mat_a[oa]
+            ids_b, mat_b = ids_b[ob], mat_b[ob]
+            sq = np.floor(
+                (mat_a @ mat_b.T) * 1e6 + 0.5).astype(np.int64)
+            best_b = np.argmax(sq, axis=1)
+            skeys.append(ids_a * 2)
+            cands.append(ids_b[best_b])
+            sqs.append(sq[np.arange(len(ids_a)), best_b])
+            best_a = np.argmax(sq, axis=0)
+            skeys.append(ids_b * 2 + 1)
+            cands.append(ids_a[best_a])
+            sqs.append(sq[best_a, np.arange(len(ids_b))])
+        if not skeys:
+            return pa.table({
+                "skey": pa.array([], pa.int64()),
+                "sq": pa.array([], pa.int64()),
+                "cand": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "skey": pa.array(np.concatenate(skeys), pa.int64()),
+            "sq": pa.array(np.concatenate(sqs), pa.int64()),
+            "cand": pa.array(np.concatenate(cands), pa.int64()),
+        })
+
+    partials = ray.data.from_items(idx_pairs).map_batches(
+        _block_pair, batch_size=1, batch_format="pyarrow")
+    # consumed twice (one projection per direction): pin the id-scale
+    # arg-max result in the object store so the block-pair matmul
+    # plan does not re-execute per consumer
+    best = grouped_argmax(partials, "skey", "sq", "cand",
+                          n_buckets=n_buckets).materialize()
+
+    def _a_side(batch: pa.Table) -> pa.Table:
+        sk = batch.column("skey").to_numpy()
+        m = sk % 2 == 0
+        return pa.table({
+            "a_id": pa.array(sk[m] // 2, pa.int64()),
+            "b_id": batch.column("cand").filter(pa.array(m)),
+            "sq": batch.column("sq").filter(pa.array(m)),
+        })
+
+    def _b_side(batch: pa.Table) -> pa.Table:
+        sk = batch.column("skey").to_numpy()
+        m = sk % 2 == 1
+        return pa.table({
+            "b_id": pa.array(sk[m] // 2, pa.int64()),
+            "a_back": batch.column("cand").filter(pa.array(m)),
+        })
+
+    a_best = best.map_batches(_a_side, batch_format="pyarrow")
+    b_best = best.map_batches(_b_side, batch_format="pyarrow")
+    joined = repartition_join(a_best, b_best, on="b_id",
+                              n_buckets=n_buckets)
+
+    def _mutual(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("a_id"), batch.column("a_back"))
+        sub = batch.filter(keep)
+        return pa.table({
+            "a_id": sub.column("a_id"),
+            "b_id": sub.column("b_id"),
+            "sim": pc.divide(
+                pc.cast(sub.column("sq"), pa.float64()), 1e6),
+        })
+
+    return joined.map_batches(_mutual, batch_format="pyarrow")

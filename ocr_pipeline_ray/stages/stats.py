@@ -677,6 +677,42 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
     """
     import numpy as np
     import pyarrow.compute as pc
+
+    agg = _cross_moments(ds, key_col, x_col, y_col)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        syy = batch.column("syy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        # float cancellation can push a zero variance slightly negative
+        vx = np.maximum(n * sxx - sx * sx, 0.0)
+        vy = np.maximum(n * syy - sy * sy, 0.0)
+        denom = np.sqrt(vx * vy)
+        bad = (n < 2) | (denom == 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (n * sxy - sx * sy) / denom
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "corr_xy": pa.array(np.where(bad, 0.0, r), pa.float64(),
+                                mask=bad),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def _cross_moments(ds, key_col: str, x_col: str, y_col: str):
+    """Shared sufficient-statistics plan for the per-key bivariate
+    family (:func:`grouped_corr`, :func:`grouped_ols`): block-local
+    Arrow ``group_by`` partials of ``(n, sx, sy, sxx, syy, sxy)``
+    then ONE key-scale groupby sum. Rows with a NULL on either side
+    are ignored (SQL ``corr``/``regr_*`` semantics).
+    """
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -701,7 +737,7 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
             "sxy": agg.column("xy_sum"),
         })
 
-    agg = (
+    return (
         ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(key_col)
         .aggregate(Sum("n", alias_name="n"),
@@ -712,26 +748,47 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
                    Sum("sxy", alias_name="sxy"))
     )
 
+
+def grouped_ols(ds, key_col: str, x_col: str, y_col: str):
+    """Per-key simple linear regression (trend detection): the SQL
+    ``regr_slope`` / ``regr_intercept`` pair from the SAME
+    sufficient-statistic plan as :func:`grouped_corr` — one pass, one
+    key-scale groupby, finish is
+    ``slope = (n·sxy − sx·sy) / (n·sxx − sx²)``,
+    ``intercept = (sy − slope·sx) / n``. At web scale this is the
+    per-host / per-type drift monitor (is quality sinking over crawl
+    time?) for the cost of an aggregate.
+
+    NULL-x/y rows are ignored; keys with ``n < 1`` or zero x-variance
+    yield NULL slope/intercept (``regr_slope`` semantics). Callers
+    should feed SMALL x values (day index, not raw epoch): the
+    two-pass normal-equation form loses precision when ``x`` has a
+    huge common offset — the slope is shift-invariant, so shift.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    agg = _cross_moments(ds, key_col, x_col, y_col)
+
     def _finish(batch: pa.Table) -> pa.Table:
         n = batch.column("n").to_numpy(zero_copy_only=False).astype(
             np.float64)
         sx = batch.column("sx").to_numpy(zero_copy_only=False)
         sy = batch.column("sy").to_numpy(zero_copy_only=False)
         sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
-        syy = batch.column("syy").to_numpy(zero_copy_only=False)
         sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
-        # float cancellation can push a zero variance slightly negative
-        vx = np.maximum(n * sxx - sx * sx, 0.0)
-        vy = np.maximum(n * syy - sy * sy, 0.0)
-        denom = np.sqrt(vx * vy)
-        bad = (n < 2) | (denom == 0.0)
+        vx = n * sxx - sx * sx
+        bad = (n < 1) | (vx <= 0.0)
         with np.errstate(divide="ignore", invalid="ignore"):
-            r = (n * sxy - sx * sy) / denom
+            slope = (n * sxy - sx * sy) / vx
+            intercept = (sy - slope * sx) / n
         return pa.table({
             key_col: batch.column(key_col),
             "n": pc.cast(batch.column("n"), pa.int64()),
-            "corr_xy": pa.array(np.where(bad, 0.0, r), pa.float64(),
-                                mask=bad),
+            "slope": pa.array(np.where(bad, 0.0, slope),
+                              pa.float64(), mask=bad),
+            "intercept": pa.array(np.where(bad, 0.0, intercept),
+                                  pa.float64(), mask=bad),
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
@@ -1923,3 +1980,119 @@ def adaptive_salted_agg(ds, key_col: str, value_col: str, salt_src: str,
         })
 
     return phase2.map_batches(_finish, batch_format="pyarrow")
+
+
+def grouped_count_and_distinct(ds, key_col: str, value_col: str,
+                               n_buckets: int = 64):
+    """Per-key ``(n_rows, n_distinct_values)`` in ONE exchange of
+    ``(key, value, n)`` partials: each batch pre-combines to its
+    distinct (key, value) pairs (map-side shrink — at web scale the
+    per-batch pair set is far smaller than the rows), the pairs
+    co-shuffle by crc32(key) bucket, and the whole-bucket UDF folds
+    both statistics with vectorized Arrow group_bys — never a
+    per-key UDF. NULL keys are dropped; a NULL value counts toward
+    ``n_rows`` and contributes one distinct value, matching SQL
+    ``count(*)`` / ``count(DISTINCT v)``-with-NULLs-excluded would
+    NOT — so the value column is coalesced by the caller if SQL
+    parity matters (the oracle twins here never feed NULL values).
+    """
+    from zlib import crc32
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = batch.select([key_col, value_col]).drop_null()
+        g = sub.group_by([key_col, value_col]).aggregate([
+            ([], "count_all")])
+        keys = g.column(key_col).to_pylist()
+        return pa.table({
+            key_col: g.column(key_col),
+            value_col: g.column(value_col),
+            "n": g.column("count_all"),
+            "_kbucket": pa.array(
+                [crc32(str(k).encode()) % n_buckets for k in keys],
+                pa.int32()),
+        })
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+            })
+        pairs = group.group_by([key_col, value_col]).aggregate([
+            ("n", "sum")])
+        fold = pairs.group_by(key_col).aggregate([
+            ("n_sum", "sum"), ([], "count_all")])
+        return pa.table({
+            key_col: fold.column(key_col),
+            "n_rows": fold.column("n_sum_sum").cast(pa.int64()),
+            "n_distinct": fold.column("count_all").cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("_kbucket", num_partitions=n_buckets)
+        .map_groups(_bucket, batch_format="pyarrow")
+    )
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D maxima (both dims maximized).
+
+    Point q is dominated iff some p has ``p.x >= q.x`` and
+    ``p.y >= q.y`` with strict inequality somewhere; coordinate-equal
+    duplicates never dominate each other (standard SKYLINE OF
+    semantics, Börzsönyi et al. ICDE'01). Vectorized: sort by
+    (x desc, y desc); a row survives iff its y equals its equal-x
+    group's max AND strictly exceeds the running y-max over all
+    strictly-greater-x rows.
+    """
+    n = len(x)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.concatenate(([True], xs[1:] != xs[:-1]))
+    idx = np.arange(n)
+    group_start = np.maximum.accumulate(np.where(new_x, idx, 0))
+    group_max_y = ys[group_start]
+    run_max = np.maximum.accumulate(ys)
+    prev_max = np.where(
+        group_start > 0, run_max[np.maximum(group_start - 1, 0)],
+        np.iinfo(np.int64).min)
+    keep_sorted = (ys == group_max_y) & (ys > prev_max)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_2d(ds, x_col: str, y_col: str):
+    """Distributed 2-D SKYLINE (Pareto frontier, maximize both
+    columns): the multi-criteria selection operator (pick documents
+    /users not beaten on BOTH quality axes by anyone).
+
+    Skyline is MERGEABLE — ``sky(S ∪ T) = sky(sky(S) ∪ sky(T))`` —
+    so the plan is a map-side local skyline per block (each block
+    shrinks to its own frontier before anything moves) followed by
+    one final pass over the concatenated local frontiers. The final
+    pass runs in a single task: the skyline of 2-D points with
+    distinct x values has at most |distinct x| members, and after
+    local pruning the survivors of a web-scale input are frontier-
+    scale, not input-scale (the caller's dimensions bound it — the
+    same output-size contract every skyline engine has; a degenerate
+    fully-anticorrelated input keeps O(n) and belongs in a top-k
+    instead). Both columns must be integer-valued (exactness: no
+    float ties).
+    """
+    def _local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keep = _skyline_mask(
+            batch.column(x_col).to_numpy().astype(np.int64),
+            batch.column(y_col).to_numpy().astype(np.int64))
+        return batch.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(_local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_local, batch_format="pyarrow",
+                     batch_size=None)
+    )

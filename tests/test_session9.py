@@ -42,3 +42,116 @@ class TestStitchPairs:
         out = stitch_pairs(_ds(tbl), k=3).to_pandas()
         # doc 1's own head/tail collide but self pairs are excluded
         assert len(out) == 0
+
+
+class TestSkyline:
+    def test_mask_semantics(self):
+        from ocr_pipeline_ray.stages.stats import _skyline_mask
+
+        x = np.array([5, 3, 5, 1, 4, 5])
+        y = np.array([1, 9, 1, 10, 9, 0])
+        # (5,1) twice: duplicates both kept; (4,9) dominated by nothing
+        # with greater x... x=5 rows have y=1 < 9 so (4,9) survives;
+        # (3,9) dominated by (4,9); (1,10) survives; (5,0) dominated
+        # by (5,1).
+        keep = _skyline_mask(x, y)
+        assert keep.tolist() == [True, False, True, True, True, False]
+
+    def test_distributed_matches_bruteforce(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import (
+            _skyline_mask,
+            skyline_2d,
+        )
+
+        rng = np.random.RandomState(11)
+        x = rng.randint(0, 50, 400).astype(np.int64)
+        y = rng.randint(0, 50, 400).astype(np.int64)
+        tbl = pa.table({"i": np.arange(400), "x": x, "y": y})
+        out = skyline_2d(_ds(tbl).repartition(7), "x", "y").to_pandas()
+        brute = {
+            (int(a), int(b))
+            for a, b, k in zip(x, y, _skyline_mask(x, y)) if k
+        }
+        got = set(map(tuple, out[["x", "y"]].values.tolist()))
+        assert got == brute
+        # every surviving row id maps back to a frontier point
+        assert all((r.x, r.y) in brute for r in out.itertuples())
+
+
+class TestGroupedCountDistinct:
+    def test_matches_pandas(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import (
+            grouped_count_and_distinct,
+        )
+
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "v": pa.array(["a", "a", "b", "c", "c", "a"]),
+        })
+        out = grouped_count_and_distinct(
+            _ds(tbl).repartition(3), "k", "v"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert out["n_rows"].tolist() == [3, 2, 1]
+        assert out["n_distinct"].tolist() == [2, 1, 1]
+
+
+class TestGroupedOls:
+    def test_exact_line_and_degenerate_keys(self, ray_session):
+        from ocr_pipeline_ray.stages.stats import grouped_ols
+
+        # key a: exact line y = 3x + 2; key b: zero x-variance;
+        # key c: single point
+        tbl = pa.table({
+            "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "x": pa.array([0, 1, 2, 5, 5, 7], pa.int64()),
+            "y": pa.array([2.0, 5.0, 8.0, 1.0, 3.0, 9.0]),
+        })
+        out = grouped_ols(_ds(tbl).repartition(3), "k", "x", "y")
+        df = out.to_pandas().set_index("k")
+        assert abs(df.loc["a", "slope"] - 3.0) < 1e-12
+        assert abs(df.loc["a", "intercept"] - 2.0) < 1e-12
+        assert df.loc["b", "slope"] is None or np.isnan(
+            df.loc["b", "slope"])
+        assert df.loc["c", "slope"] is None or np.isnan(
+            df.loc["c", "slope"])
+
+
+class TestMutualNN:
+    def _emb(self, ids, vecs):
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32())),
+        })
+
+    def test_reciprocal_only(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import mutual_nn_pairs
+
+        # A0 <-> B1 mutual; A2's NN is B1 but B1 prefers A0 (hub
+        # filtered); B3's NN is A0 but A0 prefers B1.
+        a = self._emb([0, 2], [[1.0, 0.0], [0.9, 0.4359]])
+        b = self._emb([1, 3], [[0.999, 0.0447], [0.6, 0.8]])
+        out = mutual_nn_pairs(
+            _ds(a).repartition(2), _ds(b).repartition(2),
+            max_blocks=4).to_pandas()
+        pairs = sorted(map(tuple,
+                           out[["a_id", "b_id"]].values.tolist()))
+        assert pairs == [(0, 1)]
+
+    def test_layout_invariance(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import mutual_nn_pairs
+
+        rng = np.random.RandomState(5)
+        va = rng.randn(30, 8)
+        vb = rng.randn(25, 8)
+        a = self._emb(list(range(0, 60, 2)), va)
+        b = self._emb(list(range(1, 51, 2)), vb)
+        got = {}
+        for parts in (1, 5):
+            out = mutual_nn_pairs(
+                _ds(a).repartition(parts), _ds(b).repartition(parts),
+                max_blocks=parts).to_pandas()
+            got[parts] = sorted(map(tuple, out.values.tolist()))
+        assert got[1] == got[5]
+        assert len(got[1]) > 0

@@ -47,3 +47,37 @@ def bucket_ids(col, n_buckets: int) -> np.ndarray:
         dtype=np.int64,
         count=len(col),
     )
+
+
+def rendezvous_pick(keys, nodes) -> list:
+    """Rendezvous (highest-random-weight) placement: each key goes to
+    ``argmax_node md5(key | node)`` — the consistent-placement rule
+    whose defining property is MINIMAL MOVEMENT under cluster
+    resizing (adding a node reassigns only the keys whose new hash
+    wins; nothing else moves, unlike ``hash(key) % n`` which moves
+    almost everything). Thaler & Ravishankar ToN'98; this is how a
+    100-TB store maps partitions to a fixed-but-occasionally-resized
+    node set without a central directory.
+
+    The weight is the first 16 hex chars of ``md5(f"{key}|{node}")``
+    as an unsigned int (ties — cryptographically negligible but SQL
+    must agree — break to the lexicographically SMALLEST node).
+    Returns the winning node per key; NULL keys get ``nodes[0]``
+    (deterministic, like :func:`bucket_ids`'s bucket 0).
+    """
+    import hashlib
+
+    order = sorted(nodes)
+    out = []
+    for k in keys:
+        if k is None:
+            out.append(order[0])
+            continue
+        best, best_w = None, -1
+        for n in order:
+            w = int(hashlib.md5(
+                f"{k}|{n}".encode("utf-8")).hexdigest()[:16], 16)
+            if w > best_w:
+                best, best_w = n, w
+        out.append(best)
+    return out

@@ -9274,3 +9274,167 @@ ORACLE_SQL["mutual_nn_pairs"] = (
     "ORDER BY na.a_id"
 )
 QUERIES["mutual_nn_pairs"] = q_mutual_nn_pairs
+
+
+def q_golden_record(sf_dir: str):
+    """MDM golden-record survivorship (stages/temporal.golden_record):
+    per user, each field keeps the value of its LATEST non-null row
+    by (ts, event_id) — fields survive independently (deterministic
+    CDC sparsity: event_type nulled when event_id % 7 == 0, value
+    when event_id % 5 == 0, so the survivors come from DIFFERENT
+    rows). One user co-shuffle, boundary-mask + reduceat bucket UDF."""
+    from .stages.temporal import golden_record
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def _sparsify(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id")
+        et_null = pc.equal(_int_mod(eid, 7), 0)
+        v_null = pc.equal(_int_mod(eid, 5), 0)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "event_id": eid,
+            "event_type": pc.if_else(
+                et_null, pa.scalar(None, pa.string()),
+                batch.column("event_type")),
+            "value": pc.if_else(
+                v_null, pa.scalar(None, pa.float64()),
+                batch.column("value")),
+        })
+
+    return golden_record(
+        ds.map_batches(_sparsify, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], ["event_type", "value"],
+    ).sort("user_id")
+
+
+ORACLE_SQL["golden_record"] = (
+    "WITH aug AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END "
+    "AS event_type, "
+    "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value "
+    "FROM events), "
+    "base AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows, "
+    "min(ts) AS first_ts, max(ts) AS last_ts FROM aug "
+    "GROUP BY user_id), "
+    "lt AS (SELECT user_id, event_type AS last_event_type FROM aug "
+    "WHERE event_type IS NOT NULL QUALIFY row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1), "
+    "lv AS (SELECT user_id, value AS last_value FROM aug "
+    "WHERE value IS NOT NULL QUALIFY row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1) "
+    "SELECT base.user_id, n_rows, first_ts, last_ts, "
+    "lt.last_event_type, lv.last_value "
+    "FROM base LEFT JOIN lt USING (user_id) "
+    "LEFT JOIN lv USING (user_id) ORDER BY user_id"
+)
+QUERIES["golden_record"] = q_golden_record
+
+
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous (HRW) shard placement
+    (functions/hashing.rendezvous_pick): every doc picks
+    argmax_node md5(key|node) under a 5-node cluster and again under
+    6 nodes — the minimal-movement property is exposed as a ``moved``
+    column (pytest pins that every moved doc moved TO the new node;
+    the oracle replays both argmaxes). Map-only, row-local: shard
+    placement at 100 TB needs no directory and no shuffle."""
+    from .functions.hashing import rendezvous_pick
+
+    nodes5 = [f"node-{c}" for c in "abcde"]
+    nodes6 = nodes5 + ["node-f"]
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n5 = rendezvous_pick(ids, nodes5)
+        n6 = rendezvous_pick(ids, nodes6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "node5": pa.array(n5, pa.string()),
+            "node6": pa.array(n6, pa.string()),
+            "moved": pa.array([a != b for a, b in zip(n5, n6)],
+                              pa.bool_()),
+        })
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _assign, batch_format="pyarrow").sort("doc_id")
+
+
+_RVZ_W = ("CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' "
+          "|| n.node), 1, 16)) AS UBIGINT)")
+ORACLE_SQL["rendezvous_shards"] = (
+    "WITH n5 AS (SELECT unnest(['node-a','node-b','node-c','node-d',"
+    "'node-e']) AS node), "
+    "n6 AS (SELECT unnest(['node-a','node-b','node-c','node-d',"
+    "'node-e','node-f']) AS node), "
+    "a5 AS (SELECT d.doc_id, n.node AS node5 FROM documents d, n5 n "
+    f"QUALIFY row_number() OVER (PARTITION BY d.doc_id ORDER BY "
+    f"{_RVZ_W} DESC, n.node ASC) = 1), "
+    "a6 AS (SELECT d.doc_id, n.node AS node6 FROM documents d, n6 n "
+    f"QUALIFY row_number() OVER (PARTITION BY d.doc_id ORDER BY "
+    f"{_RVZ_W} DESC, n.node ASC) = 1) "
+    "SELECT a5.doc_id, node5, node6, node5 <> node6 AS moved "
+    "FROM a5 JOIN a6 USING (doc_id) ORDER BY doc_id"
+)
+QUERIES["rendezvous_shards"] = q_rendezvous_shards
+
+
+def q_url_features(sf_dir: str):
+    """URL-only spam/quality features (stages/web.url_features_fn):
+    length, host length, path depth, digit density, query-param
+    count — the crawl-frontier classifier inputs, computed before
+    any fetch. Urls are the skewed synthetic crawl's, deterministically
+    extended so deep paths (doc_id % 5 == 2) and query strings
+    (doc_id % 4 == 1) both occur; the oracle rebuilds the same urls
+    and derives every feature with string arithmetic."""
+    from .stages.web import url_features_fn
+
+    def _extend(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        url = batch.column("url")
+        deep = pc.equal(_int_mod(ids, 5), 2)
+        url = pc.if_else(
+            deep,
+            pc.binary_join_element_wise(url, "/long/tail/seg", ""),
+            url)
+        q = pc.equal(_int_mod(ids, 4), 1)
+        url = pc.if_else(
+            q,
+            pc.binary_join_element_wise(
+                url, "?utm_source=feed&ref=rss", ""),
+            url)
+        return pa.table({"doc_id": ids, "url": url})
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(_extend, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: url_features_fn(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "url_len", "host_len", "path_depth",
+                      "n_digits", "n_params"]).sort("doc_id")
+
+
+ORACLE_SQL["url_features"] = (
+    "WITH u AS (SELECT doc_id, 'http://host' || CAST("
+    + _HOST_ID_SQL + " AS VARCHAR) || '.example.com/p/' || "
+    "CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 5 = 2 THEN '/long/tail/seg' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&ref=rss' "
+    "ELSE '' END AS url FROM documents), "
+    "b AS (SELECT doc_id, url, string_split(url, '?')[1] AS base "
+    "FROM u) "
+    "SELECT doc_id, CAST(length(url) AS BIGINT) AS url_len, "
+    "CAST(length(string_split(base, '/')[3]) AS BIGINT) AS host_len, "
+    "CAST(length(base) - length(replace(base, '/', '')) - 2 "
+    "AS BIGINT) AS path_depth, "
+    "CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) AS BIGINT) "
+    "AS n_digits, "
+    "CAST(CASE WHEN contains(url, '?') THEN length(url) - "
+    "length(replace(url, '&', '')) + 1 ELSE 0 END AS BIGINT) "
+    "AS n_params "
+    "FROM b ORDER BY doc_id"
+)
+QUERIES["url_features"] = q_url_features

@@ -967,3 +967,94 @@ def event_type_affinity(ds, user_col: str = "user_id",
         _pairs, batch_format="pyarrow"
     ).groupby(["type_a", "type_b"]).aggregate(
         Sum("n_users", alias_name="n_users"))
+
+
+def golden_record(ds, key_col: str, order_cols: List[str],
+                  field_cols: List[str], n_buckets: int = 64):
+    """GOLDEN-RECORD survivorship (MDM consolidation): collapse every
+    key's event/CDC history into ONE row carrying, per field, the
+    value of the LATEST row where that field is non-null — fields
+    survive independently, which plain ``arg_max`` per key cannot
+    express (the latest row may have a null phone but an older row
+    the real one). Also emits ``n_rows`` and the first/last value of
+    ``order_cols[0]`` per key.
+
+    Scale shape: one crc32(key)-bucket co-shuffle; inside each
+    whole-bucket UDF the rows sort ONCE by (key asc, order desc) and
+    every statistic falls out of boundary masks + ``reduceat`` —
+    never a per-key UDF. Ordering NULLs in ``order_cols`` are not
+    supported (CDC streams timestamp every change).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_ids
+
+    ts_col = order_cols[0]
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        sub = batch.select([key_col] + order_cols + field_cols)
+        return sub.append_column("_gbucket", pa.array(
+            bucket_ids(sub.column(key_col), n_buckets), pa.int64()))
+
+    def _empty_out(schema_src: pa.Table) -> pa.Table:
+        cols = {key_col: schema_src.column(key_col).slice(0, 0),
+                "n_rows": pa.array([], pa.int64()),
+                f"first_{ts_col}": schema_src.column(ts_col).slice(0, 0),
+                f"last_{ts_col}": schema_src.column(ts_col).slice(0, 0)}
+        for f in field_cols:
+            cols[f"last_{f}"] = schema_src.column(f).slice(0, 0)
+        return pa.table(cols)
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_gbucket"])
+        if base.num_rows == 0:
+            return _empty_out(base)
+        g = base.sort_by(
+            [(key_col, "ascending")]
+            + [(c, "descending") for c in order_cols])
+        keys = g.column(key_col).combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        bounds = np.append(starts, len(codes))
+        n_rows = np.diff(bounds)
+        ts = g.column(ts_col).combine_chunks()
+        ts_i = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        # rows are ts-desc within a key: segment head = last, and
+        # reduceat(min) = first
+        last_ts = ts_i[starts]
+        first_ts = np.minimum.reduceat(ts_i, starts)
+        out = {
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            f"first_{ts_col}": pa.array(first_ts, pa.int64()).cast(
+                ts.type),
+            f"last_{ts_col}": pa.array(last_ts, pa.int64()).cast(
+                ts.type),
+        }
+        n_keys = len(starts)
+        for f in field_cols:
+            col = g.column(f).combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            iv = np.flatnonzero(valid)
+            seg = np.searchsorted(bounds[:-1], iv, side="right") - 1
+            head = np.ones(len(seg), dtype=bool)
+            head[1:] = seg[1:] != seg[:-1]
+            pick_rows = iv[head]          # latest non-null per key
+            pick_segs = seg[head]
+            take_idx = np.full(n_keys, -1, dtype=np.int64)
+            take_idx[pick_segs] = pick_rows
+            # a NULL take index yields a NULL output row — exactly
+            # the "no non-null version exists" case
+            idx_arr = pa.array(np.maximum(take_idx, 0), pa.int64(),
+                               mask=take_idx < 0)
+            out[f"last_{f}"] = col.take(idx_arr)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_gbucket", num_partitions=n_buckets)
+        .map_groups(_bucket, batch_format="pyarrow")
+    )

@@ -974,3 +974,37 @@ def url_path_rollup(ds, url_col: str = "url", max_depth: int = 3,
         .groupby("_pbucket", num_partitions=n_buckets)
         .map_groups(_fold, batch_format="pyarrow")
     )
+
+
+def url_features_fn(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """URL lexical features — the classic URL-only spam/quality
+    signals (length, path depth, digit density, query-param count,
+    host length) used by crawl-frontier classifiers long before any
+    byte of the page is fetched. Fully vectorized Arrow kernels,
+    row-local, no shuffle; assumes ``scheme://host/path`` shaped
+    urls (the query string, if any, follows the first ``?`` and
+    carries its params ``&``-separated).
+
+    Output columns: ``(url_len, host_len, path_depth, n_digits,
+    n_params)`` appended to the input batch.
+    """
+    url = batch.column(url_col)
+    url_len = pc.utf8_length(url)
+    base = pc.list_element(pc.split_pattern(url, "?"), 0)
+    parts = pc.split_pattern(base, "/")
+    host = pc.list_element(parts, 2)
+    host_len = pc.utf8_length(host)
+    path_depth = pc.subtract(pc.count_substring(base, "/"),
+                             pa.scalar(2, pa.int32()))
+    n_digits = pc.count_substring_regex(url, "[0-9]")
+    has_q = pc.greater(pc.count_substring(url, "?"), 0)
+    n_params = pc.if_else(
+        has_q,
+        pc.add(pc.count_substring(url, "&"), pa.scalar(1, pa.int32())),
+        pa.scalar(0, pa.int32()))
+    out = batch
+    for name, col in (("url_len", url_len), ("host_len", host_len),
+                      ("path_depth", path_depth),
+                      ("n_digits", n_digits), ("n_params", n_params)):
+        out = out.append_column(name, pc.cast(col, pa.int64()))
+    return out

@@ -155,3 +155,49 @@ class TestMutualNN:
             got[parts] = sorted(map(tuple, out.values.tolist()))
         assert got[1] == got[5]
         assert len(got[1]) > 0
+
+
+class TestGoldenRecord:
+    def test_fields_survive_independently(self, ray_session):
+        from ocr_pipeline_ray.stages.temporal import golden_record
+
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([10, 20, 30, 5], pa.int64()),
+            "seq": pa.array([0, 1, 2, 3], pa.int64()),
+            "a": pa.array(["x", None, None, None], pa.string()),
+            "b": pa.array([1.0, 2.0, None, None], pa.float64()),
+        })
+        out = golden_record(
+            _ds(tbl).repartition(2), "k", ["ts", "seq"], ["a", "b"]
+        ).to_pandas().set_index("k").sort_index()
+        # latest non-null a for key 1 is the OLDEST row's "x";
+        # latest non-null b is the middle row's 2.0
+        assert out.loc[1, "last_a"] == "x"
+        assert out.loc[1, "last_b"] == 2.0
+        assert out.loc[1, "n_rows"] == 3
+        assert out.loc[1, "first_ts"] == 10
+        assert out.loc[1, "last_ts"] == 30
+        # key 2 has no non-null fields at all
+        assert out.loc[2, "last_a"] is None or (
+            isinstance(out.loc[2, "last_a"], float)
+            and np.isnan(out.loc[2, "last_a"]))
+        assert np.isnan(out.loc[2, "last_b"])
+
+
+class TestRendezvous:
+    def test_minimal_movement(self):
+        from ocr_pipeline_ray.functions.hashing import rendezvous_pick
+
+        keys = list(range(500))
+        n5 = [f"n{i}" for i in range(5)]
+        a5 = rendezvous_pick(keys, n5)
+        a6 = rendezvous_pick(keys, n5 + ["n5"])
+        moved = [(x, y) for x, y in zip(a5, a6) if x != y]
+        # every moved key moved TO the new node, nothing reshuffled
+        assert all(y == "n5" for _, y in moved)
+        # expected movement ~ 1/6 of keys; assert a sane band
+        assert 30 < len(moved) < 150
+        # node order in the input list must not matter
+        assert rendezvous_pick(keys, list(reversed(n5))) == a5
+        assert rendezvous_pick([None], n5) == ["n0"]

@@ -9438,3 +9438,73 @@ ORACLE_SQL["url_features"] = (
     "FROM b ORDER BY doc_id"
 )
 QUERIES["url_features"] = q_url_features
+
+
+def q_communities(sf_dir: str):
+    """Label-propagation communities (stages/graph.label_propagation,
+    2 synchronous rounds, smallest-label ties) over the same
+    deterministic synthetic link graph as q_pagerank — the density
+    clustering that connected components can't express (one bridge
+    edge merges components but not communities). Two exchanges per
+    round; the oracle replays both rounds as chained CTEs."""
+    import numpy as np
+
+    from .stages.graph import label_propagation
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m1, m2 = ids % 3 >= 1, ids % 3 == 2
+        src = np.concatenate([ids, ids[m1], ids[m2]])
+        dst = np.concatenate([(ids * 7 + 1) % n,
+                              (ids[m1] * 13 + 2) % n,
+                              (ids[m2] * 29 + 5) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def _as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id")})
+
+    labels = label_propagation(
+        docs.map_batches(_as_node, batch_format="pyarrow"),
+        docs.map_batches(_edges, batch_format="pyarrow"),
+        rounds=2)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "community": batch.column("label")})
+
+    return labels.map_batches(_rename, batch_format="pyarrow").sort(
+        "doc_id")
+
+
+ORACLE_SQL["communities"] = (
+    "WITH nn AS (SELECT count(*) AS c FROM documents), "
+    "nodes AS (SELECT doc_id AS node FROM documents), "
+    "e AS (SELECT node AS src, (node*7+1) % nn.c AS dst "
+    "FROM nodes, nn "
+    "UNION ALL SELECT node, (node*13+2) % nn.c FROM nodes, nn "
+    "WHERE node % 3 >= 1 "
+    "UNION ALL SELECT node, (node*29+5) % nn.c FROM nodes, nn "
+    "WHERE node % 3 = 2), "
+    "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+    "l0 AS (SELECT node, node AS lbl FROM nodes), "
+    "m1 AS (SELECT s.dst AS node, l.lbl, count(*) AS c FROM sym s "
+    "JOIN l0 l ON l.node = s.src GROUP BY 1, 2), "
+    "w1 AS (SELECT node, lbl FROM m1 QUALIFY row_number() OVER "
+    "(PARTITION BY node ORDER BY c DESC, lbl ASC) = 1), "
+    "l1 AS (SELECT l.node, COALESCE(w.lbl, l.lbl) AS lbl FROM l0 l "
+    "LEFT JOIN w1 w ON w.node = l.node), "
+    "m2 AS (SELECT s.dst AS node, l.lbl, count(*) AS c FROM sym s "
+    "JOIN l1 l ON l.node = s.src GROUP BY 1, 2), "
+    "w2 AS (SELECT node, lbl FROM m2 QUALIFY row_number() OVER "
+    "(PARTITION BY node ORDER BY c DESC, lbl ASC) = 1), "
+    "l2 AS (SELECT l.node, COALESCE(w.lbl, l.lbl) AS lbl FROM l1 l "
+    "LEFT JOIN w2 w ON w.node = l.node) "
+    "SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community "
+    "FROM l2 ORDER BY node"
+)
+QUERIES["communities"] = q_communities

@@ -1254,3 +1254,164 @@ def kcore_prune(edges, k: int = 3, rounds: int = 4,
             on="v", how="semi", n_buckets=n_buckets).materialize()
 
     return _degrees(cur, n_buckets)
+
+
+def label_propagation(nodes, edges, rounds: int = 2,
+                      node_col: str = "node", src_col: str = "src",
+                      dst_col: str = "dst", n_buckets: int = 32):
+    """Synchronous LABEL-PROPAGATION community detection (Raghavan et
+    al. 2007, the deterministic fixed-round variant): labels start as
+    the node id; each round every node adopts the most frequent label
+    among its UNDIRECTED neighbors (parallel edges vote once each,
+    ties break to the SMALLEST label — determinism instead of the
+    paper's random tie-break), isolated nodes keep their label.
+    Communities are DENSITY clusters — different from connected
+    components (one bridge edge merges two components but not two
+    communities), which is the link-farm / mirror-cluster signal.
+
+    Scale shape, two exchanges per round (the BFS cadence):
+    exchange 1 joins current labels onto edge sources in whole-bucket
+    UDFs and emits ``(dst, label)`` votes; exchange 2 co-shuffles
+    votes with the current label rows and finishes per node with one
+    Arrow multi-column group_by + sort + boundary mask — never a
+    per-node UDF. The symmetrized edge table is tagged and
+    materialized ONCE; label state is node-scale.
+    """
+    from ..functions.hashing import bucket_ids
+
+    e1_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), ("_dst", pa.int64()),
+        ("_lbl", pa.int64()),
+    ])
+
+    def _tag_sym_edges(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(src_col), pa.int64())
+        d = pc.cast(batch.column(dst_col), pa.int64())
+        key = pa.concat_arrays([s.combine_chunks(), d.combine_chunks()])
+        dst = pa.concat_arrays([d.combine_chunks(), s.combine_chunks()])
+        n = len(key)
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.zeros(n, np.int32)),
+            "_key": key, "_dst": dst,
+            "_lbl": pa.nulls(n, pa.int64()),
+        }, schema=e1_schema)
+
+    def _tag_labels_e1(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column(node_col), pa.int64())
+        n = len(key)
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets), pa.int64()),
+            "_side": pa.array(np.ones(n, np.int32)),
+            "_key": key, "_dst": pa.nulls(n, pa.int64()),
+            "_lbl": pc.cast(batch.column("label"), pa.int64()),
+        }, schema=e1_schema)
+
+    def _emit_votes(group: pa.Table) -> pa.Table:
+        empty = pa.table({node_col: pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        sides = group.column("_side").combine_chunks().to_numpy()
+        lbl_t = group.filter(pa.array(sides == 1))
+        edge_t = group.filter(pa.array(sides == 0))
+        if edge_t.num_rows == 0 or lbl_t.num_rows == 0:
+            return empty
+        lbl_nodes = lbl_t.column("_key").combine_chunks()
+        lbls = lbl_t.column("_lbl").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = pc.index_in(
+            edge_t.column("_key").combine_chunks(), value_set=lbl_nodes
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            node_col: edge_t.column("_dst"),
+            "label": pa.array(lbls[pos], pa.int64()),
+        })
+
+    e2_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        (node_col, pa.int64()), ("label", pa.int64()),
+    ])
+
+    def _tag_e2(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            key = pc.cast(batch.column(node_col), pa.int64())
+            n = len(key)
+            return pa.table({
+                "_bucket": pa.array(bucket_ids(key, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int32)),
+                node_col: key,
+                "label": pc.cast(batch.column("label"), pa.int64()),
+            }, schema=e2_schema)
+        return _fn
+
+    def _mode(group: pa.Table) -> pa.Table:
+        empty = pa.table({node_col: pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        sides = group.column("_side").combine_chunks().to_numpy()
+        votes = group.filter(pa.array(sides == 0))
+        cur = group.filter(pa.array(sides == 1))
+        if votes.num_rows:
+            counts = votes.select([node_col, "label"]).group_by(
+                [node_col, "label"]).aggregate([([], "count_all")])
+            counts = counts.sort_by([
+                (node_col, "ascending"),
+                ("count_all", "descending"),
+                ("label", "ascending")])
+            nodes_arr = counts.column(node_col).combine_chunks()
+            codes = pc.dictionary_encode(nodes_arr).indices.to_numpy(
+                zero_copy_only=False)
+            first = np.ones(len(codes), dtype=bool)
+            first[1:] = codes[1:] != codes[:-1]
+            win = counts.take(pa.array(np.flatnonzero(first),
+                                       pa.int64()))
+            win_nodes = win.column(node_col).combine_chunks()
+        else:
+            win = None
+            win_nodes = pa.array([], pa.int64())
+        # isolated / vote-less nodes fall back to their current label
+        keep = pc.invert(pc.is_in(
+            cur.column(node_col).combine_chunks(),
+            value_set=win_nodes))
+        fallback = cur.filter(keep)
+        out_nodes = [fallback.column(node_col).combine_chunks()]
+        out_lbls = [fallback.column("label").combine_chunks()]
+        if win is not None:
+            out_nodes.append(win_nodes)
+            out_lbls.append(win.column("label").combine_chunks())
+        return pa.table({
+            node_col: pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_nodes]),
+            "label": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_lbls]),
+        })
+
+    tagged_edges = edges.map_batches(
+        _tag_sym_edges, batch_format="pyarrow").materialize()
+
+    def _init(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column(node_col), pa.int64())
+        return pa.table({node_col: key, "label": key})
+
+    labels = nodes.map_batches(_init, batch_format="pyarrow")
+    for _ in range(rounds):
+        votes = (
+            tagged_edges.union(labels.map_batches(
+                _tag_labels_e1, batch_format="pyarrow"))
+            .groupby("_bucket", num_partitions=n_buckets)
+            .map_groups(_emit_votes, batch_format="pyarrow")
+        )
+        labels = (
+            votes.map_batches(_tag_e2(0), batch_format="pyarrow")
+            .union(labels.map_batches(_tag_e2(1),
+                                      batch_format="pyarrow"))
+            .groupby("_bucket", num_partitions=n_buckets)
+            .map_groups(_mode, batch_format="pyarrow")
+        ).materialize()
+    return labels

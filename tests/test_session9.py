@@ -201,3 +201,68 @@ class TestRendezvous:
         # node order in the input list must not matter
         assert rendezvous_pick(keys, list(reversed(n5))) == a5
         assert rendezvous_pick([None], n5) == ["n0"]
+
+
+def _lpa_reference(n_nodes, edges, rounds):
+    """Brute-force synchronous LPA replay (ties -> smallest label)."""
+    from collections import Counter
+
+    nbrs = {v: [] for v in range(n_nodes)}
+    for s, d in edges:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    lbl = list(range(n_nodes))
+    for _ in range(rounds):
+        nxt = list(lbl)
+        for v in range(n_nodes):
+            if not nbrs[v]:
+                continue
+            c = Counter(lbl[u] for u in nbrs[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lbl = nxt
+    return lbl
+
+
+class TestLabelPropagation:
+    def _run(self, n_nodes, edges, rounds, parts=3):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import label_propagation
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array(range(n_nodes), pa.int64())}))
+        etbl = pa.table({
+            "src": pa.array([s for s, _ in edges], pa.int64()),
+            "dst": pa.array([d for _, d in edges], pa.int64()),
+        })
+        out = label_propagation(
+            nodes.repartition(parts),
+            ray.data.from_arrow(etbl).repartition(parts),
+            rounds=rounds).to_pandas()
+        return dict(zip(out["node"], out["label"]))
+
+    def test_bridge_splits_communities(self, ray_session):
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+                 (2, 3)]
+        got = self._run(6, edges, rounds=2)
+        ref = _lpa_reference(6, edges, 2)
+        assert got == {v: ref[v] for v in range(6)}
+        # two triangles joined by a bridge: labels of the two sides
+        # must not mix (connected components WOULD merge them)
+        assert {got[0], got[1], got[2]} & {got[3], got[4], got[5]} == set()
+
+    def test_random_graph_matches_reference(self, ray_session):
+        rng = np.random.RandomState(3)
+        n = 40
+        edges = [(int(rng.randint(n)), int(rng.randint(n)))
+                 for _ in range(80)]
+        edges = [(s, d) for s, d in edges if s != d]
+        for rounds in (1, 3):
+            got = self._run(n, edges, rounds, parts=5)
+            ref = _lpa_reference(n, edges, rounds)
+            assert got == {v: ref[v] for v in range(n)}
+
+    def test_isolated_nodes_keep_label(self, ray_session):
+        got = self._run(4, [(0, 1)], rounds=2)
+        assert got[2] == 2 and got[3] == 3

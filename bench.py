@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "minhash_banded_pairs", "dictionary_tag", "prefix_dup",
     "char_entropy", "oov_rate", "events_by_type_adaptive",
     "sparse_cosine_pairs", "rarity_dispersion", "paragraph_lang_mix",
+    # session-9 additions
+    "zorder_scan", "stitch_pairs", "user_skyline", "events_trend",
+    "mutual_nn_pairs", "golden_record", "rendezvous_shards",
+    "url_features", "communities",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

@@ -9508,3 +9508,105 @@ ORACLE_SQL["communities"] = (
     "FROM l2 ORDER BY node"
 )
 QUERIES["communities"] = q_communities
+
+
+def q_filter_cascade(sf_dir: str):
+    """Curation filter-funnel audit (stages/profile.filter_cascade):
+    per-gate n_in/n_kept with first-fail attribution over a 3-gate
+    cascade (language allowlist → min chars → min tokens) — one
+    streaming pass, (k+1)-row partials, no data shuffle. The oracle
+    reproduces the funnel with a first-fail CASE + window-free
+    count arithmetic."""
+    from .stages.profile import filter_cascade
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
+
+    def _lang(batch):
+        return pc.is_in(
+            batch.column("lang"),
+            value_set=pa.array(["en", "de", "fr"])
+        ).to_numpy(zero_copy_only=False)
+
+    def _chars(batch):
+        return pc.greater_equal(
+            batch.column("n_chars"), 120
+        ).to_numpy(zero_copy_only=False)
+
+    def _tokens(batch):
+        n_tok = pc.add(pc.count_substring(
+            batch.column("text"), " "), 1)
+        return pc.greater_equal(n_tok, 25).to_numpy(
+            zero_copy_only=False)
+
+    return filter_cascade(ds, [
+        ("lang_gate", _lang),
+        ("min_chars", _chars),
+        ("min_tokens", _tokens),
+    ])
+
+
+ORACLE_SQL["filter_cascade"] = (
+    "WITH ff AS (SELECT CASE "
+    "WHEN NOT (lang IN ('en', 'de', 'fr')) THEN 0 "
+    "WHEN NOT (n_chars >= 120) THEN 1 "
+    "WHEN NOT (len(string_split(text, ' ')) >= 25) THEN 2 "
+    "ELSE 3 END AS f FROM documents), "
+    "c AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM ff "
+    "GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents), "
+    "s AS (SELECT unnest(generate_series(0, 2)) AS stage) "
+    "SELECT CAST(s.stage AS BIGINT) AS stage, "
+    "CASE s.stage WHEN 0 THEN 'lang_gate' WHEN 1 THEN 'min_chars' "
+    "ELSE 'min_tokens' END AS stage_name, "
+    "CAST(tot.t - COALESCE((SELECT sum(n) FROM c "
+    "WHERE f < s.stage), 0) AS BIGINT) AS n_in, "
+    "CAST(tot.t - COALESCE((SELECT sum(n) FROM c "
+    "WHERE f <= s.stage), 0) AS BIGINT) AS n_kept "
+    "FROM s, tot ORDER BY s.stage"
+)
+QUERIES["filter_cascade"] = q_filter_cascade
+
+
+def q_coreset_select(sf_dir: str):
+    """Greedy k-center coreset (stages/similarity.kcenter_select,
+    k=4, Gonzalez farthest-point): diverse exemplar selection over
+    the embeddings table. Per round one broadcast-centers map scan
+    emits block-local candidates; sims grid-quantized BEFORE
+    min/argmax so the greedy trajectory is bit-deterministic; the
+    oracle replays all rounds as chained GREATEST CTEs."""
+    from .stages.similarity import kcenter_select
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kcenter_select(emb, k=4)
+
+
+_KC_SIM = ("CAST(FLOOR(list_cosine_similarity(e.v, {c}.v) * 1e6 "
+           "+ 0.5) AS BIGINT)")
+ORACLE_SQL["coreset_select"] = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1), "
+    "s1 AS (SELECT e.vec_id AS id, " + _KC_SIM.format(c="c0")
+    + " AS m FROM e, c0 WHERE e.vec_id <> c0.vec_id), "
+    "p1 AS (SELECT id FROM s1 ORDER BY m ASC, id ASC LIMIT 1), "
+    "c1 AS (SELECT e.vec_id, e.v FROM e JOIN p1 ON e.vec_id = p1.id), "
+    "s2 AS (SELECT e.vec_id AS id, GREATEST("
+    + _KC_SIM.format(c="c0") + ", " + _KC_SIM.format(c="c1")
+    + ") AS m FROM e, c0, c1 "
+    "WHERE e.vec_id NOT IN (c0.vec_id, c1.vec_id)), "
+    "p2 AS (SELECT id FROM s2 ORDER BY m ASC, id ASC LIMIT 1), "
+    "c2 AS (SELECT e.vec_id, e.v FROM e JOIN p2 ON e.vec_id = p2.id), "
+    "s3 AS (SELECT e.vec_id AS id, GREATEST("
+    + _KC_SIM.format(c="c0") + ", " + _KC_SIM.format(c="c1") + ", "
+    + _KC_SIM.format(c="c2")
+    + ") AS m FROM e, c0, c1, c2 "
+    "WHERE e.vec_id NOT IN (c0.vec_id, c1.vec_id, c2.vec_id)), "
+    "p3 AS (SELECT id FROM s3 ORDER BY m ASC, id ASC LIMIT 1), "
+    "c3 AS (SELECT e.vec_id FROM e JOIN p3 ON e.vec_id = p3.id) "
+    "SELECT CAST(0 AS BIGINT) AS round, vec_id FROM c0 "
+    "UNION ALL SELECT 1, vec_id FROM c1 "
+    "UNION ALL SELECT 2, vec_id FROM c2 "
+    "UNION ALL SELECT 3, vec_id FROM c3 ORDER BY round"
+)
+QUERIES["coreset_select"] = q_coreset_select

@@ -306,3 +306,61 @@ def dq_audit(docs, orders, customer_keys, events):
         "check_name": pa.array([r[0] for r in rows], pa.string()),
         "violations": pa.array([r[1] for r in rows], pa.int64()),
     })
+
+
+def filter_cascade(ds, stages):
+    """Filter-funnel ATTRITION audit: run an ordered gate cascade and
+    report, per stage, how many rows entered and survived — the
+    curation dashboard every production corpus pipeline publishes
+    (C4/Gopher/FineWeb all report per-filter attrition; a silent
+    cascade is how a bad gate eats a corpus unnoticed).
+
+    ``stages``: ordered ``(name, fn)`` pairs, ``fn(batch) ->``
+    boolean ndarray (True = keep). Later gates are only charged for
+    rows that survived every earlier gate (first-fail attribution),
+    so the numbers compose: ``n_in[i+1] == n_kept[i]``.
+
+    Scale shape: ONE streaming pass — every batch reduces to a
+    ``(first_fail_stage, n)`` bincount partial (k+1 rows), a tiny
+    groupby sums them, and a single-row-scale finish emits the
+    funnel. No shuffle of data rows, no driver materialization.
+    """
+    from ray.data.aggregate import Sum
+
+    k = len(stages)
+    names = [n for n, _ in stages]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        first_fail = np.full(n, k, np.int64)
+        alive = np.ones(n, dtype=bool)
+        for i, (_, fn) in enumerate(stages):
+            ok = np.asarray(fn(batch), dtype=bool)
+            first_fail[alive & ~ok] = i
+            alive &= ok
+        counts = np.bincount(first_fail, minlength=k + 1)
+        return pa.table({
+            "first_fail": pa.array(np.arange(k + 1), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "first_fail").aggregate(Sum("n", alias_name="n"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        cnt = np.zeros(k + 1, np.int64)
+        ff = batch.column("first_fail").to_numpy(zero_copy_only=False)
+        cnt[ff] = batch.column("n").to_numpy(zero_copy_only=False)
+        total = int(cnt.sum())
+        fail_before = np.concatenate(([0], np.cumsum(cnt[:k])))
+        n_in = total - fail_before[:k]
+        n_kept = n_in - cnt[:k]
+        return pa.table({
+            "stage": pa.array(np.arange(k), pa.int64()),
+            "stage_name": pa.array(names, pa.string()),
+            "n_in": pa.array(n_in, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        _finish, batch_format="pyarrow", batch_size=None)

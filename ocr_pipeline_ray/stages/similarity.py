@@ -764,3 +764,87 @@ def mutual_nn_pairs(ds_a, ds_b, id_col: str = "vec_id",
         })
 
     return joined.map_batches(_mutual, batch_format="pyarrow")
+
+
+def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """Greedy k-CENTER (farthest-point) coreset selection over an
+    embedding column — the classic 2-approximation (Gonzalez 1985)
+    used for DIVERSE training-subset picking: start from the
+    smallest-id vector, then repeatedly take the point LEAST similar
+    to every already-chosen center (cosine; ties → smallest id).
+    Complements k-means (which averages) and semantic_dedup (which
+    removes): this SELECTS spread-out exemplars.
+
+    Scale shape per round: the centers picked so far (≤ k rows —
+    driver state by design, like k-means centroids) broadcast into a
+    map-only scan; each block emits ONE local candidate (its argmin
+    of max-similarity-to-centers), and a candidate-scale sort+limit
+    picks the global winner. Similarities are quantized to the 1e-6
+    grid BEFORE min/argmax so every comparison is int64 — the greedy
+    trajectory is bit-deterministic and SQL-replicable. k scans
+    total; nothing input-scale ever concentrates.
+
+    Returns a driver-side ``(round, vec_id)`` pyarrow Table.
+    """
+    import ray.data  # noqa: F401  (plan construction)
+
+    def _normalize(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(emb_col))
+        if mat.size:
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            emb_col: _from_matrix(mat),
+        })
+
+    norm = ds.map_batches(_normalize, batch_format="pyarrow") \
+             .materialize()
+    first_id = norm.min(id_col)
+    first_row = norm.filter(
+        expr=f"{id_col} == {int(first_id)}").take(1)[0]
+    centers = [(int(first_id), np.asarray(first_row[emb_col],
+                                          dtype=np.float64))]
+
+    n_total = norm.count()
+    for _ in range(1, min(k, n_total)):
+        cmat = np.stack([v for _, v in centers])
+        chosen = np.array([i for i, _ in centers], dtype=np.int64)
+
+        def _local_best(batch: pa.Table, cmat=cmat, chosen=chosen):
+            empty = pa.table({
+                id_col: pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                emb_col: batch.column(emb_col).slice(0, 0),
+            })
+            ids = batch.column(id_col).combine_chunks().to_numpy()
+            keep = ~np.isin(ids, chosen)
+            if not keep.any():
+                return empty
+            mat = _to_matrix(batch.column(emb_col))[keep]
+            ids = ids[keep]
+            sq = np.floor(
+                (mat @ cmat.T) * 1e6 + 0.5).astype(np.int64)
+            m = sq.max(axis=1)
+            order = np.lexsort((ids, m))
+            b = order[0]
+            src_idx = np.flatnonzero(keep)[b]
+            return pa.table({
+                id_col: pa.array([ids[b]], pa.int64()),
+                "m": pa.array([m[b]], pa.int64()),
+                emb_col: batch.column(emb_col).take(
+                    pa.array([src_idx], pa.int64())),
+            })
+
+        cand = norm.map_batches(_local_best, batch_format="pyarrow")
+        win = cand.sort(["m", id_col]).take(1)
+        if not win:
+            break
+        row = win[0]
+        centers.append((int(row[id_col]),
+                        np.asarray(row[emb_col], dtype=np.float64)))
+
+    return pa.table({
+        "round": pa.array(range(len(centers)), pa.int64()),
+        id_col: pa.array([i for i, _ in centers], pa.int64()),
+    })

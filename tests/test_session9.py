@@ -266,3 +266,58 @@ class TestLabelPropagation:
     def test_isolated_nodes_keep_label(self, ray_session):
         got = self._run(4, [(0, 1)], rounds=2)
         assert got[2] == 2 and got[3] == 3
+
+
+class TestFilterCascade:
+    def test_first_fail_attribution(self, ray_session):
+        from ocr_pipeline_ray.stages.profile import filter_cascade
+
+        tbl = pa.table({
+            "a": pa.array([1, 0, 1, 1, 0], pa.int64()),
+            "b": pa.array([1, 1, 0, 1, 0], pa.int64()),
+        })
+        out = filter_cascade(_ds(tbl).repartition(3), [
+            ("ga", lambda b: b.column("a").to_numpy() == 1),
+            ("gb", lambda b: b.column("b").to_numpy() == 1),
+        ]).to_pandas().sort_values("stage").reset_index(drop=True)
+        # rows 1 and 4 fail ga; row 2 (passed ga) fails gb
+        assert out["n_in"].tolist() == [5, 3]
+        assert out["n_kept"].tolist() == [3, 2]
+        assert out["stage_name"].tolist() == ["ga", "gb"]
+
+
+class TestKCenter:
+    def test_picks_spread_points(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import kcenter_select
+
+        # three tight angular clusters + the seed's cluster: greedy
+        # must visit a different cluster each round
+        base = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [-1.0, 0.2]}
+        ids, vecs = [], []
+        for i in range(9):
+            c = i % 3
+            v = np.array(base[c]) + 0.01 * (i // 3)
+            ids.append(i)
+            vecs.append(list(v / np.linalg.norm(v)))
+        tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+        out = kcenter_select(_ds(tbl).repartition(4), k=3)
+        rounds = out.column("round").to_pylist()
+        picked = out.column("vec_id").to_pylist()
+        assert rounds == [0, 1, 2]
+        assert picked[0] == 0  # smallest id seeds
+        # each pick lands in a distinct angular cluster
+        assert len({p % 3 for p in picked}) == 3
+
+    def test_k_exceeding_n(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import kcenter_select
+
+        tbl = pa.table({
+            "vec_id": pa.array([5, 9], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32())),
+        })
+        out = kcenter_select(_ds(tbl), k=6)
+        assert out.column("vec_id").to_pylist() == [5, 9]

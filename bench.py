@@ -110,7 +110,8 @@ BENCH_QUERIES = [
     # session-9 additions
     "zorder_scan", "stitch_pairs", "user_skyline", "events_trend",
     "mutual_nn_pairs", "golden_record", "rendezvous_shards",
-    "url_features", "communities",
+    "url_features", "communities", "filter_cascade",
+    "coreset_select", "frontier_pipeline",
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

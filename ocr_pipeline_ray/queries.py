@@ -9610,3 +9610,106 @@ ORACLE_SQL["coreset_select"] = (
     "UNION ALL SELECT 3, vec_id FROM c3 ORDER BY round"
 )
 QUERIES["coreset_select"] = q_coreset_select
+
+
+def q_frontier_pipeline(sf_dir: str):
+    """END-TO-END crawl-frontier build, every stage load-bearing and
+    checked as ONE oracle hash: augmented urls (deep paths + query
+    strings) → robots disallow gate (web.robots_filter, broadcast
+    rules) → URL features (web.url_features_fn) → per-host crawl
+    budget of 3, shallowest-first (dedup.group_cap) → politeness-
+    preserving fetcher placement (hashing.rendezvous_pick on the
+    HOST, so one host never splits across fetchers)."""
+    from .functions.hashing import rendezvous_pick
+    from .stages.dedup import group_cap
+    from .stages.web import robots_filter, url_features_fn, url_host_fn
+
+    hosts, prefixes = [], []
+    for h in range(97):
+        host = f"host{h}.example.com"
+        if h % 3 == 0:
+            hosts.append(host)
+            prefixes.append("/p/1")
+        if h % 5 == 0:
+            hosts.append(host)
+            prefixes.append("/p/2")
+        if h % 7 == 0:
+            hosts.append(host)
+            prefixes.append("/p/33")
+    rules = pa.table({"host": pa.array(hosts, pa.string()),
+                      "prefix": pa.array(prefixes, pa.string())})
+
+    def _extend(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        url = batch.column("url")
+        deep = pc.equal(_int_mod(ids, 5), 2)
+        url = pc.if_else(
+            deep,
+            pc.binary_join_element_wise(url, "/long/tail/seg", ""),
+            url)
+        q = pc.equal(_int_mod(ids, 4), 1)
+        url = pc.if_else(
+            q,
+            pc.binary_join_element_wise(
+                url, "?utm_source=feed&ref=rss", ""),
+            url)
+        return pa.table({"doc_id": ids, "url": url})
+
+    nodes = [f"fetcher-{i}" for i in range(4)]
+
+    def _place(batch: pa.Table) -> pa.Table:
+        host = batch.column("host").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "host": batch.column("host"),
+            "node": pa.array(rendezvous_pick(host, nodes),
+                             pa.string()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(_extend, batch_format="pyarrow")
+    ds = robots_filter(ds, rules)
+    ds = ds.map_batches(lambda b: url_features_fn(b),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: url_host_fn(b),
+                        batch_format="pyarrow")
+    ds = group_cap(ds, "host", order_col=["path_depth", "doc_id"],
+                   k=3)
+    return ds.map_batches(_place, batch_format="pyarrow").sort(
+        "doc_id")
+
+
+ORACLE_SQL["frontier_pipeline"] = (
+    "WITH hs AS (SELECT unnest(range(0, 97)) AS h), "
+    "rules AS ("
+    "SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host, "
+    "'/p/1' AS prefix FROM hs WHERE h % 3 = 0 "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com', "
+    "'/p/2' FROM hs WHERE h % 5 = 0 "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com', "
+    "'/p/33' FROM hs WHERE h % 7 = 0), "
+    "u AS (SELECT doc_id, "
+    "'host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || '.example.com' "
+    "AS host, '/p/' || CAST(doc_id AS VARCHAR) AS path_head, "
+    "'http://host' || CAST(" + _HOST_ID_SQL + " AS VARCHAR) || "
+    "'.example.com/p/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 5 = 2 THEN '/long/tail/seg' ELSE '' END "
+    "AS base FROM documents), "
+    "allowed AS (SELECT * FROM u WHERE NOT EXISTS ("
+    "SELECT 1 FROM rules r WHERE r.host = u.host "
+    "AND starts_with(u.path_head, r.prefix))), "
+    "feats AS (SELECT doc_id, host, "
+    "length(base) - length(replace(base, '/', '')) - 2 AS path_depth "
+    "FROM allowed), "
+    "budget AS (SELECT doc_id, host FROM feats QUALIFY row_number() "
+    "OVER (PARTITION BY host ORDER BY path_depth ASC, doc_id ASC) "
+    "<= 3), "
+    "nodes AS (SELECT unnest(['fetcher-0','fetcher-1','fetcher-2',"
+    "'fetcher-3']) AS node) "
+    "SELECT b.doc_id, b.host, n.node FROM budget b, nodes n "
+    "QUALIFY row_number() OVER (PARTITION BY b.doc_id ORDER BY "
+    "CAST(('0x' || substr(md5(b.host || '|' || n.node), 1, 16)) "
+    "AS UBIGINT) DESC, n.node ASC) = 1 ORDER BY b.doc_id"
+)
+QUERIES["frontier_pipeline"] = q_frontier_pipeline

@@ -110,8 +110,11 @@ BENCH_QUERIES = [
     # session-9 additions
     "zorder_scan", "stitch_pairs", "user_skyline", "events_trend",
     "mutual_nn_pairs", "golden_record", "rendezvous_shards",
-    "url_features", "communities", "filter_cascade",
+    "url_features", "filter_cascade",
     "coreset_select", "frontier_pipeline",
+    # communities (label propagation) is oracle-gated but excluded
+    # like pagerank/crawl_depth: 2 barrier exchanges per round are
+    # fixed-cost-dominated at toy scale, amortized at real scale
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy
     # scale - amortized at real scale, pathological in a wall bench

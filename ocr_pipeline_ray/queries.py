@@ -9713,3 +9713,140 @@ ORACLE_SQL["frontier_pipeline"] = (
     "AS UBIGINT) DESC, n.node ASC) = 1 ORDER BY b.doc_id"
 )
 QUERIES["frontier_pipeline"] = q_frontier_pipeline
+
+
+def q_ppr_scores(sf_dir: str):
+    """PERSONALIZED PageRank (stages/graph.pagerank_int with
+    seed_ids — TrustRank-style crawl prioritization): teleport mass
+    lands only on the seed set (doc_id % 50 == 0), same all-int64
+    exchange plan as q_pagerank, bit-exact vs the seeded join-chain
+    twin. Documents unreachable from seeds score 0 — the
+    spam-demotion property uniform PageRank lacks."""
+    import numpy as np
+
+    from .stages.graph import pagerank_int
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m1, m2 = ids % 3 >= 1, ids % 3 == 2
+        src = np.concatenate([ids, ids[m1], ids[m2]])
+        dst = np.concatenate([(ids * 7 + 1) % n,
+                              (ids[m1] * 13 + 2) % n,
+                              (ids[m2] * 29 + 5) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def _as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id")})
+
+    seeds = np.arange(0, n, 50, dtype=np.int64)
+    ranks = pagerank_int(
+        docs.map_batches(_as_node, batch_format="pyarrow"),
+        docs.map_batches(_edges, batch_format="pyarrow"),
+        iters=3, n_buckets=32, seed_ids=seeds)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "ppr_score": batch.column("rank")})
+
+    return ranks.map_batches(_rename, batch_format="pyarrow").sort(
+        "doc_id")
+
+
+ORACLE_SQL["ppr_scores"] = (
+    "WITH nn AS (SELECT count(*) AS c FROM documents), "
+    "nodes AS (SELECT doc_id AS node FROM documents), "
+    "edges AS ("
+    "SELECT node AS src, (node*7+1) % nn.c AS dst FROM nodes, nn "
+    "UNION ALL SELECT node, (node*13+2) % nn.c FROM nodes, nn "
+    "WHERE node % 3 >= 1 "
+    "UNION ALL SELECT node, (node*29+5) % nn.c FROM nodes, nn "
+    "WHERE node % 3 = 2), "
+    "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src), "
+    "r0 AS (SELECT node, CAST(CASE WHEN node % 50 = 0 "
+    "THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM nodes), "
+    "s1 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s "
+    "FROM edges e JOIN r0 r ON r.node = e.src "
+    "JOIN deg g ON g.src = e.src GROUP BY e.dst), "
+    "r1 AS (SELECT n2.node, CASE WHEN n2.node % 50 = 0 "
+    "THEN 150000000 ELSE 0 END + 85 * coalesce(s1.s, 0) // 100 AS r "
+    "FROM nodes n2 LEFT JOIN s1 USING (node)), "
+    "s2 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s "
+    "FROM edges e JOIN r1 r ON r.node = e.src "
+    "JOIN deg g ON g.src = e.src GROUP BY e.dst), "
+    "r2 AS (SELECT n2.node, CASE WHEN n2.node % 50 = 0 "
+    "THEN 150000000 ELSE 0 END + 85 * coalesce(s2.s, 0) // 100 AS r "
+    "FROM nodes n2 LEFT JOIN s2 USING (node)), "
+    "s3 AS (SELECT e.dst AS node, sum(r.r // g.d) AS s "
+    "FROM edges e JOIN r2 r ON r.node = e.src "
+    "JOIN deg g ON g.src = e.src GROUP BY e.dst), "
+    "r3 AS (SELECT n2.node, CASE WHEN n2.node % 50 = 0 "
+    "THEN 150000000 ELSE 0 END + 85 * coalesce(s3.s, 0) // 100 AS r "
+    "FROM nodes n2 LEFT JOIN s3 USING (node)) "
+    "SELECT node AS doc_id, CAST(r AS BIGINT) AS ppr_score "
+    "FROM r3 ORDER BY node"
+)
+QUERIES["ppr_scores"] = q_ppr_scores
+
+
+def q_robots_parse(sf_dir: str):
+    """robots.txt PARSING (stages/web.parse_robots): raw per-host
+    robots text — with a badbot group that must be scoped OUT,
+    comments, blank lines, Crawl-delay noise and an empty Disallow —
+    parsed into the (host, rule_idx, allow, prefix) rows the REP
+    evaluators consume. The text derives from host-id formulas, so
+    the oracle rebuilds the expected rules directly: a parser that
+    mis-scopes groups or miscounts rules cannot pass. Host count
+    follows the corpus' 97-host layout; row-local, no shuffle."""
+    from .stages.web import parse_robots
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        hs = batch.column("id").to_pylist()
+        hosts, texts = [], []
+        for h in hs:
+            lines = [
+                "# synthetic robots for tests",
+                "User-agent: badbot",
+                "Disallow: /",
+                "",
+                "User-agent: *",
+            ]
+            if h % 3 == 0:
+                lines.append("Disallow: /p/1")
+                lines.append("Allow: /p/12")
+            if h % 5 == 0:
+                lines.append("Disallow: /p/2")
+            lines.append("Crawl-delay: 5")
+            lines.append("Disallow:")  # empty value: allow-all noop
+            lines.append("Disallow: /tmp")
+            hosts.append(f"host{h}.example.com")
+            texts.append("\n".join(lines))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "robots_txt": pa.array(texts, pa.string()),
+        })
+
+    ds = ray.data.range(97).map_batches(_mk, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: parse_robots(b), batch_format="pyarrow"
+    ).sort(["host", "rule_idx"])
+
+
+ORACLE_SQL["robots_parse"] = (
+    "WITH hs AS (SELECT unnest(range(0, 97)) AS h), "
+    "rules AS ("
+    "SELECT h, 0 AS pos, FALSE AS allow, '/p/1' AS prefix FROM hs "
+    "WHERE h % 3 = 0 "
+    "UNION ALL SELECT h, 1, TRUE, '/p/12' FROM hs WHERE h % 3 = 0 "
+    "UNION ALL SELECT h, 2, FALSE, '/p/2' FROM hs WHERE h % 5 = 0 "
+    "UNION ALL SELECT h, 3, FALSE, '/tmp' FROM hs) "
+    "SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host, "
+    "CAST(row_number() OVER (PARTITION BY h ORDER BY pos) - 1 "
+    "AS BIGINT) AS rule_idx, allow, prefix "
+    "FROM rules ORDER BY host, rule_idx"
+)
+QUERIES["robots_parse"] = q_robots_parse

@@ -53,7 +53,7 @@ import pyarrow.compute as pc
 def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
                  src_col: str = "src", dst_col: str = "dst",
                  r0: int = 10 ** 9, d_num: int = 85, d_den: int = 100,
-                 n_buckets: int = 32):
+                 n_buckets: int = 32, seed_ids=None):
     """Integer power-iteration PageRank over an edge Dataset.
 
     ``nodes``: Dataset with int64 ``node_col`` (the node universe);
@@ -61,10 +61,19 @@ def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
     multiset — parallel edges count twice; every src/dst must be in
     ``nodes``). Returns ``(node, rank)`` int64 rows after ``iters``
     iterations.
+
+    ``seed_ids`` (optional int64 ndarray) switches to PERSONALIZED
+    PageRank: initial mass and the per-iteration teleport land ONLY
+    on the seed nodes (crawl prioritization from trusted hosts,
+    TrustRank-style) — everything else about the exchange plan is
+    identical. The seed set is closure-broadcast (small by
+    definition: seeds are curated).
     """
     from ..functions.hashing import bucket_ids
 
     base = (r0 * (d_den - d_num)) // d_den
+    seeds = None if seed_ids is None else np.asarray(
+        seed_ids, dtype=np.int64)
 
     # union row: edges (side 0, _key=src), node-universe zeros /
     # contribution partials (side 1, _key=node, val=partial)
@@ -128,10 +137,18 @@ def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
         sums = np.zeros(len(node_ids), np.int64)
         np.add.at(sums, codes, part_t.column("val").combine_chunks()
                   .to_numpy(zero_copy_only=False))
-        if first:
-            ranks = np.full(len(node_ids), r0, np.int64)
+        if seeds is None:
+            base_v = base
+            init_v = np.int64(r0)
         else:
-            ranks = base + (d_num * sums) // d_den
+            is_seed = np.isin(node_ids, seeds)
+            base_v = np.where(is_seed, base, 0).astype(np.int64)
+            init_v = np.where(is_seed, r0, 0).astype(np.int64)
+        if first:
+            ranks = np.broadcast_to(
+                init_v, (len(node_ids),)).astype(np.int64)
+        else:
+            ranks = base_v + (d_num * sums) // d_den
         return node_ids, ranks, sides, group
 
     def _make_step(first: bool):

@@ -1008,3 +1008,58 @@ def url_features_fn(batch: pa.Table, url_col: str = "url") -> pa.Table:
                       ("n_digits", n_digits), ("n_params", n_params)):
         out = out.append_column(name, pc.cast(col, pa.int64()))
     return out
+
+
+def parse_robots(batch: pa.Table, host_col: str = "host",
+                 text_col: str = "robots_txt",
+                 agent: str = "*") -> pa.Table:
+    """Parse raw robots.txt TEXT into the ``(host, rule_idx, allow,
+    prefix)`` rule rows that :func:`robots_filter` /
+    :func:`robots_rep_filter` consume — the missing front half of
+    the REP chain (RFC 9309 group scoping): rules belong to the most
+    recent contiguous block of ``User-agent`` lines, only groups
+    naming ``agent`` (or ``*``) apply, comments (``#``), blank lines
+    and non-rule directives (Crawl-delay, Sitemap, …) are skipped,
+    and an empty Disallow value (``Disallow:`` = allow all) emits
+    nothing. Row-local per-doc parsing — robots files are tiny; the
+    corpus never shuffles.
+    """
+    hosts_out, idx_out, allow_out, prefix_out = [], [], [], []
+    for host, txt in zip(batch.column(host_col).to_pylist(),
+                         batch.column(text_col).to_pylist()):
+        if txt is None:
+            continue
+        active = False          # current group applies to `agent`
+        in_ua_block = False     # inside a contiguous UA header run
+        idx = 0
+        for raw in txt.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                in_ua_block = False
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if not in_ua_block:
+                    active = False
+                    in_ua_block = True
+                if val == "*" or val.lower() == agent.lower():
+                    active = True
+                continue
+            in_ua_block = False
+            if key not in ("allow", "disallow") or not active:
+                continue
+            if not val:
+                continue
+            hosts_out.append(host)
+            idx_out.append(idx)
+            allow_out.append(key == "allow")
+            prefix_out.append(val)
+            idx += 1
+    return pa.table({
+        host_col: pa.array(hosts_out, pa.string()),
+        "rule_idx": pa.array(idx_out, pa.int64()),
+        "allow": pa.array(allow_out, pa.bool_()),
+        "prefix": pa.array(prefix_out, pa.string()),
+    })

@@ -321,3 +321,82 @@ class TestKCenter:
         })
         out = kcenter_select(_ds(tbl), k=6)
         assert out.column("vec_id").to_pylist() == [5, 9]
+
+
+class TestPersonalizedPagerank:
+    def test_unreachable_scores_zero(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import pagerank_int
+
+        # chain 0->1->2, isolated node 3; seed = {0}
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1, 2, 3], pa.int64())}))
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([0, 1], pa.int64()),
+            "dst": pa.array([1, 2], pa.int64())}))
+        out = pagerank_int(nodes, edges, iters=2,
+                           seed_ids=np.array([0])).to_pandas()
+        d = dict(zip(out["node"], out["rank"]))
+        # teleport only to the seed: node 3 gets nothing
+        assert d[3] == 0
+        assert d[0] == 150_000_000
+        # hand-computed pulse: iter1 r = (150M, 850M, 0, 0); iter2
+        # node1 <- 85%*150M, node2 <- 85%*850M
+        assert d[1] == 127_500_000
+        assert d[2] == 722_500_000
+
+    def test_none_seed_matches_uniform(self, ray_session):
+        import ray.data
+
+        from ocr_pipeline_ray.stages.graph import pagerank_int
+
+        nodes = ray.data.from_arrow(pa.table({
+            "node": pa.array([0, 1, 2], pa.int64())}))
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([0, 1, 2], pa.int64()),
+            "dst": pa.array([1, 2, 0], pa.int64())}))
+        base = pagerank_int(nodes, edges, iters=2).to_pandas()
+        d = dict(zip(base["node"], base["rank"]))
+        # 3-cycle: uniform ranks stay uniform
+        assert len(set(d.values())) == 1
+
+
+class TestParseRobots:
+    def test_group_scoping_and_noise(self):
+        from ocr_pipeline_ray.stages.web import parse_robots
+
+        txt = "\n".join([
+            "User-agent: badbot",
+            "Disallow: /",
+            "",
+            "User-agent: googlebot",
+            "User-agent: *",          # contiguous UA block: both
+            "Disallow: /a  # inline comment",
+            "Crawl-delay: 7",
+            "allow: /a/b",            # case-insensitive keys
+            "",
+            "User-agent: other",
+            "Disallow: /c",           # scoped out
+            "Disallow:",              # empty value even if active
+        ])
+        out = parse_robots(pa.table({
+            "host": pa.array(["h1", "h2"]),
+            "robots_txt": pa.array([txt, None]),
+        }))
+        rows = list(zip(out.column("host").to_pylist(),
+                        out.column("rule_idx").to_pylist(),
+                        out.column("allow").to_pylist(),
+                        out.column("prefix").to_pylist()))
+        assert rows == [("h1", 0, False, "/a"), ("h1", 1, True, "/a/b")]
+
+    def test_rules_after_second_ua_line_reset(self):
+        from ocr_pipeline_ray.stages.web import parse_robots
+
+        # a UA line AFTER rules starts a NEW group (not contiguous)
+        txt = "User-agent: *\nDisallow: /x\nUser-agent: badbot\nDisallow: /y"
+        out = parse_robots(pa.table({
+            "host": pa.array(["h"]),
+            "robots_txt": pa.array([txt]),
+        }))
+        assert out.column("prefix").to_pylist() == ["/x"]

@@ -111,9 +111,10 @@ BENCH_QUERIES = [
     "zorder_scan", "stitch_pairs", "user_skyline", "events_trend",
     "mutual_nn_pairs", "golden_record", "rendezvous_shards",
     "url_features", "filter_cascade",
-    "coreset_select", "frontier_pipeline",
-    # communities (label propagation) is oracle-gated but excluded
-    # like pagerank/crawl_depth: 2 barrier exchanges per round are
+    "coreset_select", "frontier_pipeline", "robots_parse",
+    # communities (label propagation) and ppr_scores (seeded
+    # pagerank) are oracle-gated but excluded like pagerank/
+    # crawl_depth: their barrier exchanges per round/iteration are
     # fixed-cost-dominated at toy scale, amortized at real scale
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:
     # iterative exchanges pay ~2 barrier fixed costs per hop at toy

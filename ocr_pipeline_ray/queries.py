@@ -660,8 +660,11 @@ def q_redirect_resolve(sf_dir: str):
         return pa.table({"src": pa.array(ids, pa.int64()),
                          "dst": pa.array(ids // 2, pa.int64())})
 
+    # n_buckets sizes the per-round co-shuffle fan-out; 8 matches
+    # the toy mapping here (at real scale pass ~cluster cores)
     resolved = resolve_chains(
-        docs.map_batches(_mapping, batch_format="pyarrow"))
+        docs.map_batches(_mapping, batch_format="pyarrow"),
+        n_buckets=8)
 
     def _rename(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("src"),
@@ -9850,3 +9853,181 @@ ORACLE_SQL["robots_parse"] = (
     "FROM rules ORDER BY host, rule_idx"
 )
 QUERIES["robots_parse"] = q_robots_parse
+
+
+def q_lang_host_mi(sf_dir: str):
+    """Dataset-bias audit: MUTUAL INFORMATION between language and
+    host over the crawl — near-zero MI means languages spread evenly
+    across hosts; high MI flags host-language lock-in (single-lang
+    mirror farms), the selection-bias companion to host_entropy /
+    host_gini. One (lang,host) pair exchange (pairs-scale, tiny);
+    MI folded from exact integer counts in a single final task,
+    compared on the 1e-6 grid."""
+    import numpy as np
+
+    from .stages.web import url_host_fn
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(lambda b: url_host_fn(b), batch_format="pyarrow")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        g = batch.select(["lang", "host"]).group_by(
+            ["lang", "host"]).aggregate([([], "count_all")])
+        key = pc.binary_join_element_wise(
+            g.column("lang"), g.column("host"), "\x00")
+        return pa.table({
+            "lh": key,
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    agg = ds.map_batches(_pairs, batch_format="pyarrow").groupby(
+        "lh").aggregate(Sum("n", alias_name="n"))
+
+    def _mi(batch: pa.Table) -> pa.Table:
+        keys = batch.column("lh").to_pylist()
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        langs = np.array([k.split("\x00")[0] for k in keys])
+        hosts = np.array([k.split("\x00")[1] for k in keys])
+        total = n.sum()
+        ul, li = np.unique(langs, return_inverse=True)
+        uh, hi = np.unique(hosts, return_inverse=True)
+        nl = np.zeros(len(ul)); np.add.at(nl, li, n)
+        nh = np.zeros(len(uh)); np.add.at(nh, hi, n)
+        mi = float(np.sum(
+            (n / total) * np.log((n * total) / (nl[li] * nh[hi]))))
+        mi = math.floor(mi * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "n_docs": pa.array([int(total)], pa.int64()),
+            "n_langs": pa.array([len(ul)], pa.int64()),
+            "n_hosts": pa.array([len(uh)], pa.int64()),
+            "mi": pa.array([mi], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        _mi, batch_format="pyarrow", batch_size=None)
+
+
+ORACLE_SQL["lang_host_mi"] = (
+    "WITH d AS (SELECT lang, 'host' || CAST(" + _HOST_ID_SQL
+    + " AS VARCHAR) || '.example.com' AS host FROM documents), "
+    "c AS (SELECT lang, host, CAST(count(*) AS BIGINT) AS n FROM d "
+    "GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c), "
+    "ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c "
+    "GROUP BY 1), "
+    "mh AS (SELECT host, CAST(sum(n) AS BIGINT) AS nh FROM c "
+    "GROUP BY 1) "
+    "SELECT tot.nn AS n_docs, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM ml) AS n_langs, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_hosts, "
+    "FLOOR(SUM((CAST(c.n AS DOUBLE) / tot.nn) * "
+    "ln((CAST(c.n AS DOUBLE) * tot.nn) / "
+    "(CAST(ml.nl AS DOUBLE) * mh.nh))) * 1e6 + 0.5) / 1e6 AS mi "
+    "FROM c JOIN ml USING (lang) JOIN mh USING (host), tot "
+    "GROUP BY tot.nn"
+)
+QUERIES["lang_host_mi"] = q_lang_host_mi
+
+
+def q_stitch_chains(sf_dir: str):
+    """Split-document CHAIN reassembly — composition of session-9
+    stitching with the functional-graph collapser: stitch_pairs
+    finds seam edges, two pair-scale reductions make the edge set
+    FUNCTIONAL (min successor per doc, then unique predecessor per
+    successor), and graph.resolve_chains pointer-doubles every page
+    to its chain's terminal in log depth. Output: (doc_id, chain_id)
+    for every resolved chain member, terminals included; cycle-bound
+    rows are dropped on both sides (depth-capped recursive CTE)."""
+    from ray.data.aggregate import Min
+
+    from .stages.dedup import stitch_pairs
+    from .stages.graph import resolve_chains
+    from .stages.join import repartition_join
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            t = t or ""
+            if i % 10 == 1:
+                t = f"{t} stitch pg{i} marker"
+            elif i % 10 == 2:
+                t = f"stitch pg{i - 1} marker {t}"
+            out.append(t)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow")
+    pairs = stitch_pairs(docs, k=3)
+
+    def _m1(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("a_id"),
+                         "dst": batch.column(f"min(b_id)")})
+
+    m1 = pairs.groupby("a_id").aggregate(Min("b_id")).map_batches(
+        _m1, batch_format="pyarrow")
+    pred = m1.groupby("dst").aggregate(Min("src"))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("src"),
+                        batch.column("min(src)"))
+        sub = batch.filter(keep)
+        return pa.table({"src": sub.column("src"),
+                         "dst": sub.column("dst")})
+
+    # pair-scale by construction: pin it so the pointer-doubling
+    # rounds (which scan the mapping twice per round) do not re-run
+    # the whole seam-shuffle plan every scan
+    mapping = repartition_join(m1, pred, on="dst").map_batches(
+        _keep, batch_format="pyarrow").materialize()
+    resolved = resolve_chains(mapping, key_col="src", ptr_col="dst",
+                              n_buckets=8)
+
+    def _members(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(batch.column("resolved"))
+        return pa.table({"doc_id": ok.column("src"),
+                         "chain_id": ok.column("final")})
+
+    members = resolved.map_batches(
+        _members, batch_format="pyarrow").materialize()
+
+    def _terminals(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("chain_id"),
+                         "chain_id": batch.column("chain_id")})
+
+    terminals = members.groupby("chain_id").aggregate(
+        Count()).map_batches(_terminals, batch_format="pyarrow")
+    return members.union(terminals).sort("doc_id")
+
+
+ORACLE_SQL["stitch_chains"] = (
+    "WITH RECURSIVE aug AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 10 = 1 THEN coalesce(text, '') || ' stitch pg' || "
+    "CAST(doc_id AS VARCHAR) || ' marker' "
+    "WHEN doc_id % 10 = 2 THEN 'stitch pg' || "
+    "CAST(doc_id - 1 AS VARCHAR) || ' marker ' || coalesce(text, '') "
+    "ELSE coalesce(text, '') END AS text FROM documents), "
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug), "
+    "ht AS (SELECT doc_id, array_to_string(toks[1:3], ' ') AS head, "
+    "array_to_string(toks[-3:], ' ') AS tail FROM t "
+    "WHERE len(toks) >= 3), "
+    "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ht a JOIN ht b "
+    "ON a.tail = b.head AND a.doc_id <> b.doc_id), "
+    "m1 AS (SELECT a, min(b) AS b FROM p GROUP BY a), "
+    "m2 AS (SELECT a, b FROM m1 "
+    "QUALIFY a = min(a) OVER (PARTITION BY b)), "
+    "r AS (SELECT a AS src, b AS cur, 1 AS depth FROM m2 "
+    "UNION ALL SELECT r.src, m.b, r.depth + 1 FROM r "
+    "JOIN m2 m ON m.a = r.cur WHERE r.depth < 40), "
+    "fin AS (SELECT src AS doc_id, cur AS chain_id FROM r "
+    "WHERE cur NOT IN (SELECT a FROM m2)), "
+    "term AS (SELECT DISTINCT chain_id AS doc_id, chain_id FROM fin) "
+    "SELECT doc_id, chain_id FROM fin "
+    "UNION ALL SELECT doc_id, chain_id FROM term ORDER BY doc_id"
+)
+QUERIES["stitch_chains"] = q_stitch_chains

@@ -195,11 +195,16 @@ def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
 
     partials = tagged_zeros
     for i in range(iters):
+        # repartition pins the layout: union grows block count by
+        # |edges| blocks per iteration and the groupby's sort keeps
+        # them, so without it round fixed costs grow with i
         partials = tagged_edges.union(partials).groupby(
             "_bucket", num_partitions=n_buckets
         ).map_groups(
             _make_step(first=(i == 0)), batch_format="pyarrow"
-        ).map_batches(_partial_tagged, batch_format="pyarrow")
+        ).map_batches(
+            _partial_tagged, batch_format="pyarrow"
+        ).repartition(n_buckets)
         if i + 1 < iters:
             partials = partials.union(tagged_zeros)
     if iters == 0:
@@ -799,12 +804,14 @@ def hits_int(nodes, edges, iters: int = 2, scale: int = 10 ** 9,
     a_parts = h_parts = None
     div_a = div_h = 1
     for _ in range(iters):
+        # repartition pins the half-step block layout (union + sort
+        # otherwise compound block count across iterations)
         a_parts = edges_by_src.union(cur).union(tagged_zeros).groupby(
             "_bucket", num_partitions=n_buckets
         ).map_groups(
             _make_halfstep(div), batch_format="pyarrow"
         ).map_batches(_partial_tagged, batch_format="pyarrow"
-                      ).materialize()
+                      ).repartition(n_buckets).materialize()
         div_a = max(_total(a_parts) // scale, 1)
         h_parts = edges_by_dst.union(a_parts).union(
             tagged_zeros).groupby(
@@ -812,7 +819,7 @@ def hits_int(nodes, edges, iters: int = 2, scale: int = 10 ** 9,
         ).map_groups(
             _make_halfstep(div_a), batch_format="pyarrow"
         ).map_batches(_partial_tagged, batch_format="pyarrow"
-                      ).materialize()
+                      ).repartition(n_buckets).materialize()
         div_h = max(_total(h_parts) // scale, 1)
         cur, div = h_parts, div_h
 
@@ -953,18 +960,24 @@ def resolve_chains(mapping, key_col: str = "src",
     cur = mapping.select_columns([key_col, ptr_col]).materialize()
     rounds = 0
     while rounds < max_rounds:
+        # without the repartition, block count DOUBLES per round
+        # (union emits 2B blocks and the groupby's sort keeps them),
+        # so round fixed costs grow geometrically — pin the layout
+        # to n_buckets blocks every round
         nxt = cur.map_batches(
             _tag(0, ptr_col), batch_format="pyarrow"
         ).union(cur.map_batches(
             _tag(1, key_col), batch_format="pyarrow"
         )).groupby("_bucket", num_partitions=n_buckets).map_groups(
-            _jump, batch_format="pyarrow").materialize()
+            _jump, batch_format="pyarrow").repartition(
+            n_buckets).materialize()
         rounds += 1
+        cur = nxt
         if _changed_total(nxt) == 0:
-            cur = nxt
             break
-        cur = nxt.drop_columns(["_chg"]).materialize() \
-            if "_chg" in nxt.schema().names else nxt
+        # `_chg` rides along into the next round unread (`_tag`
+        # rebuilds its output from named columns) — dropping it
+        # would cost a second full materialize per round
     # resolved = final pointer is terminal (not itself a key):
     # one more half-exchange marks cycle members
     def _mark(group: pa.Table) -> pa.Table:
@@ -1138,12 +1151,14 @@ def bfs_levels(edges, seeds, src_col: str = "src", dst_col: str = "dst",
                     np.full(batch.num_rows, _d, np.int64), pa.int64()))
 
         cand = cand.map_batches(_cand_dist, batch_format="pyarrow")
+        # repartition pins the per-hop block layout (union + sort
+        # otherwise compound block count across hops)
         merged = (
             _tag_nodes(known, 0, merge_schema)
             .union(_tag_nodes(cand, 1, merge_schema))
             .groupby("_bucket", num_partitions=n_buckets)
             .map_groups(_merge_bucket, batch_format="pyarrow")
-        ).materialize()
+        ).repartition(n_buckets).materialize()
         frontier = merged.filter(expr="is_new == True").select_columns(
             ["node", "dist"]).materialize()
         known = merged.select_columns(["node", "dist"])
@@ -1424,11 +1439,13 @@ def label_propagation(nodes, edges, rounds: int = 2,
             .groupby("_bucket", num_partitions=n_buckets)
             .map_groups(_emit_votes, batch_format="pyarrow")
         )
+        # repartition pins the per-round block layout (union + sort
+        # otherwise compound block count across rounds)
         labels = (
             votes.map_batches(_tag_e2(0), batch_format="pyarrow")
             .union(labels.map_batches(_tag_e2(1),
                                       batch_format="pyarrow"))
             .groupby("_bucket", num_partitions=n_buckets)
             .map_groups(_mode, batch_format="pyarrow")
-        ).materialize()
+        ).repartition(n_buckets).materialize()
     return labels

@@ -112,8 +112,12 @@ BENCH_QUERIES = [
     "mutual_nn_pairs", "golden_record", "rendezvous_shards",
     "url_features", "filter_cascade",
     "coreset_select", "frontier_pipeline", "robots_parse",
-    # communities (label propagation) and ppr_scores (seeded
-    # pagerank) are oracle-gated but excluded like pagerank/
+    # session-10 additions
+    "lang_host_mi", "script_mix", "calibration_bins",
+    "type_hour_bursts", "syndication_sources",
+    # communities (label propagation), ppr_scores (seeded pagerank)
+    # and stitch_chains (pointer-doubling reassembly) are
+    # oracle-gated but excluded like pagerank/
     # crawl_depth: their barrier exchanges per round/iteration are
     # fixed-cost-dominated at toy scale, amortized at real scale
     # crawl_depth (BFS) is oracle-gated but excluded like pagerank:

@@ -10031,3 +10031,187 @@ ORACLE_SQL["stitch_chains"] = (
     "UNION ALL SELECT doc_id, chain_id FROM term ORDER BY doc_id"
 )
 QUERIES["stitch_chains"] = q_stitch_chains
+
+
+def q_syndication_sources(sf_dir: str):
+    """Copy-direction provenance over the near-dup graph: orient
+    every bit-exact MinHash candidate pair by crawl TIMESTAMP
+    (deterministic scrambled ts so direction isn't the id order) —
+    the earlier side is the SOURCE, the later side the copy; ties
+    break to the smaller doc_id. Output: per-source copy counts,
+    the "who gets syndicated" ranking feeding canonical-document
+    election and crawl-priority boosts. Pair-scale all the way:
+    orientation is row-local on the pair set, map-side combine
+    feeds one tiny groupby."""
+    pairs = minhash_dup_pairs(_docs(sf_dir))
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        d1, d2 = batch.column("d1"), batch.column("d2")
+        t1 = _int_mod(pc.multiply(d1, pa.scalar(131, pa.int64())),
+                      10007)
+        t2 = _int_mod(pc.multiply(d2, pa.scalar(131, pa.int64())),
+                      10007)
+        # d1 < d2 by pair construction, so the tie rule is "ties
+        # keep d1" — mirrored in the SQL CASE
+        src = pc.if_else(
+            pc.or_(pc.less(t1, t2),
+                   pc.and_(pc.equal(t1, t2), pc.less(d1, d2))),
+            d1, d2)
+        g = pa.table({"doc_id": src}).group_by(["doc_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_copies": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    return pairs.map_batches(_orient, batch_format="pyarrow").groupby(
+        "doc_id"
+    ).aggregate(Sum("n_copies", alias_name="n_copies")).sort("doc_id")
+
+
+ORACLE_SQL["syndication_sources"] = (
+    "WITH " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
+    "o AS (SELECT CASE WHEN (d1 * 131) % 10007 < (d2 * 131) % 10007 "
+    "OR ((d1 * 131) % 10007 = (d2 * 131) % 10007 AND d1 < d2) "
+    "THEN d1 ELSE d2 END AS doc_id FROM cand) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_copies FROM o "
+    "GROUP BY doc_id ORDER BY doc_id"
+)
+QUERIES["syndication_sources"] = q_syndication_sources
+
+
+def q_calibration_bins(sf_dir: str):
+    """Quality-classifier CALIBRATION audit
+    (stages/profile.score_calibration): the reliability diagram's
+    exact sufficient statistics for the fastText-style linear scorer
+    (same weights/bias as `quality_classifier`), against the
+    independent ground label ``lang = 'en'``. Fixed-width logit bins
+    (floor division, width 16) × integer (n_docs, n_pos, sum_score)
+    — bit-exact, the ECE fold happens downstream. One row-local
+    scoring pass fused with binning partials, one tiny groupby."""
+    from .stages.profile import score_calibration
+    from .stages.textstats import _hash_embed_matrix
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"])
+    import numpy as np
+    w = np.array([((d * 37) % 21) - 10 for d in range(64)], np.int64)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        mat = _hash_embed_matrix(batch.column("text"), 64)
+        logit = mat @ w + 3
+        return pa.table({
+            "logit": pa.array(logit, pa.int64()),
+            "label_true": pc.equal(batch.column("lang"), "en"),
+        })
+
+    return score_calibration(
+        docs.map_batches(_score, batch_format="pyarrow"), width=16)
+
+
+ORACLE_SQL["calibration_bins"] = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents), "
+    "h AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, "
+    "8)) AS UBIGINT) AS BIGINT) AS hv FROM toks), "
+    "cells AS (SELECT doc_id, hv % 64 AS d, CASE WHEN "
+    "(hv // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM h), "
+    "dots AS (SELECT doc_id, sum(sgn * (((d * 37) % 21) - 10)) "
+    "AS dot FROM cells GROUP BY doc_id), "
+    "scored AS (SELECT d.doc_id, "
+    "CAST(COALESCE(dt.dot, 0) + 3 AS BIGINT) AS logit, "
+    "(d.lang = 'en') AS pos FROM documents d "
+    "LEFT JOIN dots dt ON d.doc_id = dt.doc_id) "
+    "SELECT CAST(floor(logit / 16.0) AS BIGINT) AS bin, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+    "CAST(sum(logit) AS BIGINT) AS sum_score "
+    "FROM scored GROUP BY 1 ORDER BY bin"
+)
+QUERIES["calibration_bins"] = q_calibration_bins
+
+
+def q_type_hour_bursts(sf_dir: str):
+    """Traffic burst detection (stages/temporal.rate_bursts): hours
+    where an event type's count exceeds its OWN hourly baseline by
+    more than 2σ — the crawl-rate anomaly monitor (bot floods,
+    scraper storms, recrawl loops). The z-test runs as the
+    all-integer predicate (c·H−S)² > 4·(H·S2−S²) with c·H−S > 0 —
+    no sqrt, no float — in Python ints engine-side and HUGEINT in
+    the oracle."""
+    from .stages.temporal import rate_bursts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return rate_bursts(ds, key_col="event_type", ts_col="ts", z=2)
+
+
+ORACLE_SQL["type_hour_bursts"] = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS h, "
+    "CAST(sum(n) AS HUGEINT) AS s, "
+    "sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS s2, "
+    "CAST(max(n) AS BIGINT) AS max_n FROM c GROUP BY 1) "
+    "SELECT c.event_type, CAST(s.h AS BIGINT) AS n_hours, "
+    "CAST(sum(CASE WHEN CAST(c.n AS HUGEINT) * s.h - s.s > 0 AND "
+    "(CAST(c.n AS HUGEINT) * s.h - s.s) * "
+    "(CAST(c.n AS HUGEINT) * s.h - s.s) > "
+    "4 * (s.h * s.s2 - s.s * s.s) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_bursts, s.max_n "
+    "FROM c JOIN s USING (event_type) "
+    "GROUP BY c.event_type, s.h, s.max_n ORDER BY c.event_type"
+)
+QUERIES["type_hour_bursts"] = q_type_hour_bursts
+
+
+def q_script_mix(sf_dir: str):
+    """Unicode-script mix audit (stages/textstats.script_mix_fn):
+    per-doc Latin / Cyrillic / digit / other codepoint counts plus a
+    ``mixed`` flag — the mojibake and homoglyph-spam detector that
+    catches what stopword language-ID cannot (a 'Latin' page whose
+    letters are partly Cyrillic confusables). The same homoglyph
+    plant as `deobfuscate` (every 4th doc gets 'a'→'а', 'e'→'е')
+    makes the signal load-bearing. Row-local, no shuffle."""
+    from .stages.textstats import script_mix_fn
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        t = pc.fill_null(batch.column("text"), "")
+        dirty = pc.replace_substring(
+            pc.replace_substring(t, "a", "а"), "e", "е")
+        text = pc.if_else(pc.equal(_int_mod(ids, 4), 0), dirty, t)
+        return pa.table({"doc_id": ids, "text": text})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow"
+    ).map_batches(script_mix_fn, batch_format="pyarrow")
+
+
+ORACLE_SQL["script_mix"] = (
+    "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "replace(replace(coalesce(text, ''), 'a', 'а'), 'e', 'е') "
+    "ELSE coalesce(text, '') END AS text FROM documents), "
+    "ch AS (SELECT doc_id, unicode(unnest(string_split(text, ''))) "
+    "AS cp FROM aug WHERE text != ''), "
+    "agg AS (SELECT doc_id, "
+    "sum(CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122) "
+    "THEN 1 ELSE 0 END) AS n_latin, "
+    "sum(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) "
+    "AS n_cyrillic, "
+    "sum(CASE WHEN cp BETWEEN 48 AND 57 THEN 1 ELSE 0 END) "
+    "AS n_digit, "
+    "sum(CASE WHEN NOT ((cp BETWEEN 65 AND 90) OR "
+    "(cp BETWEEN 97 AND 122) OR (cp BETWEEN 1024 AND 1279) OR "
+    "(cp BETWEEN 48 AND 57)) THEN 1 ELSE 0 END) AS n_other "
+    "FROM ch GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(a.n_latin, 0) AS BIGINT) "
+    "AS n_latin, CAST(coalesce(a.n_cyrillic, 0) AS BIGINT) "
+    "AS n_cyrillic, CAST(coalesce(a.n_digit, 0) AS BIGINT) "
+    "AS n_digit, CAST(coalesce(a.n_other, 0) AS BIGINT) AS n_other, "
+    "(coalesce(a.n_latin, 0) > 0 AND coalesce(a.n_cyrillic, 0) > 0) "
+    "AS mixed FROM documents d LEFT JOIN agg a "
+    "ON d.doc_id = a.doc_id ORDER BY d.doc_id"
+)
+QUERIES["script_mix"] = q_script_mix

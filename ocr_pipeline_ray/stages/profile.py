@@ -364,3 +364,55 @@ def filter_cascade(ds, stages):
 
     return agg.repartition(1).map_batches(
         _finish, batch_format="pyarrow", batch_size=None)
+
+
+def score_calibration(ds, score_col: str = "logit",
+                      label_col: str = "label_true",
+                      width: int = 16):
+    """Model-calibration audit over a scored corpus — the reliability
+    diagram's exact sufficient statistics: fixed-width score bins ×
+    (row count, positive-label count, score sum). Downstream the
+    observed positive fraction per bin vs the bin's mean score is
+    the calibration curve; a quality classifier whose high bins
+    aren't enriched in positives is miscalibrated and its threshold
+    gate is mislabeling the corpus.
+
+    All-integer output (counts and an int64 score sum) so the oracle
+    comparison is bit-exact — no ECE float fold inside the engine.
+    ``bin = floor(score / width)`` uses FLOOR division (negative
+    scores bin downward, mirroring SQL ``floor(s / w)``), not C
+    truncation. Scale shape: one Arrow group_by partial per batch
+    (bins × blocks rows enter the shuffle), one tiny groupby.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    w = int(width)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        score = batch.column(score_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lbl = batch.column(label_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "bin": pa.array(score // w, pa.int64()),  # floor div
+            "pos": pa.array(lbl, pa.int64()),
+            "s": pa.array(score, pa.int64()),
+            "one": pa.array(np.ones(len(score), np.int64)),
+        })
+        g = t.group_by(["bin"]).aggregate(
+            [("one", "sum"), ("pos", "sum"), ("s", "sum")])
+        return pa.table({
+            "bin": g.column("bin"),
+            "n_docs": pc.cast(g.column("one_sum"), pa.int64()),
+            "n_pos": pc.cast(g.column("pos_sum"), pa.int64()),
+            "sum_score": pc.cast(g.column("s_sum"), pa.int64()),
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "bin"
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_pos", alias_name="n_pos"),
+        Sum("sum_score", alias_name="sum_score"),
+    ).sort("bin")

@@ -1058,3 +1058,94 @@ def golden_record(ds, key_col: str, order_cols: List[str],
         .groupby("_gbucket", num_partitions=n_buckets)
         .map_groups(_bucket, batch_format="pyarrow")
     )
+
+
+def rate_bursts(ds, key_col: str = "event_type", ts_col: str = "ts",
+                z: int = 2, n_buckets: int = 32):
+    """Per-key traffic-rate BURST detection over hourly counts — the
+    crawl-ops anomaly signal (a host or event type suddenly emitting
+    far above its own baseline: scraper storms, bot floods, recrawl
+    loops). A bucketed hour counts as a burst when its count sits
+    more than ``z`` standard deviations ABOVE the key's own mean
+    hourly rate.
+
+    Exactness contract: the z-test is evaluated as an ALL-INTEGER
+    predicate — with per-key hour count ``H``, sum ``S``, sum of
+    squares ``S2`` and an hour's count ``c``::
+
+        burst(c)  ⇔  c·H − S > 0  and  (c·H − S)² > z²·(H·S2 − S²)
+
+    (the ``z·σ`` inequality multiplied through by ``H²`` — no sqrt,
+    no division, no float), computed in Python ints so it cannot
+    overflow; DuckDB mirrors it in HUGEINT. Scale shape: map-side
+    Arrow (key, hour) partials → ONE tiny groupby (keys × hours
+    rows) → one key-hash co-shuffle of the counts table with
+    whole-bucket per-key folds — raw events never shuffle twice.
+
+    Output: ``(key_col, n_hours, n_bursts, max_n)`` sorted by key.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "hour": pc.floor_temporal(batch.column(ts_col),
+                                      unit="hour"),
+        })
+        g = t.group_by([key_col, "hour"]).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g.column(key_col),
+            "hour": g.column("hour"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    counts = ds.select_columns([key_col, ts_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby([key_col, "hour"]).aggregate(Sum("n", alias_name="n"))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.string()),
+            "n_hours": pa.array([], pa.int64()),
+            "n_bursts": pa.array([], pa.int64()),
+            "max_n": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([(key_col, "ascending")])
+        keys = g.column(key_col).combine_chunks()
+        cnts = g.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = len(cnts)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            k_np = keys.to_numpy(zero_copy_only=False)
+            first[1:] = k_np[1:] != k_np[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        out_k, out_h, out_b, out_m = [], [], [], []
+        zz = int(z) * int(z)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            seg = [int(c) for c in cnts[s:e]]  # Python ints: exact
+            H, S = len(seg), sum(seg)
+            S2 = sum(c * c for c in seg)
+            var_h2 = H * S2 - S * S            # H² · variance
+            bursts = sum(
+                1 for c in seg
+                if c * H - S > 0 and (c * H - S) ** 2 > zz * var_h2
+            )
+            out_k.append(keys[s].as_py())
+            out_h.append(H)
+            out_b.append(bursts)
+            out_m.append(max(seg))
+        return pa.table({
+            key_col: pa.array(out_k, pa.string()),
+            "n_hours": pa.array(out_h, pa.int64()),
+            "n_bursts": pa.array(out_b, pa.int64()),
+            "max_n": pa.array(out_m, pa.int64()),
+        })
+
+    return _bucket_by(counts, key_col, n_buckets).groupby(
+        "_kbucket", num_partitions=n_buckets
+    ).map_groups(_fold, batch_format="pyarrow").sort(key_col)

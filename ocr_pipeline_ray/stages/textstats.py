@@ -1151,3 +1151,58 @@ def paragraph_lang_mix_fn(batch: pa.Table, text_col: str = "text",
         "major_lang": pa.array(langs[maj_code].tolist(), pa.string()),
         "mix_frac": pa.array(1.0 - maj_n / n_paras, pa.float64()),
     })
+
+
+def script_mix_fn(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Per-document Unicode SCRIPT mix — the mojibake / homoglyph-spam
+    signal that complements stopword language-ID: a "Latin-language"
+    page whose letters are partly Cyrillic is confusable-obfuscated
+    (see stages/normalize.CONFUSABLES) or mis-encoded, and a page
+    mixing scripts mid-word defeats naive tokenizers. Counts every
+    codepoint into Latin letters / Cyrillic / ASCII digits / other
+    (spaces and punctuation land in other — the SQL twin mirrors the
+    same 4-way partition), plus ``mixed`` = both letter scripts seen.
+
+    Vectorized via the packed batch layout (cf. char_entropy_fn): one
+    utf-32 decode per doc, ONE set of range masks over the whole
+    batch's concatenated codepoints, per-doc sums by ``np.bincount``
+    over the repeated doc index. Row-local, no shuffle; null/empty
+    text rows are kept with zero counts.
+    """
+    import numpy as np
+
+    texts = batch.column(text_col).to_pylist()
+    n_rows = len(texts)
+    parts, lens = [], np.zeros(n_rows, np.int64)
+    for row, t in enumerate(texts):
+        if not t:
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+        parts.append(cps.astype(np.int64))
+        lens[row] = len(cps)
+    if parts:
+        cp = np.concatenate(parts)
+        doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        latin = ((cp >= 0x41) & (cp <= 0x5A)) | \
+                ((cp >= 0x61) & (cp <= 0x7A))
+        cyr = (cp >= 0x400) & (cp <= 0x4FF)
+        digit = (cp >= 0x30) & (cp <= 0x39)
+        other = ~(latin | cyr | digit)
+
+        def _per_doc(mask):
+            return np.bincount(doc_idx[mask], minlength=n_rows)
+
+        n_latin, n_cyr = _per_doc(latin), _per_doc(cyr)
+        n_digit, n_other = _per_doc(digit), _per_doc(other)
+    else:
+        n_latin = n_cyr = n_digit = n_other = np.zeros(
+            n_rows, np.int64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_latin": pa.array(n_latin.astype(np.int64), pa.int64()),
+        "n_cyrillic": pa.array(n_cyr.astype(np.int64), pa.int64()),
+        "n_digit": pa.array(n_digit.astype(np.int64), pa.int64()),
+        "n_other": pa.array(n_other.astype(np.int64), pa.int64()),
+        "mixed": pa.array((n_latin > 0) & (n_cyr > 0), pa.bool_()),
+    })

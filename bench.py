@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     # session-10 additions
     "lang_host_mi", "script_mix", "calibration_bins",
     "type_hour_bursts", "syndication_sources",
+    "adaptive_join_orders", "agg_refresh", "compaction_plan",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

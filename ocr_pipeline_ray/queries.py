@@ -10215,3 +10215,177 @@ ORACLE_SQL["script_mix"] = (
     "ON d.doc_id = a.doc_id ORDER BY d.doc_id"
 )
 QUERIES["script_mix"] = q_script_mix
+
+
+def q_adaptive_join_orders(sf_dir: str):
+    """Adaptive physical join planning (stages/join.adaptive_join):
+    orders enriched with customer — the engine MEASURES the right
+    side (a parquet-footer metadata fold) and picks broadcast vs
+    co-shuffle itself, instead of a hand-chosen operator. customer
+    sits far under the broadcast limit at every test SF, so the
+    plan resolves to "broadcast" (left side never shuffles); the
+    emitted ``strategy`` column pins the decision rule in the
+    oracle (CASE over count(*)), and the choice cannot change
+    values — both operators share one join contract."""
+    from .stages.join import adaptive_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("c_custkey"),
+            "c_name": batch.column("c_name"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+        })
+
+    joined, strategy = adaptive_join(
+        orders, cust.map_batches(_key, batch_format="pyarrow"),
+        on="o_custkey", right_cols=["c_name", "c_mktsegment"],
+        broadcast_limit_rows=2_000_000)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "strategy", pa.array([strategy] * batch.num_rows,
+                                 pa.string()))
+
+    return joined.map_batches(_tag, batch_format="pyarrow").sort(
+        "o_orderkey")
+
+
+ORACLE_SQL["adaptive_join_orders"] = (
+    "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+    "c.c_name, c.c_mktsegment, "
+    "CASE WHEN (SELECT count(*) FROM customer) <= 2000000 "
+    "THEN 'broadcast' ELSE 'shuffle' END AS strategy "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "ORDER BY o.o_orderkey"
+)
+QUERIES["adaptive_join_orders"] = q_adaptive_join_orders
+
+
+def q_agg_refresh(sf_dir: str):
+    """Incremental aggregate-view maintenance
+    (stages/stats.agg_refresh): the per-type (count, sum(value))
+    view is STORED once over the history partition (event_id % 10
+    < 9, staged to parquet — the materialized view), then refreshed
+    with only the new delta partition (event_id % 10 = 9). Work is
+    |delta| + |keys|; history is never rescanned. The oracle
+    recomputes the same view over ALL events — refresh must equal
+    recompute (sums on the 1e-6 grid)."""
+    from .stages.stats import agg_refresh, partial_sum_count
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"/tmp/ocr_ray_aggbase_{os.getpid()}_{label}"
+    base_path = os.path.join(stage, "base.parquet")
+    if not os.path.exists(base_path):
+        os.makedirs(stage, exist_ok=True)
+        hist = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"]
+        ).map_batches(
+            lambda b: b.filter(pc.less(
+                _int_mod(b.column("event_id"), 10), 9)),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: partial_sum_count(
+                b.select(["event_type", "value"]), ["event_type"],
+                "value", sum_name="sum_value", count_name="n"),
+            batch_format="pyarrow",
+        ).groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"))
+        hist.write_parquet(base_path + ".tmp")
+        os.replace(base_path + ".tmp", base_path)
+
+    delta = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(
+            _int_mod(b.column("event_id"), 10), 9)),
+        batch_format="pyarrow",
+    ).select_columns(["event_type", "value"])
+    refreshed = agg_refresh(
+        ray.data.read_parquet(base_path), delta,
+        keys=["event_type"], value_col="value",
+        count_name="n", sum_name="sum_value")
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "sum_value": pa.array(
+                [math.floor(x * 1e6 + 0.5) / 1e6 for x in s],
+                pa.float64()),
+        })
+
+    return refreshed.map_batches(
+        _grid, batch_format="pyarrow").sort("event_type")
+
+
+ORACLE_SQL["agg_refresh"] = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "FLOOR(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+QUERIES["agg_refresh"] = q_agg_refresh
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction planning
+    (stages/bucketed.compaction_plan): documents staged ONCE into 24
+    files with quadratically skewed row counts (the real small-file
+    pathology: a few big files, a long tiny tail), then planned into
+    ~total/6-row merge groups from FOOTER row counts only — no data
+    pages read. The oracle reproduces the per-file row counts from
+    the quadratic cut rule and replays the same (n_rows DESC,
+    file_id) window packing."""
+    import pyarrow.parquet as pq_
+
+    from .stages.bucketed import compaction_plan
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"/tmp/ocr_ray_compact_{os.getpid()}_{label}"
+    n_files = 24
+    paths = [os.path.join(stage, f"part-{i:02d}.parquet")
+             for i in range(n_files)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq_.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        tbl = tbl.sort_by([("doc_id", "ascending")])
+        n = tbl.num_rows
+        cuts = [n * i * i // (n_files * n_files)
+                for i in range(n_files + 1)]
+        for i, p in enumerate(paths):
+            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                            p + ".tmp")
+            os.replace(p + ".tmp", p)
+    total = pq_.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows
+    plan, _n_groups = compaction_plan(paths, max(total // 6, 1))
+    return plan
+
+
+ORACLE_SQL["compaction_plan"] = (
+    "WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n "
+    "FROM documents), "
+    "f AS (SELECT i AS file_id, "
+    "(tot.n * (i + 1) * (i + 1)) // 576 - (tot.n * i * i) // 576 "
+    "AS n_rows FROM (SELECT unnest(range(0, 24)) AS i), tot), "
+    "o AS (SELECT file_id, n_rows, "
+    "coalesce(sum(n_rows) OVER (ORDER BY n_rows DESC, file_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
+    "FROM f) "
+    "SELECT CAST(file_id AS BIGINT) AS file_id, "
+    "CAST(n_rows AS BIGINT) AS n_rows, "
+    "CAST(cum // greatest((SELECT n FROM tot) // 6, 1) AS BIGINT) "
+    "AS group_id FROM o ORDER BY file_id"
+)
+QUERIES["compaction_plan"] = q_compaction_plan

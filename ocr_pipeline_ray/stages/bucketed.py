@@ -645,3 +645,44 @@ def pruned_read(paths, col: str, lo, hi, zone_map: pa.Table = None,
     ds = ray.data.read_parquet(keep, columns=columns)
     ds = ds.filter(expr=f"{col} >= {lo!r} and {col} <= {hi!r}")
     return ds, len(keep), skipped
+
+
+def compaction_plan(paths, target_rows: int):
+    """Small-file COMPACTION planning (lakehouse ``OPTIMIZE``): read
+    each staged file's row count from its parquet FOOTER only — the
+    manifest fold of :func:`build_zone_map`, no data pages move —
+    and assign files to merge groups of ~``target_rows`` each.
+
+    Deterministic size-banded packing: files order by
+    ``(n_rows DESC, file_id ASC)`` (big files first — they anchor
+    groups; the long small-file tail fills them), and each file's
+    group is ``preceding_total // target_rows``. A group can
+    overshoot by at most its last file (the Delta/Iceberg OPTIMIZE
+    bin rule without per-bin reset — monotone, one pass, and
+    SQL-expressible so the plan itself is oracle-checkable).
+
+    Returns ``(plan_table, n_groups)`` where plan_table is
+    ``(file_id, n_rows, group_id)`` in packing order. Driver-side
+    manifest fold — files-scale, not data-scale (a 10^6-file table
+    is a 10^6-row driver table; the plan's EXECUTION — one read+
+    write task per group — is where the data moves, and that runs
+    distributed)."""
+    import pyarrow.parquet as pq
+
+    rows = [(i, pq.ParquetFile(p).metadata.num_rows)
+            for i, p in enumerate(paths)]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    fids, sizes, gids = [], [], []
+    cum = 0
+    for fid, n in rows:
+        fids.append(fid)
+        sizes.append(n)
+        gids.append(cum // int(target_rows))
+        cum += n
+    plan = pa.table({
+        "file_id": pa.array(fids, pa.int64()),
+        "n_rows": pa.array(sizes, pa.int64()),
+        "group_id": pa.array(gids, pa.int64()),
+    })
+    n_groups = len(set(gids)) if gids else 0
+    return plan, n_groups

@@ -1155,3 +1155,39 @@ def interval_overlap_join(left, right, l_id: str = "l_id",
         .groupby("_cbucket", num_partitions=n_buckets)
         .map_groups(_join_bucket, batch_format="pyarrow")
     )
+
+
+def adaptive_join(left, right, on: str,
+                  right_cols: Optional[List[str]] = None,
+                  how: str = "inner", suffix: str = "_r",
+                  broadcast_limit_rows: int = 2_000_000,
+                  n_buckets: int = 64):
+    """ADAPTIVE physical join planning — the engine's broadcast-vs-
+    shuffle decision made from a measured right-side row count
+    instead of a hand-picked operator (the AQE join-strategy switch;
+    cf. stages/stats.adaptive_salted_agg, which makes the same
+    measure-then-plan move for skewed aggregates).
+
+    ``right.count()`` is a metadata fold for un-transformed reads
+    (parquet footers; no data moves) and a one-pass projection
+    otherwise — cheap relative to mis-planning a join: broadcasting
+    a 10^9-row dimension OOMs every worker, while shuffling a
+    100-row dimension pays a full left-side exchange for nothing.
+    At or under ``broadcast_limit_rows`` the right side ships once
+    via the object store (:func:`broadcast_join`, left side never
+    shuffles); above it both sides co-shuffle
+    (:func:`repartition_join`). The choice CANNOT change values —
+    both operators implement the same join contract (duplicate
+    right keys keep the last row; NULL keys match nothing).
+
+    Returns ``(joined, strategy)`` with strategy one of
+    ``"broadcast" | "shuffle"`` so callers (and audits) can pin the
+    plan that actually ran.
+    """
+    n_right = right.count()
+    if n_right <= broadcast_limit_rows:
+        return broadcast_join(left, right, on, right_cols=right_cols,
+                              how=how, suffix=suffix), "broadcast"
+    return repartition_join(left, right, on, right_cols=right_cols,
+                            how=how, suffix=suffix,
+                            n_buckets=n_buckets), "shuffle"

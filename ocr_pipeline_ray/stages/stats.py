@@ -2096,3 +2096,38 @@ def skyline_2d(ds, x_col: str, y_col: str):
         .map_batches(_local, batch_format="pyarrow",
                      batch_size=None)
     )
+
+
+def agg_refresh(base_agg, delta, keys, value_col: str,
+                count_name: str = "n", sum_name: str = "sum_value"):
+    """Incremental AGGREGATE-VIEW maintenance: merge a stored
+    grouped aggregate (one row per key: count + sum) with a fresh
+    delta partition WITHOUT rescanning history — the materialized-
+    view refresh every ingest pipeline runs on each new crawl/day
+    partition. Counts and sums are mergeable sufficient statistics,
+    so refresh = (stored agg rows) ∪ (map-side partials of the
+    delta) → one groupby at AGG scale; the work is proportional to
+    |delta| + |keys|, never to the history that produced the base.
+
+    ``base_agg`` must carry ``keys + [count_name, sum_name]``
+    (exactly what this function outputs — refreshes chain). Float
+    sums merge in a different order than a full recompute; callers
+    compare on the shared 1e-6 grid like every grouped-sum query.
+    """
+    from ray.data.aggregate import Sum
+
+    ks = list(keys)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return partial_sum_count(batch, ks, value_col,
+                                 sum_name=sum_name,
+                                 count_name=count_name)
+
+    delta_partials = delta.select_columns(ks + [value_col]).map_batches(
+        _partial, batch_format="pyarrow")
+    return base_agg.select_columns(
+        ks + [count_name, sum_name]
+    ).union(delta_partials).groupby(ks).aggregate(
+        Sum(count_name, alias_name=count_name),
+        Sum(sum_name, alias_name=sum_name),
+    )

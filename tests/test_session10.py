@@ -134,3 +134,107 @@ class TestScriptMix:
         assert out.loc[0].drop("doc_id").tolist() == [0, 0, 0, 0, False]
         assert out.loc[1, "n_latin"] == 0
         assert out.loc[2, "n_latin"] == 2
+
+
+class TestAdaptiveJoin:
+    def _sides(self):
+        left = pa.table({
+            "k": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "x": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([2, 3, 3, 5], pa.int64()),
+            "name": pa.array(["b", "c1", "c2", "e"], pa.string()),
+        })
+        return left, right
+
+    def test_strategies_agree_and_limit_selects(self, ray_session):
+        from ocr_pipeline_ray.stages.join import adaptive_join
+
+        left, right = self._sides()
+        bcast, s1 = adaptive_join(
+            _ds(left), _ds(right), on="k", broadcast_limit_rows=100)
+        shuf, s2 = adaptive_join(
+            _ds(left), _ds(right), on="k", broadcast_limit_rows=2,
+            n_buckets=3)
+        assert (s1, s2) == ("broadcast", "shuffle")
+        a = bcast.to_pandas().sort_values(["k", "x"]).reset_index(
+            drop=True)
+        b = shuf.to_pandas().sort_values(["k", "x"]).reset_index(
+            drop=True)
+        assert a.equals(b)
+        # last-right-row-wins contract: k=3 joins to c2
+        assert set(a["name"]) == {"b", "c2"}
+
+
+class TestAggRefresh:
+    def test_refresh_equals_recompute_and_chains(self, ray_session):
+        from ray.data.aggregate import Sum
+
+        from ocr_pipeline_ray.stages.stats import (
+            agg_refresh, partial_sum_count)
+
+        def raw(lo, hi):
+            return pa.table({
+                "t": pa.array(
+                    ["a" if i % 3 else "b" for i in range(lo, hi)],
+                    pa.string()),
+                "v": pa.array(
+                    [float(i) for i in range(lo, hi)], pa.float64()),
+            })
+
+        def agg_of(tbl):
+            return _ds(tbl).map_batches(
+                lambda b: partial_sum_count(
+                    b, ["t"], "v", sum_name="sum_value",
+                    count_name="n"),
+                batch_format="pyarrow",
+            ).groupby("t").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_value", alias_name="sum_value"))
+
+        base = agg_of(raw(0, 80))
+        once = agg_refresh(base, _ds(raw(80, 100)), ["t"], "v")
+        # chain a second delta on the refreshed view
+        twice = agg_refresh(once, _ds(raw(100, 120)), ["t"], "v")
+        full = agg_of(raw(0, 120)).to_pandas().sort_values(
+            "t").reset_index(drop=True)
+        got = twice.to_pandas().sort_values("t").reset_index(drop=True)
+        assert got["n"].tolist() == full["n"].tolist()
+        assert np.allclose(got["sum_value"], full["sum_value"])
+
+
+class TestCompactionPlan:
+    def _stage(self, tmp_path, sizes):
+        import pyarrow.parquet as pq
+
+        paths = []
+        for i, n in enumerate(sizes):
+            p = str(tmp_path / f"f{i:02d}.parquet")
+            pq.write_table(
+                pa.table({"x": pa.array(range(n), pa.int64())}), p)
+            paths.append(p)
+        return paths
+
+    def test_packing_order_and_groups(self, tmp_path):
+        from ocr_pipeline_ray.stages.bucketed import compaction_plan
+
+        # sizes: one big anchor + small tail, target 10
+        paths = self._stage(tmp_path, [9, 2, 3, 1, 8])
+        plan, n_groups = compaction_plan(paths, 10)
+        df = plan.to_pandas()
+        # packing order: 9(f0), 8(f4), 3(f2), 2(f1), 1(f3);
+        # preceding totals 0,9,17,20,22 → groups 0,0,1,2,2
+        assert df["file_id"].tolist() == [0, 4, 2, 1, 3]
+        assert df["group_id"].tolist() == [0, 0, 1, 2, 2]
+        assert n_groups == 3
+
+    def test_empty_files_pack_last_deterministically(self, tmp_path):
+        from ocr_pipeline_ray.stages.bucketed import compaction_plan
+
+        paths = self._stage(tmp_path, [0, 5, 0])
+        plan, _ = compaction_plan(paths, 5)
+        df = plan.to_pandas()
+        # 5-row file first, empty files after in file_id order
+        assert df["file_id"].tolist() == [1, 0, 2]
+        assert df["group_id"].tolist() == [0, 1, 1]

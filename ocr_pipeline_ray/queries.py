@@ -10389,3 +10389,69 @@ ORACLE_SQL["compaction_plan"] = (
     "AS group_id FROM o ORDER BY file_id"
 )
 QUERIES["compaction_plan"] = q_compaction_plan
+
+
+def q_audio_silence(sf_dir: str):
+    """Audio silence segmentation / VAD gate
+    (stages/multimodal.SilenceDetector): every doc gets a REAL mono
+    16-bit PCM WAV whose 40-sample segments alternate tone/silence
+    by a doc_id formula; the actor-pool stage decodes the actual
+    bytes and extracts contiguous silence RUNS from the decoded
+    sample values with boundary masks. The oracle recomputes run
+    structure from the generator formula via gaps-and-islands SQL —
+    a header-faking decoder cannot reproduce run counts or lengths.
+    Small batches for binary rows; payloads dropped after analysis."""
+    from .stages.multimodal import encode_wav, silence_stage
+
+    SEG = 40
+
+    def _to_audio(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            n_segs = 10 + i % 20
+            amp = 1000 + i % 100
+            segs = np.arange(n_segs, dtype=np.int64)
+            active = (segs + i) % 3 == 0
+            samples = np.repeat(
+                np.where(active, amp, 0).astype(np.int16), SEG)
+            payloads.append(encode_wav(samples))
+        return pa.table({
+            "media_id": pa.array([f"m{i}" for i in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    audio = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _to_audio, batch_format="pyarrow")
+    return silence_stage(audio, threshold=16).select_columns(
+        ["media_id", "n_samples", "n_active", "n_silence_runs",
+         "longest_silence_ms"])
+
+
+ORACLE_SQL["audio_silence"] = (
+    "WITH seg AS (SELECT doc_id, "
+    "unnest(range(0, 10 + doc_id % 20)) AS s FROM documents), "
+    "sil AS (SELECT doc_id, s, ((s + doc_id) % 3 <> 0) AS silent "
+    "FROM seg), "
+    "isl AS (SELECT doc_id, s, "
+    "s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS g "
+    "FROM sil WHERE silent), "
+    "runs AS (SELECT doc_id, g, count(*) AS seglen FROM isl "
+    "GROUP BY 1, 2), "
+    "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs, "
+    "CAST(max(seglen) AS BIGINT) AS longest_segs FROM runs "
+    "GROUP BY 1), "
+    "act AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_act_segs "
+    "FROM sil WHERE NOT silent GROUP BY 1) "
+    "SELECT 'm' || CAST(d.doc_id AS VARCHAR) AS media_id, "
+    "CAST((10 + d.doc_id % 20) * 40 AS BIGINT) AS n_samples, "
+    "CAST(coalesce(a.n_act_segs, 0) * 40 AS BIGINT) AS n_active, "
+    "CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_silence_runs, "
+    "CAST(coalesce(r.longest_segs, 0) * 40 * 1000 // 8000 AS BIGINT) "
+    "AS longest_silence_ms "
+    "FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id "
+    "LEFT JOIN act a ON d.doc_id = a.doc_id ORDER BY media_id"
+)
+QUERIES["audio_silence"] = q_audio_silence

@@ -607,3 +607,84 @@ def scene_cut_stage(ds, threshold: int = 6, batch_size: int = 16,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class SilenceDetector:
+    """Actor-pool stage: voice-activity-style SILENCE segmentation
+    over real PCM WAV payloads (:func:`decode_wav`, pure stdlib) —
+    the audio-curation gate that drops dead-air recordings and
+    budgets transcription by active speech, and the dataset-stats
+    input for speech-corpus balancing. Per row: total samples,
+    active samples (|sample| >= threshold), number of contiguous
+    silence RUNS and the longest run in integer milliseconds at the
+    decoded frame rate — all computed from the DECODED sample
+    values (boundary-mask run extraction, no Python loop over
+    samples), so a header-faking decoder cannot reproduce them.
+    Non-decodable rows carry the error string (skip-vs-fail split,
+    /root/reference/ocr_pipeline.py:426-441)."""
+
+    def __init__(self, threshold: int = 16):
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {k: [] for k in ("n_samples", "n_active",
+                               "n_silence_runs", "longest_silence_ms")}
+        errs = []
+        for payload in payloads:
+            try:
+                d = decode_wav(payload)
+                # samples decode as (n_frames, n_channels); VAD runs
+                # over the interleaved frame stream
+                s = np.abs(d["samples"].astype(np.int64)).ravel()
+                n = len(s)
+                silent = s < self.threshold
+                if n:
+                    # run boundaries: starts where silent flips on
+                    starts = np.flatnonzero(
+                        silent & np.r_[True, ~silent[:-1]])
+                    ends = np.flatnonzero(
+                        silent & np.r_[~silent[1:], True])
+                    runs = (ends - starts + 1) if len(starts) else \
+                        np.array([], np.int64)
+                    longest = int(runs.max()) if len(runs) else 0
+                else:
+                    starts, longest = np.array([]), 0
+                out["n_samples"].append(n)
+                out["n_active"].append(int((~silent).sum()))
+                out["n_silence_runs"].append(len(starts))
+                out["longest_silence_ms"].append(
+                    longest * 1000 // d["framerate"])
+                errs.append(None)
+            except ValueError as exc:
+                for k in out:
+                    out[k].append(None)
+                errs.append(str(exc))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(out["n_samples"], pa.int64()),
+            "n_active": pa.array(out["n_active"], pa.int64()),
+            "n_silence_runs": pa.array(out["n_silence_runs"],
+                                       pa.int64()),
+            "longest_silence_ms": pa.array(
+                out["longest_silence_ms"], pa.int64()),
+            "decode_error": pa.array(errs, pa.string()),
+        })
+
+
+def silence_stage(ds, threshold: int = 16, batch_size: int = 64,
+                  concurrency=(1, 8)):
+    """Silence-segmentation actor pool over an audio table
+    ``(media_id, payload)`` — small batches for MB-scale binary
+    rows, decoder state per actor, payload dropped after analysis."""
+    return ds.map_batches(
+        SilenceDetector,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

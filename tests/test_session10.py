@@ -238,3 +238,51 @@ class TestCompactionPlan:
         # 5-row file first, empty files after in file_id order
         assert df["file_id"].tolist() == [1, 0, 2]
         assert df["group_id"].tolist() == [0, 1, 1]
+
+
+class TestSilenceDetector:
+    def _detect(self, samples, threshold=16):
+        from ocr_pipeline_ray.stages.multimodal import (
+            SilenceDetector, encode_wav)
+
+        det = SilenceDetector(threshold)
+        batch = pa.table({
+            "media_id": pa.array(["m0"], pa.string()),
+            "payload": pa.array(
+                [encode_wav(np.asarray(samples, np.int16))],
+                pa.binary()),
+        })
+        return det(batch).to_pandas().iloc[0]
+
+    def test_runs_and_longest(self):
+        # silence | tone | silence-silence → 2 runs, longest 2
+        row = self._detect([0, 0, 500, 0, 0, 0] + [500] * 2)
+        assert row["n_samples"] == 8
+        assert row["n_active"] == 3
+        assert row["n_silence_runs"] == 2
+        # longest run 3 samples at 8000 Hz → 3*1000//8000 = 0 ms
+        assert row["longest_silence_ms"] == 0
+
+    def test_all_silent_is_one_run(self):
+        row = self._detect([0] * 16000)  # 2 s of silence
+        assert row["n_silence_runs"] == 1
+        assert row["n_active"] == 0
+        assert row["longest_silence_ms"] == 2000
+
+    def test_threshold_boundary(self):
+        # |s| < threshold is silent; exactly threshold is ACTIVE
+        row = self._detect([15, 16, -16, -15], threshold=16)
+        assert row["n_active"] == 2
+        assert row["n_silence_runs"] == 2
+
+    def test_garbage_payload_errors_not_fails(self):
+        from ocr_pipeline_ray.stages.multimodal import SilenceDetector
+
+        det = SilenceDetector()
+        batch = pa.table({
+            "media_id": pa.array(["bad"], pa.string()),
+            "payload": pa.array([b"not a wav"], pa.binary()),
+        })
+        row = det(batch).to_pandas().iloc[0]
+        assert row["decode_error"] is not None
+        assert row["n_samples"] is None or np.isnan(row["n_samples"])

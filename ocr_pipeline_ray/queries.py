@@ -10455,3 +10455,42 @@ ORACLE_SQL["audio_silence"] = (
     "LEFT JOIN act a ON d.doc_id = a.doc_id ORDER BY media_id"
 )
 QUERIES["audio_silence"] = q_audio_silence
+
+
+def q_semantic_blocklist(sf_dir: str):
+    """Seed-set semantic blocklist (stages/similarity.seed_filter):
+    embedding-level DECONTAMINATION — every corpus vector scores its
+    max cosine against the 5 seed embeddings (vec_id < 5, standing
+    in for eval-set exemplars / unsafe-topic centroids); rows above
+    0.25 are flagged dropped (the synthetic corpus's top tail). Paraphrase-robust where the n-gram
+    `decontaminate` gate is verbatim-only. Seeds broadcast once in
+    the closure; one (rows × seeds) matmul per batch, NO shuffle;
+    the full auditable (id, max_sim, kept) gate table is emitted."""
+    from .stages.similarity import seed_filter
+
+    seed_rows = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 5").take(5)
+    )
+    seeds = [r["embedding"] for r in
+             sorted(seed_rows, key=lambda r: r["vec_id"])]
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"]
+    ).filter(expr="vec_id >= 5")
+    return seed_filter(corpus, seeds, threshold=0.25).sort("vec_id")
+
+
+ORACLE_SQL["semantic_blocklist"] = (
+    "WITH s AS (SELECT vec_id AS sid, "
+    "CAST(embedding AS DOUBLE[]) AS sv FROM embeddings "
+    "WHERE vec_id < 5), "
+    "m AS (SELECT e.vec_id, floor(max(list_cosine_similarity("
+    "CAST(e.embedding AS DOUBLE[]), s.sv)) * 1000000.0 + 0.5) "
+    "/ 1000000.0 AS max_sim "
+    "FROM embeddings e, s WHERE e.vec_id >= 5 GROUP BY e.vec_id) "
+    "SELECT vec_id, max_sim, NOT (max_sim > 0.25) AS kept FROM m "
+    "ORDER BY vec_id"
+)
+QUERIES["semantic_blocklist"] = q_semantic_blocklist

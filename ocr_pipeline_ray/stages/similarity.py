@@ -848,3 +848,45 @@ def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
         "round": pa.array(range(len(centers)), pa.int64()),
         id_col: pa.array([i for i, _ in centers], pa.int64()),
     })
+
+
+def seed_filter(ds, seeds, threshold: float, id_col: str = "vec_id",
+                emb_col: str = "embedding"):
+    """Seed-set SEMANTIC blocklist — embedding-level decontamination:
+    every row scores its MAX cosine against a small set of seed
+    embeddings (eval-set exemplars, unsafe-topic centroids, known-bad
+    pages) and rows above ``threshold`` are flagged for removal. The
+    paraphrase-robust companion of the n-gram `decontaminate` gate
+    (shared shingles catch verbatim leakage; embedding similarity
+    catches rewrites) and the exemplar-driven topic scrubber.
+
+    100-TB shape: the seed matrix is tiny by construction and ships
+    ONCE in the task closure; each batch does one (rows × seeds)
+    matmul and a row max — scan speed, NO shuffle, corpus never
+    moves. Output keeps EVERY row with ``(id, max_sim, kept)`` so
+    the gate is auditable (and `filter_cascade`-composable);
+    ``max_sim`` is quantized to the repo-wide 1e-6 grid BEFORE the
+    threshold compare so the kept decision is bit-stable against
+    the SQL twin.
+    """
+    s = np.asarray(seeds, dtype=np.float64)
+    sn = np.linalg.norm(s, axis=1)
+    thr = float(threshold)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy()
+        mat = _to_matrix(batch.column(emb_col))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "max_sim": pa.array([], pa.float64()),
+                             "kept": pa.array([], pa.bool_())})
+        sims = (mat @ s.T) / (
+            np.linalg.norm(mat, axis=1)[:, None] * sn[None, :])
+        mx = np.array([_round6(v) for v in sims.max(axis=1)])
+        return pa.table({
+            id_col: pa.array(ids.tolist(), pa.int64()),
+            "max_sim": pa.array(mx, pa.float64()),
+            "kept": pa.array(~(mx > thr), pa.bool_()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -286,3 +286,38 @@ class TestSilenceDetector:
         row = det(batch).to_pandas().iloc[0]
         assert row["decode_error"] is not None
         assert row["n_samples"] is None or np.isnan(row["n_samples"])
+
+
+class TestSeedFilter:
+    def test_exact_seed_match_dropped_orthogonal_kept(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import seed_filter
+
+        seeds = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        tbl = pa.table({
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.array(
+                [[2.0, 0.0, 0.0],   # parallel to seed 0 → sim 1.0
+                 [0.0, 0.0, 5.0],   # orthogonal to both → sim 0.0
+                 [1.0, 1.0, 0.0]],  # 45° to both → sim ~0.707
+                pa.list_(pa.float64())),
+        })
+        out = seed_filter(_ds(tbl), seeds, threshold=0.8).to_pandas()
+        out = out.set_index("vec_id")
+        assert not out.loc[10, "kept"]
+        assert out.loc[11, "kept"]
+        assert out.loc[12, "kept"]          # 0.707107 < 0.8
+        assert out.loc[10, "max_sim"] == 1.0
+        assert abs(out.loc[12, "max_sim"] - 0.707107) < 1e-9
+
+    def test_max_over_seeds_not_first(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import seed_filter
+
+        # similar only to the SECOND seed — max must span all seeds
+        seeds = [[1.0, 0.0], [0.0, 1.0]]
+        tbl = pa.table({
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([[0.0, 3.0]], pa.list_(pa.float64())),
+        })
+        out = seed_filter(_ds(tbl), seeds, threshold=0.5).to_pandas()
+        assert out.loc[0, "max_sim"] == 1.0
+        assert not out.loc[0, "kept"]

@@ -116,7 +116,7 @@ BENCH_QUERIES = [
     "lang_host_mi", "script_mix", "calibration_bins",
     "type_hour_bursts", "syndication_sources",
     "adaptive_join_orders", "agg_refresh", "compaction_plan",
-    "audio_silence", "semantic_blocklist",
+    "audio_silence", "semantic_blocklist", "hard_negatives",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

@@ -10494,3 +10494,45 @@ ORACLE_SQL["semantic_blocklist"] = (
     "ORDER BY vec_id"
 )
 QUERIES["semantic_blocklist"] = q_semantic_blocklist
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining
+    (stages/similarity.hard_negatives): per anchor (vec_id 0 and 1),
+    the top-5 corpus vectors with cosine in the (0.05, 0.25] band —
+    confusably similar but below the near-dup line, the DPR/SimCSE
+    training-pair op. Anchors ship once in the closure; one
+    (rows × anchors) matmul + band mask + local top-k per batch;
+    the global finish sorts blocks × anchors × 5 candidate rows.
+    Sims grid-quantize BEFORE banding/ranking (ties → ascending id)
+    so selection matches the QUALIFY twin bit-for-bit."""
+    from .stages.similarity import hard_negatives
+
+    rows = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 2").take(2)
+    )
+    anchors = [(r["vec_id"], r["embedding"])
+               for r in sorted(rows, key=lambda r: r["vec_id"])]
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    return hard_negatives(corpus, anchors, lo=0.05, hi=0.25, k=5)
+
+
+ORACLE_SQL["hard_negatives"] = (
+    "WITH a AS (SELECT vec_id AS anchor_id, "
+    "CAST(embedding AS DOUBLE[]) AS av FROM embeddings "
+    "WHERE vec_id < 2), "
+    "s AS (SELECT a.anchor_id, e.vec_id, "
+    "floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "a.av) * 1000000.0 + 0.5) / 1000000.0 AS sim "
+    "FROM embeddings e, a WHERE e.vec_id <> a.anchor_id) "
+    "SELECT anchor_id, vec_id, sim FROM s "
+    "WHERE sim > 0.05 AND sim <= 0.25 "
+    "QUALIFY row_number() OVER (PARTITION BY anchor_id "
+    "ORDER BY sim DESC, vec_id) <= 5 "
+    "ORDER BY anchor_id, sim DESC, vec_id"
+)
+QUERIES["hard_negatives"] = q_hard_negatives

@@ -890,3 +890,81 @@ def seed_filter(ds, seeds, threshold: float, id_col: str = "vec_id",
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def hard_negatives(ds, anchors, lo: float, hi: float, k: int = 5,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """HARD-NEGATIVE mining for retrieval/embedding training: for
+    each anchor vector, the top-``k`` corpus vectors whose cosine
+    falls in the band ``(lo, hi]`` — similar enough to be confusable
+    (hard), below the near-dup line (negative: ``hi`` excludes
+    positives/duplicates). The standard contrastive-training data
+    op (DPR/SimCSE-style mining).
+
+    ``anchors`` is a small ``[(anchor_id, vector), ...]`` list —
+    anchor sets are query/exemplar-scale by construction — shipped
+    ONCE in the task closure. Per batch: one (rows × anchors)
+    matmul, band mask, per-anchor local top-k by argpartition; the
+    global finish sorts only ``blocks × anchors × k`` candidate
+    rows. No shuffle of the corpus. Sims are quantized to the 1e-6
+    grid BEFORE the band compare and ranking (ties then break to
+    ascending id), so selection is bit-stable vs the SQL twin.
+
+    Output: ``(anchor_id, vec_id, sim)``, the global top-k per
+    anchor, sorted ``(anchor_id, sim desc, vec_id)``.
+    """
+    a_ids = [int(a) for a, _ in anchors]
+    A = np.asarray([v for _, v in anchors], dtype=np.float64)
+    an = np.linalg.norm(A, axis=1)
+    lo_f, hi_f = float(lo), float(hi)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "anchor_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        })
+        ids = batch.column(id_col).combine_chunks().to_numpy()
+        mat = _to_matrix(batch.column(emb_col))
+        if mat.size == 0:
+            return empty
+        sims = (mat @ A.T) / (
+            np.linalg.norm(mat, axis=1)[:, None] * an[None, :])
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # grid BEFORE band
+        out_a, out_i, out_s = [], [], []
+        for j, aid in enumerate(a_ids):
+            col = sims[:, j]
+            band = (col > lo_f) & (col <= hi_f) & (ids != aid)
+            bi, bs = ids[band], col[band]
+            if len(bi) > k:
+                # top-k by (sim desc, id asc) — lexsort on the grid
+                order = np.lexsort((bi, -bs))[:k]
+                bi, bs = bi[order], bs[order]
+            out_a.extend([aid] * len(bi))
+            out_i.extend(bi.tolist())
+            out_s.extend(bs.tolist())
+        return pa.table({
+            "anchor_id": pa.array(out_a, pa.int64()),
+            id_col: pa.array(out_i, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    cands = ds.map_batches(_local, batch_format="pyarrow")
+
+    def _finish(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("anchor_id", "ascending"),
+                           ("sim", "descending"),
+                           (id_col, "ascending")])
+        a = g.column("anchor_id").combine_chunks().to_numpy()
+        n = len(a)
+        if n == 0:
+            return g
+        first = np.r_[True, a[1:] != a[:-1]]
+        grp_start = np.flatnonzero(first)
+        rank = np.arange(n) - np.repeat(
+            grp_start, np.diff(np.append(grp_start, n)))
+        return g.filter(pa.array(rank < k))
+
+    # candidates are anchors×k×blocks — tiny; one-partition finish
+    return cands.repartition(1).map_batches(
+        _finish, batch_format="pyarrow", batch_size=None)

@@ -321,3 +321,38 @@ class TestSeedFilter:
         out = seed_filter(_ds(tbl), seeds, threshold=0.5).to_pandas()
         assert out.loc[0, "max_sim"] == 1.0
         assert not out.loc[0, "kept"]
+
+
+class TestHardNegatives:
+    def test_band_excludes_dups_and_dissimilar(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import hard_negatives
+
+        anchors = [(0, [1.0, 0.0])]
+        # sims vs anchor: 1.0 (dup), 0.894, 0.447, 0.0
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[2.0, 0.0], [2.0, 1.0], [1.0, 2.0], [0.0, 1.0]],
+                pa.list_(pa.float64())),
+        })
+        out = hard_negatives(_ds(tbl), anchors, lo=0.1, hi=0.9,
+                             k=5).to_pandas()
+        # 1.0 > hi excluded; 0.0 <= lo excluded; band keeps 2 rows
+        assert out["vec_id"].tolist() == [2, 3]
+        assert out["sim"].tolist() == [0.894427, 0.447214]
+
+    def test_topk_and_tie_by_id_across_blocks(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import hard_negatives
+
+        anchors = [(99, [1.0, 0.0])]
+        # six vectors with identical in-band sim — ties break to
+        # ascending id, and the global k must hold across blocks
+        tbl = pa.table({
+            "vec_id": pa.array([5, 3, 8, 1, 9, 7], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 1.0]] * 6, pa.list_(pa.float64())),
+        })
+        out = hard_negatives(
+            _ds(tbl).repartition(3), anchors, lo=0.5, hi=0.8,
+            k=4).to_pandas()
+        assert out["vec_id"].tolist() == [1, 3, 5, 7]

@@ -10536,3 +10536,37 @@ ORACLE_SQL["hard_negatives"] = (
     "ORDER BY anchor_id, sim DESC, vec_id"
 )
 QUERIES["hard_negatives"] = q_hard_negatives
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth (stages/textstats.vocab_growth):
+    total vs DISTINCT token counts at 8 corpus-prefix checkpoints —
+    the tokenizer-sizing / dedup-health curve. Distinct-at-cp folds
+    from each token's FIRST document (one vocab-scale exchange, the
+    top_tokens shape); totals fold from block partials; only
+    checkpoints × blocks rows move after the map side."""
+    import pyarrow.parquet as pq_
+
+    from .stages.textstats import vocab_growth
+
+    n = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cps = [n * k // 8 for k in range(1, 9)]
+    return vocab_growth(_docs(sf_dir), cps)
+
+
+ORACLE_SQL["vocab_growth"] = (
+    "WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n "
+    "FROM documents), "
+    "toks AS (SELECT doc_id, unnest(string_split(coalesce(text, "
+    "''), ' ')) AS tok FROM documents), "
+    "fd AS (SELECT tok, min(doc_id) AS first_doc FROM toks "
+    "GROUP BY tok), "
+    "cps AS (SELECT CAST((tot.n * k) // 8 AS BIGINT) AS cp "
+    "FROM (SELECT unnest(range(1, 9)) AS k), tot) "
+    "SELECT cp, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id < cp) "
+    "AS n_tokens, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM fd WHERE first_doc < cp) "
+    "AS n_distinct FROM cps ORDER BY cp"
+)
+QUERIES["vocab_growth"] = q_vocab_growth

@@ -1206,3 +1206,94 @@ def script_mix_fn(batch: pa.Table, text_col: str = "text",
         "n_other": pa.array(n_other.astype(np.int64), pa.int64()),
         "mixed": pa.array((n_latin > 0) & (n_cyr > 0), pa.bool_()),
     })
+
+
+def vocab_growth(ds, checkpoints, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """VOCABULARY GROWTH curve (Heaps' law diagnostic): at each
+    corpus-prefix checkpoint ``cp`` (docs with id < cp), total token
+    count and DISTINCT token count — the curve tokenizer vocab
+    sizing and dedup-health checks read (a corpus whose distinct
+    curve goes linear is template spam; one that flattens early is
+    heavily duplicated).
+
+    Scale shape: distinct-at-cp needs each token's FIRST document
+    only, so pass A reduces (token, min doc) map-side per batch and
+    shuffles the vocab once (the `top_tokens` exchange); checkpoint
+    counts then fold from vocab-scale and block-scale partials —
+    ``checkpoints × blocks`` rows, never raw tokens. Output:
+    ``(cp, n_tokens, n_distinct)`` sorted by cp, all int64.
+    """
+    import numpy as np
+    from ray.data.aggregate import Min, Sum
+
+    cps = sorted(int(c) for c in checkpoints)
+    cp_arr = np.asarray(cps, dtype=np.int64)
+
+    def _first_doc_partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        parts = pc.split_pattern(col, " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offsets = parts.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ntok = np.diff(offsets)
+        docs = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "tok": parts.values,
+            "doc": pa.array(np.repeat(docs, ntok), pa.int64()),
+        })
+        g = t.group_by(["tok"]).aggregate([("doc", "min")])
+        return pa.table({"tok": g.column("tok"),
+                         "doc": g.column("doc_min")})
+
+    first_doc = ds.select_columns([id_col, text_col]).map_batches(
+        _first_doc_partial, batch_format="pyarrow"
+    ).groupby("tok").aggregate(Min("doc", alias_name="first_doc"))
+
+    def _distinct_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = (fd[None, :] < cp_arr[:, None]).sum(axis=1)
+        return pa.table({
+            "cp": pa.array(cp_arr, pa.int64()),
+            "n_distinct": pa.array(counts.astype(np.int64),
+                                   pa.int64()),
+        })
+
+    distinct = first_doc.map_batches(
+        _distinct_partial, batch_format="pyarrow"
+    ).groupby("cp").aggregate(Sum("n_distinct",
+                                  alias_name="n_distinct"))
+
+    def _total_partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        parts = pc.split_pattern(col, " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        ntok = np.diff(parts.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        docs = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        totals = np.where(docs[None, :] < cp_arr[:, None],
+                          ntok[None, :], 0).sum(axis=1)
+        return pa.table({
+            "cp": pa.array(cp_arr, pa.int64()),
+            "n_tokens": pa.array(totals.astype(np.int64), pa.int64()),
+        })
+
+    totals = ds.select_columns([id_col, text_col]).map_batches(
+        _total_partial, batch_format="pyarrow"
+    ).groupby("cp").aggregate(Sum("n_tokens", alias_name="n_tokens"))
+
+    # both sides are checkpoints-scale (≤ dozens of rows): zip on
+    # the driver into one ordered table
+    d = {r["cp"]: r["n_distinct"] for r in distinct.take_all()}
+    t = {r["cp"]: r["n_tokens"] for r in totals.take_all()}
+    return pa.table({
+        "cp": pa.array(cps, pa.int64()),
+        "n_tokens": pa.array([t.get(c, 0) for c in cps], pa.int64()),
+        "n_distinct": pa.array([d.get(c, 0) for c in cps],
+                               pa.int64()),
+    })

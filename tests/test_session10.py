@@ -356,3 +356,33 @@ class TestHardNegatives:
             _ds(tbl).repartition(3), anchors, lo=0.5, hi=0.8,
             k=4).to_pandas()
         assert out["vec_id"].tolist() == [1, 3, 5, 7]
+
+
+class TestVocabGrowth:
+    def test_curve_and_first_doc_semantics(self, ray_session):
+        from ocr_pipeline_ray.stages.textstats import vocab_growth
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a b", "a c", "a b c", "d"], pa.string()),
+        })
+        out = vocab_growth(_ds(tbl), [1, 2, 4]).to_pandas()
+        assert out["cp"].tolist() == [1, 2, 4]
+        assert out["n_tokens"].tolist() == [2, 4, 8]
+        # distinct: {a,b} → {a,b,c} → {a,b,c,d}
+        assert out["n_distinct"].tolist() == [2, 3, 4]
+
+    def test_block_layout_invariance(self, ray_session):
+        from ocr_pipeline_ray.stages.textstats import vocab_growth
+
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array(
+                [f"t{i % 7} common x{i}" for i in range(20)],
+                pa.string()),
+        })
+        one = vocab_growth(_ds(tbl), [5, 10, 20]).to_pandas()
+        many = vocab_growth(
+            _ds(tbl).repartition(6), [5, 10, 20]).to_pandas()
+        assert one.equals(many)

@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "type_hour_bursts", "syndication_sources",
     "adaptive_join_orders", "agg_refresh", "compaction_plan",
     "audio_silence", "semantic_blocklist", "hard_negatives",
-    "vocab_growth",
+    "vocab_growth", "inference_buckets", "domain_holdout_split",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

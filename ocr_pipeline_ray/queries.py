@@ -10570,3 +10570,103 @@ ORACLE_SQL["vocab_growth"] = (
     "AS n_distinct FROM cps ORDER BY cp"
 )
 QUERIES["vocab_growth"] = q_vocab_growth
+
+
+def q_inference_buckets(sf_dir: str):
+    """Length-bucketed inference batching plan: docs bin to the
+    smallest power-of-2 token-length cap and the plan reports per
+    bucket the doc count, real token total and PADDING WASTE
+    (cap·n − tokens) — the batch-shaping economics of padded model
+    inference/training (pad-to-bucket beats pad-to-global-max; this
+    table says by how much). Map-side Arrow partials per (cap) key,
+    one tiny groupby; all-integer output."""
+    import numpy as np
+
+    CAPS = np.array([1 << k for k in range(1, 17)], np.int64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column("text"), "")
+        parts = pc.split_pattern(col, " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        ntok = np.diff(parts.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        caps = CAPS[np.searchsorted(CAPS, ntok)]
+        t = pa.table({
+            "bucket_cap": pa.array(caps, pa.int64()),
+            "ntok": pa.array(ntok, pa.int64()),
+            "one": pa.array(np.ones(len(ntok), np.int64)),
+        })
+        g = t.group_by(["bucket_cap"]).aggregate(
+            [("one", "sum"), ("ntok", "sum")])
+        return pa.table({
+            "bucket_cap": g.column("bucket_cap"),
+            "n_docs": pc.cast(g.column("one_sum"), pa.int64()),
+            "n_tokens": pc.cast(g.column("ntok_sum"), pa.int64()),
+        })
+
+    agg = _docs(sf_dir, columns=["text"]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("bucket_cap").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"))
+
+    def _waste(batch: pa.Table) -> pa.Table:
+        waste = pc.subtract(
+            pc.multiply(batch.column("bucket_cap"),
+                        batch.column("n_docs")),
+            batch.column("n_tokens"))
+        return batch.append_column("padding_waste", waste)
+
+    return agg.map_batches(_waste, batch_format="pyarrow").sort(
+        "bucket_cap")
+
+
+ORACLE_SQL["inference_buckets"] = (
+    "WITH caps AS (SELECT CAST(power(2, k) AS BIGINT) AS cap "
+    "FROM (SELECT unnest(range(1, 17)) AS k)), "
+    "lens AS (SELECT len(string_split(coalesce(text, ''), ' ')) "
+    "AS ntok FROM documents), "
+    "b AS (SELECT ntok, (SELECT min(cap) FROM caps "
+    "WHERE cap >= ntok) AS bucket_cap FROM lens) "
+    "SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(ntok) AS BIGINT) AS n_tokens, "
+    "CAST(bucket_cap * count(*) - sum(ntok) AS BIGINT) "
+    "AS padding_waste FROM b GROUP BY bucket_cap ORDER BY bucket_cap"
+)
+QUERIES["inference_buckets"] = q_inference_buckets
+
+
+def q_domain_holdout_split(sf_dir: str):
+    """Domain-grouped train/test split: EVERY doc of a host lands in
+    the same split (md5 of the host, 90/10) — the domain-
+    generalization eval protocol (`dataset_split` hashes content,
+    `split_leakage_safe` hashes near-dup clusters; this one holds
+    out whole DOMAINS so eval measures transfer to unseen hosts).
+    Row-local, no shuffle, dup-safe and deterministic."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        b = _url_augment(batch)
+        hosts = b.column("url").to_pylist()
+        splits = []
+        for u in hosts:
+            host = u.split("//")[1].split("/")[0]
+            hv = int(hashlib.md5(host.encode()).hexdigest()[:8], 16)
+            splits.append("train" if hv % 10 < 9 else "test")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _fn, batch_format="pyarrow")
+
+
+ORACLE_SQL["domain_holdout_split"] = (
+    "WITH h AS (SELECT doc_id, 'host' || CAST(" + _HOST_ID_SQL
+    + " AS VARCHAR) || '.example.com' AS host FROM documents) "
+    "SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(host), 1, 8)) "
+    "AS UBIGINT) % 10 < 9 THEN 'train' ELSE 'test' END AS split "
+    "FROM h ORDER BY doc_id"
+)
+QUERIES["domain_holdout_split"] = q_domain_holdout_split

@@ -386,3 +386,36 @@ class TestVocabGrowth:
         many = vocab_growth(
             _ds(tbl).repartition(6), [5, 10, 20]).to_pandas()
         assert one.equals(many)
+
+
+class TestInferenceBuckets:
+    def test_caps_counts_and_waste(self, ray_session):
+        from ocr_pipeline_ray.queries import q_inference_buckets
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                # 2, 3, 5 tokens → caps 2, 4, 8
+                "text": pa.array(["a b", "a b c", "a b c d e"]),
+            }), os.path.join(d, "documents.parquet"))
+            out = q_inference_buckets(d).to_pandas()
+        assert out["bucket_cap"].tolist() == [2, 4, 8]
+        assert out["n_docs"].tolist() == [1, 1, 1]
+        assert out["padding_waste"].tolist() == [0, 1, 3]
+
+
+class TestDomainHoldoutSplit:
+    def test_all_docs_of_a_host_share_a_split(self, ray_session):
+        from ocr_pipeline_ray.queries import q_domain_holdout_split
+
+        out = q_domain_holdout_split(
+            "/root/testdata/sf0.001").to_pandas()
+        # host id rule: doc_id%3==0 → host0 else doc_id%97
+        def host(i):
+            return 0 if i % 3 == 0 else i % 97
+        out["host"] = out["doc_id"].map(host)
+        per_host = out.groupby("host")["split"].nunique()
+        assert (per_host == 1).all()
+        assert set(out["split"]) == {"train", "test"}

@@ -10591,7 +10591,10 @@ def q_inference_buckets(sf_dir: str):
             parts = parts.combine_chunks()
         ntok = np.diff(parts.offsets.to_numpy(
             zero_copy_only=False).astype(np.int64))
-        caps = CAPS[np.searchsorted(CAPS, ntok)]
+        # clamp to the top cap (SQL coalesce twin) so a
+        # beyond-range outlier doc cannot crash the plan
+        caps = CAPS[np.minimum(np.searchsorted(CAPS, ntok),
+                               len(CAPS) - 1)]
         t = pa.table({
             "bucket_cap": pa.array(caps, pa.int64()),
             "ntok": pa.array(ntok, pa.int64()),
@@ -10627,8 +10630,8 @@ ORACLE_SQL["inference_buckets"] = (
     "FROM (SELECT unnest(range(1, 17)) AS k)), "
     "lens AS (SELECT len(string_split(coalesce(text, ''), ' ')) "
     "AS ntok FROM documents), "
-    "b AS (SELECT ntok, (SELECT min(cap) FROM caps "
-    "WHERE cap >= ntok) AS bucket_cap FROM lens) "
+    "b AS (SELECT ntok, coalesce((SELECT min(cap) FROM caps "
+    "WHERE cap >= ntok), 65536) AS bucket_cap FROM lens) "
     "SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(ntok) AS BIGINT) AS n_tokens, "
     "CAST(bucket_cap * count(*) - sum(ntok) AS BIGINT) "

@@ -10673,3 +10673,66 @@ ORACLE_SQL["domain_holdout_split"] = (
     "FROM h ORDER BY doc_id"
 )
 QUERIES["domain_holdout_split"] = q_domain_holdout_split
+
+
+def q_sitemap_parse(sf_dir: str):
+    """sitemap.xml PARSING (stages/web.parse_sitemap): per-host
+    urlset documents — default-namespace XML with optional
+    lastmod/priority per entry and one no-loc entry that must be
+    skipped — parsed into (host, entry_idx, loc, lastmod, priority)
+    seed rows. Entry fields derive from host-id formulas, so the
+    oracle rebuilds the expected rows directly: a parser that
+    drops the namespace handling, misorders entries or keeps
+    loc-less rows cannot pass. 97-host layout; row-local."""
+    from .stages.web import parse_sitemap
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        hs = batch.column("id").to_pylist()
+        hosts, xmls = [], []
+        for h in hs:
+            parts = [
+                '<?xml version="1.0" encoding="UTF-8"?>',
+                '<urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">',
+                # a url element with no <loc>: must be skipped
+                "<url><priority>0.1</priority></url>",
+            ]
+            for j in range(1, 2 + h % 4):
+                entry = (f"<url><loc>http://host{h}.example.com"
+                         f"/p/{j}</loc>")
+                if (h + j) % 2 == 0:
+                    entry += (f"<lastmod>2024-01-"
+                              f"{(h + j) % 28 + 1:02d}</lastmod>")
+                if (h + j) % 3 == 0:
+                    entry += f"<priority>0.{(h + j) % 10}</priority>"
+                entry += "</url>"
+                parts.append(entry)
+            parts.append("</urlset>")
+            hosts.append(f"host{h}.example.com")
+            xmls.append("".join(parts))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_xml": pa.array(xmls, pa.string()),
+        })
+
+    ds = ray.data.range(97).map_batches(_mk, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: parse_sitemap(b), batch_format="pyarrow"
+    ).sort(["host", "entry_idx"])
+
+
+ORACLE_SQL["sitemap_parse"] = (
+    "WITH h AS (SELECT unnest(range(0, 97)) AS hid), "
+    "e AS (SELECT hid, unnest(range(1, 2 + hid % 4)) AS j FROM h) "
+    "SELECT 'host' || CAST(hid AS VARCHAR) || '.example.com' AS host, "
+    "CAST(j - 1 AS BIGINT) AS entry_idx, "
+    "'http://host' || CAST(hid AS VARCHAR) || '.example.com/p/' || "
+    "CAST(j AS VARCHAR) AS loc, "
+    "CASE WHEN (hid + j) % 2 = 0 THEN '2024-01-' || "
+    "lpad(CAST((hid + j) % 28 + 1 AS VARCHAR), 2, '0') END "
+    "AS lastmod, "
+    "CASE WHEN (hid + j) % 3 = 0 THEN '0.' || "
+    "CAST((hid + j) % 10 AS VARCHAR) END AS priority "
+    "FROM e ORDER BY host, entry_idx"
+)
+QUERIES["sitemap_parse"] = q_sitemap_parse

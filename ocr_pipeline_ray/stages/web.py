@@ -1063,3 +1063,69 @@ def parse_robots(batch: pa.Table, host_col: str = "host",
         "allow": pa.array(allow_out, pa.bool_()),
         "prefix": pa.array(prefix_out, pa.string()),
     })
+
+
+def parse_sitemap(batch: pa.Table, host_col: str = "host",
+                  xml_col: str = "sitemap_xml") -> pa.Table:
+    """Parse sitemap.xml TEXT (sitemaps.org ``urlset`` schema) into
+    ``(host, entry_idx, loc, lastmod, priority)`` rows — the crawl
+    seed-ingestion front half that feeds `frontier_pipeline`-style
+    budgeting (robots gives the DENY side; sitemaps give the
+    publisher's ASK side with freshness and priority hints).
+
+    Real stdlib ``xml.etree`` parse per document (namespace-agnostic
+    local-name matching — real sitemaps mix default-ns and bare
+    tags); ``<url>`` entries keep document order (entry_idx),
+    missing optional ``lastmod``/``priority`` stay NULL, entries
+    with no ``<loc>`` are skipped, and a malformed document yields
+    zero rows rather than failing the task (skip-vs-fail,
+    /root/reference/ocr_pipeline.py:426-441). Row-local, no
+    shuffle; per-doc XML payloads are the unit of work exactly like
+    the ALTO/PAGE readers (functions/xmlmodel.py).
+    """
+    import xml.etree.ElementTree as ET
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    hosts = batch.column(host_col).to_pylist()
+    xmls = batch.column(xml_col).to_pylist()
+    h_out, i_out, loc_out, lm_out, pr_out = [], [], [], [], []
+    for host, xml in zip(hosts, xmls):
+        if not xml:
+            continue
+        try:
+            root = ET.fromstring(xml)
+        except ET.ParseError:
+            continue
+        if _local(root.tag) != "urlset":
+            continue
+        idx = 0
+        for url_el in root:
+            if _local(url_el.tag) != "url":
+                continue
+            loc = lastmod = priority = None
+            for child in url_el:
+                name = _local(child.tag)
+                val = (child.text or "").strip() or None
+                if name == "loc":
+                    loc = val
+                elif name == "lastmod":
+                    lastmod = val
+                elif name == "priority":
+                    priority = val
+            if loc is None:
+                continue
+            h_out.append(host)
+            i_out.append(idx)
+            loc_out.append(loc)
+            lm_out.append(lastmod)
+            pr_out.append(priority)
+            idx += 1
+    return pa.table({
+        host_col: pa.array(h_out, pa.string()),
+        "entry_idx": pa.array(i_out, pa.int64()),
+        "loc": pa.array(loc_out, pa.string()),
+        "lastmod": pa.array(lm_out, pa.string()),
+        "priority": pa.array(pr_out, pa.string()),
+    })

@@ -419,3 +419,37 @@ class TestDomainHoldoutSplit:
         per_host = out.groupby("host")["split"].nunique()
         assert (per_host == 1).all()
         assert set(out["split"]) == {"train", "test"}
+
+
+class TestParseSitemap:
+    def _parse(self, xml):
+        from ocr_pipeline_ray.stages.web import parse_sitemap
+
+        batch = pa.table({
+            "host": pa.array(["h.example.com"], pa.string()),
+            "sitemap_xml": pa.array([xml], pa.string()),
+        })
+        return parse_sitemap(batch).to_pandas()
+
+    def test_namespace_and_optional_fields(self):
+        out = self._parse(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/'
+            'sitemap/0.9">'
+            "<url><loc>http://h/a</loc><lastmod>2024-02-01</lastmod>"
+            "</url>"
+            "<url><loc>http://h/b</loc><priority>0.5</priority></url>"
+            "</urlset>")
+        assert out["loc"].tolist() == ["http://h/a", "http://h/b"]
+        assert out["entry_idx"].tolist() == [0, 1]
+        assert out.loc[0, "lastmod"] == "2024-02-01"
+        assert out.loc[0, "priority"] is None
+        assert out.loc[1, "priority"] == "0.5"
+
+    def test_locless_skipped_and_malformed_yields_zero(self):
+        out = self._parse(
+            "<urlset><url><priority>1.0</priority></url>"
+            "<url><loc>http://h/x</loc></url></urlset>")
+        assert out["loc"].tolist() == ["http://h/x"]
+        assert out["entry_idx"].tolist() == [0]
+        assert len(self._parse("<urlset><url>")) == 0
+        assert len(self._parse("<sitemapindex></sitemapindex>")) == 0

@@ -10736,3 +10736,51 @@ ORACLE_SQL["sitemap_parse"] = (
     "FROM e ORDER BY host, entry_idx"
 )
 QUERIES["sitemap_parse"] = q_sitemap_parse
+
+
+def q_fix_mojibake(sf_dir: str):
+    """Mojibake repair (stages/normalize.fix_mojibake_fn):
+    double-encoded UTF-8 — text written as UTF-8 but read back as
+    cp1252 ('Ã©' for 'é', 'â€™' for the right single quote) — is
+    repaired by the ordered literal replace chain over the COMPUTED
+    digraph table (every pair derived from target.utf8→cp1252, not
+    hand-typed). Every 5th doc gets two planted digraphs; the oracle
+    replays the identical plant + the identical repair chain, so a
+    wrong pair, wrong order, or partial table cannot pass.
+    Row-local, no shuffle."""
+    from .stages.normalize import fix_mojibake_fn
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        t = pc.fill_null(batch.column("text"), "")
+        dirty = pc.replace_substring(
+            pc.replace_substring(t, "a", "Ã¡"), "o", "Ã³")
+        text = pc.if_else(pc.equal(_int_mod(ids, 5), 0), dirty, t)
+        return pa.table({"doc_id": ids, "text": text})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow")
+    return ds.map_batches(
+        fix_mojibake_fn, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text_fixed"])
+
+
+def _mojibake_sql() -> str:
+    from .stages.normalize import MOJIBAKE, MOJIBAKE_ORDER
+
+    expr = "text"
+    for moji in MOJIBAKE_ORDER:
+        m = moji.replace("'", "''")
+        t = MOJIBAKE[moji].replace("'", "''")
+        expr = f"replace({expr}, '{m}', '{t}')"
+    return (
+        "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+        "replace(replace(coalesce(text, ''), 'a', 'Ã¡'), 'o', 'Ã³') "
+        "ELSE coalesce(text, '') END AS text FROM documents) "
+        f"SELECT doc_id, {expr} AS text_fixed FROM aug "
+        "ORDER BY doc_id"
+    )
+
+
+ORACLE_SQL["fix_mojibake"] = _mojibake_sql()
+QUERIES["fix_mojibake"] = q_fix_mojibake

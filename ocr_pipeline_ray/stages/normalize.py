@@ -277,3 +277,53 @@ def deobfuscate_fn(batch: pa.Table, col: str = "text",
     else:
         out = arr
     return batch.append_column(out_col, out)
+
+
+def _mojibake_table() -> Dict[str, str]:
+    """UTF-8-bytes-read-as-cp1252 digraphs → intended codepoints —
+    COMPUTED from the targets (``target.utf8 → cp1252 decode``), not
+    hand-typed, so every pair is exact by construction; targets whose
+    UTF-8 bytes hit cp1252's undefined slots (0x81, 0x8D, 0x8F,
+    0x90, 0x9D — e.g. the right double quote) are skipped because
+    that mojibake form cannot round-trip through a cp1252 read."""
+    targets = [
+        "é", "è", "ä", "ö", "ü", "ñ", "ç", "á", "ó", "ú", "ß",
+        "’", "‘", "“", "–", "—", "…", "«", "»", "°",
+    ]
+    table: Dict[str, str] = {}
+    for t in targets:
+        try:
+            moji = t.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        table[moji] = t
+    return table
+
+
+MOJIBAKE = _mojibake_table()
+# canonical apply order: longer digraphs first, then lexicographic —
+# deterministic and prefix-safe (shared "â€" prefixes differ in the
+# final char; no key is a prefix of another within a length class)
+MOJIBAKE_ORDER = sorted(MOJIBAKE, key=lambda k: (-len(k), k))
+
+
+def fix_mojibake_fn(batch: pa.Table, col: str = "text",
+                    out_col: str = "text_fixed") -> pa.Table:
+    """Append ``out_col`` = ``col`` with double-encoded UTF-8
+    (mojibake) repaired: text that was UTF-8 encoded but read back
+    as cp1252 shows 'Ã©' for 'é', 'â€"'-style digraphs for
+    punctuation — the classic Common-Crawl encoding pathology. The
+    repair is an ordered literal replace chain over
+    :data:`MOJIBAKE` (C-speed ``replace_substring`` per pair, the
+    M2 replace-chars shape), row-local, no shuffle; semantics ==
+    the same chain of SQL ``replace()`` calls in
+    :data:`MOJIBAKE_ORDER`."""
+    import pyarrow.compute as pc
+
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = arr
+    for moji in MOJIBAKE_ORDER:
+        out = pc.replace_substring(out, moji, MOJIBAKE[moji])
+    return batch.append_column(out_col, out)

@@ -453,3 +453,23 @@ class TestParseSitemap:
         assert out["entry_idx"].tolist() == [0]
         assert len(self._parse("<urlset><url>")) == 0
         assert len(self._parse("<sitemapindex></sitemapindex>")) == 0
+
+
+class TestFixMojibake:
+    def test_repairs_computed_digraphs(self):
+        from ocr_pipeline_ray.stages.normalize import fix_mojibake_fn
+
+        batch = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["cafÃ© â€” rÃ©sumÃ©â€¦", "plain ascii"], pa.string()),
+        })
+        out = fix_mojibake_fn(batch).to_pandas()
+        assert out.loc[0, "text_fixed"] == "café — résumé…"
+        assert out.loc[1, "text_fixed"] == "plain ascii"
+
+    def test_table_is_exact_roundtrip(self):
+        from ocr_pipeline_ray.stages.normalize import MOJIBAKE
+
+        for moji, target in MOJIBAKE.items():
+            assert target.encode("utf-8").decode("cp1252") == moji

@@ -2169,25 +2169,54 @@ def _docs_half(sf_dir: str, first: bool):
         _fn, batch_format="pyarrow")
 
 
+def _schema_stable(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a SMALL (audit-scale) result into an Arrow table that
+    keeps its schema even when EMPTY — Ray Data's ``to_pandas()``
+    drops all columns from a 0-row Dataset, so any query whose
+    result can legitimately be empty (EXCEPT over converged
+    snapshots) must hand the driver a schema-pinned table instead.
+    Only for outputs bounded by distinct-combination counts — never
+    corpus-scale data."""
+    batches = [
+        b for b in ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=None)
+        if b.num_rows
+    ]
+    if not batches:
+        return schema.empty_table()
+    return pa.concat_tables([b.select(schema.names) for b in batches])
+
+
+_LANG_SOURCE_SCHEMA = pa.schema([("lang", pa.string()),
+                                 ("source", pa.string())])
+
+
 def q_docs_except(sf_dir: str):
     """SQL ``EXCEPT`` (set, not bag): distinct (lang, source)
     combinations present in the even-doc_id snapshot but absent from
     the odd one — the snapshot-diff audit. One co-shuffle of both
     sides by composite-row-key bucket, whole-bucket boundary-mask
-    distinctness (`stages/setops.py`)."""
+    distinctness (`stages/setops.py`). Result is combo-scale and can
+    be EMPTY on converged snapshots, so it returns a schema-pinned
+    Arrow table."""
     from .stages.setops import except_distinct
 
-    return except_distinct(_docs_half(sf_dir, True),
-                           _docs_half(sf_dir, False))
+    return _schema_stable(
+        except_distinct(_docs_half(sf_dir, True),
+                        _docs_half(sf_dir, False)),
+        _LANG_SOURCE_SCHEMA)
 
 
 def q_docs_intersect(sf_dir: str):
     """SQL ``INTERSECT``: distinct (lang, source) combinations in
-    BOTH snapshot halves — same one-exchange plan as `docs_except`."""
+    BOTH snapshot halves — same one-exchange plan as `docs_except`,
+    same schema-pinned combo-scale return (empty-safe)."""
     from .stages.setops import intersect_distinct
 
-    return intersect_distinct(_docs_half(sf_dir, True),
-                              _docs_half(sf_dir, False))
+    return _schema_stable(
+        intersect_distinct(_docs_half(sf_dir, True),
+                           _docs_half(sf_dir, False)),
+        _LANG_SOURCE_SCHEMA)
 
 
 def q_events_value_histogram(sf_dir: str):

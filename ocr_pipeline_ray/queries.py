@@ -10813,3 +10813,113 @@ def _mojibake_sql() -> str:
 
 ORACLE_SQL["fix_mojibake"] = _mojibake_sql()
 QUERIES["fix_mojibake"] = q_fix_mojibake
+
+
+def q_seed_pipeline(sf_dir: str):
+    """END-TO-END crawl SEED ingestion, every stage load-bearing
+    under ONE oracle: per-host sitemap.xml documents (the
+    `sitemap_parse` corpus) → real XML parse
+    (web.parse_sitemap) → full REP robots gate over the parsed locs
+    (web.robots_rep_filter, the `robots_rep` rule set: longest
+    match, Allow beats Disallow on ties) → politeness-preserving
+    fetcher placement (hashing.rendezvous_pick on the HOST). The
+    publisher ASK side (sitemaps) meeting the DENY side (robots) —
+    the front half of a crawler's frontier; `frontier_pipeline`
+    owns the budget/features back half."""
+    from .functions.hashing import rendezvous_pick
+    from .stages.web import parse_sitemap, robots_rep_filter
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        hs = batch.column("id").to_pylist()
+        hosts, xmls = [], []
+        for h in hs:
+            parts = [
+                '<urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">',
+            ]
+            for j in range(1, 2 + h % 4):
+                parts.append(
+                    f"<url><loc>http://host{h}.example.com"
+                    f"/p/{j}</loc></url>")
+            parts.append("</urlset>")
+            hosts.append(f"host{h}.example.com")
+            xmls.append("".join(parts))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_xml": pa.array(xmls, pa.string()),
+        })
+
+    seeds = ray.data.range(97).map_batches(
+        _mk, batch_format="pyarrow"
+    ).map_batches(lambda b: parse_sitemap(b), batch_format="pyarrow")
+
+    def _as_url(batch: pa.Table) -> pa.Table:
+        # url only: robots_rep_filter derives its own host column
+        return pa.table({"url": batch.column("loc")})
+
+    seeds = seeds.map_batches(_as_url, batch_format="pyarrow")
+
+    # the robots_rep rule set: disallow /p/1, allow /p/12,
+    # even hosts disallow /p/4, host0 disallow /p/123
+    hosts, dirs, prefixes = [], [], []
+    for h in range(97):
+        host = f"host{h}.example.com"
+        hosts += [host, host]
+        dirs += ["disallow", "allow"]
+        prefixes += ["/p/1", "/p/12"]
+        if h % 2 == 0:
+            hosts.append(host)
+            dirs.append("disallow")
+            prefixes.append("/p/4")
+    hosts.append("host0.example.com")
+    dirs.append("disallow")
+    prefixes.append("/p/123")
+    rules = pa.table({"host": pa.array(hosts, pa.string()),
+                      "directive": pa.array(dirs, pa.string()),
+                      "prefix": pa.array(prefixes, pa.string())})
+
+    allowed = robots_rep_filter(seeds, rules, url_col="url")
+    nodes = [f"fetcher-{i}" for i in range(4)]
+
+    def _place(batch: pa.Table) -> pa.Table:
+        host = [u.split("//")[1].split("/")[0]
+                for u in batch.column("url").to_pylist()]
+        return pa.table({
+            "host": pa.array(host, pa.string()),
+            "loc": batch.column("url"),
+            "node": pa.array(rendezvous_pick(host, nodes),
+                             pa.string()),
+        })
+
+    return allowed.map_batches(_place, batch_format="pyarrow").sort(
+        "loc")
+
+
+ORACLE_SQL["seed_pipeline"] = (
+    "WITH hs AS (SELECT unnest(range(0, 97)) AS h), "
+    "e AS (SELECT h, unnest(range(1, 2 + h % 4)) AS j FROM hs), "
+    "s AS (SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' "
+    "AS host, '/p/' || CAST(j AS VARCHAR) AS path, "
+    "'http://host' || CAST(h AS VARCHAR) || '.example.com/p/' || "
+    "CAST(j AS VARCHAR) AS loc FROM e), "
+    "rules AS ("
+    "SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host, "
+    "'disallow' AS d, '/p/1' AS p FROM hs "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com',"
+    " 'allow', '/p/12' FROM hs "
+    "UNION ALL SELECT 'host' || CAST(h AS VARCHAR) || '.example.com',"
+    " 'disallow', '/p/4' FROM hs WHERE h % 2 = 0 "
+    "UNION ALL SELECT 'host0.example.com', 'disallow', '/p/123'), "
+    "ok AS (SELECT host, loc FROM s WHERE COALESCE(("
+    "SELECT r.d = 'allow' FROM rules r WHERE r.host = s.host "
+    "AND starts_with(s.path, r.p) "
+    "ORDER BY length(r.p) DESC, r.d LIMIT 1), TRUE)), "
+    "nd AS (SELECT unnest(['fetcher-0','fetcher-1','fetcher-2',"
+    "'fetcher-3']) AS node) "
+    "SELECT host, loc, node FROM (SELECT ok.host, ok.loc, nd.node, "
+    "row_number() OVER (PARTITION BY ok.loc ORDER BY "
+    "CAST(('0x' || substr(md5(ok.host || '|' || nd.node), 1, 16)) "
+    "AS UBIGINT) DESC, nd.node ASC) AS rk FROM ok, nd) "
+    "WHERE rk = 1 ORDER BY loc"
+)
+QUERIES["seed_pipeline"] = q_seed_pipeline

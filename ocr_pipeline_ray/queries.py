@@ -10677,12 +10677,12 @@ def q_domain_holdout_split(sf_dir: str):
     out whole DOMAINS so eval measures transfer to unseen hosts).
     Row-local, no shuffle, dup-safe and deterministic."""
 
+    from .stages.web import url_host_fn
+
     def _fn(batch: pa.Table) -> pa.Table:
-        b = _url_augment(batch)
-        hosts = b.column("url").to_pylist()
+        b = url_host_fn(_url_augment(batch))
         splits = []
-        for u in hosts:
-            host = u.split("//")[1].split("/")[0]
+        for host in b.column("host").to_pylist():
             hv = int(hashlib.md5(host.encode()).hexdigest()[:8], 16)
             splits.append("train" if hv % 10 < 9 else "test")
         return pa.table({
@@ -10704,6 +10704,45 @@ ORACLE_SQL["domain_holdout_split"] = (
 QUERIES["domain_holdout_split"] = q_domain_holdout_split
 
 
+def _sitemap_fixture(batch: pa.Table,
+                     with_optional: bool) -> pa.Table:
+    """Shared 97-host sitemap.xml corpus for `sitemap_parse` and
+    `seed_pipeline` — ONE generator so the fixture formulas cannot
+    drift between the two oracles. ``with_optional`` adds the XML
+    declaration, a loc-less entry (must be skipped) and the
+    lastmod/priority branches."""
+    hs = batch.column("id").to_pylist()
+    hosts, xmls = [], []
+    for h in hs:
+        parts = []
+        if with_optional:
+            parts.append('<?xml version="1.0" encoding="UTF-8"?>')
+        parts.append(
+            '<urlset xmlns='
+            '"http://www.sitemaps.org/schemas/sitemap/0.9">')
+        if with_optional:
+            # a url element with no <loc>: must be skipped
+            parts.append("<url><priority>0.1</priority></url>")
+        for j in range(1, 2 + h % 4):
+            entry = (f"<url><loc>http://host{h}.example.com"
+                     f"/p/{j}</loc>")
+            if with_optional:
+                if (h + j) % 2 == 0:
+                    entry += (f"<lastmod>2024-01-"
+                              f"{(h + j) % 28 + 1:02d}</lastmod>")
+                if (h + j) % 3 == 0:
+                    entry += f"<priority>0.{(h + j) % 10}</priority>"
+            entry += "</url>"
+            parts.append(entry)
+        parts.append("</urlset>")
+        hosts.append(f"host{h}.example.com")
+        xmls.append("".join(parts))
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "sitemap_xml": pa.array(xmls, pa.string()),
+    })
+
+
 def q_sitemap_parse(sf_dir: str):
     """sitemap.xml PARSING (stages/web.parse_sitemap): per-host
     urlset documents — default-namespace XML with optional
@@ -10715,36 +10754,9 @@ def q_sitemap_parse(sf_dir: str):
     loc-less rows cannot pass. 97-host layout; row-local."""
     from .stages.web import parse_sitemap
 
-    def _mk(batch: pa.Table) -> pa.Table:
-        hs = batch.column("id").to_pylist()
-        hosts, xmls = [], []
-        for h in hs:
-            parts = [
-                '<?xml version="1.0" encoding="UTF-8"?>',
-                '<urlset xmlns='
-                '"http://www.sitemaps.org/schemas/sitemap/0.9">',
-                # a url element with no <loc>: must be skipped
-                "<url><priority>0.1</priority></url>",
-            ]
-            for j in range(1, 2 + h % 4):
-                entry = (f"<url><loc>http://host{h}.example.com"
-                         f"/p/{j}</loc>")
-                if (h + j) % 2 == 0:
-                    entry += (f"<lastmod>2024-01-"
-                              f"{(h + j) % 28 + 1:02d}</lastmod>")
-                if (h + j) % 3 == 0:
-                    entry += f"<priority>0.{(h + j) % 10}</priority>"
-                entry += "</url>"
-                parts.append(entry)
-            parts.append("</urlset>")
-            hosts.append(f"host{h}.example.com")
-            xmls.append("".join(parts))
-        return pa.table({
-            "host": pa.array(hosts, pa.string()),
-            "sitemap_xml": pa.array(xmls, pa.string()),
-        })
-
-    ds = ray.data.range(97).map_batches(_mk, batch_format="pyarrow")
+    ds = ray.data.range(97).map_batches(
+        lambda b: _sitemap_fixture(b, with_optional=True),
+        batch_format="pyarrow")
     return ds.map_batches(
         lambda b: parse_sitemap(b), batch_format="pyarrow"
     ).sort(["host", "entry_idx"])
@@ -10827,30 +10839,15 @@ def q_seed_pipeline(sf_dir: str):
     the front half of a crawler's frontier; `frontier_pipeline`
     owns the budget/features back half."""
     from .functions.hashing import rendezvous_pick
-    from .stages.web import parse_sitemap, robots_rep_filter
-
-    def _mk(batch: pa.Table) -> pa.Table:
-        hs = batch.column("id").to_pylist()
-        hosts, xmls = [], []
-        for h in hs:
-            parts = [
-                '<urlset xmlns='
-                '"http://www.sitemaps.org/schemas/sitemap/0.9">',
-            ]
-            for j in range(1, 2 + h % 4):
-                parts.append(
-                    f"<url><loc>http://host{h}.example.com"
-                    f"/p/{j}</loc></url>")
-            parts.append("</urlset>")
-            hosts.append(f"host{h}.example.com")
-            xmls.append("".join(parts))
-        return pa.table({
-            "host": pa.array(hosts, pa.string()),
-            "sitemap_xml": pa.array(xmls, pa.string()),
-        })
+    from .stages.web import (
+        parse_sitemap,
+        robots_rep_filter,
+        url_host_fn,
+    )
 
     seeds = ray.data.range(97).map_batches(
-        _mk, batch_format="pyarrow"
+        lambda b: _sitemap_fixture(b, with_optional=False),
+        batch_format="pyarrow"
     ).map_batches(lambda b: parse_sitemap(b), batch_format="pyarrow")
 
     def _as_url(batch: pa.Table) -> pa.Table:
@@ -10882,10 +10879,10 @@ def q_seed_pipeline(sf_dir: str):
     nodes = [f"fetcher-{i}" for i in range(4)]
 
     def _place(batch: pa.Table) -> pa.Table:
-        host = [u.split("//")[1].split("/")[0]
-                for u in batch.column("url").to_pylist()]
+        b = url_host_fn(batch)
+        host = b.column("host").to_pylist()
         return pa.table({
-            "host": pa.array(host, pa.string()),
+            "host": b.column("host"),
             "loc": batch.column("url"),
             "node": pa.array(rendezvous_pick(host, nodes),
                              pa.string()),

@@ -1184,6 +1184,11 @@ def adaptive_join(left, right, on: str,
     ``"broadcast" | "shuffle"`` so callers (and audits) can pin the
     plan that actually ran.
     """
+    # materialize BEFORE counting: count() on a lazy transformed
+    # dataset executes its whole plan, and the join would then
+    # execute it a second time — materialized, the count is a
+    # metadata fold and the join reuses the cached blocks
+    right = right.materialize()
     n_right = right.count()
     if n_right <= broadcast_limit_rows:
         return broadcast_join(left, right, on, right_cols=right_cols,

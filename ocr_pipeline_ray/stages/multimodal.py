@@ -614,13 +614,15 @@ class SilenceDetector:
     over real PCM WAV payloads (:func:`decode_wav`, pure stdlib) —
     the audio-curation gate that drops dead-air recordings and
     budgets transcription by active speech, and the dataset-stats
-    input for speech-corpus balancing. Per row: total samples,
-    active samples (|sample| >= threshold), number of contiguous
-    silence RUNS and the longest run in integer milliseconds at the
-    decoded frame rate — all computed from the DECODED sample
-    values (boundary-mask run extraction, no Python loop over
-    samples), so a header-faking decoder cannot reproduce them.
-    Non-decodable rows carry the error string (skip-vs-fail split,
+    input for speech-corpus balancing. Per row: total FRAMES, active
+    frames (any channel's |sample| >= threshold — multi-channel
+    audio is per-frame, never interleaved-flattened), number of
+    contiguous silence RUNS and the longest run in integer
+    milliseconds at the decoded frame rate — all computed from the
+    DECODED sample values (boundary-mask run extraction, no Python
+    loop over samples), so a header-faking decoder cannot reproduce
+    them. Non-decodable rows (including a zero frame rate in the
+    header) carry the error string (skip-vs-fail split,
     /root/reference/ocr_pipeline.py:426-441)."""
 
     def __init__(self, threshold: int = 16):
@@ -637,9 +639,14 @@ class SilenceDetector:
         for payload in payloads:
             try:
                 d = decode_wav(payload)
-                # samples decode as (n_frames, n_channels); VAD runs
-                # over the interleaved frame stream
-                s = np.abs(d["samples"].astype(np.int64)).ravel()
+                if not d["framerate"]:
+                    raise ValueError("WAV header frame rate is 0")
+                # samples decode as (n_frames, n_channels): a FRAME
+                # is silent only when every channel is — never run
+                # over the channel-interleaved stream (that splits
+                # runs and inflates ms by the channel count)
+                s = np.abs(d["samples"].astype(np.int64))
+                s = s.max(axis=1) if s.ndim == 2 else s
                 n = len(s)
                 silent = s < self.threshold
                 if n:
@@ -659,7 +666,7 @@ class SilenceDetector:
                 out["longest_silence_ms"].append(
                     longest * 1000 // d["framerate"])
                 errs.append(None)
-            except ValueError as exc:
+            except (ValueError, ZeroDivisionError) as exc:
                 for k in out:
                     out[k].append(None)
                 errs.append(str(exc))

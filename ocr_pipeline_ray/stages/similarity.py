@@ -882,7 +882,7 @@ def seed_filter(ds, seeds, threshold: float, id_col: str = "vec_id",
                              "kept": pa.array([], pa.bool_())})
         sims = (mat @ s.T) / (
             np.linalg.norm(mat, axis=1)[:, None] * sn[None, :])
-        mx = np.array([_round6(v) for v in sims.max(axis=1)])
+        mx = np.floor(sims.max(axis=1) * 1e6 + 0.5) / 1e6
         return pa.table({
             id_col: pa.array(ids.tolist(), pa.int64()),
             "max_sim": pa.array(mx, pa.float64()),

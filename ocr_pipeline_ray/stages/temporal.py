@@ -1105,8 +1105,12 @@ def rate_bursts(ds, key_col: str = "event_type", ts_col: str = "ts",
     ).groupby([key_col, "hour"]).aggregate(Sum("n", alias_name="n"))
 
     def _fold(group: pa.Table) -> pa.Table:
+        # output key type follows the input (string hosts, int64
+        # user ids, ... — key_col is generic)
+        key_type = (group.schema.field(key_col).type
+                    if key_col in group.schema.names else pa.string())
         empty = pa.table({
-            key_col: pa.array([], pa.string()),
+            key_col: pa.array([], key_type),
             "n_hours": pa.array([], pa.int64()),
             "n_bursts": pa.array([], pa.int64()),
             "max_n": pa.array([], pa.int64()),
@@ -1140,7 +1144,7 @@ def rate_bursts(ds, key_col: str = "event_type", ts_col: str = "ts",
             out_b.append(bursts)
             out_m.append(max(seg))
         return pa.table({
-            key_col: pa.array(out_k, pa.string()),
+            key_col: pa.array(out_k, key_type),
             "n_hours": pa.array(out_h, pa.int64()),
             "n_bursts": pa.array(out_b, pa.int64()),
             "max_n": pa.array(out_m, pa.int64()),

@@ -1215,22 +1215,25 @@ def vocab_growth(ds, checkpoints, text_col: str = "text",
     count and DISTINCT token count — the curve tokenizer vocab
     sizing and dedup-health checks read (a corpus whose distinct
     curve goes linear is template spam; one that flattens early is
-    heavily duplicated).
+    heavily duplicated). Duplicate checkpoint values are collapsed
+    (each unique cp appears once in the output).
 
-    Scale shape: distinct-at-cp needs each token's FIRST document
-    only, so pass A reduces (token, min doc) map-side per batch and
-    shuffles the vocab once (the `top_tokens` exchange); checkpoint
-    counts then fold from vocab-scale and block-scale partials —
-    ``checkpoints × blocks`` rows, never raw tokens. Output:
+    Scale shape: ONE tokenize scan of the corpus emits BOTH partial
+    kinds per batch — per-batch (token, min doc) rows for the
+    distinct curve and checkpoints-scale token-total rows — into one
+    materialized partial table (distinct-tokens-per-block scale,
+    far smaller than the text it summarizes). The vocab shuffle
+    (the `top_tokens` exchange) and the tiny checkpoint groupby both
+    read those partials; raw text is scanned exactly once. Output:
     ``(cp, n_tokens, n_distinct)`` sorted by cp, all int64.
     """
     import numpy as np
     from ray.data.aggregate import Min, Sum
 
-    cps = sorted(int(c) for c in checkpoints)
+    cps = sorted({int(c) for c in checkpoints})
     cp_arr = np.asarray(cps, dtype=np.int64)
 
-    def _first_doc_partial(batch: pa.Table) -> pa.Table:
+    def _partials(batch: pa.Table) -> pa.Table:
         col = pc.fill_null(batch.column(text_col), "")
         parts = pc.split_pattern(col, " ")
         if isinstance(parts, pa.ChunkedArray):
@@ -1245,11 +1248,36 @@ def vocab_growth(ds, checkpoints, text_col: str = "text",
             "doc": pa.array(np.repeat(docs, ntok), pa.int64()),
         })
         g = t.group_by(["tok"]).aggregate([("doc", "min")])
-        return pa.table({"tok": g.column("tok"),
-                         "doc": g.column("doc_min")})
+        totals = np.where(docs[None, :] < cp_arr[:, None],
+                          ntok[None, :], 0).sum(axis=1)
+        n_tok_rows = g.num_rows
+        return pa.table({
+            "_kind": pa.array(
+                [0] * n_tok_rows + [1] * len(cps), pa.int64()),
+            "tok": pa.concat_arrays([
+                g.column("tok").combine_chunks(),
+                pa.array([""] * len(cps), pa.string()),
+            ]),
+            "doc": pa.concat_arrays([
+                pc.cast(g.column("doc_min"),
+                        pa.int64()).combine_chunks(),
+                pa.array([0] * len(cps), pa.int64()),
+            ]),
+            "cp": pa.concat_arrays([
+                pa.array([0] * n_tok_rows, pa.int64()),
+                pa.array(cp_arr, pa.int64()),
+            ]),
+            "n": pa.concat_arrays([
+                pa.array([0] * n_tok_rows, pa.int64()),
+                pa.array(totals.astype(np.int64), pa.int64()),
+            ]),
+        })
 
-    first_doc = ds.select_columns([id_col, text_col]).map_batches(
-        _first_doc_partial, batch_format="pyarrow"
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        _partials, batch_format="pyarrow").materialize()
+
+    first_doc = partials.filter(expr="_kind == 0").select_columns(
+        ["tok", "doc"]
     ).groupby("tok").aggregate(Min("doc", alias_name="first_doc"))
 
     def _distinct_partial(batch: pa.Table) -> pa.Table:
@@ -1267,25 +1295,9 @@ def vocab_growth(ds, checkpoints, text_col: str = "text",
     ).groupby("cp").aggregate(Sum("n_distinct",
                                   alias_name="n_distinct"))
 
-    def _total_partial(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
-        parts = pc.split_pattern(col, " ")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        ntok = np.diff(parts.offsets.to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        docs = batch.column(id_col).combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        totals = np.where(docs[None, :] < cp_arr[:, None],
-                          ntok[None, :], 0).sum(axis=1)
-        return pa.table({
-            "cp": pa.array(cp_arr, pa.int64()),
-            "n_tokens": pa.array(totals.astype(np.int64), pa.int64()),
-        })
-
-    totals = ds.select_columns([id_col, text_col]).map_batches(
-        _total_partial, batch_format="pyarrow"
-    ).groupby("cp").aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    totals = partials.filter(expr="_kind == 1").select_columns(
+        ["cp", "n"]
+    ).groupby("cp").aggregate(Sum("n", alias_name="n_tokens"))
 
     # both sides are checkpoints-scale (≤ dozens of rows): zip on
     # the driver into one ordered table

@@ -473,3 +473,79 @@ class TestFixMojibake:
 
         for moji, target in MOJIBAKE.items():
             assert target.encode("utf-8").decode("cp1252") == moji
+
+
+class TestReviewRegressions:
+    """Pins for the session-10 review findings."""
+
+    def test_silence_stereo_frames_not_interleaved(self):
+        import io
+        import wave
+
+        from ocr_pipeline_ray.stages.multimodal import SilenceDetector
+
+        # 1 s of stereo silence at 8000 fps: longest must be 1000 ms
+        # (frames), not 2000 (interleaved samples)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(2)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x00" * 2 * 8000)
+        det = SilenceDetector()
+        row = det(pa.table({
+            "media_id": pa.array(["s"], pa.string()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+        })).to_pandas().iloc[0]
+        assert row["n_samples"] == 8000
+        assert row["longest_silence_ms"] == 1000
+
+    def test_silence_zero_framerate_is_error_row(self):
+        import io
+        import wave
+
+        from ocr_pipeline_ray.stages.multimodal import SilenceDetector
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(1)
+            wf.writeframes(b"\x00\x00" * 4)
+        # corrupt the header's sample-rate field to 0
+        raw = bytearray(buf.getvalue())
+        at = raw.find((1).to_bytes(4, "little"), 20)
+        raw[at:at + 4] = (0).to_bytes(4, "little")
+        det = SilenceDetector()
+        row = det(pa.table({
+            "media_id": pa.array(["z"], pa.string()),
+            "payload": pa.array([bytes(raw)], pa.binary()),
+        })).to_pandas().iloc[0]
+        assert row["decode_error"] is not None
+
+    def test_rate_bursts_int_keys(self, ray_session):
+        from ocr_pipeline_ray.stages.temporal import rate_bursts
+
+        ts = pa.array(
+            [np.datetime64("2024-01-01T00", "us")] * 3
+            + [np.datetime64("2024-01-01T01", "us")] * 3,
+            pa.timestamp("us"))
+        tbl = pa.table({
+            "user_id": pa.array([7, 7, 8, 7, 8, 8], pa.int64()),
+            "ts": ts,
+        })
+        out = rate_bursts(_ds(tbl), key_col="user_id").to_pandas()
+        assert out["user_id"].tolist() == [7, 8]
+        assert str(out["user_id"].dtype) == "int64"
+
+    def test_vocab_growth_duplicate_checkpoints(self, ray_session):
+        from ocr_pipeline_ray.stages.textstats import vocab_growth
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b", "c"], pa.string()),
+        })
+        out = vocab_growth(_ds(tbl), [2, 2, 2]).to_pandas()
+        assert len(out) == 1
+        assert out.loc[0, "n_tokens"] == 3
+        assert out.loc[0, "n_distinct"] == 3

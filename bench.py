@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "audio_silence", "semantic_blocklist", "hard_negatives",
     "vocab_growth", "inference_buckets", "domain_holdout_split",
     "sitemap_parse", "fix_mojibake", "seed_pipeline",
+    "homoglyph_hosts",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

@@ -10920,3 +10920,84 @@ ORACLE_SQL["seed_pipeline"] = (
     "WHERE rk = 1 ORDER BY loc"
 )
 QUERIES["seed_pipeline"] = q_seed_pipeline
+
+
+def q_homoglyph_hosts(sf_dir: str):
+    """Homoglyph-SPAM host detection: the per-host rollup of the
+    script-mix signal — hosts whose pages systematically mix Latin
+    and Cyrillic letters are confusable-obfuscation farms (the plant
+    is HOST-correlated here: every doc of hosts with id % 7 == 3 is
+    obfuscated, so the report discriminates hosts, not docs).
+    Row-local script classification (textstats.script_mix_fn), then
+    map-side (host, n, n_mixed) partials into ONE tiny groupby —
+    the host_stats shape; content never shuffles."""
+    from .stages.textstats import script_mix_fn
+    from .stages.web import url_host_fn
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        b = url_host_fn(_url_augment(batch))
+        ids = b.column("doc_id")
+        hot = pc.equal(_int_mod(pc.if_else(
+            pc.equal(_int_mod(ids, 3), 0),
+            pa.scalar(0, pa.int64()), _int_mod(ids, 97)), 7), 3)
+        t = pc.fill_null(b.column("text"), "")
+        dirty = pc.replace_substring(
+            pc.replace_substring(t, "a", "а"), "e", "е")
+        return pa.table({
+            "doc_id": ids,
+            "host": b.column("host"),
+            "text": pc.if_else(hot, dirty, t),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mix = script_mix_fn(batch)
+        t = pa.table({
+            "host": batch.column("host"),
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+            "mixed": pc.cast(mix.column("mixed"), pa.int64()),
+        })
+        g = t.group_by(["host"]).aggregate(
+            [("one", "sum"), ("mixed", "sum")])
+        return pa.table({
+            "host": g.column("host"),
+            "n_docs": pc.cast(g.column("one_sum"), pa.int64()),
+            "n_mixed": pc.cast(g.column("mixed_sum"), pa.int64()),
+        })
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "host"
+    ).aggregate(Sum("n_docs", alias_name="n_docs"),
+                Sum("n_mixed", alias_name="n_mixed"))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("n_mixed"), 0))
+
+    return agg.map_batches(_flag, batch_format="pyarrow").sort("host")
+
+
+ORACLE_SQL["homoglyph_hosts"] = (
+    "WITH d AS (SELECT doc_id, " + _HOST_ID_SQL + " AS hid, "
+    "coalesce(text, '') AS text FROM documents), "
+    "p AS (SELECT doc_id, 'host' || CAST(hid AS VARCHAR) || "
+    "'.example.com' AS host, CASE WHEN hid % 7 = 3 THEN "
+    "replace(replace(text, 'a', 'а'), 'e', 'е') ELSE text END "
+    "AS text FROM d), "
+    "ch AS (SELECT doc_id, unicode(unnest(string_split(text, ''))) "
+    "AS cp FROM p WHERE text != ''), "
+    "m AS (SELECT doc_id, "
+    "sum(CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND "
+    "122) THEN 1 ELSE 0 END) > 0 AND "
+    "sum(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) > 0 "
+    "AS mixed FROM ch GROUP BY doc_id) "
+    "SELECT p.host, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN coalesce(m.mixed, FALSE) THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS n_mixed FROM p LEFT JOIN m "
+    "ON p.doc_id = m.doc_id GROUP BY p.host "
+    "HAVING sum(CASE WHEN coalesce(m.mixed, FALSE) THEN 1 ELSE 0 "
+    "END) > 0 ORDER BY p.host"
+)
+QUERIES["homoglyph_hosts"] = q_homoglyph_hosts

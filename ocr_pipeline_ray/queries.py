@@ -11001,3 +11001,153 @@ ORACLE_SQL["homoglyph_hosts"] = (
     "END) > 0 ORDER BY p.host"
 )
 QUERIES["homoglyph_hosts"] = q_homoglyph_hosts
+
+
+# --------------------------------------------- TPC-H Q1 pricing summary
+
+# TPC-H Q1 shape: the classic wide multi-aggregate scan — eight
+# aggregates per (returnflag, linestatus) group over the filtered
+# fact table.  The reference's analyze() (ocr_pipeline.py:238-246)
+# is the one-key analogue; this is the engine-completeness version.
+PRICING_CUTOFF = "2000-09-02 00:00:00"
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary over ``lineitem``.
+
+    Scale shape: the date filter prunes at the scan, then each block
+    reduces to ≤ |flag×status| rows of ALL-INTEGER sufficient
+    statistics (values are exact at 2 decimals, so ×100 int64 cents
+    make every sum order-free and bit-exact vs SQL); ONE tiny groupby
+    moves keys × blocks rows; the finish math is single float
+    divisions shared operation-for-operation with the oracle.
+
+    int64 bound: the charge sum carries cents × 10^4 scaling — at
+    10^12 rows a per-group sum needs the decimal128 variant; at any
+    bench scale here it is exact with ~10^2 headroom.
+    """
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax",
+                 "l_shipdate"],
+    )
+    cutoff = pa.scalar(PRICING_CUTOFF).cast(pa.timestamp("us"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), cutoff))
+        if batch.num_rows == 0:
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty_c": pa.array([], pa.int64()),
+                "sum_ext_c": pa.array([], pa.int64()),
+                "sum_disc_c": pa.array([], pa.int64()),
+                "sum_dp": pa.array([], pa.int64()),
+                "sum_ch": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+
+        def cents(col):
+            return pc.cast(pc.round(pc.multiply(
+                batch.column(col), 100.0)), pa.int64())
+
+        qty, ext = cents("l_quantity"), cents("l_extendedprice")
+        disc, tax = cents("l_discount"), cents("l_tax")
+        # disc_price = ext * (1 - discount)  -> ext_c * (100-disc_c),
+        # scale 10^-4 dollars; charge adds * (100+tax_c), 10^-6.
+        dp = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()),
+                                          disc))
+        ch = pc.multiply(dp, pc.add(pa.scalar(100, pa.int64()), tax))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": qty, "ext": ext, "disc": disc, "dp": dp, "ch": ch,
+        })
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("ext", "sum"), ("disc", "sum"),
+             ("dp", "sum"), ("ch", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_returnflag": agg.column("l_returnflag"),
+            "l_linestatus": agg.column("l_linestatus"),
+            "sum_qty_c": agg.column("qty_sum"),
+            "sum_ext_c": agg.column("ext_sum"),
+            "sum_disc_c": agg.column("disc_sum"),
+            "sum_dp": agg.column("dp_sum"),
+            "sum_ch": agg.column("ch_sum"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty_c"), Sum("sum_ext_c"),
+                   Sum("sum_disc_c"), Sum("sum_dp"), Sum("sum_ch"),
+                   Sum("n"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        qty = batch.column("sum(sum_qty_c)").to_pylist()
+        ext = batch.column("sum(sum_ext_c)").to_pylist()
+        dsc = batch.column("sum(sum_disc_c)").to_pylist()
+        dp = batch.column("sum(sum_dp)").to_pylist()
+        ch = batch.column("sum(sum_ch)").to_pylist()
+        n = batch.column("sum(n)").to_pylist()
+        # every float below = float(exact int) / float literal — the
+        # same two IEEE ops the SQL twin performs.
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array([float(v) / 100.0 for v in qty]),
+            "sum_base_price": pa.array(
+                [float(v) / 100.0 for v in ext]),
+            "sum_disc_price": pa.array(
+                [float(v) / 10000.0 for v in dp]),
+            "sum_charge": pa.array(
+                [float(v) / 1000000.0 for v in ch]),
+            "avg_qty": pa.array(
+                [float(q) / (100.0 * c) for q, c in zip(qty, n)]),
+            "avg_price": pa.array(
+                [float(e) / (100.0 * c) for e, c in zip(ext, n)]),
+            "avg_disc": pa.array(
+                [float(d) / (100.0 * c) for d, c in zip(dsc, n)]),
+            "count_order": pc.cast(batch.column("sum(n)"),
+                                   pa.int64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"])
+
+
+ORACLE_SQL["pricing_summary"] = f"""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_c,
+    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS ext_c,
+    CAST(round(l_discount * 100.0) AS BIGINT) AS disc_c,
+    CAST(round(l_tax * 100.0) AS BIGINT) AS tax_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+), s AS (
+  SELECT l_returnflag, l_linestatus,
+    sum(qty_c) AS sq, sum(ext_c) AS se, sum(disc_c) AS sd,
+    sum(ext_c * (100 - disc_c)) AS sdp,
+    sum(ext_c * (100 - disc_c) * (100 + tax_c)) AS sch,
+    count(*) AS n
+  FROM c GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(se AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(sq AS DOUBLE) / (100.0 * n) AS avg_qty,
+  CAST(se AS DOUBLE) / (100.0 * n) AS avg_price,
+  CAST(sd AS DOUBLE) / (100.0 * n) AS avg_disc,
+  CAST(n AS BIGINT) AS count_order
+FROM s ORDER BY l_returnflag, l_linestatus
+"""
+QUERIES["pricing_summary"] = q_pricing_summary

@@ -11151,3 +11151,52 @@ SELECT l_returnflag, l_linestatus,
 FROM s ORDER BY l_returnflag, l_linestatus
 """
 QUERIES["pricing_summary"] = q_pricing_summary
+
+
+# --------------------------------------- weighted shortest paths (SSSP)
+
+def q_sssp(sf_dir: str):
+    """Weighted SSSP (8 Bellman-Ford rounds) over the shared formula
+    link graph with deterministic integer weights
+    ``w = (src*3 + dst*5) % 9 + 1`` from seeds {0, 1}.
+
+    `stages/graph.sssp_int`: after k rounds every reached node holds
+    the exact min weight over <=k-edge paths — all-int64, so the
+    depth-bounded recursive-CTE oracle is bit-exact (the weighted
+    generalization of `crawl_depth`).
+    """
+    import numpy as np
+
+    from .stages.graph import sssp_int
+
+    def _weighted_edges(batch: pa.Table) -> pa.Table:
+        t = _formula_edges_fn(batch)
+        src = t.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dst = t.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return t.append_column(
+            "w", pa.array((src * 3 + dst * 5) % 9 + 1, pa.int64()))
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _weighted_edges, batch_format="pyarrow")
+    return sssp_int(edges, seeds=[0, 1], rounds=8).sort("node")
+
+
+ORACLE_SQL["sssp"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id % 200 AS src, (doc_id * 7) % 200 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 200, (doc_id % 200 + 3) % 200 FROM documents
+), we AS (
+  SELECT DISTINCT src, dst, (src * 3 + dst * 5) % 9 + 1 AS w FROM e
+), walk(node, dist, depth) AS (
+  SELECT unnest([0, 1]) AS node, 0 AS dist, 0 AS depth
+  UNION
+  SELECT we.dst, w.dist + we.w, w.depth + 1 FROM walk w
+  JOIN we ON we.src = w.node WHERE w.depth < 8
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+QUERIES["sssp"] = q_sssp

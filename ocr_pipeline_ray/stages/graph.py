@@ -1449,3 +1449,171 @@ def label_propagation(nodes, edges, rounds: int = 2,
             .map_groups(_mode, batch_format="pyarrow")
         ).repartition(n_buckets).materialize()
     return labels
+
+
+def sssp_int(edges, seeds, rounds: int = 8, src_col: str = "src",
+             dst_col: str = "dst", w_col: str = "w",
+             n_buckets: int = 32):
+    """Weighted single-source(s) shortest paths — ``rounds`` frontier
+    Bellman-Ford relaxations over non-negative int64 edge weights.
+
+    After k rounds the table holds, for every reached node, the EXACT
+    minimum weight over paths of **at most k edges** (the textbook
+    Bellman-Ford invariant) — so a fixed ``rounds`` makes the result
+    deterministic and expressible as a depth-bounded recursive CTE,
+    like :func:`bfs_levels` (the unweighted special case). If the
+    frontier empties earlier the loop stops: distances have converged
+    to true shortest paths, which equal every deeper hop bound.
+
+    Scale shape — the :func:`bfs_levels` exchange pair per round,
+    generalized to carry weights:
+
+    1. relax: loop-invariant tagged edges (key=src) co-shuffle with
+       the current FRONTIER (nodes whose distance improved last
+       round, key=node); each whole bucket joins frontier distances
+       onto its edges (sorted searchsorted probe) and emits per-dst
+       LOCAL MIN candidates — the exchange carries at most one row
+       per distinct dst per bucket, never one per edge.
+    2. merge: candidates co-shuffle with the known (node, dist) set;
+       per node the minimum wins, and rows that improved (or are
+       newly reached) form the next frontier.
+
+    All-integer arithmetic: summation order cannot perturb a min of
+    int64 path weights, so the oracle is bit-exact.
+    """
+    import ray.data
+
+    from ..functions.hashing import bucket_ids
+
+    seeds = sorted(set(int(s) for s in seeds))
+    if not seeds:
+        raise ValueError("sssp_int: empty seed set")
+    if rounds < 0:
+        raise ValueError("sssp_int: negative rounds")
+
+    edge_schema = pa.schema([
+        ("_bucket", pa.int64()), ("_side", pa.int32()),
+        ("_key", pa.int64()), ("dst", pa.int64()),
+        ("dist", pa.int64()),
+    ])
+
+    def _tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = pc.cast(batch.column(src_col), pa.int64())
+        return pa.table({
+            "_bucket": pa.array(bucket_ids(key, n_buckets),
+                                pa.int64()),
+            "_side": pa.array(np.zeros(n, np.int32)),
+            "_key": key,
+            "dst": pc.cast(batch.column(dst_col), pa.int64()),
+            "dist": pc.cast(batch.column(w_col), pa.int64()),
+        }, schema=edge_schema)
+
+    tagged_edges = edges.map_batches(
+        _tag_edges, batch_format="pyarrow").materialize()
+
+    def _tag_nodes(ds, side: int) -> "ray.data.Dataset":
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = pc.cast(batch.column("node"), pa.int64())
+            return pa.table({
+                "_bucket": pa.array(bucket_ids(key, n_buckets),
+                                    pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int32)),
+                "_key": key,
+                "dst": pa.nulls(n, pa.int64()),
+                "dist": pc.cast(batch.column("dist"), pa.int64()),
+            }, schema=edge_schema)
+        return ds.map_batches(_fn, batch_format="pyarrow")
+
+    def _relax_bucket(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({"node": pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.int64())})
+        side = group.column("_side")
+        fr = group.filter(pc.equal(side, 1))
+        if fr.num_rows == 0:
+            return out_empty
+        e = group.filter(pc.equal(side, 0))
+        if e.num_rows == 0:
+            return out_empty
+        fk = fr.column("_key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        fd = fr.column("dist").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(fk, kind="stable")
+        fk, fd = fk[order], fd[order]
+        ek = e.column("_key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(fk, ek)
+        pos_c = np.minimum(pos, len(fk) - 1)
+        hit = fk[pos_c] == ek
+        if not hit.any():
+            return out_empty
+        eh = e.filter(pa.array(hit))
+        cand = fd[pos_c[hit]] + eh.column("dist").combine_chunks(
+            ).to_numpy(zero_copy_only=False)
+        dsts = eh.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # per-dst local min (lexsort + first-per-key mask)
+        o = np.lexsort((cand, dsts))
+        dsts, cand = dsts[o], cand[o]
+        first = np.r_[True, dsts[1:] != dsts[:-1]]
+        return pa.table({
+            "node": pa.array(dsts[first], pa.int64()),
+            "dist": pa.array(cand[first], pa.int64()),
+        })
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64()),
+                          "improved": pa.array([], pa.bool_())})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        keys = group.column("_key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        side = group.column("_side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dist = group.column("dist").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # sort by (key, dist, side): the winner is the segment head;
+        # ties prefer side 0 (known) so an equal candidate does NOT
+        # count as an improvement.
+        o = np.lexsort((side, dist, keys))
+        keys, side, dist = keys[o], side[o], dist[o]
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        idx = np.flatnonzero(first)
+        return pa.table({
+            "node": pa.array(keys[idx], pa.int64()),
+            "dist": pa.array(dist[idx], pa.int64()),
+            "improved": pa.array(side[idx] == 1),
+        })
+
+    import ray.data as rd
+
+    known = rd.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.int64()),
+        "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+    })).materialize()
+    frontier = known
+
+    for _ in range(rounds):
+        cand = (
+            tagged_edges.union(_tag_nodes(frontier, 1))
+            .groupby("_bucket", num_partitions=n_buckets)
+            .map_groups(_relax_bucket, batch_format="pyarrow")
+        )
+        merged = (
+            _tag_nodes(known, 0).union(_tag_nodes(cand, 1))
+            .groupby("_bucket", num_partitions=n_buckets)
+            .map_groups(_merge_bucket, batch_format="pyarrow")
+        ).repartition(n_buckets).materialize()
+        frontier = merged.filter(
+            expr="improved == True").select_columns(
+            ["node", "dist"]).materialize()
+        known = merged.select_columns(["node", "dist"])
+        if frontier.count() == 0:
+            break
+        known = known.materialize()
+
+    return known

@@ -1,0 +1,142 @@
+"""Session-11 operators: pricing summary, weighted SSSP."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(tbl, blocks=1):
+    import ray.data
+
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _brute_sssp(edges, seeds, rounds):
+    """Reference Bellman-Ford: min weight over <=rounds-edge paths."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist:
+                c = dist[s] + w
+                if c < nxt.get(d, 1 << 60):
+                    nxt[d] = c
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+class TestSsspInt:
+    EDGES = [(0, 1, 5), (0, 2, 1), (2, 1, 1), (1, 3, 2), (2, 3, 9),
+             (3, 4, 1), (4, 0, 1), (5, 6, 2)]  # 5,6 unreachable from 0
+
+    def _edge_ds(self, blocks=1):
+        s, d, w = zip(*self.EDGES)
+        return _ds(pa.table({
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }), blocks)
+
+    def test_hand_graph(self, ray_session):
+        from ocr_pipeline_ray.stages.graph import sssp_int
+
+        out = sssp_int(self._edge_ds(), seeds=[0], rounds=8).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        # 0→2→1 (=2) beats 0→1 (=5); 0→2→1→3 (=4) beats 0→2→3 (=10)
+        assert got == {0: 0, 1: 2, 2: 1, 3: 4, 4: 5}
+
+    def test_hop_bound_semantics(self, ray_session):
+        from ocr_pipeline_ray.stages.graph import sssp_int
+
+        # rounds=1: only direct edges from the seed
+        out = sssp_int(self._edge_ds(), seeds=[0], rounds=1).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == {0: 0, 1: 5, 2: 1}
+
+    def test_random_graph_layout_invariance(self, ray_session):
+        from ocr_pipeline_ray.stages.graph import sssp_int
+
+        rng = np.random.RandomState(11)
+        n = 40
+        src = rng.randint(0, n, 200)
+        dst = rng.randint(0, n, 200)
+        w = rng.randint(1, 10, 200)
+        edges = list(zip(src.tolist(), dst.tolist(), w.tolist()))
+        ref = _brute_sssp(edges, [0, 7], rounds=6)
+        tbl = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64()),
+                        "w": pa.array(w, pa.int64())})
+        for blocks in (1, 5):
+            out = sssp_int(_ds(tbl, blocks), seeds=[0, 7],
+                           rounds=6, n_buckets=4).to_pandas()
+            got = dict(zip(out["node"], out["dist"]))
+            assert got == ref, f"blocks={blocks}"
+
+    def test_improvement_requires_strict_decrease(self, ray_session):
+        from ocr_pipeline_ray.stages.graph import sssp_int
+
+        # two equal-weight parallel paths: converges, no oscillation
+        tbl = pa.table({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                        "dst": pa.array([1, 2, 3, 3], pa.int64()),
+                        "w": pa.array([1, 1, 1, 1], pa.int64())})
+        out = sssp_int(_ds(tbl), seeds=[0], rounds=10).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+    def test_empty_seeds_raise(self, ray_session):
+        import pytest
+
+        from ocr_pipeline_ray.stages.graph import sssp_int
+
+        with pytest.raises(ValueError):
+            sssp_int(self._edge_ds(), seeds=[], rounds=2)
+
+
+class TestPricingSummary:
+    def test_matches_duckdb(self, ray_session, tmp_path):
+        """q_pricing_summary over a miniature lineitem vs its oracle."""
+        import duckdb
+
+        from ocr_pipeline_ray.queries import ORACLE_SQL, QUERIES
+
+        rng = np.random.RandomState(3)
+        n = 500
+        base = np.datetime64("1999-01-01", "us")
+        day = np.timedelta64(86400, "s").astype("timedelta64[us]")
+        tbl = pa.table({
+            "l_orderkey": pa.array(np.arange(n), pa.int64()),
+            "l_partkey": pa.array(np.zeros(n), pa.int64()),
+            "l_suppkey": pa.array(np.zeros(n), pa.int64()),
+            "l_linenumber": pa.array(np.ones(n), pa.int32()),
+            "l_quantity": pa.array(
+                rng.randint(1, 51, n).astype(float)),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 10000, n), 2)),
+            "l_discount": pa.array(rng.randint(0, 11, n) / 100.0),
+            "l_tax": pa.array(rng.randint(0, 9, n) / 100.0),
+            "l_returnflag": pa.array(
+                rng.choice(["A", "N", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+            "l_shipdate": pa.array(
+                [base + int(d) * day
+                 for d in rng.randint(0, 1200, n)],
+                pa.timestamp("us")),
+        })
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, tmp_path / "lineitem.parquet")
+        got = QUERIES["pricing_summary"](str(tmp_path)).to_pandas()
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+        exp = con.sql(ORACLE_SQL["pricing_summary"]).df()
+        got = got.sort_values(
+            ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        exp = exp.sort_values(
+            ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        assert got.columns.tolist() == exp.columns.tolist()
+        for c in got.columns:
+            assert (got[c] == exp[c]).all(), c

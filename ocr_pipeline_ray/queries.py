@@ -11200,3 +11200,162 @@ SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY node
 """
 QUERIES["sssp"] = q_sssp
+
+
+# --------------------------------------------- URL canonicalization
+
+def _aliased_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic alias-variant urls: shared paths (collisions),
+    tracking params, trailing slashes, fragments, www labels, :80
+    ports, uppercased hosts — one plant family per modulus so every
+    canonicalization rule is load-bearing."""
+    ids = batch.column("doc_id")
+    hot = pc.equal(_int_mod(ids, 3), 0)
+    hid = pc.if_else(hot, pa.scalar(0, pa.int64()), _int_mod(ids, 97))
+    host = pc.binary_join_element_wise(
+        "host", pc.cast(hid, pa.string()), ".example.com", "")
+    host = pc.if_else(pc.equal(_int_mod(ids, 8), 6),
+                      pc.utf8_upper(host), host)
+    host = pc.if_else(
+        pc.equal(_int_mod(ids, 7), 3),
+        pc.binary_join_element_wise("www.", host, ""), host)
+    port = pc.if_else(pc.equal(_int_mod(ids, 9), 5),
+                      pa.scalar(":80"), pa.scalar(""))
+    path = pc.if_else(
+        pc.less(_int_mod(ids, 10), 2), pa.scalar("/home"),
+        pc.binary_join_element_wise(
+            "/p/", pc.cast(ids, pa.string()), ""))
+    path = pc.if_else(
+        pc.equal(_int_mod(ids, 5), 2),
+        pc.binary_join_element_wise(path, "/", ""), path)
+    q = pc.if_else(pc.equal(_int_mod(ids, 4), 1),
+                   pa.scalar("?utm_source=feed&b=2&a=1"),
+                   pa.scalar(""))
+    frag = pc.if_else(pc.equal(_int_mod(ids, 6), 4),
+                      pa.scalar("#frag"), pa.scalar(""))
+    url = pc.binary_join_element_wise(
+        "http://", host, port, path, q, frag, "")
+    return pa.table({"doc_id": ids, "url": url})
+
+
+def q_canonical_url(sf_dir: str):
+    """URL canonicalization (`stages/web.canonical_url_fn`): the
+    alias-collapsing dedup key over a crawl with planted fragment /
+    www / port / case / tracking-param / trailing-slash variants."""
+    from .stages.web import canonical_url_fn
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aliased_urls, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: canonical_url_fn(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "canonical"]).sort("doc_id")
+
+
+def q_canonical_dup_groups(sf_dir: str):
+    """Alias groups: canonical keys claimed by more than one raw url
+    — what exact URL dedup MISSES without canonicalization. Map-side
+    partial combine, one canonical-key groupby."""
+    from .stages.web import canonical_url_fn
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _aliased_urls, batch_format="pyarrow").map_batches(
+        lambda b: canonical_url_fn(b), batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["canonical", "doc_id"]).group_by(
+            ["canonical"]).aggregate([("doc_id", "count"),
+                                      ("doc_id", "min")])
+        return pa.table({
+            "canonical": agg.column("canonical"),
+            "n": pc.cast(agg.column("doc_id_count"), pa.int64()),
+            "m": pc.cast(agg.column("doc_id_min"), pa.int64()),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("canonical")
+           .aggregate(Sum("n"), ray.data.aggregate.Min("m")))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "canonical": batch.column("canonical"),
+            "n_docs": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "min_doc": pc.cast(batch.column("min(m)"), pa.int64()),
+        })
+        return t.filter(pc.greater(t.column("n_docs"), 1))
+
+    return agg.map_batches(
+        _finish, batch_format="pyarrow").sort("canonical")
+
+
+# SQL twin of _aliased_urls + canonical_url_fn (same RE2 chain)
+_ALIASED_URL_SQL = (
+    "'http://' || CASE WHEN doc_id % 7 = 3 THEN 'www.' ELSE '' END "
+    "|| CASE WHEN doc_id % 8 = 6 THEN upper(h) ELSE h END "
+    "|| CASE WHEN doc_id % 9 = 5 THEN ':80' ELSE '' END "
+    "|| p || CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&b=2&a=1' "
+    "ELSE '' END "
+    "|| CASE WHEN doc_id % 6 = 4 THEN '#frag' ELSE '' END"
+)
+
+_CANONICAL_SQL = r"""
+WITH u0 AS (
+  SELECT doc_id,
+    'host' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                   ELSE doc_id % 97 END AS VARCHAR)
+      || '.example.com' AS h,
+    CASE WHEN doc_id % 10 < 2 THEN '/home'
+         ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS p
+  FROM documents
+), u AS (
+  SELECT doc_id, {alias} AS url FROM u0
+), s1 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u1 FROM u
+), s2 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u1,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*'))
+    || regexp_replace(u1,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS u2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(
+    u2, '^(http://[^:/?]+):80([/?]|$)', '\1\2'),
+        '^(https://[^:/?]+):443([/?]|$)', '\1\2'),
+        '^(https?://)www\.', '\1') AS u3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, url,
+    CASE WHEN contains(u3, '?') THEN
+      string_split(u3, '?')[1] ||
+      CASE WHEN qf <> '' THEN '?' || qf ELSE '' END
+    ELSE u3 END AS u4
+  FROM (
+    SELECT doc_id, url, u3,
+      CASE WHEN contains(u3, '?') THEN array_to_string(
+        list_sort(list_filter(
+          string_split(string_split(u3, '?')[2], '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[a-z0-9]*|fbclid|gclid|ref)='))), '&')
+      ELSE '' END AS qf
+    FROM s3)
+)
+SELECT doc_id, url,
+  regexp_replace(regexp_replace(u4, '/$', ''), '/\?', '?')
+    AS canonical
+FROM s4
+""".format(alias=_ALIASED_URL_SQL)
+
+ORACLE_SQL["canonical_url"] = (
+    "WITH c AS (" + _CANONICAL_SQL + ") "
+    "SELECT doc_id, canonical FROM c ORDER BY doc_id"
+)
+QUERIES["canonical_url"] = q_canonical_url
+
+ORACLE_SQL["canonical_dup_groups"] = (
+    "WITH c AS (" + _CANONICAL_SQL + ") "
+    "SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(min(doc_id) AS BIGINT) AS min_doc FROM c "
+    "GROUP BY canonical HAVING count(*) > 1 ORDER BY canonical"
+)
+QUERIES["canonical_dup_groups"] = q_canonical_dup_groups

@@ -140,3 +140,46 @@ class TestPricingSummary:
         assert got.columns.tolist() == exp.columns.tolist()
         for c in got.columns:
             assert (got[c] == exp[c]).all(), c
+
+
+class TestCanonicalUrl:
+    def _canon(self, urls):
+        from ocr_pipeline_ray.stages.web import canonical_url_fn
+
+        tbl = pa.table({"url": pa.array(urls, pa.string())})
+        return canonical_url_fn(tbl).column("canonical").to_pylist()
+
+    def test_rule_chain(self):
+        got = self._canon([
+            "http://www.Host3.Example.com:80/p/7/",
+            "https://h.com:443/a#frag",
+            "http://h.com/p?utm_source=x&b=2&a=1&fbclid=z",
+            "http://h.com/p/?ref=rss",
+            "http://h.com/",
+            "http://h.com/CaseKept/Path",
+        ])
+        assert got == [
+            "http://host3.example.com/p/7",
+            "https://h.com/a",
+            "http://h.com/p?a=1&b=2",
+            "http://h.com/p",
+            "http://h.com",
+            "http://h.com/CaseKept/Path",
+        ]
+
+    def test_non_default_port_kept(self):
+        assert self._canon(["http://h.com:8080/x"]) == [
+            "http://h.com:8080/x"]
+        # :443 is only default for https
+        assert self._canon(["http://h.com:443/x"]) == [
+            "http://h.com:443/x"]
+
+    def test_idempotent(self):
+        urls = ["http://www.H.com:80/p/?utm_a=1&z=2#f",
+                "http://h.com/plain"]
+        once = self._canon(urls)
+        assert self._canon(once) == once
+
+    def test_no_query_rows_untouched_fastpath(self):
+        urls = ["http://h.com/a/b", "http://h.com/c"]
+        assert self._canon(urls) == urls

@@ -11359,3 +11359,65 @@ ORACLE_SQL["canonical_dup_groups"] = (
     "GROUP BY canonical HAVING count(*) > 1 ORDER BY canonical"
 )
 QUERIES["canonical_dup_groups"] = q_canonical_dup_groups
+
+
+# --------------------------------- intra-document repeated paragraphs
+
+def q_intradoc_dedup(sf_dir: str):
+    """Within-doc repeated-paragraph removal
+    (`stages/dedup.intradoc_dedup_fn` — the Dolma/RefinedWeb page-
+    internal dedup rule, row-local complement of `paragraph_dedup`).
+    Plant: every doc gets a promo paragraph twice, and every third
+    doc repeats its own body."""
+    from .stages.dedup import intradoc_dedup_fn
+
+    sep = "\n\n"
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        body = pc.fill_null(batch.column("text"), "")
+        rep = pc.if_else(
+            pc.equal(_int_mod(ids, 3), 0),
+            pc.binary_join_element_wise(sep, body, ""),
+            pa.scalar(""))
+        t = pc.binary_join_element_wise(
+            "promo", sep, body, sep, "promo", rep, sep,
+            "tail ", pc.cast(_int_mod(ids, 5), pa.string()), "")
+        return pa.table({"doc_id": ids, "text": t})
+
+    return _docs(sf_dir).map_batches(
+        _aug, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: intradoc_dedup_fn(b), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+ORACLE_SQL["intradoc_dedup"] = """
+WITH aug AS (
+  SELECT doc_id, 'promo' || chr(10) || chr(10) ||
+    coalesce(text, '') || chr(10) || chr(10) || 'promo' ||
+    CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || chr(10) || coalesce(text, '')
+         ELSE '' END ||
+    chr(10) || chr(10) || 'tail ' || CAST(doc_id % 5 AS VARCHAR)
+    AS t
+  FROM documents
+), p AS (
+  SELECT doc_id, g - 1 AS para_idx, paras[g] AS para
+  FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS paras
+        FROM aug),
+  LATERAL unnest(range(1, len(paras) + 1)) AS r(g)
+), f AS (
+  SELECT doc_id, para_idx, para, row_number() OVER
+    (PARTITION BY doc_id, para ORDER BY para_idx) AS rn,
+    count(*) OVER (PARTITION BY doc_id) AS n_paras
+  FROM p
+)
+SELECT doc_id,
+  string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+    AS text_dedup,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(any_value(n_paras) - count(*) AS BIGINT) AS n_dropped
+FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+QUERIES["intradoc_dedup"] = q_intradoc_dedup

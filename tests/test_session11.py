@@ -183,3 +183,37 @@ class TestCanonicalUrl:
     def test_no_query_rows_untouched_fastpath(self):
         urls = ["http://h.com/a/b", "http://h.com/c"]
         assert self._canon(urls) == urls
+
+
+class TestIntradocDedup:
+    def _run(self, texts, ids=None):
+        from ocr_pipeline_ray.stages.dedup import intradoc_dedup_fn
+
+        tbl = pa.table({
+            "doc_id": pa.array(ids or list(range(len(texts))),
+                               pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        return intradoc_dedup_fn(tbl)
+
+    def test_first_occurrence_wins_in_order(self):
+        out = self._run(["a\n\nb\n\na\n\nc\n\nb"])
+        assert out.column("text_dedup").to_pylist() == ["a\n\nb\n\nc"]
+        assert out.column("n_kept").to_pylist() == [3]
+        assert out.column("n_dropped").to_pylist() == [2]
+
+    def test_cross_doc_repeats_kept(self):
+        # same paragraph in two docs: intra-doc rule keeps both
+        out = self._run(["x\n\ny", "x\n\nz"])
+        assert out.column("text_dedup").to_pylist() == [
+            "x\n\ny", "x\n\nz"]
+
+    def test_null_and_empty(self):
+        out = self._run([None, "", "a\n\na"])
+        assert out.column("text_dedup").to_pylist() == ["", "", "a"]
+        assert out.column("n_dropped").to_pylist() == [0, 0, 1]
+
+    def test_no_dup_identity(self):
+        texts = ["p\n\nq\n\nr"]
+        out = self._run(texts)
+        assert out.column("text_dedup").to_pylist() == texts

@@ -11421,3 +11421,39 @@ SELECT doc_id,
 FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 """
 QUERIES["intradoc_dedup"] = q_intradoc_dedup
+
+
+# ------------------------------------------ JL random projection
+
+def q_random_projection(sf_dir: str):
+    """±1 random-projection codes (16 dims) over the embedding
+    corpus (`stages/similarity.random_projection`): the JL
+    dim-reduction front end, exact-int64 so the unnest-join twin is
+    bit-exact."""
+    from .stages.similarity import random_projection
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return random_projection(ds, d_out=16).sort(["vec_id", "dim"])
+
+
+ORACLE_SQL["random_projection"] = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         AS BIGINT) AS x
+  FROM embeddings
+), p AS (
+  SELECT j.j, k.k,
+    CASE WHEN substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+      CAST(k.k AS VARCHAR)), 1, 1)
+      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(1, 65)) AS j) j,
+       (SELECT unnest(range(1, 17)) AS k) k
+)
+SELECT v.vec_id, CAST(p.k AS BIGINT) AS dim,
+  CAST(sum(v.x * p.s) AS BIGINT) AS x
+FROM v JOIN p ON p.j = v.j
+GROUP BY v.vec_id, p.k ORDER BY v.vec_id, p.k
+"""
+QUERIES["random_projection"] = q_random_projection

@@ -968,3 +968,62 @@ def hard_negatives(ds, anchors, lo: float, hi: float, k: int = 5,
     # candidates are anchors×k×blocks — tiny; one-partition finish
     return cands.repartition(1).map_batches(
         _finish, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------- random projection (JL) codes
+
+def _rp_sign_matrix(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix: sign(j,k) = +1 when the
+    first hex char of md5('j:k') is 0-7 (1-based indices — the SQL
+    twin's generate_subscripts convention). No RNG; every worker
+    rebuilds the same matrix from the formula."""
+    import hashlib
+
+    m = np.empty((d_in, d_out), np.int64)
+    for j in range(1, d_in + 1):
+        for k in range(1, d_out + 1):
+            h = hashlib.md5(f"{j}:{k}".encode()).hexdigest()
+            m[j - 1, k - 1] = 1 if int(h[0], 16) < 8 else -1
+    return m
+
+
+_RP_CACHE: dict = {}
+
+
+def random_projection(ds, d_out: int = 16,
+                      scale: int = 1_000_000,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """Johnson-Lindenstrauss ±1 random projection — the
+    dimensionality-reduction front end for ANN / clustering at scale
+    (Achlioptas 2003 database-friendly projections).
+
+    All-integer: inputs floor-quantize to int64 (the `kmeans_int`
+    rule) and the ±1 matrix makes each output an exact int64 dot —
+    summation order cannot perturb it, so the unnest-join SQL twin is
+    bit-exact. Row-local, NO shuffle: the (d_in × d_out) sign matrix
+    is formula-derived per worker (memoized), never shipped.
+
+    Output: one row per (vec_id, dim 1..d_out) with the projected
+    int64 code — the exploded layout the oracle gate hashes.
+    """
+    def _project(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(vec_col))
+        q = np.floor(mat * scale).astype(np.int64)
+        d_in = q.shape[1]
+        key = (d_in, d_out)
+        if key not in _RP_CACHE:
+            _RP_CACHE[key] = _rp_sign_matrix(d_in, d_out)
+        codes = q @ _RP_CACHE[key]
+        n = len(q)
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d_out), pa.int64()),
+            "dim": pa.array(
+                np.tile(np.arange(1, d_out + 1, dtype=np.int64), n),
+                pa.int64()),
+            "x": pa.array(codes.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(_project, batch_format="pyarrow")

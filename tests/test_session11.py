@@ -217,3 +217,33 @@ class TestIntradocDedup:
         texts = ["p\n\nq\n\nr"]
         out = self._run(texts)
         assert out.column("text_dedup").to_pylist() == texts
+
+
+class TestRandomProjection:
+    def test_exact_int_dot(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import (
+            _rp_sign_matrix, random_projection)
+
+        rng = np.random.RandomState(5)
+        vecs = rng.uniform(-1, 1, (20, 8)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        })
+        out = random_projection(
+            _ds(tbl, 3), d_out=4).to_pandas().sort_values(
+            ["vec_id", "dim"]).reset_index(drop=True)
+        q = np.floor(vecs.astype(np.float64) * 1_000_000).astype(
+            np.int64)
+        ref = q @ _rp_sign_matrix(8, 4)
+        assert (out["x"].to_numpy() == ref.reshape(-1)).all()
+        # distance preservation sanity: projection is ±1/JL — inner
+        # products correlate with the originals
+        assert out["dim"].min() == 1 and out["dim"].max() == 4
+
+    def test_sign_matrix_deterministic(self):
+        from ocr_pipeline_ray.stages.similarity import _rp_sign_matrix
+
+        a, b = _rp_sign_matrix(8, 4), _rp_sign_matrix(8, 4)
+        assert (a == b).all()
+        assert set(np.unique(a)) <= {-1, 1}

@@ -11457,3 +11457,75 @@ FROM v JOIN p ON p.j = v.j
 GROUP BY v.vec_id, p.k ORDER BY v.vec_id, p.k
 """
 QUERIES["random_projection"] = q_random_projection
+
+
+# --------------------------------------- real image resize (NN pixels)
+
+def q_image_resize(sf_dir: str):
+    """REAL nearest-neighbor image resize over real decoded pixels
+    (`stages/multimodal.ImageResizer` actor pool): every doc becomes
+    a deterministic gradient PGM with formula-driven dims (plus a
+    pass-through small-image plant), the pool decodes, resamples with
+    exact-integer geometry and emits an order-sensitive pixel
+    checksum the DuckDB twin recomputes from the FORMULA — a
+    header-faking resizer cannot match it."""
+    import numpy as np
+
+    from .stages.multimodal import encode_pgm, image_resize_stage
+
+    def _to_images(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 11 == 5:
+                w, h = 9, 6
+            else:
+                w, h = 12 + (i % 5) * 3, 8 + (i % 7) * 2
+            ys, xs = np.mgrid[0:h, 0:w]
+            payloads.append(
+                encode_pgm(w, h, (11 * i + 7 * xs + 13 * ys) % 83))
+        return pa.table({
+            "media_id": pa.array([f"m{i:06d}" for i in ids],
+                                 pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    imgs = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _to_images, batch_format="pyarrow")
+    return image_resize_stage(imgs, max_side=10).select_columns(
+        ["media_id", "width", "height", "target_w", "target_h",
+         "checksum"]).sort("media_id")
+
+
+ORACLE_SQL["image_resize"] = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 5 THEN 9
+         ELSE 12 + (doc_id % 5) * 3 END AS w,
+    CASE WHEN doc_id % 11 = 5 THEN 6
+         ELSE 8 + (doc_id % 7) * 2 END AS h
+  FROM documents
+), t AS (
+  SELECT doc_id, w, h,
+    CASE WHEN greatest(w, h) <= 10 THEN w
+         ELSE greatest(1, w * 10 // greatest(w, h)) END AS tw,
+    CASE WHEN greatest(w, h) <= 10 THEN h
+         ELSE greatest(1, h * 10 // greatest(w, h)) END AS th
+  FROM d
+), g AS (
+  SELECT doc_id, w, h, tw, th, xp.x, yp.y,
+    (xp.x * w) // tw AS sx, (yp.y * h) // th AS sy
+  FROM t,
+  LATERAL unnest(range(0, tw)) AS xp(x),
+  LATERAL unnest(range(0, th)) AS yp(y)
+)
+SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+  CAST(any_value(w) AS BIGINT) AS width,
+  CAST(any_value(h) AS BIGINT) AS height,
+  CAST(any_value(tw) AS BIGINT) AS target_w,
+  CAST(any_value(th) AS BIGINT) AS target_h,
+  CAST(sum(((11 * doc_id + 7 * sx + 13 * sy) % 83)
+           * (1 + x + 31 * y)) AS BIGINT) AS checksum
+FROM g GROUP BY doc_id ORDER BY media_id
+"""
+QUERIES["image_resize"] = q_image_resize

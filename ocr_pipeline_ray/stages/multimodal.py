@@ -695,3 +695,96 @@ def silence_stage(ds, threshold: int = 16, batch_size: int = 64,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: REAL nearest-neighbor downsample over real
+    decoded pixels (:func:`decode_pnm`) — the thumbnail/preprocess
+    step of a multimodal training pipeline, pure stdlib+numpy.
+
+    All-integer geometry so the oracle can recompute every output
+    pixel from the corpus generator's formula:
+
+    * target dims: if ``max(w, h) <= max_side`` the image passes
+      through; else ``tw = max(1, w*max_side // max(w,h))`` (same for
+      ``th``) — trunc-div, no float scale factor.
+    * sample map: output ``(x', y')`` reads source
+      ``(x'*w // tw, y'*h // th)``.
+
+    Emits the re-encoded PGM payload plus an order-sensitive integer
+    checksum ``Σ p(x',y') · (1 + x' + 31·y')`` (plain sums couldn't
+    tell a flipped raster apart). RGB converts to luma by exact
+    trunc-div mean. Non-decodable rows carry ``decode_error`` (the
+    skip-vs-fail split, /root/reference/ocr_pipeline.py:426-441).
+    """
+
+    def __init__(self, max_side: int = 10):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {"media_id": ids, "width": [], "height": [],
+               "target_w": [], "target_h": [], "checksum": [],
+               "resized": [], "decode_error": []}
+        for payload in payloads:
+            try:
+                d = decode_pnm(payload)
+                px = d["pixels"]
+                if d["channels"] == 3:
+                    px = (px.astype(np.int64).sum(axis=2) // 3)
+                else:
+                    px = px[:, :, 0].astype(np.int64)
+                w, h = d["width"], d["height"]
+                m = max(w, h)
+                if m <= self.max_side:
+                    tw, th = w, h
+                else:
+                    tw = max(1, w * self.max_side // m)
+                    th = max(1, h * self.max_side // m)
+                sx = np.arange(tw, dtype=np.int64) * w // tw
+                sy = np.arange(th, dtype=np.int64) * h // th
+                r = px[np.ix_(sy, sx)]
+                xw = 1 + np.arange(tw, dtype=np.int64)
+                yw = 31 * np.arange(th, dtype=np.int64)
+                chk = int((r * (xw[None, :] + yw[:, None])).sum())
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(tw)
+                out["target_h"].append(th)
+                out["checksum"].append(chk)
+                out["resized"].append(
+                    encode_pgm(tw, th, r.astype(np.uint8)))
+                out["decode_error"].append(None)
+            except (ValueError, IndexError) as exc:
+                for k in ("width", "height", "target_w", "target_h",
+                          "checksum"):
+                    out[k].append(-1)
+                out["resized"].append(None)
+                out["decode_error"].append(str(exc))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "target_w": pa.array(out["target_w"], pa.int64()),
+            "target_h": pa.array(out["target_h"], pa.int64()),
+            "checksum": pa.array(out["checksum"], pa.int64()),
+            "resized": pa.array(out["resized"], pa.binary()),
+            "decode_error": pa.array(out["decode_error"],
+                                     pa.string()),
+        })
+
+
+def image_resize_stage(ds, max_side: int = 10, batch_size: int = 64,
+                       concurrency=(1, 8)):
+    """Nearest-neighbor resize actor pool over ``(media_id,
+    payload)`` — small batches for binary rows, decode state per
+    actor, payload-bearing output suitable for a downstream sink."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -247,3 +247,54 @@ class TestRandomProjection:
         a, b = _rp_sign_matrix(8, 4), _rp_sign_matrix(8, 4)
         assert (a == b).all()
         assert set(np.unique(a)) <= {-1, 1}
+
+
+class TestImageResizer:
+    def _one(self, w, h, pixels, max_side=10):
+        from ocr_pipeline_ray.stages.multimodal import (
+            ImageResizer, encode_pgm)
+
+        tbl = pa.table({
+            "media_id": pa.array(["a"], pa.string()),
+            "payload": pa.array([encode_pgm(w, h, pixels)],
+                                pa.binary()),
+        })
+        return ImageResizer(max_side=max_side)(tbl)
+
+    def test_downsample_geometry_and_pixels(self):
+        px = np.arange(20 * 10, dtype=np.uint8).reshape(10, 20)
+        out = self._one(20, 10, px)
+        assert out.column("target_w")[0].as_py() == 10
+        assert out.column("target_h")[0].as_py() == 5
+        # resized(x', y') = src(x'*2, y'*2)
+        from ocr_pipeline_ray.stages.multimodal import decode_pnm
+
+        r = decode_pnm(out.column("resized")[0].as_py())
+        got = r["pixels"][:, :, 0]
+        assert (got == px[::2, ::2]).all()
+
+    def test_passthrough_when_small(self):
+        px = np.ones((6, 9), np.uint8)
+        out = self._one(9, 6, px)
+        assert out.column("target_w")[0].as_py() == 9
+        assert out.column("target_h")[0].as_py() == 6
+
+    def test_garbage_payload_is_error_row(self):
+        from ocr_pipeline_ray.stages.multimodal import ImageResizer
+
+        tbl = pa.table({
+            "media_id": pa.array(["bad"], pa.string()),
+            "payload": pa.array([b"\x00\x01junk"], pa.binary()),
+        })
+        out = ImageResizer()(tbl)
+        assert out.column("decode_error")[0].as_py() is not None
+        assert out.column("checksum")[0].as_py() == -1
+
+    def test_checksum_orientation_sensitive(self):
+        px = np.zeros((4, 4), np.uint8)
+        px[0, 1] = 7  # weight (1 + x) + 31*y = 2
+        a = self._one(4, 4, px).column("checksum")[0].as_py()
+        px2 = np.zeros((4, 4), np.uint8)
+        px2[1, 0] = 7  # weight 1 + 31 = 32
+        b = self._one(4, 4, px2).column("checksum")[0].as_py()
+        assert a == 14 and b == 224 and a != b

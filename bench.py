@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "vocab_growth", "inference_buckets", "domain_holdout_split",
     "sitemap_parse", "fix_mojibake", "seed_pipeline",
     "homoglyph_hosts",
+    # session-11 additions (sssp is iterative — excluded like
+    # crawl_depth; see the note below)
+    "pricing_summary", "canonical_url", "canonical_dup_groups",
+    "politeness_plan",
+    "intradoc_dedup", "random_projection", "image_resize",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

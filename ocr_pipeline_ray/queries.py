@@ -11529,3 +11529,34 @@ SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
 FROM g GROUP BY doc_id ORDER BY media_id
 """
 QUERIES["image_resize"] = q_image_resize
+
+
+# ------------------------------------------ crawl politeness slots
+
+def q_politeness_plan(sf_dir: str):
+    """Per-host rate-limited fetch-slot scheduling
+    (`stages/web.politeness_plan`, rate 3/slot) over the skewed
+    synthetic crawl — the dispatch-plan load curve whose tail slot
+    count is the hot host's makespan."""
+    from .stages.web import politeness_plan, url_host_fn
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _url_augment, batch_format="pyarrow"
+    ).map_batches(lambda b: url_host_fn(b), batch_format="pyarrow")
+    return politeness_plan(
+        ds, rate=3).sort("slot")
+
+
+ORACLE_SQL["politeness_plan"] = (
+    "WITH u AS (SELECT doc_id, 'host' || CAST(" + _HOST_ID_SQL +
+    " AS VARCHAR) || '.example.com' AS host FROM documents), "
+    "r AS (SELECT doc_id, host, row_number() OVER "
+    "(PARTITION BY host ORDER BY doc_id) - 1 AS rn FROM u), "
+    "s AS (SELECT host, rn // 3 AS slot, count(*) AS n FROM r "
+    "GROUP BY host, rn // 3) "
+    "SELECT CAST(slot AS BIGINT) AS slot, "
+    "CAST(sum(n) AS BIGINT) AS n_fetches, "
+    "CAST(count(*) AS BIGINT) AS n_hosts "
+    "FROM s GROUP BY slot ORDER BY slot"
+)
+QUERIES["politeness_plan"] = q_politeness_plan

@@ -1211,3 +1211,82 @@ def canonical_url_fn(batch: pa.Table, url_col: str = "url",
     u = pc.replace_substring_regex(
         u, pattern=r"/\?", replacement="?")
     return batch.append_column(out_col, u)
+
+
+def politeness_plan(ds, rate: int = 3, host_col: str = "host",
+                    order_col: str = "doc_id",
+                    n_buckets: int = 64):
+    """Crawl politeness scheduling: assign every fetch to a time SLOT
+    such that no host receives more than ``rate`` fetches per slot
+    (the crawl-frontier dispatch plan — hosts are rate-limited, the
+    fleet is not). Returns the per-slot load curve
+    ``(slot, n_fetches, n_hosts)``.
+
+    Scale shape: ONE host-hash co-shuffle; each whole bucket sorts by
+    ``(host, order)``, derives the per-host 0-based rank with a
+    boundary-mask cumcount (never a per-host UDF), and pre-reduces to
+    ``(host, slot, n)`` rows — globally unique because a host lives
+    in exactly one bucket — so the final slot groupby moves
+    hosts × slots rows, not fetches. The hot host of a skewed crawl
+    costs one in-bucket sort, and its slot count IS the makespan.
+    """
+    import numpy as np
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import bucket_ids
+
+    if rate < 1:
+        raise ValueError("politeness_plan: rate must be >= 1")
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(batch.column(host_col), n_buckets),
+                pa.int64()),
+            host_col: batch.column(host_col),
+            order_col: batch.column(order_col),
+        })
+
+    def _bucket_plan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                host_col: pa.array([], pa.string()),
+                "slot": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        g = group.sort_by([(host_col, "ascending"),
+                           (order_col, "ascending")])
+        hosts = g.column(host_col).combine_chunks()
+        # per-host 0-based rank: global index minus segment start
+        change = np.r_[True, hosts[1:].to_numpy(zero_copy_only=False)
+                       != hosts[:-1].to_numpy(zero_copy_only=False)] \
+            if g.num_rows > 1 else np.array([True])
+        idx = np.arange(g.num_rows, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+        slot = (idx - seg_start) // rate
+        t = pa.table({host_col: hosts,
+                      "slot": pa.array(slot, pa.int64())})
+        agg = t.group_by([host_col, "slot"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            host_col: agg.column(host_col),
+            "slot": agg.column("slot"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    plan = (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=n_buckets)
+        .map_groups(_bucket_plan, batch_format="pyarrow")
+    )
+    agg = plan.groupby("slot").aggregate(Sum("n"), Count())
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "slot": pc.cast(batch.column("slot"), pa.int64()),
+            "n_fetches": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "n_hosts": pc.cast(batch.column("count()"), pa.int64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

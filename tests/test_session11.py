@@ -298,3 +298,43 @@ class TestImageResizer:
         px2[1, 0] = 7  # weight 1 + 31 = 32
         b = self._one(4, 4, px2).column("checksum")[0].as_py()
         assert a == 14 and b == 224 and a != b
+
+
+class TestPolitenessPlan:
+    def _plan(self, hosts, ids=None, rate=2, blocks=1):
+        from ocr_pipeline_ray.stages.web import politeness_plan
+
+        tbl = pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "doc_id": pa.array(ids or list(range(len(hosts))),
+                               pa.int64()),
+        })
+        out = politeness_plan(_ds(tbl, blocks), rate=rate,
+                              n_buckets=4).to_pandas()
+        return out.sort_values("slot").reset_index(drop=True)
+
+    def test_rate_cap_per_host(self):
+        # 5 fetches on one host at rate 2 → slots 0,0,1,1,2
+        out = self._plan(["h"] * 5)
+        assert out["slot"].tolist() == [0, 1, 2]
+        assert out["n_fetches"].tolist() == [2, 2, 1]
+        assert out["n_hosts"].tolist() == [1, 1, 1]
+
+    def test_hosts_fill_slots_independently(self):
+        out = self._plan(["a", "a", "b", "b", "b"], rate=2)
+        # a: slots 0,0; b: slots 0,0,1
+        assert out["slot"].tolist() == [0, 1]
+        assert out["n_fetches"].tolist() == [4, 1]
+        assert out["n_hosts"].tolist() == [2, 1]
+
+    def test_layout_invariance(self):
+        hosts = ["h%d" % (i % 3) for i in range(30)]
+        a = self._plan(hosts, rate=4, blocks=1)
+        b = self._plan(hosts, rate=4, blocks=7)
+        assert a.equals(b)
+
+    def test_bad_rate_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._plan(["h"], rate=0)

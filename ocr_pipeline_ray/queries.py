@@ -11560,3 +11560,68 @@ ORACLE_SQL["politeness_plan"] = (
     "FROM s GROUP BY slot ORDER BY slot"
 )
 QUERIES["politeness_plan"] = q_politeness_plan
+
+
+# ------------------------------------ streaming watermark windows
+
+def q_watermark_windows(sf_dir: str):
+    """Event-time tumbling windows with watermark semantics
+    (`stages/temporal.watermark_windows`, lateness 2h): planted
+    disorder — every 13th event arrives with a 3h-stale event time
+    (LATE), every 11th with 1h (reordered but inside the watermark,
+    stays on-time). The batch replay of streaming window/late-data
+    handling; bit-exact vs the running-max window twin."""
+    from .stages.temporal import watermark_windows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"])
+
+    h_us = 3_600_000_000
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id")
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        ts = pc.if_else(
+            pc.equal(_int_mod(ids, 13), 7),
+            pc.subtract(ts, pa.scalar(3 * h_us, pa.int64())),
+            pc.if_else(
+                pc.equal(_int_mod(ids, 11), 4),
+                pc.subtract(ts, pa.scalar(h_us, pa.int64())), ts))
+        return pa.table({
+            "event_id": ids,
+            "ts": pc.cast(ts, pa.timestamp("us")),
+            "event_type": batch.column("event_type"),
+        })
+
+    planted = ds.map_batches(_plant, batch_format="pyarrow")
+    return watermark_windows(
+        planted, lateness_us=2 * h_us).sort(["hour", "event_type"])
+
+
+ORACLE_SQL["watermark_windows"] = """
+WITH p AS (
+  SELECT event_id,
+    CASE WHEN event_id % 13 = 7 THEN ts - INTERVAL 3 HOUR
+         WHEN event_id % 11 = 4 THEN ts - INTERVAL 1 HOUR
+         ELSE ts END AS ts,
+    event_type
+  FROM events
+), w AS (
+  SELECT event_id, ts, event_type,
+    max(ts) OVER (ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM p
+), f AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+    CASE WHEN wm IS NOT NULL AND ts + INTERVAL 2 HOUR < wm
+         THEN 1 ELSE 0 END AS late
+  FROM w
+)
+SELECT CAST(hour AS TIMESTAMP) AS hour, event_type,
+  CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+  CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+QUERIES["watermark_windows"] = q_watermark_windows

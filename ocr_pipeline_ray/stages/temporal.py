@@ -17,6 +17,7 @@ from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _round6(x: float) -> float:
@@ -1153,3 +1154,152 @@ def rate_bursts(ds, key_col: str = "event_type", ts_col: str = "ts",
     return _bucket_by(counts, key_col, n_buckets).groupby(
         "_kbucket", num_partitions=n_buckets
     ).map_groups(_fold, batch_format="pyarrow").sort(key_col)
+
+
+def watermark_windows(ds, lateness_us: int,
+                      id_col: str = "event_id", ts_col: str = "ts",
+                      key_col: str = "event_type",
+                      band_width: int = 1024,
+                      n_buckets: int = 64):
+    """Event-time tumbling windows with STREAMING watermark
+    semantics: the watermark at arrival position i (arrival order =
+    ``id_col``) is ``max(ts[0..i-1]) − lateness``; an event whose
+    event time has already fallen behind it is LATE (a stream
+    processor would drop or side-output it). Emits per
+    ``(hour, key)`` window the on-time and late counts — the batch
+    replay of watermark windowing, bit-exact vs the running-max
+    window SQL twin.
+
+    Scale shape — the distributed RUNNING-MAX PREFIX
+    (`peak_concurrency`'s banded prefix-sum shape):
+
+    1. one streaming map pass reduces each block to per-band max-ts
+       partials (bands = ``id // band_width``); the driver folds the
+       bands-scale table into an EXCLUSIVE prefix max per band —
+       never sees events.
+    2. one band-hash co-shuffle; each whole band sorts by arrival
+       id, runs a vectorized cummax seeded with its band's prefix,
+       flags late rows, and pre-aggregates to
+       ``(hour, key, on_time, late)`` partials.
+    3. one tiny groupby merges band partials.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_ids
+
+    if lateness_us < 0:
+        raise ValueError("watermark_windows: negative lateness")
+
+    def _band_max(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(batch.column(ts_col), pa.int64()
+                     ).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        band = ids // band_width
+        agg = pa.table({"band": pa.array(band, pa.int64()),
+                        "mx": pa.array(ts, pa.int64())}).group_by(
+            ["band"]).aggregate([("mx", "max")])
+        return pa.table({"band": agg.column("band"),
+                         "mx": agg.column("mx_max")})
+
+    parts = ds.map_batches(
+        _band_max, batch_format="pyarrow").to_arrow_refs()
+    import ray as _ray
+
+    folded: dict = {}
+    for ref in parts:
+        t = _ray.get(ref)
+        for b, m in zip(t.column("band").to_pylist(),
+                        t.column("mx").to_pylist()):
+            if m is not None and (b not in folded or m > folded[b]):
+                folded[b] = m
+    bands_sorted = sorted(folded)
+    prefix_before: dict = {}
+    run = None
+    for b in bands_sorted:
+        prefix_before[b] = run
+        run = folded[b] if run is None else max(run, folded[b])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        band = ids // band_width
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(pa.array(band, pa.int64()), n_buckets),
+                pa.int64()),
+            "band": pa.array(band, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "ts_us": pc.cast(pc.cast(batch.column(ts_col),
+                                     pa.timestamp("us")), pa.int64()),
+            key_col: batch.column(key_col),
+        })
+
+    hour_us = 3_600_000_000
+
+    def _bucket_windows(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "hour": pa.array([], pa.int64()),
+            key_col: pa.array([], pa.string()),
+            "on_time": pa.array([], pa.int64()),
+            "late": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        out = []
+        bands = group.column("band").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        for b in np.unique(bands):
+            g = group.filter(pc.equal(group.column("band"),
+                                      pa.scalar(int(b), pa.int64())))
+            g = g.sort_by([(id_col, "ascending")])
+            ts = g.column("ts_us").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pre = prefix_before.get(int(b))
+            cm = np.maximum.accumulate(ts)
+            # watermark for row i = max(prefix, cummax up to i-1)
+            wm = np.empty(len(ts), np.int64)
+            wm[0] = pre if pre is not None else np.iinfo(np.int64).min
+            if len(ts) > 1:
+                wm[1:] = cm[:-1]
+                if pre is not None:
+                    np.maximum(wm[1:], pre, out=wm[1:])
+            late = (ts + lateness_us) < wm
+            hour = (ts // hour_us) * hour_us
+            t = pa.table({
+                "hour": pa.array(hour, pa.int64()),
+                key_col: g.column(key_col),
+                "on_time": pa.array((~late).astype(np.int64),
+                                    pa.int64()),
+                "late": pa.array(late.astype(np.int64), pa.int64()),
+            })
+            agg = t.group_by(["hour", key_col]).aggregate(
+                [("on_time", "sum"), ("late", "sum")])
+            out.append(pa.table({
+                "hour": agg.column("hour"),
+                key_col: agg.column(key_col),
+                "on_time": agg.column("on_time_sum"),
+                "late": agg.column("late_sum")}))
+        return pa.concat_tables(out) if out else empty
+
+    agg = (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=n_buckets)
+        .map_groups(_bucket_windows, batch_format="pyarrow")
+        .groupby(["hour", key_col])
+        .aggregate(Sum("on_time"), Sum("late"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.cast(pc.cast(batch.column("hour"),
+                                    pa.timestamp("us")),
+                            pa.timestamp("us")),
+            key_col: batch.column(key_col),
+            "n_ontime": pc.cast(batch.column("sum(on_time)"),
+                                pa.int64()),
+            "n_late": pc.cast(batch.column("sum(late)"), pa.int64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

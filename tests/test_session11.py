@@ -338,3 +338,53 @@ class TestPolitenessPlan:
 
         with pytest.raises(ValueError):
             self._plan(["h"], rate=0)
+
+
+class TestWatermarkWindows:
+    def _run(self, ids, ts_hours, types=None, lateness_h=2,
+             blocks=1, band_width=4):
+        from ocr_pipeline_ray.stages.temporal import watermark_windows
+
+        h = 3_600_000_000
+        base = 1_700_000_000_000_000
+        tbl = pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([base + int(t * h) for t in ts_hours],
+                           pa.timestamp("us")),
+            "event_type": pa.array(types or ["e"] * len(ids),
+                                   pa.string()),
+        })
+        out = watermark_windows(
+            _ds(tbl, blocks), lateness_us=lateness_h * h,
+            band_width=band_width, n_buckets=4).to_pandas()
+        return out.sort_values(["hour", "event_type"]).reset_index(
+            drop=True)
+
+    def test_late_event_flagged(self):
+        # arrival order 0..3; event 2 carries a 5h-stale timestamp
+        out = self._run([0, 1, 2, 3], [0, 5, 0, 6])
+        assert out["n_late"].sum() == 1
+        assert out["n_ontime"].sum() == 3
+
+    def test_reorder_within_lateness_on_time(self):
+        # 1h behind the max seen → inside the 2h watermark
+        out = self._run([0, 1, 2], [0, 3, 2])
+        assert out["n_late"].sum() == 0
+
+    def test_first_event_never_late(self):
+        out = self._run([0], [100])
+        assert out["n_late"].sum() == 0 and len(out) == 1
+
+    def test_band_boundary_prefix(self):
+        # band_width=2: the stale event lands in a later band than
+        # the max it violates — prefix fold must carry it over
+        out = self._run([0, 1, 2, 3, 4], [0, 9, 9.1, 9.2, 1],
+                        band_width=2, blocks=3)
+        assert out["n_late"].sum() == 1
+
+    def test_layout_invariance(self):
+        ids = list(range(40))
+        ts = [(i * 7) % 19 for i in range(40)]
+        a = self._run(ids, ts, blocks=1)
+        b = self._run(ids, ts, blocks=9)
+        assert a.equals(b)

@@ -11625,3 +11625,89 @@ SELECT CAST(hour AS TIMESTAMP) AS hour, event_type,
 FROM f GROUP BY hour, event_type ORDER BY hour, event_type
 """
 QUERIES["watermark_windows"] = q_watermark_windows
+
+
+# ------------------------------------------ Merkle bucket repair plan
+
+def q_store_repair_plan(sf_dir: str):
+    """Anti-entropy repair plan between two replicas of the orders
+    table (`stages/stats.bucket_checksums`): the replica drops every
+    97th order and corrupts every 89th order's status; per-bucket
+    Merkle checksums disagree exactly where damage landed, and the
+    plan lists ONLY those buckets — matching data never rescanned."""
+    from .stages.stats import bucket_checksums
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"]
+    src = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=cols)
+
+    def _replica(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(
+            _int_mod(batch.column("o_orderkey"), 97), 13))
+        b = batch.filter(keep)
+        corrupt = pc.equal(_int_mod(b.column("o_orderkey"), 89), 7)
+        status = pc.if_else(corrupt, pa.scalar("X"),
+                            b.column("o_orderstatus"))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderstatus": status,
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+
+    dst = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=cols).map_batches(
+        _replica, batch_format="pyarrow")
+
+    a = bucket_checksums(src, "o_orderkey", cols, n_buckets=32
+                         ).to_pandas().set_index("bucket")
+    b = bucket_checksums(dst, "o_orderkey", cols, n_buckets=32
+                         ).to_pandas().set_index("bucket")
+    # buckets-scale driver fold: the whole point of the Merkle level
+    rows = []
+    for bk in sorted(set(a.index) | set(b.index)):
+        an = int(a["n_rows"].get(bk, 0))
+        bn = int(b["n_rows"].get(bk, 0))
+        ac = int(a["checksum"].get(bk, -1))
+        bc = int(b["checksum"].get(bk, -1))
+        if an != bn or ac != bc:
+            rows.append((bk, an, bn, ac, bc))
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], pa.int64()),
+        "n_src": pa.array([r[1] for r in rows], pa.int64()),
+        "n_dst": pa.array([r[2] for r in rows], pa.int64()),
+        "src_checksum": pa.array([r[3] for r in rows], pa.int64()),
+        "dst_checksum": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+_BUCKET_CHECKSUM_SQL = (
+    "SELECT o_orderkey % 32 AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(('0x' || substr(md5("
+    "COALESCE(CAST(o_orderkey AS VARCHAR), chr(30)) || chr(31) || "
+    "COALESCE(CAST(o_custkey AS VARCHAR), chr(30)) || chr(31) || "
+    "COALESCE(o_orderstatus, chr(30)) || chr(31) || "
+    "COALESCE(o_orderpriority, chr(30)) || chr(31)), 1, 15)) "
+    "AS UBIGINT)) % 9223372036854775808 AS BIGINT) AS cs "
+    "FROM {src} GROUP BY o_orderkey % 32"
+)
+
+ORACLE_SQL["store_repair_plan"] = (
+    "WITH replica AS (SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 89 = 7 THEN 'X' ELSE o_orderstatus END "
+    "AS o_orderstatus, o_orderpriority "
+    "FROM orders WHERE o_orderkey % 97 != 13), "
+    "a AS (" + _BUCKET_CHECKSUM_SQL.format(src="orders") + "), "
+    "b AS (" + _BUCKET_CHECKSUM_SQL.format(src="replica") + ") "
+    "SELECT COALESCE(a.bucket, b.bucket) AS bucket, "
+    "COALESCE(a.n, 0) AS n_src, COALESCE(b.n, 0) AS n_dst, "
+    "COALESCE(a.cs, -1) AS src_checksum, "
+    "COALESCE(b.cs, -1) AS dst_checksum "
+    "FROM a FULL JOIN b ON a.bucket = b.bucket "
+    "WHERE COALESCE(a.n, 0) != COALESCE(b.n, 0) "
+    "OR COALESCE(a.cs, -1) != COALESCE(b.cs, -1) "
+    "ORDER BY bucket"
+)
+QUERIES["store_repair_plan"] = q_store_repair_plan

@@ -28,6 +28,7 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def exact_quantiles(ds, col: str, qs: Sequence[float]) -> pa.Table:
@@ -2131,3 +2132,64 @@ def agg_refresh(base_agg, delta, keys, value_col: str,
         Sum(count_name, alias_name=count_name),
         Sum(sum_name, alias_name=sum_name),
     )
+
+
+def bucket_checksums(ds, key_col: str, cols, n_buckets: int = 64):
+    """Per-BUCKET mergeable content checksums — the Merkle level of a
+    bucketed store's layout, and the anti-entropy repair primitive:
+    two replicas compare buckets-scale checksum tables and re-sync
+    ONLY the buckets that disagree, never scanning matching data
+    twice (Dynamo/Cassandra repair, at bucket granularity).
+
+    Same integrity math as :func:`table_checksum` (order-insensitive
+    ``Σ md5_60(sentinel-composite) mod 2^63`` — SQL-reproducible),
+    keyed by ``key_col % n_buckets`` (the SQL-expressible store
+    partition rule; the engine-hash layout works identically).
+
+    One streaming pass, NO shuffle: each block emits per-bucket
+    ``(bucket, n, partial)`` rows (exact Python-int modular sums —
+    an int64 aggregate of 2^63-bounded partials could overflow);
+    the driver folds the buckets × blocks table. Returns
+    ``(bucket, n_rows, checksum)``.
+    """
+    import hashlib
+
+    import ray.data
+
+    from .setops import _row_keys
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = _row_keys(batch, list(cols))
+        bucket = pc.cast(batch.column(key_col), pa.int64()
+                         ).combine_chunks().to_numpy(
+            zero_copy_only=False) % n_buckets
+        sums: dict = {}
+        counts: dict = {}
+        for b, s in zip(bucket.tolist(), keys.to_pylist()):
+            hv = int(hashlib.md5(
+                s.encode("utf-8")).hexdigest()[:15], 16)
+            sums[b] = (sums.get(b, 0) + hv) % _CHECKSUM_MOD
+            counts[b] = counts.get(b, 0) + 1
+        bs = sorted(sums)
+        return pa.table({
+            "bucket": pa.array(bs, pa.int64()),
+            "n": pa.array([counts[b] for b in bs], pa.int64()),
+            "s": pa.array([sums[b] for b in bs], pa.int64()),
+        })
+
+    folded_n: dict = {}
+    folded_s: dict = {}
+    for b in ds.map_batches(
+            _partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for bk, n, s in zip(b.column("bucket").to_pylist(),
+                            b.column("n").to_pylist(),
+                            b.column("s").to_pylist()):
+            folded_n[bk] = folded_n.get(bk, 0) + n
+            folded_s[bk] = (folded_s.get(bk, 0) + s) % _CHECKSUM_MOD
+    bs = sorted(folded_n)
+    return ray.data.from_arrow(pa.table({
+        "bucket": pa.array(bs, pa.int64()),
+        "n_rows": pa.array([folded_n[b] for b in bs], pa.int64()),
+        "checksum": pa.array([folded_s[b] for b in bs], pa.int64()),
+    }))

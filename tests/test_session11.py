@@ -388,3 +388,40 @@ class TestWatermarkWindows:
         a = self._run(ids, ts, blocks=1)
         b = self._run(ids, ts, blocks=9)
         assert a.equals(b)
+
+
+class TestBucketChecksums:
+    def _cs(self, keys, vals, blocks=1, n_buckets=4):
+        from ocr_pipeline_ray.stages.stats import bucket_checksums
+
+        tbl = pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.string()),
+        })
+        return bucket_checksums(
+            _ds(tbl, blocks), "k", ["k", "v"],
+            n_buckets=n_buckets).to_pandas()
+
+    def test_layout_and_order_invariant(self):
+        keys = [i % 7 for i in range(40)]
+        vals = ["v%d" % i for i in range(40)]
+        a = self._cs(keys, vals, blocks=1)
+        b = self._cs(list(reversed(keys)), list(reversed(vals)),
+                     blocks=9)
+        assert a.equals(b)
+
+    def test_single_row_change_localized(self):
+        keys = list(range(16))
+        a = self._cs(keys, ["x"] * 16)
+        vals = ["x"] * 16
+        vals[5] = "y"  # key 5 → bucket 1
+        b = self._cs(keys, vals)
+        diff = a.merge(b, on="bucket", suffixes=("_a", "_b"))
+        changed = diff[diff.checksum_a != diff.checksum_b]
+        assert changed["bucket"].tolist() == [5 % 4]
+        assert (diff.n_rows_a == diff.n_rows_b).all()
+
+    def test_mergeable_counts(self):
+        out = self._cs([0, 1, 2, 3, 4, 5, 6, 7], ["a"] * 8)
+        assert out["n_rows"].sum() == 8
+        assert len(out) == 4

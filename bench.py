@@ -125,7 +125,7 @@ BENCH_QUERIES = [
     "pricing_summary", "canonical_url", "canonical_dup_groups",
     "politeness_plan",
     "intradoc_dedup", "random_projection", "image_resize",
-    "watermark_windows", "store_repair_plan",
+    "watermark_windows", "store_repair_plan", "bloom_join_revenue",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

@@ -11711,3 +11711,79 @@ ORACLE_SQL["store_repair_plan"] = (
     "ORDER BY bucket"
 )
 QUERIES["store_repair_plan"] = q_store_repair_plan
+
+
+# -------------------------------------------- Bloom runtime filter
+
+def q_bloom_join_revenue(sf_dir: str):
+    """Runtime-filter (Bloom-pushdown) join
+    (`stages/join.bloom_join`): urgent orders (selective dim side)
+    join the lineitem fact side; fact rows that cannot match are cut
+    AT SCAN SPEED before the shuffle, the survivors take the exact
+    repartition join, and revenue rolls up by order status —
+    integer-cents exact."""
+    from .stages.join import bloom_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    urgent = orders.filter(
+        expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_orderkey", "o_orderstatus"])
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "price_c": pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), 100.0)),
+                pa.int64()),
+        })
+
+    joined = bloom_join(
+        items.map_batches(_prep, batch_format="pyarrow"), urgent,
+        on="o_orderkey", how="inner", n_bits=1 << 16)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["o_orderstatus"]).aggregate(
+            [("price_c", "sum"), ([], "count_all")])
+        return pa.table({
+            "o_orderstatus": agg.column("o_orderstatus"),
+            "s": agg.column("price_c_sum"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    agg = joined.map_batches(
+        _partial, batch_format="pyarrow").groupby(
+        "o_orderstatus").aggregate(Sum("s"), Sum("n"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "n_items": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "revenue": pa.array(
+                [float(v) / 100.0
+                 for v in batch.column("sum(s)").to_pylist()],
+                pa.float64()),
+        })
+
+    return agg.map_batches(
+        _finish, batch_format="pyarrow").sort("o_orderstatus")
+
+
+ORACLE_SQL["bloom_join_revenue"] = """
+WITH urgent AS (
+  SELECT o_orderkey, o_orderstatus FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), j AS (
+  SELECT u.o_orderstatus,
+    CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS price_c
+  FROM lineitem l JOIN urgent u ON l.l_orderkey = u.o_orderkey
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue
+FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+QUERIES["bloom_join_revenue"] = q_bloom_join_revenue

@@ -425,3 +425,68 @@ class TestBucketChecksums:
         out = self._cs([0, 1, 2, 3, 4, 5, 6, 7], ["a"] * 8)
         assert out["n_rows"].sum() == 8
         assert len(out) == 4
+
+
+class TestBloomJoin:
+    def _tables(self):
+        left = pa.table({
+            "k": pa.array([1, 2, 3, 4, 5, 6, 7, 8] * 3, pa.int64()),
+            "x": pa.array(list(range(24)), pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([2, 4, 6], pa.int64()),
+            "tag": pa.array(["b", "d", "f"], pa.string()),
+        })
+        return left, right
+
+    def _ref(self, how):
+        import duckdb
+
+        left, right = self._tables()
+        if how == "inner":
+            q = ("SELECT l.k, l.x, r.tag FROM l JOIN r USING (k) "
+                 "ORDER BY x")
+        elif how == "semi":
+            q = ("SELECT k, x FROM l WHERE k IN (SELECT k FROM r) "
+                 "ORDER BY x")
+        else:
+            q = ("SELECT k, x FROM l WHERE k NOT IN "
+                 "(SELECT k FROM r) ORDER BY x")
+        con = duckdb.connect()
+        con.register("l", left.to_pandas())
+        con.register("r", right.to_pandas())
+        return con.sql(q).df()
+
+    def test_all_hows_match_plain_join(self, ray_session):
+        from ocr_pipeline_ray.stages.join import bloom_join
+
+        left, right = self._tables()
+        for how in ("inner", "semi", "anti"):
+            out = bloom_join(_ds(left, 4), _ds(right), on="k",
+                             how=how, n_bits=1 << 10,
+                             n_buckets=4).to_pandas()
+            out = out.sort_values("x").reset_index(drop=True)
+            exp = self._ref(how)
+            assert out.columns.tolist() == exp.columns.tolist(), how
+            for c in out.columns:
+                assert (out[c] == exp[c]).all(), (how, c)
+
+    def test_tiny_bloom_stays_exact(self, ray_session):
+        # 64-bit bloom: false positives guaranteed, results exact
+        from ocr_pipeline_ray.stages.join import bloom_join
+
+        left, right = self._tables()
+        out = bloom_join(_ds(left), _ds(right), on="k", how="anti",
+                         n_bits=64, n_buckets=2).to_pandas()
+        exp = self._ref("anti")
+        out = out.sort_values("x").reset_index(drop=True)
+        assert (out["x"] == exp["x"]).all()
+
+    def test_power_of_two_guard(self, ray_session):
+        import pytest
+
+        from ocr_pipeline_ray.stages.join import bloom_join
+
+        left, right = self._tables()
+        with pytest.raises(ValueError):
+            bloom_join(_ds(left), _ds(right), on="k", n_bits=1000)

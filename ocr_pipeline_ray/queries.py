@@ -11787,3 +11787,32 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
 FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 QUERIES["bloom_join_revenue"] = q_bloom_join_revenue
+
+
+# ------------------------------------------ embedding Gram matrix
+
+def q_embedding_covariance(sf_dir: str):
+    """Second-moment (Gram) matrix over the embedding corpus
+    (`stages/similarity.embedding_second_moment`) — the PCA /
+    whitening sufficient statistic, one matrix-partial per block,
+    driver fold, no shuffle; exact int64 so the unnest self-join
+    twin is bit-exact."""
+    from .stages.similarity import embedding_second_moment
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return embedding_second_moment(ds)
+
+
+ORACLE_SQL["embedding_covariance"] = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         AS BIGINT) AS x
+  FROM embeddings
+)
+SELECT a.d AS i, b.d AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
+FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY a.d, b.d ORDER BY i, j
+"""
+QUERIES["embedding_covariance"] = q_embedding_covariance

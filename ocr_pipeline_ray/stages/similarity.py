@@ -1027,3 +1027,60 @@ def random_projection(ds, d_out: int = 16,
         })
 
     return ds.map_batches(_project, batch_format="pyarrow")
+
+
+def embedding_second_moment(ds, scale: int = 1_000_000,
+                            vec_col: str = "embedding"):
+    """Distributed second-moment (Gram) matrix ``Σ x xᵀ`` over the
+    embedding corpus — the sufficient statistic for covariance / PCA
+    / whitening. NO shuffle: every block reduces to ONE (d × d)
+    int64 matrix (``Qᵀ Q`` over floor-quantized vectors — the
+    `kmeans_int` rule, so sums are exact and order-free) and the
+    driver folds blocks-scale matrices; only the upper triangle is
+    emitted as ``(i, j, s)`` rows (1-based dims, the
+    generate_subscripts convention).
+
+    int64 bound: |q| ≤ scale ⇒ each cell ≤ scale² · n_rows; at
+    10^9+ rows drop ``scale`` to 10^3 or fold per-shard partials
+    into Python ints (driver fold here already is exact).
+    """
+    import ray.data
+
+    acc: dict = {}
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(_to_matrix(batch.column(vec_col)) * scale
+                     ).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        return pa.table({
+            "d": pa.array([d], pa.int64()),
+            "g": pa.array([g.reshape(-1).tobytes()], pa.binary()),
+        })
+
+    dim = None
+    total = None
+    for b in ds.map_batches(_partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for d, payload in zip(b.column("d").to_pylist(),
+                              b.column("g").to_pylist()):
+            m = np.frombuffer(payload, np.int64).reshape(d, d)
+            if total is None:
+                dim, total = d, m.astype(object)
+            else:
+                if d != dim:
+                    raise ValueError("ragged embedding dims")
+                total = total + m  # object dtype: exact Python ints
+    if total is None:
+        return ray.data.from_arrow(pa.table({
+            "i": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64())}))
+    iu, ju = np.triu_indices(dim)
+    return ray.data.from_arrow(pa.table({
+        "i": pa.array(iu + 1, pa.int64()),
+        "j": pa.array(ju + 1, pa.int64()),
+        "s": pa.array([int(total[a, b]) for a, b in zip(iu, ju)],
+                      pa.int64()),
+    }))

@@ -490,3 +490,24 @@ class TestBloomJoin:
         left, right = self._tables()
         with pytest.raises(ValueError):
             bloom_join(_ds(left), _ds(right), on="k", n_bits=1000)
+
+
+class TestEmbeddingSecondMoment:
+    def test_matches_numpy_and_layout_invariant(self, ray_session):
+        from ocr_pipeline_ray.stages.similarity import (
+            embedding_second_moment)
+
+        rng = np.random.RandomState(9)
+        vecs = rng.uniform(-1, 1, (30, 6)).astype(np.float32)
+        tbl = pa.table({
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        })
+        q = np.floor(vecs.astype(np.float64) * 1_000_000).astype(
+            np.int64)
+        ref = q.T @ q
+        for blocks in (1, 7):
+            out = embedding_second_moment(
+                _ds(tbl, blocks)).to_pandas()
+            for _, r in out.iterrows():
+                assert r["s"] == ref[r["i"] - 1, r["j"] - 1]
+            assert len(out) == 6 * 7 // 2

@@ -1263,8 +1263,10 @@ def bloom_join(left, right, on: str, how: str = "inner",
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
     right = right.materialize()
+    # materialize: count() + the fold/iter below would otherwise each
+    # re-execute the lazy partial pipeline from the source
     parts = right.select_columns([on]).map_batches(
-        _partial, batch_format="pyarrow")
+        _partial, batch_format="pyarrow").materialize()
 
     def _fold(batch: pa.Table) -> pa.Table:
         bm = np.zeros(nbytes, np.uint8)
@@ -1276,7 +1278,8 @@ def bloom_join(left, right, on: str, how: str = "inner",
     while parts.count() > fanin:
         parts = parts.repartition(
             max(1, parts.count() // fanin)).map_batches(
-            _fold, batch_format="pyarrow", batch_size=None)
+            _fold, batch_format="pyarrow",
+            batch_size=None).materialize()
     final = np.zeros(nbytes, np.uint8)
     for b in parts.iter_batches(batch_format="pyarrow",
                                 batch_size=None):

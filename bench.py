@@ -126,7 +126,7 @@ BENCH_QUERIES = [
     "politeness_plan",
     "intradoc_dedup", "random_projection", "image_resize",
     "watermark_windows", "store_repair_plan", "bloom_join_revenue",
-    "embedding_covariance",
+    "embedding_covariance", "stratified_priority_sample",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

@@ -11816,3 +11816,31 @@ FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.d <= b.d
 GROUP BY a.d, b.d ORDER BY i, j
 """
 QUERIES["embedding_covariance"] = q_embedding_covariance
+
+
+# --------------------------------------- stratified weighted sample
+
+def q_stratified_priority_sample(sf_dir: str):
+    """Per-language weighted exact-k sample
+    (`stages/stats.grouped_priority_sample`, k=7 per lang, weight =
+    n_chars): the training-mix stratified sampler — hash coins, no
+    RNG, layout-independent."""
+    from .stages.stats import grouped_priority_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return grouped_priority_sample(
+        ds, k=7, group_col="lang", key_col="doc_id",
+        weight_col="n_chars").select_columns(
+        ["doc_id", "lang", "n_chars"]).sort("doc_id")
+
+
+ORACLE_SQL["stratified_priority_sample"] = (
+    "WITH p AS (SELECT doc_id, lang, n_chars, "
+    "-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) + 1.0) / 1152921504606846976.0) / n_chars AS pri "
+    "FROM documents WHERE lang IS NOT NULL AND n_chars > 0) "
+    "SELECT doc_id, lang, n_chars FROM p "
+    "QUALIFY row_number() OVER (PARTITION BY lang "
+    "ORDER BY pri, doc_id) <= 7 ORDER BY doc_id"
+)
+QUERIES["stratified_priority_sample"] = q_stratified_priority_sample

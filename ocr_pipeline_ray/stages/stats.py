@@ -2193,3 +2193,85 @@ def bucket_checksums(ds, key_col: str, cols, n_buckets: int = 64):
         "n_rows": pa.array([folded_n[b] for b in bs], pa.int64()),
         "checksum": pa.array([folded_s[b] for b in bs], pa.int64()),
     }))
+
+
+def grouped_priority_sample(ds, k: int, group_col: str,
+                            key_col: str, weight_col: str,
+                            n_buckets: int = 64):
+    """Per-GROUP weighted exact-k sample — stratified
+    Efraimidis-Spirakis: inside every group the k smallest
+    ``-ln((md5_15(key)+1)/2^60) / w`` priorities win, so inclusion
+    is weight-proportional WITHIN each stratum (the "k docs per
+    language, weighted by length" training-mix sampler). Hash coins,
+    no RNG — reproducible across runs and layouts like
+    :func:`priority_sample_k`.
+
+    Two-phase `group_cap` shape: a vectorized local per-group top-k
+    per block (lexsort + boundary-mask cumcount — never a per-group
+    UDF) cuts candidates to blocks × groups × k rows, then ONE
+    group-hash co-shuffle re-applies the same kernel per whole
+    bucket. NULL groups/keys and non-positive weights drop.
+    """
+    import hashlib
+
+    import ray.data
+
+    from ..functions.hashing import bucket_ids
+
+    pri_col = "_pri"
+
+    def _rank_mask(groups: np.ndarray, pri: np.ndarray,
+                   keys: np.ndarray):
+        """indices of rows with per-group priority rank < k."""
+        order = np.lexsort((keys, pri, groups))
+        g = groups[order]
+        change = np.r_[True, g[1:] != g[:-1]]
+        idx = np.arange(len(g), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(change, idx, 0))
+        return order[(idx - seg) < k]
+
+    def _local(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch.column(group_col)),
+                    pc.is_valid(batch.column(key_col))),
+            pc.and_(pc.is_valid(batch.column(weight_col)),
+                    pc.greater(pc.cast(batch.column(weight_col),
+                                       pa.float64()), 0.0))))
+        if batch.num_rows == 0:
+            return batch.append_column(
+                pri_col, pa.array([], pa.float64())).append_column(
+                "_bucket", pa.array([], pa.int64()))
+        keys = batch.column(key_col).to_pylist()
+        w = batch.column(weight_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        hv = np.array(
+            [int(hashlib.md5(
+                str(x).encode("utf-8")).hexdigest()[:15], 16)
+             for x in keys], dtype=np.float64)
+        pri = -np.log((hv + 1.0) / float(1 << 60)) / w
+        groups = np.asarray(batch.column(group_col).to_pylist())
+        keep = _rank_mask(groups, pri, np.asarray(keys))
+        out = batch.take(pa.array(keep, pa.int64()))
+        out = out.append_column(
+            pri_col, pa.array(pri[keep], pa.float64()))
+        return out.append_column(
+            "_bucket", pa.array(
+                bucket_ids(out.column(group_col), n_buckets),
+                pa.int64()))
+
+    def _bucket_final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["_bucket", pri_col])
+        groups = np.asarray(group.column(group_col).to_pylist())
+        pri = group.column(pri_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keys = np.asarray(group.column(key_col).to_pylist())
+        keep = _rank_mask(groups, pri, keys)
+        return group.take(pa.array(keep, pa.int64())).drop_columns(
+            ["_bucket", pri_col])
+
+    return (
+        ds.map_batches(_local, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=n_buckets)
+        .map_groups(_bucket_final, batch_format="pyarrow")
+    )

@@ -511,3 +511,47 @@ class TestEmbeddingSecondMoment:
             for _, r in out.iterrows():
                 assert r["s"] == ref[r["i"] - 1, r["j"] - 1]
             assert len(out) == 6 * 7 // 2
+
+
+class TestGroupedPrioritySample:
+    def _run(self, groups, keys, weights, k=2, blocks=1):
+        from ocr_pipeline_ray.stages.stats import (
+            grouped_priority_sample)
+
+        tbl = pa.table({
+            "g": pa.array(groups, pa.string()),
+            "k": pa.array(keys, pa.int64()),
+            "w": pa.array(weights, pa.float64()),
+        })
+        out = grouped_priority_sample(
+            _ds(tbl, blocks), k=k, group_col="g", key_col="k",
+            weight_col="w", n_buckets=4).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    def test_exact_k_per_group(self):
+        out = self._run(["a"] * 5 + ["b"] * 3, list(range(8)),
+                        [1.0] * 8, k=2)
+        assert (out.groupby("g").size() == 2).all()
+
+    def test_layout_invariance(self):
+        groups = ["g%d" % (i % 4) for i in range(40)]
+        a = self._run(groups, list(range(40)),
+                      [float(i % 7 + 1) for i in range(40)],
+                      k=3, blocks=1)
+        b = self._run(groups, list(range(40)),
+                      [float(i % 7 + 1) for i in range(40)],
+                      k=3, blocks=9)
+        assert a.equals(b)
+
+    def test_weight_bias(self):
+        # one huge-weight row per group must (virtually) always win:
+        # priority = -ln(u)/w → w=1e9 gives ~1e-9 scale priorities
+        groups = ["a"] * 20
+        weights = [1.0] * 19 + [1e9]
+        out = self._run(groups, list(range(20)), weights, k=1)
+        assert out["k"].tolist() == [19]
+
+    def test_invalid_rows_dropped(self):
+        out = self._run(["a", None, "a"], [1, 2, 3],
+                        [1.0, 1.0, -1.0], k=5)
+        assert out["k"].tolist() == [1]

@@ -11844,3 +11844,45 @@ ORACLE_SQL["stratified_priority_sample"] = (
     "ORDER BY pri, doc_id) <= 7 ORDER BY doc_id"
 )
 QUERIES["stratified_priority_sample"] = q_stratified_priority_sample
+
+
+# ------------------------------------------ rolling percentile (p95)
+
+def q_rolling_p95(sf_dir: str):
+    """Rolling p95 of event values over the trailing 6 hours per
+    event type (`stages/temporal.rolling_percentile`, bin width 25 —
+    bin-exact, all-integer): the ops-monitoring window statistic,
+    windows anchored on hours with activity."""
+    from .stages.temporal import rolling_percentile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"])
+    return rolling_percentile(ds).sort(["event_type", "hour"])
+
+
+ORACLE_SQL["rolling_p95"] = """
+WITH b AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+    CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), anchors AS (
+  SELECT DISTINCT k, h FROM b
+), w AS (
+  SELECT a.k, a.h, b.bin, sum(b.n) AS n
+  FROM anchors a JOIN b ON b.k = a.k
+    AND b.h BETWEEN a.h - INTERVAL 5 HOUR AND a.h
+  GROUP BY a.k, a.h, b.bin
+), c AS (
+  SELECT k, h, bin, n,
+    sum(n) OVER (PARTITION BY k, h ORDER BY bin) AS cum,
+    sum(n) OVER (PARTITION BY k, h) AS tot
+  FROM w
+)
+SELECT k AS event_type, CAST(h AS TIMESTAMP) AS hour,
+  CAST(any_value(tot) AS BIGINT) AS n_window,
+  CAST(min(bin) FILTER (WHERE cum * 100 >= tot * 95) AS BIGINT)
+    AS p_bin
+FROM c GROUP BY k, h ORDER BY event_type, hour
+"""
+QUERIES["rolling_p95"] = q_rolling_p95

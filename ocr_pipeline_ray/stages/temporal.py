@@ -1303,3 +1303,157 @@ def watermark_windows(ds, lateness_us: int,
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def rolling_percentile(ds, window_hours: int = 6,
+                       bin_width: int = 25,
+                       pct_num: int = 95, pct_den: int = 100,
+                       key_col: str = "event_type",
+                       ts_col: str = "ts", val_col: str = "value",
+                       n_buckets: int = 64):
+    """Rolling percentile per key — "p95 over the trailing W hours",
+    the ops-monitoring window statistic — as a BIN-EXACT histogram
+    sketch (error ≤ ``bin_width``, the `binned_quantiles` rule), so
+    every emitted number is an integer and the SQL twin is
+    bit-exact.
+
+    A trailing-window percentile does NOT decompose into per-hour
+    partials (same reason as `sliding_distinct`), so the plan is the
+    window-EXPLODE shape:
+
+    1. map-side ``(key, hour, bin) → n`` partials per block;
+    2. each partial fans out to the ``window_hours`` anchor hours it
+       serves (rows multiply by W — of keys × hours × bins partial
+       rows, never raw events);
+    3. ONE (key, anchor)-hash co-shuffle; each whole bucket merges
+       partials, cumsums bins per (key, anchor) segment, and picks
+       the smallest bin with ``cum·pct_den ≥ total·pct_num``.
+       Anchors where the key had no event in that exact hour are
+       dropped (windows anchor on activity, the `sliding_distinct`
+       contract).
+
+    Output: ``(key, hour, n_window, p95_bin)`` — bin index, lower
+    edge = ``bin · bin_width``.
+    """
+    import ray.data
+
+    from ..functions.hashing import bucket_ids
+
+    hour_us = 3_600_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(ts_col),
+                             pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(pc.divide(ts, hour_us),
+                           pa.scalar(hour_us, pa.int64()))
+        v = batch.column(val_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        bins = np.floor(v / float(bin_width)).astype(np.int64)
+        t = pa.table({
+            "k": batch.column(key_col),
+            "h": hour,
+            "bin": pa.array(bins, pa.int64()),
+        })
+        agg = t.group_by(["k", "h", "bin"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "k": agg.column("k"), "h": agg.column("h"),
+            "bin": agg.column("bin"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "_bucket": pa.array([], pa.int64()),
+                "k": pa.array([], pa.string()),
+                "anchor": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64())})
+        idx = np.repeat(np.arange(n, dtype=np.int64), window_hours)
+        off = np.tile(np.arange(window_hours, dtype=np.int64), n)
+        t = batch.take(pa.array(idx, pa.int64()))
+        h = t.column("h").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        anchor = h + off * hour_us
+        key_anchor = pc.binary_join_element_wise(
+            pc.cast(t.column("k"), pa.string()), ":",
+            pc.cast(pa.array(anchor, pa.int64()), pa.string()), "")
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(key_anchor, n_buckets), pa.int64()),
+            "k": t.column("k"),
+            "anchor": pa.array(anchor, pa.int64()),
+            "bin": t.column("bin"),
+            "n": t.column("n"),
+            "a": pa.array((off == 0).astype(np.int64), pa.int64()),
+        })
+
+    def _bucket_pct(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "k": pa.array([], pa.string()),
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_window": pa.array([], pa.int64()),
+            "p_bin": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        agg = group.group_by(["k", "anchor", "bin"]).aggregate(
+            [("n", "sum"), ("a", "max")])
+        agg = agg.sort_by([("k", "ascending"),
+                           ("anchor", "ascending"),
+                           ("bin", "ascending")])
+        ks = np.asarray(agg.column("k").to_pylist())
+        anchors = agg.column("anchor").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nn = agg.column("n_sum").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        aa = agg.column("a_max").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bins = agg.column("bin").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        change = np.r_[True, (ks[1:] != ks[:-1]) |
+                       (anchors[1:] != anchors[:-1])]
+        seg_id = np.cumsum(change) - 1
+        n_seg = seg_id[-1] + 1
+        totals = np.bincount(seg_id, weights=nn,
+                             minlength=n_seg).astype(np.int64)
+        present = np.bincount(seg_id, weights=aa,
+                              minlength=n_seg) > 0
+        # per-segment cumsum, then the FIRST row per segment whose
+        # cumulative count clears the percentile threshold
+        idx = np.arange(len(nn))
+        csum = np.cumsum(nn)
+        seg_base = np.maximum.accumulate(
+            np.where(change, csum - nn, -1))
+        cum = csum - seg_base
+        hit = cum * pct_den >= totals[seg_id] * pct_num
+        order = np.lexsort((idx, ~hit, seg_id))
+        seg_first = order[np.r_[True,
+                                seg_id[order][1:] != seg_id[order][:-1]]]
+        rows = seg_first[hit[seg_first] & present[seg_id[seg_first]]]
+        return pa.table({
+            "k": pa.array(ks[rows]),
+            "hour": pc.cast(pa.array(anchors[rows], pa.int64()),
+                            pa.timestamp("us")),
+            "n_window": pa.array(totals[seg_id[rows]], pa.int64()),
+            "p_bin": pa.array(bins[rows], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_explode, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=n_buckets)
+        .map_groups(_bucket_pct, batch_format="pyarrow")
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column("k"),
+            "hour": batch.column("hour"),
+            "n_window": batch.column("n_window"),
+            "p_bin": batch.column("p_bin"),
+        })
+
+    return out.map_batches(_rename, batch_format="pyarrow")

@@ -555,3 +555,61 @@ class TestGroupedPrioritySample:
         out = self._run(["a", None, "a"], [1, 2, 3],
                         [1.0, 1.0, -1.0], k=5)
         assert out["k"].tolist() == [1]
+
+
+class TestRollingPercentile:
+    def _events(self, rows):
+        """rows: list of (hour_offset, type, value)"""
+        h = 3_600_000_000
+        base = 1_700_000_000_000_000
+        return pa.table({
+            "ts": pa.array([base + int(r[0]) * h for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([float(r[2]) for r in rows]),
+        })
+
+    def _run(self, rows, blocks=1, **kw):
+        from ocr_pipeline_ray.stages.temporal import rolling_percentile
+
+        out = rolling_percentile(_ds(self._events(rows), blocks),
+                                 n_buckets=4, **kw).to_pandas()
+        return out.sort_values(["event_type", "hour"]).reset_index(
+            drop=True)
+
+    def test_single_hour_p95_bin(self):
+        # 19 values in bin 0, one in bin 4: p95 lands on bin 4 at
+        # exactly the 95% boundary (19/20 = 0.95 → bin 0 cum 19,
+        # 19*100 >= 20*95 → bin 0 wins)
+        rows = [(0, "a", 1.0)] * 19 + [(0, "a", 100.0)]
+        out = self._run(rows)
+        assert out.loc[0, "p_bin"] == 0
+        assert out.loc[0, "n_window"] == 20
+
+    def test_window_carries_previous_hours(self):
+        # hour 0: values in bin 0; hour 1: one value in bin 8 —
+        # window at hour 1 sees all 4 → p95 = bin 8 (cum 3 < 3.8)
+        rows = [(0, "a", 1.0)] * 3 + [(1, "a", 200.0)]
+        out = self._run(rows)
+        assert out.loc[1, "p_bin"] == 8
+        assert out.loc[1, "n_window"] == 4
+
+    def test_window_expires(self):
+        # events 7 hours apart: second window must NOT include first
+        rows = [(0, "a", 200.0), (7, "a", 1.0)]
+        out = self._run(rows)
+        assert out.loc[1, "n_window"] == 1
+        assert out.loc[1, "p_bin"] == 0
+
+    def test_no_anchor_without_activity(self):
+        rows = [(0, "a", 1.0), (3, "a", 1.0)]
+        out = self._run(rows)
+        # anchors only at hours 0 and 3 — not 1, 2
+        assert len(out) == 2
+
+    def test_layout_invariance(self):
+        rows = [(i % 9, "t%d" % (i % 2), (i * 37) % 490)
+                for i in range(60)]
+        a = self._run(rows, blocks=1)
+        b = self._run(rows, blocks=11)
+        assert a.equals(b)

@@ -11886,3 +11886,104 @@ SELECT k AS event_type, CAST(h AS TIMESTAMP) AS hour,
 FROM c GROUP BY k, h ORDER BY event_type, hour
 """
 QUERIES["rolling_p95"] = q_rolling_p95
+
+
+# ------------------------------------------ embedding outlier gate
+
+def q_embedding_outliers(sf_dir: str):
+    """Embedding outlier detection — vectors far from their own
+    label's centroid (the mislabeled/garbage-vector curation gate):
+    integer centroids (trunc-div of exact sums — one blocks-scale
+    partial fold, no shuffle), exact int64 squared-L2 per vector
+    with the labels×dim centroid table in the closure, exact global
+    p90 cut (`stages/stats.exact_quantiles` percentile_disc
+    semantics), one scan-speed flag pass. Everything integer ⇒ the
+    SQL twin is bit-exact."""
+    import numpy as np
+
+    from .stages.similarity import _to_matrix
+    from .stages.stats import exact_quantiles
+
+    scale = 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"])
+
+    def _cent_partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        q = np.floor(_to_matrix(batch.column("embedding")) * scale
+                     ).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq))
+        dim = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "d": pa.array(np.tile(np.arange(dim), len(uniq)),
+                          pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    sums: dict = {}
+    ns: dict = {}
+    for b in ds.map_batches(_cent_partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for lb, d, s, n in zip(b.column("label").to_pylist(),
+                               b.column("d").to_pylist(),
+                               b.column("s").to_pylist(),
+                               b.column("n").to_pylist()):
+            sums[(lb, d)] = sums.get((lb, d), 0) + s
+            ns[(lb, d)] = ns.get((lb, d), 0) + n
+    labels = sorted({lb for lb, _ in sums})
+    dim = 1 + max(d for _, d in sums)
+    cent = np.zeros((max(labels) + 1, dim), np.int64)
+    for (lb, d), s in sums.items():
+        n = ns[(lb, d)]
+        # DuckDB // truncates toward zero; Python // floors
+        cent[lb, d] = abs(s) // n * (1 if s >= 0 else -1)
+
+    def _dist(batch: pa.Table) -> pa.Table:
+        lb = batch.column("label").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        q = np.floor(_to_matrix(batch.column("embedding")) * scale
+                     ).astype(np.int64)
+        diff = q - cent[lb]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": pa.array(lb, pa.int64()),
+            "d2": pa.array((diff * diff).sum(axis=1), pa.int64()),
+        })
+
+    dist = ds.map_batches(_dist, batch_format="pyarrow").materialize()
+    cut = int(exact_quantiles(dist, "d2", [0.9])
+              .column("value")[0].as_py())
+    return dist.filter(
+        expr=f"d2 > {cut}").select_columns(
+        ["vec_id", "label", "d2"]).sort("vec_id")
+
+
+ORACLE_SQL["embedding_outliers"] = """
+WITH v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         AS BIGINT) AS x
+  FROM embeddings
+), c AS (
+  SELECT label, d, sum(x) // count(*) AS cx
+  FROM v GROUP BY label, d
+), dist AS (
+  SELECT v.vec_id, CAST(v.label AS BIGINT) AS label,
+    CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2
+  FROM v JOIN c ON c.label = v.label AND c.d = v.d
+  GROUP BY v.vec_id, v.label
+), q AS (
+  SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY d2) AS t
+  FROM dist
+)
+SELECT vec_id, label, d2 FROM dist, q WHERE d2 > t ORDER BY vec_id
+"""
+QUERIES["embedding_outliers"] = q_embedding_outliers

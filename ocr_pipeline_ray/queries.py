@@ -11987,3 +11987,44 @@ WITH v AS (
 SELECT vec_id, label, d2 FROM dist, q WHERE d2 > t ORDER BY vec_id
 """
 QUERIES["embedding_outliers"] = q_embedding_outliers
+
+
+# ------------------------------------------ multi-touch attribution
+
+def q_multi_touch_attribution(sf_dir: str):
+    """Linear multi-touch attribution
+    (`stages/temporal.linear_attribution`, 24h lookback): every
+    purchase splits its cents equally across the user's preceding
+    clicks — the budget-allocation complement of the last-touch
+    `click_attribution`. All-integer credits, bit-exact twin."""
+    from .stages.temporal import linear_attribution
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+    return linear_attribution(ds).sort("user_id")
+
+
+ORACLE_SQL["multi_touch_attribution"] = """
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, ts,
+    CAST(round(coalesce(value, 0) * 100.0) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT p.event_id, p.user_id, p.vc, count(c.ts) AS n
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+    AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+  GROUP BY p.event_id, p.user_id, p.vc
+)
+SELECT user_id,
+  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_conv_attr,
+  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_conv_orphan,
+  CAST(sum(CASE WHEN n > 0 THEN (vc // n) * n ELSE 0 END)
+    AS BIGINT) AS attributed_c
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+QUERIES["multi_touch_attribution"] = q_multi_touch_attribution

@@ -1457,3 +1457,121 @@ def rolling_percentile(ds, window_hours: int = 6,
         })
 
     return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def linear_attribution(ds, window_hours: int = 24,
+                       user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       val_col: str = "value",
+                       touch_type: str = "click",
+                       conv_type: str = "purchase",
+                       n_buckets: int = 64):
+    """Multi-touch LINEAR attribution: every conversion splits its
+    value equally across the user's touches in the preceding
+    ``window_hours`` (the adtech budget-allocation operator;
+    `click_attribution` is the last-touch special case). All-integer:
+    value in cents, per-touch credit = ``cents // n_touches``
+    (trunc-div; the remainder is deliberately unassigned, like every
+    integer split here), so sums are order-free and the SQL twin is
+    bit-exact.
+
+    Scale shape: events prune to touches+conversions at the scan,
+    then ONE user-hash co-shuffle; each whole bucket sorts by a
+    packed ``(dense_user, ts)`` int64 key and window-counts touches
+    per conversion with TWO searchsorted probes (never a per-user
+    loop); per-touch credits come from a difference array + cumsum,
+    per-user rollups from bincounts. A user lives wholly in one
+    bucket, so bucket rows ARE the final per-user rows.
+
+    Output: ``(user_id, n_conv_attr, n_conv_orphan, attributed_c)``.
+    """
+    import ray.data
+
+    from ..functions.hashing import bucket_ids
+
+    w_us = window_hours * 3_600_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        et = batch.column(type_col)
+        keep = pc.or_(pc.equal(et, touch_type),
+                      pc.equal(et, conv_type))
+        b = batch.filter(keep)
+        vc = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(b.column(val_col), 0.0), 100.0)),
+            pa.int64())
+        return pa.table({
+            "_bucket": pa.array(
+                bucket_ids(b.column(user_col), n_buckets),
+                pa.int64()),
+            "u": pc.cast(b.column(user_col), pa.int64()),
+            "t": pc.cast(pc.cast(b.column(ts_col),
+                                 pa.timestamp("us")), pa.int64()),
+            "is_conv": pc.equal(b.column(type_col), conv_type),
+            "vc": vc,
+        })
+
+    def _bucket_attr(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            user_col: pa.array([], pa.int64()),
+            "n_conv_attr": pa.array([], pa.int64()),
+            "n_conv_orphan": pa.array([], pa.int64()),
+            "attributed_c": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = group.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = group.column("t").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        conv = group.column("is_conv").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vc = group.column("vc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        uniq, ud = np.unique(u, return_inverse=True)
+        t0 = t.min()
+        tr = (t - t0).astype(np.int64)
+        span = int(tr.max()) + w_us + 2
+        key = ud.astype(np.int64) * span + tr
+        order = np.argsort(key, kind="stable")
+        key, ud, conv, vc = key[order], ud[order], conv[order], \
+            vc[order]
+        ck = key[~conv]
+        cu = ud[~conv]
+        pk = key[conv]
+        pu = ud[conv]
+        pv = vc[conv]
+        lo = np.searchsorted(ck, pk - w_us)
+        hi = np.searchsorted(ck, pk)
+        # clamp windows inside the SAME user's touch span: packed
+        # keys are user-separated by construction (span > window)
+        n = hi - lo
+        attr = n > 0
+        credit = np.zeros(len(pk), np.int64)
+        credit[attr] = pv[attr] // n[attr]
+        # per-touch credits via difference array
+        d = np.zeros(len(ck) + 1, np.int64)
+        np.add.at(d, lo[attr], credit[attr])
+        np.add.at(d, hi[attr], -credit[attr])
+        per_touch = np.cumsum(d[:-1])
+        n_users = len(uniq)
+        # int64 scatter-add (bincount weights= would go via float64)
+        out_credit = np.zeros(n_users, np.int64)
+        np.add.at(out_credit, cu, per_touch)
+        out_attr = np.bincount(pu[attr], minlength=n_users
+                               ).astype(np.int64)
+        out_orph = np.bincount(pu[~attr], minlength=n_users
+                               ).astype(np.int64)
+        has_conv = (out_attr + out_orph) > 0
+        return pa.table({
+            user_col: pa.array(uniq[has_conv], pa.int64()),
+            "n_conv_attr": pa.array(out_attr[has_conv], pa.int64()),
+            "n_conv_orphan": pa.array(out_orph[has_conv],
+                                      pa.int64()),
+            "attributed_c": pa.array(out_credit[has_conv],
+                                     pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=n_buckets)
+        .map_groups(_bucket_attr, batch_format="pyarrow")
+    )

@@ -613,3 +613,64 @@ class TestRollingPercentile:
         a = self._run(rows, blocks=1)
         b = self._run(rows, blocks=11)
         assert a.equals(b)
+
+
+class TestLinearAttribution:
+    def _run(self, rows, blocks=1, window_hours=24):
+        """rows: (user, hour_offset, type, value)"""
+        from ocr_pipeline_ray.stages.temporal import linear_attribution
+
+        h = 3_600_000_000
+        base = 1_700_000_000_000_000
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + int(r[1] * h) for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows]),
+        })
+        out = linear_attribution(
+            _ds(tbl, blocks), window_hours=window_hours,
+            n_buckets=4).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def test_even_split_with_trunc_remainder(self):
+        # 3 clicks then a $1.00 purchase: 100 // 3 = 33 per click,
+        # 99 total attributed (remainder unassigned)
+        rows = [(1, 0, "click", 0), (1, 1, "click", 0),
+                (1, 2, "click", 0), (1, 3, "purchase", 1.00)]
+        out = self._run(rows)
+        assert out.loc[0, "attributed_c"] == 99
+        assert out.loc[0, "n_conv_attr"] == 1
+
+    def test_window_excludes_old_and_same_instant(self):
+        rows = [(1, 0, "click", 0),        # 30h before → outside
+                (1, 30, "purchase", 2.00),
+                (2, 5, "click", 0),
+                (2, 5, "purchase", 2.00)]  # same instant → excluded
+        out = self._run(rows)
+        assert out["n_conv_orphan"].tolist() == [1, 1]
+        assert out["attributed_c"].tolist() == [0, 0]
+
+    def test_users_isolated(self):
+        rows = [(1, 0, "click", 0), (2, 1, "purchase", 5.00)]
+        out = self._run(rows)
+        # user 2's purchase can't credit user 1's click
+        assert out.loc[0, "user_id"] == 2
+        assert out.loc[0, "n_conv_orphan"] == 1
+
+    def test_overlapping_conversions_stack(self):
+        # one click inside the window of two purchases
+        rows = [(1, 0, "click", 0), (1, 1, "purchase", 1.00),
+                (1, 2, "purchase", 3.00)]
+        out = self._run(rows)
+        assert out.loc[0, "attributed_c"] == 400
+        assert out.loc[0, "n_conv_attr"] == 2
+
+    def test_layout_invariance(self):
+        rows = [(i % 5, (i * 3) % 40,
+                 "click" if i % 3 else "purchase", (i % 7) + 0.5)
+                for i in range(60)]
+        a = self._run(rows, blocks=1)
+        b = self._run(rows, blocks=9)
+        assert a.equals(b)

@@ -12028,3 +12028,68 @@ SELECT user_id,
 FROM t GROUP BY user_id ORDER BY user_id
 """
 QUERIES["multi_touch_attribution"] = q_multi_touch_attribution
+
+
+# ------------------------------------------ column-granular CDC diff
+
+def q_column_diff(sf_dir: str):
+    """Column-granular snapshot reconciliation
+    (`stages/diff.column_diff`): the replica corrupts status on
+    every 89th order and priority on every 83rd (and drops every
+    97th — added/removed keys are snapshot_diff's business and stay
+    out); the diff names exactly which column changed per key."""
+    from .stages.diff import column_diff
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    src = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey"] + cols)
+
+    def _replica(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(
+            _int_mod(batch.column("o_orderkey"), 97), 13))
+        b = batch.filter(keep)
+        k = b.column("o_orderkey")
+        status = pc.if_else(pc.equal(_int_mod(k, 89), 7),
+                            pa.scalar("X"), b.column("o_orderstatus"))
+        prio = pc.if_else(pc.equal(_int_mod(k, 83), 11),
+                          pa.scalar("9-NONE"),
+                          b.column("o_orderpriority"))
+        return pa.table({
+            "o_orderkey": k,
+            "o_custkey": b.column("o_custkey"),
+            "o_orderstatus": status,
+            "o_orderpriority": prio,
+        })
+
+    dst = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"] + cols).map_batches(
+        _replica, batch_format="pyarrow")
+    return column_diff(src, dst, "o_orderkey", cols).sort(
+        ["o_orderkey", "col"])
+
+
+ORACLE_SQL["column_diff"] = """
+WITH replica AS (
+  SELECT o_orderkey, o_custkey,
+    CASE WHEN o_orderkey % 89 = 7 THEN 'X'
+         ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 83 = 11 THEN '9-NONE'
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 != 13
+), j AS (
+  SELECT a.o_orderkey,
+    a.o_custkey IS DISTINCT FROM b.o_custkey AS c1,
+    a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS c2,
+    a.o_orderpriority IS DISTINCT FROM b.o_orderpriority AS c3
+  FROM orders a JOIN replica b USING (o_orderkey)
+)
+SELECT o_orderkey, col FROM (
+  SELECT o_orderkey, 'o_custkey' AS col FROM j WHERE c1
+  UNION ALL
+  SELECT o_orderkey, 'o_orderstatus' FROM j WHERE c2
+  UNION ALL
+  SELECT o_orderkey, 'o_orderpriority' FROM j WHERE c3
+) ORDER BY o_orderkey, col
+"""
+QUERIES["column_diff"] = q_column_diff

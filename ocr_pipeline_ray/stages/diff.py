@@ -163,3 +163,87 @@ def diff_summary(old_ds, new_ds, key_col: str,
 def _count(status: pa.ChunkedArray, label: str) -> int:
     return int(pc.sum(pc.cast(pc.equal(status, label),
                               pa.int64())).as_py() or 0)
+
+
+def column_diff(old_ds, new_ds, key_col: str,
+                compare_cols: List[str], n_buckets: int = 64):
+    """COLUMN-granular reconciliation: for every key present in BOTH
+    snapshots, list exactly which compared columns changed — the CDC
+    attribution step after :func:`snapshot_diff` says "changed"
+    (schema-drift audits, selective backfills that rewrite only the
+    damaged columns).
+
+    Same digest-projection scale contract: each side emits one
+    ``(key, col, md5-15, side)`` row per key × column — content
+    never enters the exchange, however heavy the column — then ONE
+    key-hash co-shuffle and a whole-bucket sort + boundary-mask pass
+    flags (key, col) pairs whose two sides disagree. Keys on only
+    one side are added/removed rows (`snapshot_diff`'s business) and
+    are skipped here. Output: ``(key_col, col)`` sorted upstream of
+    the caller.
+    """
+    import hashlib
+
+    def _explode_side(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col)
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            n = batch.num_rows
+            keys_out, cols_out, digs_out = [], [], []
+            for c in compare_cols:
+                composite = _row_keys(batch, [c])
+                digs_out.extend(
+                    hashlib.md5(s.encode("utf-8")).hexdigest()[:15]
+                    for s in composite.to_pylist())
+            key_np = key.to_numpy(zero_copy_only=False)
+            keys_rep = np.tile(key_np, len(compare_cols))
+            cols_rep = np.repeat(np.asarray(compare_cols), n)
+            out_key = pa.array(keys_rep, pa.int64())
+            return pa.table({
+                "_k": out_key,
+                "_c": pa.array(cols_rep, pa.string()),
+                "_d": pa.array(digs_out, pa.string()),
+                "_side": pa.array(
+                    np.full(n * len(compare_cols), side, np.int8)),
+                "_bucket": pa.array(bucket_ids(out_key, n_buckets),
+                                    pa.int64()),
+            })
+        return _fn
+
+    tagged = old_ds.map_batches(
+        _explode_side(0), batch_format="pyarrow"
+    ).union(new_ds.map_batches(
+        _explode_side(1), batch_format="pyarrow"))
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "col": pa.array([], pa.string())})
+        if group.num_rows == 0:
+            return empty
+        t = group.combine_chunks().sort_by(
+            [("_k", "ascending"), ("_c", "ascending"),
+             ("_side", "ascending")])
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        c = np.asarray(t.column("_c").to_pylist())
+        d = np.asarray(t.column("_d").to_pylist())
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        if len(k) < 2:
+            return empty
+        pair = (k[1:] == k[:-1]) & (c[1:] == c[:-1])
+        if np.any(pair & (side[1:] == side[:-1])):
+            raise ValueError(
+                "column_diff: duplicate key within one snapshot "
+                "side — reconciliation requires a primary key")
+        changed = pair & (d[1:] != d[:-1])
+        idx = np.flatnonzero(changed)
+        return pa.table({
+            key_col: pa.array(k[idx], pa.int64()),
+            "col": pa.array(c[idx], pa.string()),
+        })
+
+    return (
+        tagged.groupby("_bucket", num_partitions=n_buckets)
+        .map_groups(_bucket, batch_format="pyarrow")
+    )

@@ -674,3 +674,45 @@ class TestLinearAttribution:
         a = self._run(rows, blocks=1)
         b = self._run(rows, blocks=9)
         assert a.equals(b)
+
+
+class TestColumnDiff:
+    def _run(self, old_rows, new_rows, blocks=1):
+        from ocr_pipeline_ray.stages.diff import column_diff
+
+        def tbl(rows):
+            return pa.table({
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "a": pa.array([r[1] for r in rows], pa.string()),
+                "b": pa.array([r[2] for r in rows], pa.string()),
+            })
+        out = column_diff(_ds(tbl(old_rows), blocks),
+                          _ds(tbl(new_rows), blocks), "k",
+                          ["a", "b"], n_buckets=4).to_pandas()
+        if len(out) == 0:
+            # Ray to_pandas drops columns from 0-row Datasets
+            return out
+        return out.sort_values(["k", "col"]).reset_index(drop=True)
+
+    def test_names_exact_changed_columns(self):
+        out = self._run([(1, "x", "y"), (2, "p", "q")],
+                        [(1, "x", "Z"), (2, "P", "Q")])
+        assert list(map(tuple, out.values)) == [
+            (1, "b"), (2, "a"), (2, "b")]
+
+    def test_one_side_keys_skipped(self):
+        out = self._run([(1, "x", "y")], [(2, "x", "y")])
+        assert len(out) == 0
+
+    def test_null_equals_null(self):
+        out = self._run([(1, None, "y")], [(1, None, "y")])
+        assert len(out) == 0
+        out = self._run([(1, None, "y")], [(1, "v", "y")])
+        assert list(map(tuple, out.values)) == [(1, "a")]
+
+    def test_duplicate_key_raises(self, ray_session):
+        import pytest
+
+        with pytest.raises(Exception):
+            self._run([(1, "x", "y"), (1, "x", "y")],
+                      [(1, "x", "y")])

@@ -12093,3 +12093,122 @@ SELECT o_orderkey, col FROM (
 ) ORDER BY o_orderkey, col
 """
 QUERIES["column_diff"] = q_column_diff
+
+
+# ------------------------------------------ TPC-H Q3 shipping priority
+
+Q3_CUTOFF = "1998-06-01 00:00:00"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the classic 3-way join + grouped revenue +
+    top-k: BUILDING-segment customers semi-gate orders (broadcast —
+    the dimension default), date filters prune both fact scans,
+    lineitem revenue joins order keys (broadcast of the filtered
+    order side; at 100 TB swap in `bloom_join`/`repartition_join`),
+    map-side partial combine per order, tiny groupby, exact-int64
+    top-10. Revenue in cents×(100−disc) units ⇒ ordering and values
+    bit-exact vs SQL."""
+    from .stages.join import broadcast_join
+
+    cutoff = pa.scalar(Q3_CUTOFF).cast(pa.timestamp("us"))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'").select_columns(
+        ["c_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ord_prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch.column("o_orderdate"),
+                                 cutoff))
+        return pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": b.column("o_orderdate"),
+        })
+
+    o_building = broadcast_join(
+        orders.map_batches(_ord_prep, batch_format="pyarrow"),
+        cust, on="c_custkey", how="semi").select_columns(
+        ["o_orderkey", "o_orderdate"])
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def _item_prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("l_shipdate"),
+                                    cutoff))
+        ext = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            b.column("l_discount"), 100.0)), pa.int64())
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "rev": pc.multiply(ext, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        })
+
+    joined = broadcast_join(
+        items.map_batches(_item_prep, batch_format="pyarrow"),
+        o_building, on="o_orderkey", how="inner")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(
+            ["o_orderkey", "o_orderdate"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({
+            "o_orderkey": agg.column("o_orderkey"),
+            "o_orderdate": agg.column("o_orderdate"),
+            "rev": agg.column("rev_sum"),
+        })
+
+    agg = joined.map_batches(
+        _partial, batch_format="pyarrow").groupby(
+        ["o_orderkey", "o_orderdate"]).aggregate(Sum("rev"))
+
+    top = agg.sort(
+        ["sum(rev)", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False]).limit(10)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"),
+                                  pa.int64()),
+            "o_orderdate": pc.cast(batch.column("o_orderdate"),
+                                   pa.timestamp("us")),
+            "revenue": pa.array(
+                [float(v) / 10000.0
+                 for v in batch.column("sum(rev)").to_pylist()],
+                pa.float64()),
+        })
+
+    return top.map_batches(_finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["shipping_priority"] = f"""
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), o AS (
+  SELECT o_orderkey, o_orderdate FROM orders
+  JOIN c ON o_custkey = c_custkey
+  WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+), l AS (
+  SELECT l_orderkey,
+    CAST(round(l_extendedprice * 100.0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100.0) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+)
+SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+  CAST(sum(l.rev) AS DOUBLE) / 10000.0 AS revenue
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY sum(l.rev) DESC, o.o_orderdate, o.o_orderkey LIMIT 10
+"""
+QUERIES["shipping_priority"] = q_shipping_priority

@@ -128,7 +128,7 @@ BENCH_QUERIES = [
     "watermark_windows", "store_repair_plan", "bloom_join_revenue",
     "embedding_covariance", "stratified_priority_sample",
     "rolling_p95", "embedding_outliers", "multi_touch_attribution",
-    "column_diff", "shipping_priority",
+    "column_diff", "shipping_priority", "forecast_revenue",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

@@ -12212,3 +12212,69 @@ GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY sum(l.rev) DESC, o.o_orderdate, o.o_orderkey LIMIT 10
 """
 QUERIES["shipping_priority"] = q_shipping_priority
+
+
+# ------------------------------------------ TPC-H Q6 revenue delta
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the pure filter + scalar aggregate: one
+    pruned scan, row-local integer-cents revenue terms
+    (`ext_c · disc_c`, exact), one-row block partials, driver-side
+    exact fold, a single shared float division at the end."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    lo = pa.scalar("1999-01-01 00:00:00").cast(pa.timestamp("us"))
+    hi = pa.scalar("2000-01-01 00:00:00").cast(pa.timestamp("us"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        def cents(col):
+            return pc.cast(pc.round(pc.multiply(
+                batch.column(col), 100.0)), pa.int64())
+
+        disc = cents("l_discount")
+        qty = cents("l_quantity")
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, 5),
+                        pc.less_equal(disc, 7)),
+                pc.less(qty, 2400)))
+        ext = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        rev = pc.multiply(ext, disc).filter(keep)
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"s": pa.array([s], pa.int64()),
+                         "n": pa.array([rev.length()], pa.int64())})
+
+    total = 0
+    n = 0
+    for b in ds.map_batches(_partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        total += sum(b.column("s").to_pylist())
+        n += sum(b.column("n").to_pylist())
+    return pa.table({
+        "revenue": pa.array([float(total) / 10000.0], pa.float64()),
+        "n_items": pa.array([n], pa.int64()),
+    })
+
+
+ORACLE_SQL["forecast_revenue"] = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT)
+         * CAST(round(l_discount * 100.0) AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+    AND CAST(round(l_discount * 100.0) AS BIGINT) BETWEEN 5 AND 7
+    AND CAST(round(l_quantity * 100.0) AS BIGINT) < 2400
+)
+SELECT CAST(coalesce(sum(rev), 0) AS DOUBLE) / 10000.0 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM f
+"""
+QUERIES["forecast_revenue"] = q_forecast_revenue

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "embedding_covariance", "stratified_priority_sample",
     "rolling_p95", "embedding_outliers", "multi_touch_attribution",
     "column_diff", "shipping_priority", "forecast_revenue",
+    "events_geomean",
     # communities (label propagation), ppr_scores (seeded pagerank)
     # and stitch_chains (pointer-doubling reassembly) are
     # oracle-gated but excluded like pagerank/

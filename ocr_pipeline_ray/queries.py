@@ -12278,3 +12278,58 @@ SELECT CAST(coalesce(sum(rev), 0) AS DOUBLE) / 10000.0 AS revenue,
 FROM f
 """
 QUERIES["forecast_revenue"] = q_forecast_revenue
+
+
+# ------------------------------------------ grouped geometric mean
+
+def q_events_geomean(sf_dir: str):
+    """Geometric mean of event values per type — the
+    multiplicative-scale aggregate (latencies, ratios): map-side
+    (type, Σln, n) partials, one tiny groupby, finish =
+    ``exp(s/n)`` on the repo-wide 1e-6 grid (the `events_hourly`
+    float contract: order-dependent ulps live far below the grid).
+    Non-positive values are excluded (SQL ln domain)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("value"), 0.0))
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "lv": pc.ln(pc.cast(b.column("value"), pa.float64())),
+        })
+        agg = t.group_by(["event_type"]).aggregate(
+            [("lv", "sum"), ([], "count_all")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "s": agg.column("lv_sum"),
+            "n": pc.cast(agg.column("count_all"), pa.int64()),
+        })
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("s"), Sum("n"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(s)").to_pylist()
+        n = batch.column("sum(n)").to_pylist()
+        gm = [math.floor(math.exp(a / b) * 1e6 + 0.5) / 1e6
+              for a, b in zip(s, n)]
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pc.cast(batch.column("sum(n)"), pa.int64()),
+            "geo_mean": pa.array(gm, pa.float64()),
+        })
+
+    return agg.map_batches(
+        _finish, batch_format="pyarrow").sort("event_type")
+
+
+ORACLE_SQL["events_geomean"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  floor(exp(sum(ln(value)) / count(*)) * 1000000.0 + 0.5)
+    / 1000000.0 AS geo_mean
+FROM events WHERE value > 0
+GROUP BY event_type ORDER BY event_type
+"""
+QUERIES["events_geomean"] = q_events_geomean

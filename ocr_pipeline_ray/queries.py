@@ -912,6 +912,7 @@ def q_dedup_incremental_bloom(sf_dir: str):
     into the exact anti join carries new-batch-scale rows, not
     corpus-scale. See stages/dedup.py incremental_dedup_bloom.
     """
+    from .stages.bucketed import checkpoint_bucketed
     from .stages.dedup import incremental_dedup_bloom
 
     def _fp(batch: pa.Table) -> pa.Table:
@@ -919,11 +920,14 @@ def q_dedup_incremental_bloom(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"),
                          "fp": b.column("fp")})
 
-    # md5 the corpus ONCE; the materialized fp table is
-    # metadata-sized (id + 32-hex per doc), then both sides are
-    # scan-speed filters over it
-    fps = _docs(sf_dir).map_batches(
-        _fp, batch_format="pyarrow").materialize()
+    # md5 the corpus ONCE; the fp table is narrow (id + 32-hex per
+    # doc) but corpus-ROW-count scale, so checkpoint it to bucketed
+    # parquet rather than pin it — both sides are then scan-speed
+    # filters over the storage-backed re-read
+    fps = checkpoint_bucketed(
+        _docs(sf_dir).map_batches(_fp, batch_format="pyarrow"),
+        f"incbloom_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col="doc_id")
 
     def _odd(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -1509,12 +1513,19 @@ def q_lm_buckets(sf_dir: str):
     LM scoring -> exact tercile cuts over the scored docs -> row-local
     bucket map. The full chain is one oracle (train + score + exact
     quantiles + bucketing all load-bearing in the SQL twin)."""
+    from .stages.bucketed import checkpoint_bucketed
     from .stages.lm import lm_score, train_bigram_lm
     from .stages.stats import exact_quantiles
 
     ds = _docs(sf_dir)
     uni, bi, vocab = train_bigram_lm(ds, min_count=LM_MIN_COUNT)
-    scored = lm_score(ds, uni, bi, vocab, scale=LM_SCALE).materialize()
+    # score the corpus ONCE; the per-doc score table has two
+    # consumers (tercile cuts + bucket map), so checkpoint it to
+    # bucketed parquet instead of pinning corpus-row-count rows
+    scored = checkpoint_bucketed(
+        lm_score(ds, uni, bi, vocab, scale=LM_SCALE),
+        f"lmbuckets_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col="doc_id")
 
     def _scored_only(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -2948,8 +2959,13 @@ def q_value_outliers(sf_dir: str):
             "dev": pa.array(np.abs(v - meds[pos]), pa.float64()),
         })
 
-    devs = events.map_batches(_dev, batch_format="pyarrow"
-                              ).materialize()
+    # two consumers (MAD quantiles + outlier count) over an
+    # events-row-count table: checkpoint, don't pin
+    from .stages.bucketed import checkpoint_bucketed
+    devs = checkpoint_bucketed(
+        events.map_batches(_dev, batch_format="pyarrow"),
+        f"valout_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col=None)
     mad_tbl = grouped_quantiles(devs, "event_type", "dev", [0.5])
     mad = {k: v for k, v in zip(mad_tbl.column("key").to_pylist(),
                                 mad_tbl.column("value").to_pylist())}
@@ -3508,15 +3524,18 @@ def q_training_pipeline(sf_dir: str):
     MinHash-candidate + Jaccard-verified near-dup REMOVAL (drop the
     higher doc_id of each verified pair, computed over the filtered
     survivors) → deterministic content-hash train/val/test split.
-    Every stage is load-bearing in the single DuckDB hash. At real
-    scale each stage boundary is a partition-aligned parquet
-    checkpoint; here the survivor set is materialized once so the
-    near-dup scan and the final filter share it.
+    Every stage is load-bearing in the single DuckDB hash. The
+    survivor set has two consumers (the near-dup scan and the final
+    filter), so it is checkpointed to doc_id-bucketed parquet and
+    re-read — storage-backed and resumable, instead of pinning the
+    whole surviving corpus in the object store with a
+    ``materialize()``.
     """
     import html as html_mod
 
     from .config import StepSpec
     from .pipelines.extraction import build_pipeline
+    from .stages.bucketed import checkpoint_bucketed
     from .stages.dedup import dedup_first, jaccard_dup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -3574,10 +3593,13 @@ def q_training_pipeline(sf_dir: str):
     filtered = extracted.map_batches(_project_and_filter,
                                      batch_format="pyarrow")
 
-    deduped = dedup_first(
-        filtered.map_batches(fingerprint_fn, batch_format="pyarrow"),
-        key_col="fp", order_col="doc_id",
-    ).drop_columns(["fp"]).materialize()
+    deduped = checkpoint_bucketed(
+        dedup_first(
+            filtered.map_batches(fingerprint_fn, batch_format="pyarrow"),
+            key_col="fp", order_col="doc_id",
+        ).drop_columns(["fp"]),
+        f"training_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col="doc_id")
 
     # verified near-dup pairs over the SURVIVORS; the drop set is the
     # pair-set projection (tiny by construction). max_bucket is set
@@ -7400,12 +7422,17 @@ def q_minhash_jaccard_estimate(sf_dir: str):
     chain — broadcasts into two vectorized hash-joins over the pair
     list. Bit-exact: signatures are bit-exact vs SQL, the estimate is
     a single division."""
+    from .stages.bucketed import checkpoint_bucketed
     from .stages.join import broadcast_join
 
-    # hash the corpus ONCE: the materialized signature table feeds
-    # both the candidate-pair plan (precomputed-sig branch of
-    # minhash_dup_pairs) and the estimate joins
-    all_sigs = minhash_signatures(_docs(sf_dir)).materialize()
+    # hash the corpus ONCE: the signature table feeds both the
+    # candidate-pair plan (precomputed-sig branch of
+    # minhash_dup_pairs) and the estimate joins — corpus-row-count
+    # rows, so checkpoint to bucketed parquet instead of pinning
+    all_sigs = checkpoint_bucketed(
+        minhash_signatures(_docs(sf_dir)),
+        f"mhest_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col="doc_id")
     pairs = minhash_dup_pairs(all_sigs)
     cand_ids = set()
     for b in pairs.iter_batches(batch_format="pyarrow",
@@ -8250,9 +8277,11 @@ def q_zonemap_scan(sf_dir: str):
     import pyarrow.parquet as pq_
 
     from .stages.bucketed import pruned_read
+    from .state.lineage import publish_table, store_root
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_zonemap_{os.getpid()}_{label}"
+    stage = os.path.join(store_root(),
+                         f"ocr_ray_zonemap_{os.getpid()}_{label}")
     paths = [os.path.join(stage, f"part-{i:02d}.parquet")
              for i in range(10)]
     if not all(os.path.exists(p) for p in paths):
@@ -8263,9 +8292,7 @@ def q_zonemap_scan(sf_dir: str):
         n = tbl.num_rows
         cuts = [n * i // 10 for i in range(11)]
         for i, p in enumerate(paths):
-            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                            p + ".tmp")
-            os.replace(p + ".tmp", p)
+            publish_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
     ds, _n_read, _n_skipped = pruned_read(
         paths, "doc_id", 100, 149, columns=["doc_id", "n_chars"])
     return ds
@@ -8465,9 +8492,11 @@ def q_schema_evolution(sf_dir: str):
     import pyarrow.parquet as pq_
 
     from .sources.ingest import read_harmonized
+    from .state.lineage import publish_table, store_root
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_schemaevo_{os.getpid()}_{label}"
+    stage = os.path.join(store_root(),
+                         f"ocr_ray_schemaevo_{os.getpid()}_{label}")
     v1 = os.path.join(stage, "v1.parquet")
     v2 = os.path.join(stage, "v2.parquet")
     if not (os.path.exists(v1) and os.path.exists(v2)):
@@ -8482,10 +8511,8 @@ def q_schema_evolution(sf_dir: str):
         new = new.set_column(
             new.schema.get_field_index("n_chars"), "n_chars",
             new.column("n_chars").cast(pa.int32()))
-        pq_.write_table(old, v1 + ".tmp")
-        os.replace(v1 + ".tmp", v1)
-        pq_.write_table(new, v2 + ".tmp")
-        os.replace(v2 + ".tmp", v2)
+        publish_table(old, v1)
+        publish_table(new, v2)
     target = pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string()),
         ("lang", pa.string()), ("n_chars", pa.int64()),
@@ -8660,6 +8687,7 @@ def q_curation_pipeline(sf_dir: str):
     Every stage is load-bearing in the hash."""
     import numpy as np
 
+    from .stages.bucketed import checkpoint_bucketed
     from .stages.dedup import host_boilerplate_removal
     from .stages.stats import range_partition
 
@@ -8675,8 +8703,13 @@ def q_curation_pipeline(sf_dir: str):
             pc.cast(pc.utf8_length(batch.column("text_clean")),
                     pa.int64()))
 
-    staged = gated.map_batches(
-        _with_len, batch_format="pyarrow").materialize()
+    # two consumers (sketch pass + shard map): checkpoint the cleaned
+    # corpus to bucketed parquet instead of pinning it in the object
+    # store
+    staged = checkpoint_bucketed(
+        gated.map_batches(_with_len, batch_format="pyarrow"),
+        f"curation_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col="doc_id")
     _assignments, splits = range_partition(
         staged, "len_clean", n_shards=4, lo=0, bin_width=100,
         n_bins=100)
@@ -9100,9 +9133,11 @@ def q_zorder_scan(sf_dir: str):
     import pyarrow.parquet as pq_
 
     from .stages.bucketed import pruned_read_multi, zorder_key
+    from .state.lineage import publish_table, store_root
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_zorder_{os.getpid()}_{label}"
+    stage = os.path.join(store_root(),
+                         f"ocr_ray_zorder_{os.getpid()}_{label}")
     paths = [os.path.join(stage, f"part-{i:02d}.parquet")
              for i in range(16)]
     if not all(os.path.exists(p) for p in paths):
@@ -9115,9 +9150,7 @@ def q_zorder_scan(sf_dir: str):
         n = tbl.num_rows
         cuts = [n * i // 16 for i in range(17)]
         for i, p in enumerate(paths):
-            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                            p + ".tmp")
-            os.replace(p + ".tmp", p)
+            publish_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
     ds, _n_read, _n_skipped = pruned_read_multi(
         paths, {"doc_id": (100, 249), "n_chars": (150, 400)},
         columns=["doc_id", "n_chars"])
@@ -10307,9 +10340,11 @@ def q_agg_refresh(sf_dir: str):
     recomputes the same view over ALL events — refresh must equal
     recompute (sums on the 1e-6 grid)."""
     from .stages.stats import agg_refresh, partial_sum_count
+    from .state.lineage import publish_dataset, store_root
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_aggbase_{os.getpid()}_{label}"
+    stage = os.path.join(store_root(),
+                         f"ocr_ray_aggbase_{os.getpid()}_{label}")
     base_path = os.path.join(stage, "base.parquet")
     if not os.path.exists(base_path):
         os.makedirs(stage, exist_ok=True)
@@ -10328,8 +10363,7 @@ def q_agg_refresh(sf_dir: str):
         ).groupby("event_type").aggregate(
             Sum("n", alias_name="n"),
             Sum("sum_value", alias_name="sum_value"))
-        hist.write_parquet(base_path + ".tmp")
-        os.replace(base_path + ".tmp", base_path)
+        publish_dataset(hist, base_path)
 
     delta = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -10378,9 +10412,11 @@ def q_compaction_plan(sf_dir: str):
     import pyarrow.parquet as pq_
 
     from .stages.bucketed import compaction_plan
+    from .state.lineage import publish_table, store_root
 
     label = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/tmp/ocr_ray_compact_{os.getpid()}_{label}"
+    stage = os.path.join(store_root(),
+                         f"ocr_ray_compact_{os.getpid()}_{label}")
     n_files = 24
     paths = [os.path.join(stage, f"part-{i:02d}.parquet")
              for i in range(n_files)]
@@ -10393,9 +10429,7 @@ def q_compaction_plan(sf_dir: str):
         cuts = [n * i * i // (n_files * n_files)
                 for i in range(n_files + 1)]
         for i, p in enumerate(paths):
-            pq_.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                            p + ".tmp")
-            os.replace(p + ".tmp", p)
+            publish_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
     total = pq_.read_metadata(
         f"{sf_dir}/documents.parquet").num_rows
     plan, _n_groups = compaction_plan(paths, max(total // 6, 1))
@@ -11958,7 +11992,13 @@ def q_embedding_outliers(sf_dir: str):
             "d2": pa.array((diff * diff).sum(axis=1), pa.int64()),
         })
 
-    dist = ds.map_batches(_dist, batch_format="pyarrow").materialize()
+    # two consumers (p90 cut + outlier filter) over a
+    # corpus-row-count distance table: checkpoint, don't pin
+    from .stages.bucketed import checkpoint_bucketed
+    dist = checkpoint_bucketed(
+        ds.map_batches(_dist, batch_format="pyarrow"),
+        f"embout_{os.path.basename(os.path.normpath(sf_dir))}",
+        key_col="vec_id")
     cut = int(exact_quantiles(dist, "d2", [0.9])
               .column("value")[0].as_py())
     return dist.filter(

@@ -485,6 +485,60 @@ def read_bucketed(root: str, n_buckets: int,
         [_read_one.remote(b) for b in range(n_buckets)])
 
 
+def checkpoint_bucketed(ds, tag: str, key_col: Optional[str],
+                        n_buckets: int = 32,
+                        scratch: Optional[str] = None):
+    """Checkpoint ``ds`` to key-bucketed parquet and return a
+    storage-backed re-read of it (same rows, ``_bucket`` stripped).
+
+    The scale-path replacement for a mid-pipeline ``materialize()``
+    that more than one consumer reads: ``materialize()`` pins the
+    whole intermediate in the cluster's OBJECT STORE (at corpus
+    scale that forces spill of every surviving row), while a
+    bucketed parquet checkpoint is storage-backed — each consumer
+    re-reads one task per bucket dir, the bucket dirs double as
+    resumable units, and nothing stays pinned between consumers.
+    The write costs one extra pass over the data (same as the
+    materialize would have buffered) and NO shuffle: bucket ids are
+    attached in the same map_batches that writes.
+
+    ``scratch`` (or ``$OCR_RAY_SCRATCH``, default the system temp
+    dir) must be storage every node can read on a multi-node
+    cluster — a shared filesystem or object-store mount; /tmp is
+    only correct single-node.
+
+    ``key_col=None`` writes a plain block-partitioned parquet dir
+    (no bucket tag, no key hashing) — right when the checkpoint only
+    needs storage backing, not key alignment (e.g. a string-keyed
+    intermediate whose downstream passes are full scans anyway).
+
+    An EMPTY ``ds`` writes no parquet files, so there is nothing to
+    re-read; that case degrades to ``materialize()`` — pinning an
+    empty dataset costs nothing and keeps the schema exact.
+    """
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    root = scratch or os.environ.get("OCR_RAY_SCRATCH",
+                                     tempfile.gettempdir())
+    out = os.path.join(root, f"ocr_ray_ckpt_{tag}_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    if key_col is None:
+        ds.write_parquet(out)
+        if not any(f.endswith(".parquet")
+                   for f in sorted(os.listdir(out))):
+            return ds.materialize()
+        return ray.data.read_parquet(out)
+    write_bucketed(ds, out, key_col, n_buckets)
+    try:
+        _side_schema(out)
+    except ValueError:
+        return ds.materialize()
+    return read_bucketed(out, n_buckets)
+
+
 def build_zone_map(paths, columns):
     """File-level ZONE MAP: per-file min/max (and null count) for the
     given columns, read from parquet FOOTER STATISTICS only — no data

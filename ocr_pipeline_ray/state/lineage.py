@@ -51,6 +51,47 @@ import pyarrow.parquet as pq
 DEFAULT_STALE_SEC = 3600.0
 
 
+def store_root() -> str:
+    """Root directory for STORED artifacts (materialized views,
+    staged table generations, zone-mapped layouts) that outlive a
+    single Dataset plan. On a multi-node cluster ``$OCR_RAY_STORE``
+    must point at storage every node can read (shared filesystem /
+    object-store mount); the default — ``$OCR_RAY_SCRATCH``, then
+    the system temp dir — is only correct single-node. All
+    atomic-publish helpers below assume ``os.replace`` is atomic on
+    this filesystem (true for POSIX renames within one mount, the
+    same assumption the reference's marker-file protocol makes,
+    /root/reference/ocr_pipeline.py:160-199)."""
+    import tempfile
+
+    return os.environ.get(
+        "OCR_RAY_STORE",
+        os.environ.get("OCR_RAY_SCRATCH", tempfile.gettempdir()))
+
+
+def publish_table(tbl: pa.Table, path: str) -> str:
+    """Atomically publish a (small, driver-side) Arrow table as ONE
+    parquet file: write to ``path + '.tmp'``, then rename into place
+    — the same stage-then-rename protocol as the partition markers,
+    so a concurrent reader never sees a half-written file."""
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def publish_dataset(ds, path: str) -> str:
+    """Atomically publish a Dataset as a parquet DIRECTORY: workers
+    write into ``path + '.tmp'``, the driver renames the finished
+    dir into place. ``path`` must not already exist (stored views
+    are create-once; refresh protocols write a NEW generation)."""
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def partition_id(input_file: str) -> str:
     base = os.path.basename(input_file)
     return base[:-8] if base.endswith(".parquet") else base

@@ -1,0 +1,123 @@
+"""Deterministic scale-up generator: sf0.1 -> sf1 (or any factor).
+
+The driver ships sf{0.001,0.01,0.1}; the sf1 verification scale is
+synthesized locally (no external data, no RNG) by universe
+replication: copy ``k`` of a base table shifts every entity key by
+``k * STRIDE`` so each copy is a self-consistent parallel universe —
+joins, sessions and dup groups stay within a universe, aggregate
+distributions match the base exactly at 10x the rows. The dimension
+tables (region, nation) are NOT scaled, mirroring TPC-H.
+
+Cross-universe accidental duplicates are broken deterministically:
+
+* ``documents.text``: copy ``k`` rotates the token order by ``k``
+  positions — length-preserving (``n_chars`` stays valid), token-SET
+  preserving (wordlist/token stats unchanged per doc), but
+  shingle-BREAKING, so near-dup candidates don't explode
+  quadratically across universes;
+* ``embeddings.embedding``: copy ``k`` circularly shifts the
+  dimensions by ``k`` — norm-preserving, cosine-breaking.
+
+Copy 0 is byte-identical to the base table, so every base row (and
+its dup structure) survives verbatim.
+
+Usage: python scripts/gen_sf.py [base_dir] [out_dir] [factor]
+       defaults: /root/testdata/sf0.1 /tmp/sf1 10
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+STRIDE = 10_000_000
+
+# per-table integer key columns to shift per universe copy
+KEY_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+DIM_TABLES = ["region", "nation"]
+
+
+def rotate_tokens(col: pa.ChunkedArray, k: int) -> pa.Array:
+    """Rotate each document's token order by ``k`` positions (vectorized
+    over the flat token array of the whole column)."""
+    split = pc.split_pattern(col.combine_chunks(), " ")
+    flat = split.flatten()
+    offsets = split.offsets.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    idx = np.arange(offsets[-1], dtype=np.int64)
+    starts = np.repeat(offsets[:-1], lengths)
+    lens = np.repeat(lengths, lengths)
+    pos = idx - starts
+    rot = starts + (pos + k) % np.maximum(lens, 1)
+    rotated = flat.take(pa.array(rot))
+    relist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), rotated)
+    return pc.binary_join(relist, " ")
+
+
+def rotate_dims(col: pa.ChunkedArray, k: int) -> pa.Array:
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    idx = np.arange(offsets[-1], dtype=np.int64)
+    starts = np.repeat(offsets[:-1], lengths)
+    lens = np.repeat(lengths, lengths)
+    pos = idx - starts
+    rot = starts + (pos + k) % np.maximum(lens, 1)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(flat[rot], pa.float32()))
+
+
+def make_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
+    if k == 0:
+        return tbl
+    out = tbl
+    for c in KEY_COLS.get(name, []):
+        i = out.schema.get_field_index(c)
+        out = out.set_column(
+            i, c, pc.add(out.column(c), pa.scalar(k * STRIDE, pa.int64())))
+    if name == "documents":
+        i = out.schema.get_field_index("text")
+        out = out.set_column(i, "text", rotate_tokens(out.column("text"), k))
+    if name == "embeddings":
+        i = out.schema.get_field_index("embedding")
+        rot = rotate_dims(out.column("embedding"), k)
+        out = out.set_column(
+            i, pa.field("embedding", out.schema.field("embedding").type),
+            rot.cast(out.schema.field("embedding").type))
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out_dir, exist_ok=True)
+    for name in DIM_TABLES:
+        tbl = pq.read_table(f"{base}/{name}.parquet")
+        pq.write_table(tbl, f"{out_dir}/{name}.parquet")
+        print(f"{name}: {tbl.num_rows} (dim, unscaled)")
+    for name in KEY_COLS:
+        tbl = pq.read_table(f"{base}/{name}.parquet")
+        copies = [make_copy(tbl, name, k) for k in range(factor)]
+        big = pa.concat_tables(copies).combine_chunks()
+        pq.write_table(big, f"{out_dir}/{name}.parquet",
+                       row_group_size=1 << 17)
+        print(f"{name}: {tbl.num_rows} -> {big.num_rows}")
+
+
+if __name__ == "__main__":
+    main()

@@ -220,7 +220,17 @@ def run_headline(paths, html_mb: float, num_cpus: int):
     out_dir = "/dev/shm/ocr_ray_bench_headline_out"
     # fused chain runs as a task pool: scales with every CPU, and Ray
     # fuses read → extract-chain → write into a single pass per block.
-    ctx = PipelineContext(batch_size=256)
+    # GRAFT_BATCH_SIZE / GRAFT_TARGET_BLOCK_MB exist for the saturation
+    # sweep (BASELINE.md): default batch 256 rows, default Ray block
+    # size untouched.
+    import ray.data
+
+    blk_mb = os.environ.get("GRAFT_TARGET_BLOCK_MB")
+    if blk_mb:
+        ray.data.DataContext.get_current().target_max_block_size = (
+            int(blk_mb) * 1024 * 1024)
+    ctx = PipelineContext(
+        batch_size=int(os.environ.get("GRAFT_BATCH_SIZE", "256")))
 
     def _one_run() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -272,6 +282,12 @@ def single_run(num_cpus: int, sf_dir: str, headline_only: bool) -> dict:
     from ocr_pipeline_ray import silence_ray_cosmetic_warnings
 
     silence_ray_cosmetic_warnings()
+    # checkpoint/store scratch on tmpfs for the same reason as the
+    # headline sink: the sandbox disk writes at ~44 MB/s and would
+    # measure the disk, not the engine (a real cluster's OCR_RAY_STORE
+    # is a distributed FS with aggregate bandwidth)
+    os.environ.setdefault("OCR_RAY_SCRATCH", "/dev/shm/ocr_ray_scratch")
+    os.makedirs(os.environ["OCR_RAY_SCRATCH"], exist_ok=True)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     import ray.data
 

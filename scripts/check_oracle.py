@@ -62,9 +62,43 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     return "; ".join(problems)
 
 
+def chunked_main(sf_dir: str) -> int:
+    """Full-surface mode: run the 266 queries in CHUNKS of fresh
+    subprocesses (ORACLE_CHUNK, default 40 per process).
+
+    One long-lived local Ray driver accumulates ~1000s of finished
+    Datasets over a full gate; past ~90 query plans ray 2.49's
+    ReferenceCounter can hit a fatal internal race
+    (``Check failed: submitted_task_ref_count > 0``) that kills the
+    driver mid-gate — a Ray bug, not a query bug (every query passes
+    in isolation). Fresh processes bound the per-driver plan count
+    and make the full gate deterministic again.
+    """
+    import subprocess
+
+    from ocr_pipeline_ray.queries import QUERIES
+
+    names = list(QUERIES)
+    chunk = int(os.environ.get("ORACLE_CHUNK", "40"))
+    rc = 0
+    for i in range(0, len(names), chunk):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir,
+             *names[i:i + chunk]],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        rc |= proc.returncode
+    print()
+    print("all queries match their oracles" if rc == 0
+          else "FAILED: see chunk output above")
+    return rc
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if not only:
+        return chunked_main(sf_dir)
 
     import ray
 

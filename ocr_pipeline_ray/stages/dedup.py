@@ -23,6 +23,7 @@ Scale shape (10^12-row design notes):
 from __future__ import annotations
 
 import hashlib
+import itertools
 import math
 from typing import Dict, List, Optional
 
@@ -30,6 +31,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Min
+
+# per-process sequence for checkpoint dir tags (the pid is already in
+# the dir name; this disambiguates multiple calls within one process)
+_CKPT_SEQ = itertools.count()
 
 
 def _md5(s: str) -> str:
@@ -2053,9 +2058,15 @@ def host_boilerplate_removal(ds, id_col: str = "doc_id",
                            pa.string()),
         })
 
-    # two consumers (stage-1 counts, stage-2 anti-join): materialize
-    # so the explode + per-paragraph md5 pass runs ONCE
-    lines = ds.map_batches(_explode, batch_format="pyarrow").materialize()
+    # two consumers (stage-1 counts, stage-2 anti-join): checkpoint to
+    # doc_id-bucketed parquet so the explode + per-paragraph md5 pass
+    # runs ONCE without pinning the exploded (corpus-plus-sized) line
+    # table in the object store
+    from .bucketed import checkpoint_bucketed
+
+    lines = checkpoint_bucketed(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        f"hostboiler_{next(_CKPT_SEQ)}", key_col=id_col)
 
     # --- stage 1: per-(host, fp) doc counts + per-host totals -> B
     empty_counts = pa.table({

@@ -1273,8 +1273,16 @@ def vocab_growth(ds, checkpoints, text_col: str = "text",
             ]),
         })
 
-    partials = ds.select_columns([id_col, text_col]).map_batches(
-        _partials, batch_format="pyarrow").materialize()
+    # two consumers (first-doc groupby + token totals): the partial
+    # table is vocab x blocks scale — checkpoint to parquet instead of
+    # pinning it in the object store
+    from .bucketed import checkpoint_bucketed
+    from .dedup import _CKPT_SEQ
+
+    partials = checkpoint_bucketed(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _partials, batch_format="pyarrow"),
+        f"vocabgrowth_{next(_CKPT_SEQ)}", key_col=None)
 
     first_doc = partials.filter(expr="_kind == 0").select_columns(
         ["tok", "doc"]

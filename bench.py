@@ -229,8 +229,11 @@ def run_headline(paths, html_mb: float, num_cpus: int):
     if blk_mb:
         ray.data.DataContext.get_current().target_max_block_size = (
             int(blk_mb) * 1024 * 1024)
+    # default 512 after the round-4 sweep (BASELINE.md): best cell at
+    # 32 CPUs, ~4% over 256 (within ambient noise; the sweep's real
+    # finding is that sizing has NO large effect — the host saturates)
     ctx = PipelineContext(
-        batch_size=int(os.environ.get("GRAFT_BATCH_SIZE", "256")))
+        batch_size=int(os.environ.get("GRAFT_BATCH_SIZE", "512")))
 
     def _one_run() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -118,31 +118,39 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
 
+    import time
+
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as exc:
             print(f"ERROR  {name}: ray side raised {type(exc).__name__}: {exc}")
             failed.append(name)
             continue
+        t_ray = time.time() - t0
         if name not in oracles:
-            print(f"rows   {name}: {len(ray_df)} rows (no oracle — rows-only)")
+            print(f"rows   {name}: {len(ray_df)} rows (no oracle — "
+                  f"rows-only) [ray {t_ray:.1f}s]", flush=True)
             continue
+        t0 = time.time()
         try:
             sql_df = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"ERROR  {name}: oracle raised {type(exc).__name__}: {exc}")
             failed.append(name)
             continue
+        t_sql = time.time() - t0
         problem = compare(name, ray_df, sql_df)
         if problem:
             print(f"FAIL   {name}: {problem}")
             failed.append(name)
         else:
-            print(f"OK     {name}: {len(ray_df)} rows")
+            print(f"OK     {name}: {len(ray_df)} rows "
+                  f"[ray {t_ray:.1f}s, sql {t_sql:.1f}s]", flush=True)
     print()
     if failed:
         print("FAILED:", failed)

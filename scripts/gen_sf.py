@@ -10,11 +10,13 @@ tables (region, nation) are NOT scaled, mirroring TPC-H.
 
 Cross-universe accidental duplicates are broken deterministically:
 
-* ``documents.text``: copy ``k`` rotates the token order by ``k``
-  positions — length-preserving (``n_chars`` stays valid), token-SET
-  preserving (wordlist/token stats unchanged per doc), but
-  shingle-BREAKING, so near-dup candidates don't explode
-  quadratically across universes;
+* ``documents.text``: copy ``k`` deterministically PERMUTES each
+  document's token order (hash shuffle) — length-preserving
+  (``n_chars`` stays valid), token-SET preserving (wordlist/token
+  stats unchanged per doc), but shingle-BREAKING, so near-dup
+  candidates don't explode quadratically across universes (a mere
+  rotation keeps the cyclic n-gram structure and was measured to
+  blow candidates up ~10,000x);
 * ``embeddings.embedding``: copy ``k`` circularly shifts the
   dimensions by ``k`` — norm-preserving, cosine-breaking.
 
@@ -50,20 +52,32 @@ KEY_COLS = {
 DIM_TABLES = ["region", "nation"]
 
 
-def rotate_tokens(col: pa.ChunkedArray, k: int) -> pa.Array:
-    """Rotate each document's token order by ``k`` positions (vectorized
-    over the flat token array of the whole column)."""
+def shuffle_tokens(col: pa.ChunkedArray, k: int) -> pa.Array:
+    """Deterministically PERMUTE each document's token order with a
+    per-universe hash shuffle (vectorized over the flat token array).
+
+    A permutation preserves length and token SET (n_chars and
+    token-stats invariants hold) but breaks nearly every shingle —
+    unlike a rotation, which keeps the whole cyclic n-gram structure
+    and would make every copy a cross-universe near-dup (measured:
+    candidate pairs explode ~10,000x at factor 10)."""
     split = pc.split_pattern(col.combine_chunks(), " ")
     flat = split.flatten()
-    offsets = split.offsets.to_numpy(zero_copy_only=False)
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     lengths = np.diff(offsets)
-    idx = np.arange(offsets[-1], dtype=np.int64)
-    starts = np.repeat(offsets[:-1], lengths)
-    lens = np.repeat(lengths, lengths)
-    pos = idx - starts
-    rot = starts + (pos + k) % np.maximum(lens, 1)
-    rotated = flat.take(pa.array(rot))
-    relist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), rotated)
+    idx = np.arange(offsets[-1], dtype=np.uint64)
+    doc_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    # splitmix64: full-avalanche mixing (a weak hash is order-
+    # preserving for small indices and degenerates to the identity
+    # permutation)
+    z = idx + np.uint64((k * 0x9E3779B97F4A7C15) % (1 << 64))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    key = z ^ (z >> np.uint64(31))
+    order = np.lexsort((key, doc_of))  # per-doc order by hash key
+    shuffled = flat.take(pa.array(order))
+    relist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      shuffled)
     return pc.binary_join(relist, " ")
 
 
@@ -91,7 +105,7 @@ def make_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
             i, c, pc.add(out.column(c), pa.scalar(k * STRIDE, pa.int64())))
     if name == "documents":
         i = out.schema.get_field_index("text")
-        out = out.set_column(i, "text", rotate_tokens(out.column("text"), k))
+        out = out.set_column(i, "text", shuffle_tokens(out.column("text"), k))
     if name == "embeddings":
         i = out.schema.get_field_index("embedding")
         rot = rotate_dims(out.column("embedding"), k)

@@ -10,13 +10,22 @@ tables (region, nation) are NOT scaled, mirroring TPC-H.
 
 Cross-universe accidental duplicates are broken deterministically:
 
-* ``documents.text``: copy ``k`` deterministically PERMUTES each
-  document's token order (hash shuffle) — length-preserving
-  (``n_chars`` stays valid), token-SET preserving (wordlist/token
-  stats unchanged per doc), but shingle-BREAKING, so near-dup
-  candidates don't explode quadratically across universes (a mere
-  rotation keeps the cyclic n-gram structure and was measured to
-  blow candidates up ~10,000x);
+* ``documents.text``: copy ``k`` applies a caesar substitution
+  (``a-z`` rotated by ``k``) — bijective and character-for-character,
+  so ``n_chars``, token counts and the ENTIRE within-universe dup/
+  near-dup structure are preserved verbatim, while universes share
+  ZERO tokens (cross-universe shingle Jaccard is exactly 0). This is
+  what makes the scale-up LINEAR: the base corpus's tiny synthetic
+  vocabulary (~40 words) means any same-vocabulary copies are weakly
+  similar to EVERY document, and with bottom-1 minhash bands
+  (collision prob = j per band) weak similarity times N^2 pairs
+  explodes — measured 4.16M candidate pairs at factor 10 even after
+  a token-order shuffle (cross-copy shingle j ~ 4e-4), vs ~4.6k
+  (10 x base) with disjoint vocabularies. Real web corpora sit in
+  between; the per-band `max_bucket` caps are the production guard;
+* additionally copy ``k`` PERMUTES token order (splitmix64 hash
+  shuffle) so even the shared-character-distribution structure
+  differs per copy;
 * ``embeddings.embedding``: copy ``k`` circularly shifts the
   dimensions by ``k`` — norm-preserving, cosine-breaking.
 
@@ -81,6 +90,23 @@ def shuffle_tokens(col: pa.ChunkedArray, k: int) -> pa.Array:
     return pc.binary_join(relist, " ")
 
 
+def caesar(arr, k: int) -> pa.Array:
+    """Per-universe bijective character substitution: rotate a-z by
+    ``k``; every other byte is untouched. Length-preserving, so
+    ``n_chars`` stays exact; vocabularies of different universes are
+    disjoint."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    k = k % 26
+    if k == 0:
+        return arr
+    src = "abcdefghijklmnopqrstuvwxyz"
+    table = str.maketrans(src, src[k:] + src[:k])
+    return pa.array(
+        [None if t is None else t.translate(table)
+         for t in arr.to_pylist()], pa.string())
+
+
 def rotate_dims(col: pa.ChunkedArray, k: int) -> pa.Array:
     arr = col.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False)
@@ -105,7 +131,8 @@ def make_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
             i, c, pc.add(out.column(c), pa.scalar(k * STRIDE, pa.int64())))
     if name == "documents":
         i = out.schema.get_field_index("text")
-        out = out.set_column(i, "text", shuffle_tokens(out.column("text"), k))
+        shuffled = shuffle_tokens(out.column("text"), k)
+        out = out.set_column(i, "text", caesar(shuffled, k))
     if name == "embeddings":
         i = out.schema.get_field_index("embedding")
         rot = rotate_dims(out.column("embedding"), k)

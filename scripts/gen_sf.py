@@ -45,18 +45,34 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-STRIDE = 10_000_000
-
-# per-table integer key columns to shift per universe copy
+# per-table integer key columns to shift per universe copy, tagged by
+# entity KIND so foreign keys shift by the same stride as the table
+# they reference. Strides are DENSE (base max+1, computed from the
+# base tables): every driver id space is 0-based contiguous, and many
+# fixture formulas (synthetic link graphs, `(id*7+1) % count(*)`
+# edges) rely on ids staying in [0, N) — a sparse stride (1e7) broke
+# graph closure at sf1 (phantom dst nodes; pagerank row mismatch).
 KEY_COLS = {
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "events": ["event_id", "user_id"],
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+}
+# kind -> (owning table, key column) for stride computation
+KIND_OWNER = {
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "cust": ("customer", "c_custkey"),
+    "order": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
 }
 DIM_TABLES = ["region", "nation"]
 
@@ -121,14 +137,17 @@ def rotate_dims(col: pa.ChunkedArray, k: int) -> pa.Array:
                                     pa.array(flat[rot], pa.float32()))
 
 
-def make_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
+def make_copy(tbl: pa.Table, name: str, k: int,
+              strides: dict) -> pa.Table:
     if k == 0:
         return tbl
     out = tbl
-    for c in KEY_COLS.get(name, []):
+    for c, kind in KEY_COLS.get(name, {}).items():
         i = out.schema.get_field_index(c)
         out = out.set_column(
-            i, c, pc.add(out.column(c), pa.scalar(k * STRIDE, pa.int64())))
+            i, c,
+            pc.add(out.column(c),
+                   pa.scalar(k * strides[kind], pa.int64())))
     if name == "documents":
         i = out.schema.get_field_index("text")
         shuffled = shuffle_tokens(out.column("text"), k)
@@ -147,13 +166,18 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out_dir, exist_ok=True)
+    strides = {}
+    for kind, (tname, col) in KIND_OWNER.items():
+        t = pq.read_table(f"{base}/{tname}.parquet", columns=[col])
+        strides[kind] = int(pc.max(t.column(col)).as_py()) + 1
+    print("strides:", strides)
     for name in DIM_TABLES:
         tbl = pq.read_table(f"{base}/{name}.parquet")
         pq.write_table(tbl, f"{out_dir}/{name}.parquet")
         print(f"{name}: {tbl.num_rows} (dim, unscaled)")
     for name in KEY_COLS:
         tbl = pq.read_table(f"{base}/{name}.parquet")
-        copies = [make_copy(tbl, name, k) for k in range(factor)]
+        copies = [make_copy(tbl, name, k, strides) for k in range(factor)]
         big = pa.concat_tables(copies).combine_chunks()
         pq.write_table(big, f"{out_dir}/{name}.parquet",
                        row_group_size=1 << 17)

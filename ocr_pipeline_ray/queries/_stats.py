@@ -48,9 +48,20 @@ def q_heavy_hitters(sf_dir: str):
     """
     from ..stages.stats import heavy_hitters
 
-    return heavy_hitters(
+    ds = heavy_hitters(
         _docs(sf_dir), min_frac_num=33, min_frac_den=1000
     ).sort(["n", "token"], descending=[True, False])
+    # concrete Arrow table: the result is candidate-bounded (driver-
+    # small by construction) and the (token, n) schema must survive
+    # the legitimately-empty case — at 10x scale with disjoint
+    # universe vocabularies NO token clears a global 3.3% bar, and a
+    # 0-row Dataset loses its schema through to_pandas()
+    schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    tbls = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if b.num_rows]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables(t.select(["token", "n"]) for t in tbls)
 ORACLE_SQL["heavy_hitters"] = (
 "WITH t AS (SELECT unnest(string_split(text, ' ')) AS token "
         "FROM documents WHERE text IS NOT NULL), "

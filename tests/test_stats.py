@@ -1077,3 +1077,28 @@ class TestGroupedBinnedQuantiles:
             ray.data.from_arrow(tbl), "lang", "n_chars",
             qs=[0.5], lo=0, bin_width=10, n_bins=10).to_pandas()
         assert out["lang"].tolist() == ["de"]
+
+
+class TestHeavyHittersEmptySchema:
+    def test_query_empty_result_keeps_schema(self, ray_session, tmp_path):
+        """A corpus where NO token clears the threshold must still
+        yield the (token, n) schema — a 0-row Dataset loses its
+        schema through to_pandas(), which fails the driver compare
+        (regression found at the synthesized sf1 scale)."""
+        import pyarrow.parquet as pq
+
+        from ocr_pipeline_ray.queries import QUERIES
+
+        # 40 docs, every token unique -> max frequency 1/80 < 3.3%
+        tbl = pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array([f"tok{i}a tok{i}b" for i in range(40)],
+                             pa.string()),
+            "lang": pa.array(["en"] * 40, pa.string()),
+            "source": pa.array(["src0"] * 40, pa.string()),
+            "n_chars": pa.array([11] * 40, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = QUERIES["heavy_hitters"](str(tmp_path))
+        assert out.num_rows == 0
+        assert out.schema.names == ["token", "n"]

@@ -260,9 +260,14 @@ def q_value_outliers(sf_dir: str):
     for b in devs.map_batches(
             _count, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None):
+        # a yielded batch may CONCATENATE several per-block partials,
+        # so the index vector carries repeats — np.add.at accumulates
+        # every occurrence (fancy `+=` silently keeps only one per
+        # index; bug surfaced at sf1 where blocks coalesce)
         i = b.column("i").to_numpy(zero_copy_only=False)
-        tot_n[i] += b.column("n").to_numpy(zero_copy_only=False)
-        tot_o[i] += b.column("n_out").to_numpy(zero_copy_only=False)
+        np.add.at(tot_n, i, b.column("n").to_numpy(zero_copy_only=False))
+        np.add.at(tot_o, i,
+                  b.column("n_out").to_numpy(zero_copy_only=False))
     return pa.table({
         "event_type": keys,
         "n": pa.array(tot_n, pa.int64()),

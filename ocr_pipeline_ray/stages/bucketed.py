@@ -485,6 +485,56 @@ def read_bucketed(root: str, n_buckets: int,
         [_read_one.remote(b) for b in range(n_buckets)])
 
 
+_CKPT_DIRS: set = set()
+_CKPT_ATEXIT_REGISTERED = False
+
+
+def _register_checkpoint_cleanup(path: str) -> None:
+    """Track ``path`` for removal at interpreter exit (once per
+    process). Dirs re-created by a later same-tag call are tracked
+    once; rmtree at exit is idempotent."""
+    global _CKPT_ATEXIT_REGISTERED
+    _CKPT_DIRS.add(path)
+    if not _CKPT_ATEXIT_REGISTERED:
+        import atexit
+        import shutil
+
+        def _cleanup() -> None:
+            for d in list(_CKPT_DIRS):
+                shutil.rmtree(d, ignore_errors=True)
+
+        atexit.register(_cleanup)
+        _CKPT_ATEXIT_REGISTERED = True
+
+
+def _sweep_stale_checkpoints(root: str) -> None:
+    """Remove ``ocr_ray_ckpt_<tag>_<pid>`` dirs under ``root`` whose
+    owning pid is no longer alive — reclaims scratch (tmpfs!) space
+    leaked by crashed or killed drivers. Live pids (including ours)
+    are left alone; unparsable names are skipped."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("ocr_ray_ckpt_"):
+            continue
+        pid_part = name.rsplit("_", 1)[-1]
+        if not pid_part.isdigit():
+            continue
+        pid = int(pid_part)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except PermissionError:
+            continue  # pid alive, owned by another user
+
+
 def checkpoint_bucketed(ds, tag: str, key_col: Optional[str],
                         n_buckets: int = 32,
                         scratch: Optional[str] = None):
@@ -515,6 +565,13 @@ def checkpoint_bucketed(ds, tag: str, key_col: Optional[str],
     An EMPTY ``ds`` writes no parquet files, so there is nothing to
     re-read; that case degrades to ``materialize()`` — pinning an
     empty dataset costs nothing and keeps the schema exact.
+
+    Checkpoint dirs are reclaimed: an ``atexit`` hook removes this
+    process's dirs at driver shutdown, and each call sweeps stale
+    ``ocr_ray_ckpt_*`` dirs left by DEAD pids in the same scratch
+    root (matters when scratch is RAM-backed tmpfs like /dev/shm,
+    where exited drivers would otherwise leak corpus-sized parquet
+    until reboot).
     """
     import shutil
     import tempfile
@@ -523,7 +580,9 @@ def checkpoint_bucketed(ds, tag: str, key_col: Optional[str],
 
     root = scratch or os.environ.get("OCR_RAY_SCRATCH",
                                      tempfile.gettempdir())
+    _sweep_stale_checkpoints(root)
     out = os.path.join(root, f"ocr_ray_ckpt_{tag}_{os.getpid()}")
+    _register_checkpoint_cleanup(out)
     shutil.rmtree(out, ignore_errors=True)
     if key_col is None:
         ds.write_parquet(out)

@@ -46,9 +46,14 @@ def run_cell(cpus: int, batch: int, blk) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--headline-only", "--sf-dir", SF],
         capture_output=True, text=True, cwd=REPO)
-    line = [l for l in proc.stdout.strip().splitlines()
-            if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in proc.stdout.strip().splitlines()
+             if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        sys.stderr.write(proc.stderr)
+        raise RuntimeError(
+            f"bench cell cpus={cpus} batch={batch} blk={blk} failed "
+            f"(rc={proc.returncode}, {len(lines)} JSON lines)")
+    return json.loads(lines[-1])
 
 
 def main() -> None:

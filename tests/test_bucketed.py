@@ -442,3 +442,42 @@ class TestZorder:
         ds, n_read, n_skipped = pruned_read_multi(
             paths, {"x": (5000, 6000), "y": (0, 10)})
         assert ds is None and n_read == 0 and n_skipped == 4
+
+
+class TestCheckpointCleanup:
+    """Scratch reclamation for checkpoint_bucketed (ADVICE r4):
+    stale dirs from dead pids are swept, live dirs survive, and this
+    process's dirs are registered for atexit removal."""
+
+    def test_sweep_removes_dead_pid_dirs_only(self, tmp_path):
+        import os
+        from ocr_pipeline_ray.stages.bucketed import (
+            _CKPT_DIRS, _register_checkpoint_cleanup,
+            _sweep_stale_checkpoints)
+
+        dead = tmp_path / "ocr_ray_ckpt_foo_999999"
+        live = tmp_path / f"ocr_ray_ckpt_bar_{os.getpid()}"
+        other = tmp_path / "unrelated_dir"
+        nonnum = tmp_path / "ocr_ray_ckpt_baz_notapid"
+        for d in (dead, live, other, nonnum):
+            d.mkdir()
+        _sweep_stale_checkpoints(str(tmp_path))
+        assert not dead.exists()
+        assert live.exists() and other.exists() and nonnum.exists()
+
+    def test_checkpoint_registers_atexit_dir(self, ray_session,
+                                             tmp_path):
+        import pyarrow as pa
+        import ray.data
+        from ocr_pipeline_ray.stages import bucketed
+
+        ds = ray.data.from_arrow(
+            pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+        out = bucketed.checkpoint_bucketed(
+            ds, "atexit_test", "k", n_buckets=4,
+            scratch=str(tmp_path))
+        assert out.count() == 3
+        expect = str(
+            tmp_path / f"ocr_ray_ckpt_atexit_test_{__import__('os').getpid()}")
+        assert expect in bucketed._CKPT_DIRS
+        assert bucketed._CKPT_ATEXIT_REGISTERED

@@ -54,7 +54,8 @@ class TestRecallPins:
         exact = {r["vec_id"] for r in QUERIES["ann_topk"](SF_001).take_all()}
         ivf = {r["vec_id"]
                for r in QUERIES["ann_topk_ivf"](SF_001).take_all()}
-        assert ivf <= exact | ivf  # sanity
+        assert len(exact) == 10  # exact scan returns a full top-10
+        assert 0 < len(ivf) <= 10  # probe path non-empty, k-capped
         assert len(ivf & exact) / 10 >= 0.7
 
     def test_lsh_topk_recall_floor(self, ray_session):

@@ -91,34 +91,43 @@ def q_split_leakage_safe(sf_dir: str):
     `q_dataset_split`'s content hash only blocks for EXACT dups).
 
     Chain: MinHash candidates -> distributed connected components
-    (all shuffles candidate-scale) -> the node->cluster map
-    broadcasts once (cluster-scale) -> one row-local pass hashes
+    (all shuffles candidate-scale) -> ADAPTIVE attach of the
+    node->cluster labels (stages/join.adaptive_join left join:
+    broadcast while cluster membership is small, key-hash co-shuffle
+    above the threshold — on a heavily-duplicated web corpus the
+    label table is corpus-scale) -> one row-local pass hashes
     md5(cluster id, or own doc_id when unclustered) into 90/5/5.
     """
     import hashlib
 
-    import ray
-
     from ..stages.cluster import connected_components
-    from ..stages.dedup import _cached_get
+    from ..stages.join import adaptive_join
 
     docs = _docs(sf_dir)
     clusters = connected_components(
         minhash_dup_pairs(docs), a_col="d1", b_col="d2")
-    mapping: dict = {}
-    for b in clusters.iter_batches(batch_format="pyarrow"):
-        mapping.update(zip(b.column("node").to_pylist(),
-                           b.column("cluster").to_pylist()))
-    map_ref = ray.put(mapping)
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("node"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("cluster"), pa.int64()),
+        })
+
+    labels = clusters.map_batches(_ren, batch_format="pyarrow")
+    ids = _docs(sf_dir, columns=["doc_id"])
+    joined, _strategy = adaptive_join(ids, labels, on="doc_id",
+                                      how="left")
 
     def _split(batch: pa.Table) -> pa.Table:
-        m = _cached_get(map_ref)
-        ids = batch.column("doc_id").to_pylist()
+        ids_ = batch.column("doc_id").to_pylist()
+        cl = batch.column("cluster_id").to_pylist()
+        # md5 stays per-key Python for SQL parity (DuckDB md5 of the
+        # decimal string); the split key is COALESCE(cluster, doc_id)
         buckets = [
             int(hashlib.md5(
-                str(m.get(i, i)).encode("utf-8")).hexdigest()[:8], 16)
-            % 100
-            for i in ids
+                str(i if c is None else c).encode("utf-8")
+            ).hexdigest()[:8], 16) % 100
+            for i, c in zip(ids_, cl)
         ]
         splits = [
             "train" if b < 90 else ("val" if b < 95 else "test")
@@ -130,7 +139,7 @@ def q_split_leakage_safe(sf_dir: str):
             "split": pa.array(splits, pa.string()),
         })
 
-    return docs.map_batches(_split, batch_format="pyarrow")
+    return joined.map_batches(_split, batch_format="pyarrow")
 ORACLE_SQL["split_leakage_safe"] = (
     "WITH RECURSIVE " + SIG_CTE + ", cand AS (" + CAND_SELECT + "), "
     + CC_CTE +

@@ -549,10 +549,12 @@ def q_dedup_canonical(sf_dir: str):
     """Corpus survivors after near-dup clustering: ONE canonical
     (min-id) document per cluster, all unclustered docs kept.
 
-    The drop set (non-canonical members) is cluster-member-scale and
-    is broadcast once; the corpus itself is filtered with a
-    vectorized ``is_in`` — no corpus shuffle (stages/cluster.py
-    ``canonical_filter``).
+    The drop set (non-canonical members) is cluster-MEMBER-scale —
+    30–50% of rows on a heavily-duplicated web corpus — so the
+    attach is adaptive (stages/cluster.py ``canonical_filter`` →
+    ``adaptive_join`` anti): broadcast + vectorized per-batch filter
+    while the drop set is small, key-hash co-shuffle above the
+    measured row threshold.
     """
     from ..stages.cluster import canonical_filter, connected_components
 
@@ -565,7 +567,8 @@ def q_dedup_canonical(sf_dir: str):
             "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
         })
 
-    return canonical_filter(docs, clusters).map_batches(
+    kept, _strategy = canonical_filter(docs, clusters)
+    return kept.map_batches(
         _fin, batch_format="pyarrow"
     ).sort("doc_id")
 ORACLE_SQL["dedup_canonical"] = (
@@ -660,12 +663,15 @@ def q_dedup_best_survivor(sf_dir: str):
     `dedup_canonical`'s min-id convention — the curation-grade
     survivor rule (keep the longest/cleanest copy of a template).
     Composition: connected components over the bit-exact MinHash
-    pairs → broadcast the cluster-member-scale label table into one
-    pruned corpus scan (no corpus shuffle) →
+    pairs → ADAPTIVE attach of the cluster-member-scale label table
+    (stages/join.adaptive_join: broadcast into one pruned corpus
+    scan while labels fit, key-hash co-shuffle above the measured
+    threshold — on a 40%-dup web corpus labels are corpus-scale, so
+    the broadcast must not be unconditional) →
     stages/stats.grouped_argmax (per-block partial arg-max, one
     keys×blocks exchange)."""
     from ..stages.cluster import connected_components
-    from ..stages.join import broadcast_join
+    from ..stages.join import adaptive_join
     from ..stages.stats import grouped_argmax
 
     clusters = connected_components(minhash_dup_pairs(_docs(sf_dir)))
@@ -678,7 +684,7 @@ def q_dedup_best_survivor(sf_dir: str):
 
     labels = clusters.map_batches(_ren, batch_format="pyarrow")
     docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
-    joined = broadcast_join(docs, labels, on="doc_id")
+    joined, _strategy = adaptive_join(docs, labels, on="doc_id")
     best = grouped_argmax(joined, "cluster_id", "n_chars", "doc_id")
 
     def _fin(batch: pa.Table) -> pa.Table:

@@ -254,35 +254,35 @@ def connected_components(pairs, a_col: str = "d1", b_col: str = "d2",
     return _propagate(edges, n_buckets, max_iter)
 
 
-def canonical_filter(ds, clusters, id_col: str = "doc_id"):
+def canonical_filter(ds, clusters, id_col: str = "doc_id",
+                     broadcast_limit_rows: int = 2_000_000):
     """Drop non-canonical cluster members from a corpus dataset.
 
-    ``clusters`` is :func:`connected_components` output. The ids to
-    drop (members with ``node != cluster``) are cluster-member-scale
-    — tiny relative to the corpus — so they are collected once,
-    broadcast through the object store, and each corpus batch filters
-    with one vectorized ``pc.is_in``; the corpus is never shuffled.
+    ``clusters`` is :func:`connected_components` output; the ids to
+    drop are the members with ``node != cluster``. The drop set is
+    cluster-MEMBER-scale, which is small on a lightly-duplicated
+    corpus but 30–50% of rows on a Common-Crawl-grade one — so the
+    attach is ADAPTIVE (``stages/join.adaptive_join`` anti-join): at
+    or under ``broadcast_limit_rows`` the drop set broadcasts once
+    and each corpus batch filters vectorized with no corpus shuffle;
+    above it both sides co-shuffle by key hash, so a 40%-dup corpus
+    can never blow a worker heap with an unconditional broadcast.
+
+    Returns ``(filtered, strategy)`` with strategy one of
+    ``"none" | "broadcast" | "shuffle"`` (``"none"`` = empty drop
+    set, corpus passed through untouched) so callers and tests can
+    pin the plan that ran.
     """
-    import pyarrow.compute as pc
-    import ray
+    from .join import adaptive_join
 
-    from .dedup import _cached_get
+    def _ren(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column("node")})
 
-    drop_tables = [
-        t for t in clusters.filter(expr="node != cluster")
-        .select_columns(["node"])
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not drop_tables:
-        return ds
-    drop_arr = pa.concat_tables(drop_tables).column("node").combine_chunks()
-    ref = ray.put(drop_arr)
-
-    def _keep(batch: pa.Table) -> pa.Table:
-        drop = _cached_get(ref)
-        return batch.filter(
-            pc.invert(pc.is_in(batch.column(id_col), value_set=drop))
-        )
-
-    return ds.map_batches(_keep, batch_format="pyarrow")
+    drop_ds = clusters.filter(expr="node != cluster").select_columns(
+        ["node"]).map_batches(_ren, batch_format="pyarrow").materialize()
+    if drop_ds.count() == 0:
+        return ds, "none"
+    out, strategy = adaptive_join(
+        ds, drop_ds, on=id_col, how="anti",
+        broadcast_limit_rows=broadcast_limit_rows)
+    return out, strategy

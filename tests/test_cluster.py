@@ -115,12 +115,28 @@ class TestCanonicalFilter:
         corpus = ray.data.from_arrow(
             pa.table({"doc_id": list(range(25))})
         )
-        kept = sorted(
-            r["doc_id"]
-            for r in canonical_filter(corpus, clusters).take_all()
-        )
+        filtered, strategy = canonical_filter(corpus, clusters)
+        kept = sorted(r["doc_id"] for r in filtered.take_all())
         dropped = {2, 3, 4, 5, 11, 12, 21}
         assert kept == [i for i in range(25) if i not in dropped]
+        assert strategy == "broadcast"  # tiny drop set
+
+    def test_large_drop_set_co_shuffles(self, ray_session):
+        """Above the broadcast threshold the attach switches to the
+        key-hash co-shuffle (VERDICT r4 item 2: a 40%-dup corpus must
+        not be broadcast unconditionally) — same rows either way."""
+        import ray.data
+
+        clusters = connected_components(ray.data.from_arrow(TOY))
+        corpus = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(25))})
+        )
+        filtered, strategy = canonical_filter(
+            corpus, clusters, broadcast_limit_rows=2)
+        kept = sorted(r["doc_id"] for r in filtered.take_all())
+        dropped = {2, 3, 4, 5, 11, 12, 21}
+        assert kept == [i for i in range(25) if i not in dropped]
+        assert strategy == "shuffle"
 
     def test_no_clusters_is_identity(self, ray_session):
         import ray.data
@@ -131,7 +147,8 @@ class TestCanonicalFilter:
         )
         clusters = connected_components(empty)
         corpus = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
-        kept = canonical_filter(corpus, clusters)
+        kept, strategy = canonical_filter(corpus, clusters)
+        assert strategy == "none"
         assert sorted(r["doc_id"] for r in kept.take_all()) == [1, 2, 3]
 
 

@@ -45,9 +45,46 @@ job wants, at the cost of actor lifecycle management).
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_INVARIANT_CTR = itertools.count()
+
+
+def _loop_invariant(ds, tag: str, threshold_rows=None):
+    """Pin a loop-invariant dataset (tagged edge multiset) for
+    repeated per-iteration reuse — ADAPTIVELY.
+
+    ``materialize()`` pins the rows in the cluster OBJECT STORE for
+    the whole loop; fine for node-scale sides, but a 100-TB web
+    graph's edge multiset is the one corpus-scale table an iterative
+    operator would otherwise hold pinned for its entire runtime,
+    forcing spill of everything else. So: materialize once to count
+    (one pass — the count is then a metadata fold), and above
+    ``threshold_rows`` (``$OCR_RAY_GRAPH_PIN_ROWS``, default 5M)
+    dump the blocks to a storage-backed parquet checkpoint
+    (:func:`..stages.bucketed.checkpoint_bucketed`, ``key_col=None``
+    — the per-iteration ``groupby`` re-shuffles anyway, so no key
+    alignment needed) and return the lazy re-read; the transient
+    materialized copy is released when this frame returns. Below the
+    threshold the materialized dataset is returned unchanged — the
+    small-graph fast path keeps zero extra I/O.
+    """
+    import os
+
+    if threshold_rows is None:
+        threshold_rows = int(os.environ.get(
+            "OCR_RAY_GRAPH_PIN_ROWS", 5_000_000))
+    mat = ds.materialize()
+    if mat.count() <= threshold_rows:
+        return mat
+    from .bucketed import checkpoint_bucketed
+
+    return checkpoint_bucketed(
+        mat, f"ginv_{tag}_{next(_INVARIANT_CTR)}", key_col=None)
 
 
 def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
@@ -187,9 +224,14 @@ def pagerank_int(nodes, edges, iters: int = 3, node_col: str = "node",
             })
         return _final
 
-    # loop-invariant sides cached ONCE; re-union'd per iteration
-    tagged_edges = edges.map_batches(
-        _tag_edges, batch_format="pyarrow").materialize()
+    # loop-invariant sides cached ONCE; re-union'd per iteration.
+    # The edge multiset is corpus-scale on a web graph — pinned
+    # adaptively (object store below threshold, storage-backed
+    # checkpoint above); the node-universe zeros stay materialized
+    # (node-scale, an order smaller than edges).
+    tagged_edges = _loop_invariant(
+        edges.map_batches(_tag_edges, batch_format="pyarrow"),
+        "pr_edges")
     tagged_zeros = nodes.select_columns([node_col]).map_batches(
         _tag_zeros, batch_format="pyarrow").materialize()
 
@@ -789,12 +831,12 @@ def hits_int(nodes, edges, iters: int = 2, scale: int = 10 ** 9,
             })
         return node_sel.map_batches(_init_out, batch_format="pyarrow")
 
-    edges_by_src = edges.map_batches(
-        _tag_edges(src_col, dst_col), batch_format="pyarrow"
-    ).materialize()
-    edges_by_dst = edges.map_batches(
-        _tag_edges(dst_col, src_col), batch_format="pyarrow"
-    ).materialize()
+    edges_by_src = _loop_invariant(
+        edges.map_batches(_tag_edges(src_col, dst_col),
+                          batch_format="pyarrow"), "hits_src")
+    edges_by_dst = _loop_invariant(
+        edges.map_batches(_tag_edges(dst_col, src_col),
+                          batch_format="pyarrow"), "hits_dst")
     tagged_zeros = node_sel.map_batches(
         _tag_nodes(0), batch_format="pyarrow").materialize()
 
@@ -1061,8 +1103,9 @@ def bfs_levels(edges, seeds, src_col: str = "src", dst_col: str = "dst",
             dst_col: pc.cast(batch.column(dst_col), pa.int64()),
         }, schema=edge_schema)
 
-    tagged_edges = edges.map_batches(
-        _tag_edges, batch_format="pyarrow").materialize()
+    tagged_edges = _loop_invariant(
+        edges.map_batches(_tag_edges, batch_format="pyarrow"),
+        "bfs_edges")
 
     def _tag_nodes(ds, side: int, schema, extra=None):
         def _fn(batch: pa.Table) -> pa.Table:
@@ -1262,11 +1305,13 @@ def kcore_prune(edges, k: int = 3, rounds: int = 4,
             "v": pa.array(v[first], pa.int64()),
         })
 
-    cur = (
+    # the surviving-edge iterate is edge-scale each round; pin it
+    # adaptively (storage-backed checkpoint above the threshold)
+    # instead of holding an edge-scale object-store pin per round
+    cur = _loop_invariant(
         edges.map_batches(_canon, batch_format="pyarrow")
         .groupby("_ebucket", num_partitions=n_buckets)
-        .map_groups(_dedup, batch_format="pyarrow")
-    ).materialize()
+        .map_groups(_dedup, batch_format="pyarrow"), "kcore_cur")
 
     for _ in range(rounds):
         deg = _degrees(cur, n_buckets)
@@ -1281,9 +1326,9 @@ def kcore_prune(edges, k: int = 3, rounds: int = 4,
         cur = repartition_join(
             cur, surv.map_batches(_as("u"), batch_format="pyarrow"),
             on="u", how="semi", n_buckets=n_buckets)
-        cur = repartition_join(
+        cur = _loop_invariant(repartition_join(
             cur, surv.map_batches(_as("v"), batch_format="pyarrow"),
-            on="v", how="semi", n_buckets=n_buckets).materialize()
+            on="v", how="semi", n_buckets=n_buckets), "kcore_cur")
 
     return _degrees(cur, n_buckets)
 
@@ -1424,8 +1469,9 @@ def label_propagation(nodes, edges, rounds: int = 2,
                  else a for a in out_lbls]),
         })
 
-    tagged_edges = edges.map_batches(
-        _tag_sym_edges, batch_format="pyarrow").materialize()
+    tagged_edges = _loop_invariant(
+        edges.map_batches(_tag_sym_edges, batch_format="pyarrow"),
+        "lp_edges")
 
     def _init(batch: pa.Table) -> pa.Table:
         key = pc.cast(batch.column(node_col), pa.int64())
@@ -1509,8 +1555,9 @@ def sssp_int(edges, seeds, rounds: int = 8, src_col: str = "src",
             "dist": pc.cast(batch.column(w_col), pa.int64()),
         }, schema=edge_schema)
 
-    tagged_edges = edges.map_batches(
-        _tag_edges, batch_format="pyarrow").materialize()
+    tagged_edges = _loop_invariant(
+        edges.map_batches(_tag_edges, batch_format="pyarrow"),
+        "sssp_edges")
 
     def _tag_nodes(ds, side: int) -> "ray.data.Dataset":
         def _fn(batch: pa.Table) -> pa.Table:

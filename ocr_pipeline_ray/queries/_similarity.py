@@ -229,6 +229,53 @@ ORACLE_SQL["doc_embed"] = (
     "GROUP BY doc_id, d HAVING sum(sgn) != 0"
 )
 QUERIES["doc_embed"] = q_doc_embed
+def q_embed_infer(sf_dir: str):
+    """Learned-model embedding INFERENCE as an actor-pool stage
+    (stages/embedder.py): weights load once per actor in
+    ``__init__``, each batch is one int64 matmul forward. The stub
+    model's integer weights are generated by a Knuth multiplicative
+    hash, so the full distributed forward pass — featurize, load,
+    project — has a bit-exact SQL twin; exploded to nonzero cells
+    for the oracle like ``doc_embed``."""
+    import numpy as np
+
+    from ..stages.embedder import embedding_inference_stage
+
+    vecs = embedding_inference_stage(_docs(sf_dir), batch_size=256,
+                                     concurrency=(1, 8))
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        n = len(col)
+        mat = np.asarray(col.flatten()).reshape(n, 16)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        doc, j = np.nonzero(mat)
+        return pa.table({
+            "doc_id": pa.array(ids[doc], pa.int64()),
+            "j": pa.array(j.astype(np.int64), pa.int64()),
+            "val": pa.array(mat[doc, j], pa.int64()),
+        })
+
+    return vecs.map_batches(_explode, batch_format="pyarrow")
+ORACLE_SQL["embed_infer"] = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, 8)) "
+    "AS UBIGINT) AS BIGINT) AS hv FROM toks), "
+    "cells AS (SELECT doc_id, hv % 64 AS i, "
+    "CASE WHEN (hv // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM h), "
+    "x AS (SELECT doc_id, i, SUM(sgn) AS xv FROM cells "
+    "GROUP BY doc_id, i HAVING SUM(sgn) != 0), "
+    "w AS (SELECT ij // 16 AS i, ij % 16 AS j, "
+    "(ij * 2654435761) % 4294967296 % 7 - 3 AS wv "
+    "FROM range(0, 1024) t(ij)) "
+    "SELECT x.doc_id, CAST(w.j AS BIGINT) AS j, "
+    "CAST(SUM(x.xv * w.wv) AS BIGINT) AS val "
+    "FROM x JOIN w ON w.i = x.i GROUP BY x.doc_id, w.j "
+    "HAVING SUM(x.xv * w.wv) != 0"
+)
+QUERIES["embed_infer"] = q_embed_infer
 def q_kmeans_assign(sf_dir: str):
     """Full-corpus distributed k-means (Lloyd's) cluster assignment.
 

@@ -318,6 +318,178 @@ def _fast_feed(text: str, parser: "_MainContentParser") -> None:
         handle_data(seg)
 
 
+# --- split-walk scanner ----------------------------------------------
+# The production hot path: ONE re.split pass turns the document into a
+# flat [text, bang, slash, name, rest, text, ...] list (5-stride), so
+# the per-tag cost is list indexing instead of a match object + group/
+# start/end calls per tag — measured ~20% faster end-to-end than the
+# search-loop tokenizer (_fast_feed) on the bench corpus. Handler
+# logic is inlined with local state; semantics are pinned equal to
+# _fast_feed + _MainContentParser by TestScanExtractDrift (NASTY
+# fixtures + corpus). Rawtext (<script>/<style>/...) is handled in
+# SKIP mode: items are discarded until the matching end tag, which
+# matches the jump semantics of _fast_feed on every pinned case (the
+# two can differ only on pathological invalid markup — a quoted
+# "</script" inside a spurious tag inside a script body — where
+# recovery is undefined and the engine is authoritative).
+_TAG_SPLIT_RE = re.compile(
+    r"<(?:(!--.*?--|!\[CDATA\[.*?\]\]|![^>]*)"
+    r"|(/?)([a-zA-Z][a-zA-Z0-9-]*)"
+    r"([^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*))>",
+    re.S,
+)
+# allocation-free attr gate (replaces rest.lower() + three `in` scans)
+_ATTR_GATE_RE = re.compile(r"class|id|dir", re.I)
+
+
+def _scan_extract(
+    text: str, boiler_re: re.Pattern
+) -> List[Tuple[str, bool, int, int]]:
+    """Fused single-pass extractor: returns ``raw_lines`` equal to
+    ``_fast_feed`` + ``_MainContentParser`` (same tuples, same order).
+    """
+    from html import unescape
+
+    attr_finditer = _ATTR_RE.finditer
+    boiler_search = boiler_re.search
+    marks_search = _MARKS_RE.search
+    gate_search = _ATTR_GATE_RE.search
+    block_tags = _BLOCK_TAGS
+    ignored_tags = _IGNORED_TAGS
+    boiler_tags = _BOILER_TAGS
+    void_tags = _VOID_TAGS
+    rawtext_tags = _RAWTEXT_TAGS
+
+    stack: List[Tuple[str, bool, bool, bool]] = []
+    cur_ignored = cur_boiler = cur_rtl = False
+    link_depth = 0
+    segments: List[str] = []
+    link_segments: List[str] = []
+    line_boiler = line_rtl = line_open = False
+    raw_lines: List[Tuple[str, bool, int, int]] = []
+    skip_until: Optional[str] = None   # rawtext skip mode
+
+    def flush() -> None:
+        nonlocal line_open, line_boiler, line_rtl, segments, link_segments
+        line_text = "".join(segments)
+        tokens = line_text.split()
+        total_chars = sum(map(len, tokens))
+        if link_segments:
+            link_chars = sum(
+                sum(map(len, seg.split())) for seg in link_segments)
+            link_segments = []
+        else:
+            link_chars = 0
+        if tokens and marks_search(line_text) is not None:
+            tokens = [strip_marks(t) for t in tokens]
+            tokens = [t for t in tokens if t]
+        line_open = False
+        segments = []
+        if tokens:
+            if line_rtl:
+                tokens = tokens[::-1]
+            raw_lines.append(
+                (" ".join(tokens), line_boiler, link_chars, total_chars))
+        line_boiler = False
+        line_rtl = False
+
+    items = _TAG_SPLIT_RE.split(text)
+    n_items = len(items)
+    i = 0
+    while True:
+        seg = items[i]
+        # -- text segment (inlined handle_data) ------------------------
+        if seg and skip_until is None and not cur_ignored:
+            if "&" in seg:
+                seg = unescape(seg)
+            if line_open or (seg and not seg.isspace()):
+                line_open = True
+                segments.append(seg)
+                if link_depth:
+                    link_segments.append(seg)
+                if cur_boiler:
+                    line_boiler = True
+                if cur_rtl:
+                    line_rtl = True
+        if i + 1 >= n_items:
+            break
+        slash = items[i + 2]
+        name = items[i + 3]                # None iff bang branch matched
+        i += 5
+        if name is None:
+            continue                       # comment / doctype / CDATA
+        if not name.islower():
+            name = name.lower()
+        if slash:
+            # -- end tag (inlined handle_endtag) -----------------------
+            if skip_until is not None:
+                if name != skip_until:
+                    continue               # still inside rawtext body
+                skip_until = None
+            if name == "a":
+                if link_depth:
+                    link_depth -= 1
+                continue
+            if name in void_tags:
+                continue
+            if line_open and name in block_tags:
+                flush()
+            if stack:
+                if stack[-1][0] == name:
+                    stack.pop()
+                else:
+                    for k in range(len(stack) - 1, -1, -1):
+                        if stack[k][0] == name:
+                            del stack[k:]
+                            break
+                    else:
+                        continue           # no matching open frame
+                if stack:
+                    _t, cur_ignored, cur_boiler, cur_rtl = stack[-1]
+                else:
+                    cur_ignored = cur_boiler = cur_rtl = False
+            continue
+        # -- start tag (inlined handle_starttag) -----------------------
+        if skip_until is not None:
+            continue                       # spurious tag in rawtext
+        if name == "br":
+            if line_open:
+                flush()
+            continue
+        if name in void_tags:
+            continue
+        if name == "a":
+            link_depth += 1
+            continue
+        ignored = cur_ignored or name in ignored_tags
+        boiler = cur_boiler or name in boiler_tags
+        rtl = cur_rtl
+        rest = items[i - 1]                # group 4 of this tag
+        if rest and gate_search(rest) is not None:
+            for am in attr_finditer(rest):
+                val = am.group(2)
+                if val is None:
+                    val = (am.group(3) if am.group(3) is not None
+                           else am.group(4))
+                if val is None:
+                    continue
+                lname = am.group(1).lower()
+                if lname in ("class", "id"):
+                    if boiler_search(val.lower()):
+                        boiler = True
+                elif lname == "dir":
+                    rtl = val.strip().lower() == "rtl"
+        if line_open and name in block_tags:
+            flush()
+        stack.append((name, ignored, boiler, rtl))
+        cur_ignored, cur_boiler, cur_rtl = ignored, boiler, rtl
+        if name in rawtext_tags:
+            skip_until = name
+    if line_open:
+        flush()
+    return raw_lines
+
+
 def extract_text_lines(
     html_bytes: bytes, config: ExtractConfig = ExtractConfig(),
     boiler_re: Optional[re.Pattern] = None,
@@ -334,33 +506,35 @@ def extract_text_lines(
     if boiler_re is None:
         boiler_re = re.compile(cfg.boiler_class_pattern)
     text = html_bytes.decode("utf-8")
-    parser = _MainContentParser(cfg, boiler_re)
     try:
-        _fast_feed(text, parser)
+        raw_lines = _scan_extract(text, boiler_re)
     except Exception:
+        # stdlib parser fallback: slower, maximally tolerant
         parser = _MainContentParser(cfg, boiler_re)
         parser.feed(text)
         parser.close()
-    parser._flush_line()
+        parser._flush_line()
+        raw_lines = parser.raw_lines
 
     texts: List[str] = []
-    for line_text, boiler, link_chars, total_chars in parser.raw_lines:
+    n_boiler_dropped = n_link_dropped = n_short_dropped = 0
+    for line_text, boiler, link_chars, total_chars in raw_lines:
         if boiler:
-            parser.n_boiler_dropped += 1
+            n_boiler_dropped += 1
             continue
         density = link_chars / total_chars if total_chars else 0.0
         if density > cfg.max_link_density:
-            parser.n_link_dropped += 1
+            n_link_dropped += 1
             continue
         if len(line_text) < cfg.min_len:
-            parser.n_short_dropped += 1
+            n_short_dropped += 1
             continue
         texts.append(line_text)
     stats = {
-        "n_raw_lines": len(parser.raw_lines),
-        "n_boiler_dropped": parser.n_boiler_dropped,
-        "n_link_dropped": parser.n_link_dropped,
-        "n_short_dropped": parser.n_short_dropped,
+        "n_raw_lines": len(raw_lines),
+        "n_boiler_dropped": n_boiler_dropped,
+        "n_link_dropped": n_link_dropped,
+        "n_short_dropped": n_short_dropped,
         "n_lines": len(texts),
     }
     return texts, stats

@@ -611,19 +611,27 @@ def q_prefix_jaccard_pairs(sf_dir: str):
     (stages/dedup.py ``prefix_jaccard_pairs``): recall 1.0 vs the
     O(N²) scan by the prefix-filter theorem, candidates generated
     only from each doc's rarest (df-ordered) prefix shingles. The
-    oracle is the exact all-pairs join — identity, not recall, is
-    the claim."""
+    oracle is EXACT but not O(N²): its pair universe is "pairs
+    sharing >= 1 shingle" (PAIR_UNIVERSE_FRAGMENT — nothing with
+    J >= 0.8 is outside it) plus the implied 0.8 length band, so it
+    stays an identity claim while running as a hash join at sf1
+    (the old cross-join twin ran >1 h of single-core SQL there; the
+    universe is built from raw shingle sharing, NOT from the
+    engine's df-ordered prefix logic, so a prefix-filter bug on the
+    Ray side is still caught)."""
     from ..stages.dedup import prefix_jaccard_pairs
 
     return prefix_jaccard_pairs(
         _docs(sf_dir), threshold=0.8).sort(["d1", "d2"])
 ORACLE_SQL["prefix_jaccard_pairs"] = (
-"WITH " + SHINGLE_CTE + ", "
-        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
-        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+"WITH " + SHINGLE_CTE + ", " + PAIR_UNIVERSE_FRAGMENT + ", "
+        "j AS (SELECT cu.d1, cu.d2, "
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac "
-        "FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id) "
+        "FROM cu JOIN dsh a ON a.doc_id = cu.d1 "
+        "JOIN dsh b ON b.doc_id = cu.d2 "
+        "WHERE len(b.s) * 5 >= len(a.s) * 4 "
+        "AND len(a.s) * 5 >= len(b.s) * 4) "
         "SELECT d1, d2, floor(jac * 1000000.0 + 0.5) / 1000000.0 "
         "AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"
 )

@@ -318,6 +318,20 @@ SIG_FRAGMENT = (
     "FROM sh)"
 )
 SIG_CTE = SHINGLE_CTE + ", " + SIG_FRAGMENT
+# Pre-filtered EXACT pair universe for shingle-Jaccard oracles: any
+# pair with J >= t > 0 shares at least one shingle, so the candidate
+# universe "pairs sharing >= 1 distinct shingle" (an equi-join the SQL
+# engine can hash, ~100x smaller than all-pairs at sf1) loses NOTHING
+# vs the O(N^2) cross join — identity is preserved, tractability
+# gained. Callers add the (also implied-by-threshold) length band
+# len(b)*5 >= len(a)*4 AND len(a)*5 >= len(b)*4 before the intersect
+# so the expensive list_intersect only runs on surviving pairs.
+PAIR_UNIVERSE_FRAGMENT = (
+    "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+    "ex AS (SELECT doc_id, unnest(s) AS g FROM dsh), "
+    "cu AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+    "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)"
+)
 CAND_SELECT = (
     "SELECT d1, d2 FROM ("
     "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
@@ -811,6 +825,7 @@ __all__ = [
     "SHINGLE_CTE",
     "SIG_FRAGMENT",
     "SIG_CTE",
+    "PAIR_UNIVERSE_FRAGMENT",
     "CAND_SELECT",
     "CC_CTE",
     "_PII_AUG_CTE",

@@ -63,16 +63,21 @@ def q_lsh_recall(sf_dir: str):
         "recall": pa.array([recall], pa.float64()),
     })
 ORACLE_SQL["lsh_recall"] = (
+# tp uses the shared-shingle pair universe (PAIR_UNIVERSE_FRAGMENT)
+# plus the implied 0.8 length band instead of the O(N^2) cross join —
+# still EXACT (J >= 0.8 implies a shared shingle), tractable at sf1.
 "WITH " + SIG_CTE + ", "
         "cand AS (" + CAND_SELECT + "), "
-        "dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh), "
+        + PAIR_UNIVERSE_FRAGMENT + ", "
         "ver AS (SELECT c.d1 FROM cand c "
         "JOIN dsh a ON a.doc_id = c.d1 JOIN dsh b ON b.doc_id = c.d2 "
         "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), "
-        "tp AS (SELECT a.doc_id FROM dsh a JOIN dsh b "
-        "ON a.doc_id < b.doc_id "
-        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "tp AS (SELECT cu.d1 FROM cu "
+        "JOIN dsh a ON a.doc_id = cu.d1 JOIN dsh b ON b.doc_id = cu.d2 "
+        "WHERE len(b.s) * 5 >= len(a.s) * 4 "
+        "AND len(a.s) * 5 >= len(b.s) * 4 "
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8) "
         "SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates, "
         "CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified, "

@@ -199,3 +199,69 @@ class TestFastTokenizerDrift:
             assert self._fast_lines(raw) == self._stdlib_lines(raw)
             checked += 1
         assert checked > 10
+
+
+class TestScanExtractDrift:
+    """The split-walk production scanner (_scan_extract) must produce
+    the same raw_lines as the search-loop tokenizer (_fast_feed +
+    _MainContentParser) on EVERY document — the NASTY fixtures AND
+    the whole corpus, including the invalid-markup docs where the
+    engine (not the stdlib) is authoritative."""
+
+    def _fast_lines(self, html: bytes):
+        import re as re_mod
+
+        from ocr_pipeline_ray.functions.extract import (
+            ExtractConfig, _MainContentParser, _fast_feed)
+
+        cfg = ExtractConfig()
+        parser = _MainContentParser(
+            cfg, re_mod.compile(cfg.boiler_class_pattern))
+        _fast_feed(html.decode("utf-8"), parser)
+        parser._flush_line()
+        return parser.raw_lines
+
+    def _scan_lines(self, html: bytes):
+        import re as re_mod
+
+        from ocr_pipeline_ray.functions.extract import (
+            ExtractConfig, _scan_extract)
+
+        cfg = ExtractConfig()
+        return _scan_extract(
+            html.decode("utf-8"),
+            re_mod.compile(cfg.boiler_class_pattern))
+
+    def test_nasty_fixtures_drift_free(self):
+        for html in TestFastTokenizerDrift.NASTY:
+            assert self._scan_lines(html) == self._fast_lines(html), html
+
+    def test_rawtext_skip_semantics(self):
+        cases = [
+            b"<script>if (a<b) { x = y>z; }</script><p>danach text</p>",
+            b"<style>.x { content: '<p>'; }</style><p>inhalt hier</p>",
+            b"<textarea>roher <b>text</b> inhalt</textarea><p>echt</p>",
+            b"<title>Der <i>Titel</i></title><p>nach titel text</p>",
+            b"<script>var unterminated = 1;<p>nie gesehen</p>",
+            b"<p>davor</p><script></script><p>danach zeile</p>",
+        ]
+        for html in cases:
+            assert self._scan_lines(html) == self._fast_lines(html), html
+
+    def test_corpus_drift_free(self, small_corpus):
+        import pyarrow.parquet as pq
+
+        from ocr_pipeline_ray.functions.xmlmodel import sniff_is_xml
+
+        tbl = pq.read_table(small_corpus[0], columns=["html"])
+        checked = 0
+        for raw in tbl.column("html").to_pylist():
+            if raw is None or sniff_is_xml(raw):
+                continue
+            try:
+                raw.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            assert self._scan_lines(raw) == self._fast_lines(raw)
+            checked += 1
+        assert checked > 50  # 240-row corpus, minus XML/PDF/binary rows

@@ -141,6 +141,82 @@ BENCH_QUERIES = [
 ]
 
 
+# the sf1 scale tier (--families): one representative query per
+# operator family, runnable against a gen_sf.py-synthesized dir where
+# the full 215-query bench would take hours. Shuffle-heavy operators
+# lead each family — they are where scale regressions hide (the
+# 50-query correctness sample can't see a 10x slowdown).
+FAMILY_BENCH = {
+    "extraction": ["extraction_flagship", "quality_report"],
+    "dedup_exact": ["dedup_exact", "dedup_first_rows"],
+    "dedup_near": ["minhash_dup_pairs", "prefix_jaccard_pairs",
+                   "simhash_near_pairs"],
+    "dedup_cluster": ["dup_clusters", "dedup_canonical",
+                      "dedup_best_survivor"],
+    "similarity": ["ann_topk", "embedding_near_dup", "kmeans_assign"],
+    "graph": ["pagerank_pregel", "triangle_count", "link_graph"],
+    "text_stats": ["token_count", "tfidf_top_terms", "lm_buckets"],
+    "events": ["events_hourly", "events_pivot", "user_sessions",
+               "events_by_type_salted"],
+    "joins": ["bloom_join_revenue", "bucketed_join_orders",
+              "skew_join_enrich"],
+    "training_tail": ["sequence_packing", "split_leakage_safe",
+                      "mix_sample"],
+}
+
+
+def run_families(sf_dir: str):
+    """Per-family timings at the given scale: {family: {query: sec}}."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_pipeline_ray.queries import QUERIES
+
+    out = {}
+    for family, names in FAMILY_BENCH.items():
+        fam = {}
+        for name in names:
+            t0 = time.time()
+            result = QUERIES[name](sf_dir)
+            if isinstance(result, (pd.DataFrame, pa.Table)):
+                _ = len(result)
+            else:
+                for _ in result.iter_batches(batch_size=4096):
+                    pass
+            fam[name] = round(time.time() - t0, 3)
+        out[family] = fam
+    return out
+
+
+def family_run(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    from ocr_pipeline_ray import silence_ray_cosmetic_warnings
+
+    silence_ray_cosmetic_warnings()
+    os.environ.setdefault("OCR_RAY_SCRATCH", "/dev/shm/ocr_ray_scratch")
+    os.makedirs(os.environ["OCR_RAY_SCRATCH"], exist_ok=True)
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    t0 = time.time()
+    try:
+        families = run_families(sf_dir)
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "family_bench_wall_seconds",
+        "value": round(time.time() - t0, 3),
+        "unit": "sec",
+        "queries": {q: s for fam in families.values()
+                    for q, s in fam.items()},
+        "families": families,
+        "sf": sf_label(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
 def sf_label(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return base if base else sf_dir.replace("/", "_")
@@ -379,11 +455,17 @@ def main() -> int:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument(
+        "--families", action="store_true",
+        help="per-family scale tier (run against a gen_sf.py sf1 dir)")
+    parser.add_argument(
         "--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
     )
     args = parser.parse_args()
     if args.scaling:
         out = scaling_run(args.sf_dir)
+    elif args.families:
+        out = family_run(int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                         args.sf_dir)
     else:
         cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         out = single_run(cpus, args.sf_dir, args.headline_only)

@@ -220,12 +220,33 @@ def q_fuzzy_name_pairs(sf_dir: str):
             f"fuzzy blocking capped {stats['blocks_capped']} blocks "
             "— raise max_block (recall contract violated)")
     return out
+# Pre-filtered EXACT pair universe (the same tractability move as
+# PAIR_UNIVERSE_FRAGMENT): dist(x,y) <= 1 implies x and y share a
+# member of {s} ∪ {1-deletions of s} (substitution: delete the edited
+# position from both; insertion/deletion: the short string IS a
+# 1-deletion of the long one) — so the hash-joinable variant universe
+# loses nothing vs the O(N^2) levenshtein cross join (>1 h single-core
+# at sf1's 150k names), and every candidate is still verified with an
+# INDEPENDENT levenshtein call, so engine-side blocking bugs cannot
+# hide.
 ORACLE_SQL["fuzzy_name_pairs"] = (
-"SELECT CAST(x.c_custkey AS BIGINT) AS id_a, "
+"WITH d AS (SELECT c_custkey, c_name, "
+        "unnest(generate_series(1, len(c_name))) AS i FROM customer), "
+        "v AS ("
+        "SELECT c_custkey, c_name AS var FROM customer "
+        "UNION ALL "
+        "SELECT c_custkey, "
+        "substr(c_name, 1, CAST(i AS INT) - 1) || "
+        "substr(c_name, CAST(i AS INT) + 1) AS var FROM d), "
+        "cand AS (SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb "
+        "FROM v a JOIN v b ON a.var = b.var "
+        "AND a.c_custkey < b.c_custkey) "
+        "SELECT CAST(x.c_custkey AS BIGINT) AS id_a, "
         "CAST(y.c_custkey AS BIGINT) AS id_b, "
         "x.c_name AS s_a, y.c_name AS s_b "
-        "FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey "
-        "AND levenshtein(x.c_name, y.c_name) <= 1"
+        "FROM cand JOIN customer x ON x.c_custkey = cand.ka "
+        "JOIN customer y ON y.c_custkey = cand.kb "
+        "WHERE levenshtein(x.c_name, y.c_name) <= 1"
 )
 QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 def q_bucketed_join_orders(sf_dir: str):

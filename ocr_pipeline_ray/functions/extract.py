@@ -380,7 +380,8 @@ def _scan_extract(
             link_segments = []
         else:
             link_chars = 0
-        if tokens and marks_search(line_text) is not None:
+        if tokens and doc_may_have_marks \
+                and marks_search(line_text) is not None:
             tokens = [strip_marks(t) for t in tokens]
             tokens = [t for t in tokens if t]
         line_open = False
@@ -393,12 +394,90 @@ def _scan_extract(
         line_boiler = False
         line_rtl = False
 
+    # mark stripping can only fire if the doc contains a mark char
+    # already, or an entity that could decode to one — checked ONCE
+    # per document so the common (clean) doc skips the per-line scan
+    doc_may_have_marks = "&" in text or marks_search(text) is not None
+
     items = _TAG_SPLIT_RE.split(text)
-    n_items = len(items)
-    i = 0
-    while True:
-        seg = items[i]
-        # -- text segment (inlined handle_data) ------------------------
+    it = iter(items)
+    seg = next(it)
+    if seg and not cur_ignored:
+        if "&" in seg:
+            seg = unescape(seg)
+        if seg and not seg.isspace():
+            line_open = True
+            segments.append(seg)
+    # zip over one shared iterator yields consecutive 5-tuples
+    # (bang, slash, name, rest, following-text) at C speed — no
+    # index arithmetic per tag
+    for bang, slash, name, rest, seg in zip(it, it, it, it, it):
+        if bang is None:                   # a real tag, not a comment
+            if not name.islower():
+                name = name.lower()
+            if slash:
+                # -- end tag (inlined handle_endtag) -------------------
+                if skip_until is not None and name == skip_until:
+                    skip_until = None
+                if skip_until is None and name != "a" \
+                        and name not in void_tags:
+                    if line_open and name in block_tags:
+                        flush()
+                    if stack:
+                        if stack[-1][0] == name:
+                            stack.pop()
+                            matched = True
+                        else:
+                            matched = False
+                            for k in range(len(stack) - 1, -1, -1):
+                                if stack[k][0] == name:
+                                    del stack[k:]
+                                    matched = True
+                                    break
+                        if matched:
+                            if stack:
+                                (_t, cur_ignored, cur_boiler,
+                                 cur_rtl) = stack[-1]
+                            else:
+                                cur_ignored = cur_boiler = \
+                                    cur_rtl = False
+                elif skip_until is None and name == "a":
+                    if link_depth:
+                        link_depth -= 1
+            elif skip_until is None:
+                # -- start tag (inlined handle_starttag) ---------------
+                if name == "br":
+                    if line_open:
+                        flush()
+                elif name == "a":
+                    link_depth += 1
+                elif name not in void_tags:
+                    ignored = cur_ignored or name in ignored_tags
+                    boiler = cur_boiler or name in boiler_tags
+                    rtl = cur_rtl
+                    if rest and gate_search(rest) is not None:
+                        for am in attr_finditer(rest):
+                            val = am.group(2)
+                            if val is None:
+                                val = (am.group(3)
+                                       if am.group(3) is not None
+                                       else am.group(4))
+                            if val is None:
+                                continue
+                            lname = am.group(1).lower()
+                            if lname in ("class", "id"):
+                                if boiler_search(val.lower()):
+                                    boiler = True
+                            elif lname == "dir":
+                                rtl = val.strip().lower() == "rtl"
+                    if line_open and name in block_tags:
+                        flush()
+                    stack.append((name, ignored, boiler, rtl))
+                    cur_ignored, cur_boiler, cur_rtl = \
+                        ignored, boiler, rtl
+                    if name in rawtext_tags:
+                        skip_until = name
+        # -- trailing text segment (inlined handle_data) ---------------
         if seg and skip_until is None and not cur_ignored:
             if "&" in seg:
                 seg = unescape(seg)
@@ -411,80 +490,6 @@ def _scan_extract(
                     line_boiler = True
                 if cur_rtl:
                     line_rtl = True
-        if i + 1 >= n_items:
-            break
-        slash = items[i + 2]
-        name = items[i + 3]                # None iff bang branch matched
-        i += 5
-        if name is None:
-            continue                       # comment / doctype / CDATA
-        if not name.islower():
-            name = name.lower()
-        if slash:
-            # -- end tag (inlined handle_endtag) -----------------------
-            if skip_until is not None:
-                if name != skip_until:
-                    continue               # still inside rawtext body
-                skip_until = None
-            if name == "a":
-                if link_depth:
-                    link_depth -= 1
-                continue
-            if name in void_tags:
-                continue
-            if line_open and name in block_tags:
-                flush()
-            if stack:
-                if stack[-1][0] == name:
-                    stack.pop()
-                else:
-                    for k in range(len(stack) - 1, -1, -1):
-                        if stack[k][0] == name:
-                            del stack[k:]
-                            break
-                    else:
-                        continue           # no matching open frame
-                if stack:
-                    _t, cur_ignored, cur_boiler, cur_rtl = stack[-1]
-                else:
-                    cur_ignored = cur_boiler = cur_rtl = False
-            continue
-        # -- start tag (inlined handle_starttag) -----------------------
-        if skip_until is not None:
-            continue                       # spurious tag in rawtext
-        if name == "br":
-            if line_open:
-                flush()
-            continue
-        if name in void_tags:
-            continue
-        if name == "a":
-            link_depth += 1
-            continue
-        ignored = cur_ignored or name in ignored_tags
-        boiler = cur_boiler or name in boiler_tags
-        rtl = cur_rtl
-        rest = items[i - 1]                # group 4 of this tag
-        if rest and gate_search(rest) is not None:
-            for am in attr_finditer(rest):
-                val = am.group(2)
-                if val is None:
-                    val = (am.group(3) if am.group(3) is not None
-                           else am.group(4))
-                if val is None:
-                    continue
-                lname = am.group(1).lower()
-                if lname in ("class", "id"):
-                    if boiler_search(val.lower()):
-                        boiler = True
-                elif lname == "dir":
-                    rtl = val.strip().lower() == "rtl"
-        if line_open and name in block_tags:
-            flush()
-        stack.append((name, ignored, boiler, rtl))
-        cur_ignored, cur_boiler, cur_rtl = ignored, boiler, rtl
-        if name in rawtext_tags:
-            skip_until = name
     if line_open:
         flush()
     return raw_lines

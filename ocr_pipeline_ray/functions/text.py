@@ -56,11 +56,31 @@ def round3(value: float) -> float:
 
 
 def strip_marks(token: str) -> str:
-    """Remove RTL/LTR/BOM/ZWNJ/PDF marks (lib/ocr_model.py:153-157)."""
+    """Remove ALL RTL/LTR/BOM/ZWNJ/PDF marks — the engine's own rule
+    for the HTML path (which has no reference twin; cf.
+    lib/ocr_model.py:23-29 for the mark list)."""
     for mark in CLEAR_MARKS:
         if mark in token:
             token = token.replace(mark, "")
     return token
+
+
+def strip_marks_pagequirk(token: str) -> str:
+    """Byte-exact replica of PageLine.set_text's mark loop
+    (lib/ocr_model.py:153-157) INCLUDING its stale-variable quirk:
+    each mark's ``replace`` reads the ORIGINAL token (``strip`` is
+    never reassigned inside the loop), so when a token contains two
+    or more DISTINCT marks only the last matching mark in
+    ``CLEAR_MARKS`` order is actually removed. Single-mark tokens —
+    the overwhelmingly common case — behave like :func:`strip_marks`.
+    Found by the differential suite
+    (tests/test_reference_differential.py) running the reference's
+    own code side-by-side."""
+    out = token
+    for mark in CLEAR_MARKS:
+        if mark in token:
+            out = token.replace(mark, "")
+    return out
 
 
 def replace_chars(

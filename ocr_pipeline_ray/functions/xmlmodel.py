@@ -26,7 +26,7 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 from typing import List, Optional, Tuple
 
-from .text import strip_marks
+from .text import strip_marks_pagequirk
 
 XML_NS = {
     "alto3": "http://www.loc.gov/standards/alto/ns-v3#",
@@ -162,7 +162,7 @@ def get_page_lines(
                     # stripping stays in the list, so the join yields
                     # double spaces (lib/ocr_model.py:144-157 keeps
                     # the replaced string in text_words)
-                    tokens.append(strip_marks(unicode_el.text.strip()))
+                    tokens.append(strip_marks_pagequirk(unicode_el.text.strip()))
         else:
             # no Word elements: the line itself must carry valid coords
             center = _to_center(line, ns_uri, vertical)
@@ -172,7 +172,7 @@ def get_page_lines(
             # (lib/ocr_model.py:119-126 appends the TextLine element
             # itself), so inner runs of spaces survive and RTL
             # reordering is a no-op for word-less lines
-            tokens = [strip_marks(stripped)]
+            tokens = [strip_marks_pagequirk(stripped)]
 
         if reorder:
             tokens = list(reversed(tokens))

@@ -228,6 +228,11 @@ def parse_dict(the_dict) -> Dict[str, str]:
 
     Mirrors the reference's tolerance AND its quirk: a single-pair
     string parses to ``{}`` (the token-count check is ``> 1``).
+    DELIBERATE DIVERGENCE (pinned in
+    tests/test_reference_step_differential.py): the reference keeps
+    the quote characters inside keys/values, so its INI-configured
+    replacements can never match document text and silently no-op;
+    this engine strips the quotes so config-driven replacement fires.
     """
     if isinstance(the_dict, str):
         the_dict = the_dict.replace("{", "").replace("}", "")

@@ -1,0 +1,129 @@
+"""DIFFERENTIAL parity vs the reference's OWN step text functions.
+
+Companion to tests/test_reference_differential.py (line model): here
+the reference's `lib/ocr_step.py` pure text machinery — char/regex
+replacement, wrap sanitation, char sanitation, textlines2data,
+parse_dict — is imported (read-only from /root/reference; its
+module-level `lxml`/`requests` imports are satisfied with empty stub
+modules since only pure-Python text paths are exercised) and run
+side-by-side with `functions/text.py` on hypothesis-generated line
+sets. Byte-identical outputs AND identical statistics required.
+"""
+import sys
+import types
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ocr_step imports lxml.etree and requests at module level; neither is
+# needed by the pure text functions under test, so satisfy the imports
+# with empty stubs BEFORE the import (never touching the real deps).
+for _mod in ("lxml", "lxml.etree", "requests"):
+    sys.modules.setdefault(_mod, types.ModuleType(_mod))
+sys.modules["lxml"].etree = sys.modules["lxml.etree"]
+sys.path.insert(0, "/root/reference")
+
+ref_step = pytest.importorskip("lib.ocr_step")
+
+from ocr_pipeline_ray.functions.text import (  # noqa: E402
+    parse_dict,
+    replace_chars,
+    replace_chars_regex,
+    sanitize_chars,
+    sanitize_wraps,
+    textlines2data,
+)
+
+# line alphabet exercises every sanitize_chars branch: digits, quotes,
+# bad punctuation, long-s, dots, double spaces, hyphens at EOL
+_LINE = st.text(
+    alphabet="abc deſf0123.–-\"'?!*;:()[]| „“=",
+    min_size=0, max_size=30,
+)
+_LINES = st.lists(_LINE, min_size=0, max_size=12)
+
+
+def _ref_replace_chars(lines, dict_chars):
+    step = ref_step.StepPostReplaceChars({"dict_chars": "{}"})
+    step.dict_chars = dict(dict_chars)
+    step._replace(list(lines))
+    return step.lines_new, dict(step._replacements)
+
+
+def _ref_replace_regex(lines, pattern, old, new):
+    step = ref_step.StepPostReplaceCharsRegex(
+        {"pattern": pattern, "old": old, "new": new})
+    step._replace(list(lines))
+    return step.lines_new, dict(step._replacements)
+
+
+class TestStepDifferential:
+    @given(_LINES)
+    @settings(max_examples=200, deadline=None)
+    def test_replace_chars_matches(self, lines):
+        dict_chars = {"ſ": "s", "aa": "a", "c ": "k"}
+        ours, our_stats = replace_chars(lines, dict_chars)
+        ref, ref_stats = _ref_replace_chars(lines, dict_chars)
+        assert ours == ref
+        assert our_stats == ref_stats
+
+    @given(_LINES)
+    @settings(max_examples=200, deadline=None)
+    def test_replace_regex_matches(self, lines):
+        pattern, old, new = r"([funkce]{2,})", "f", "g"
+        ours, our_stats = replace_chars_regex(lines, pattern, old, new)
+        ref, ref_stats = _ref_replace_regex(lines, pattern, old, new)
+        assert ours == ref
+        assert our_stats == ref_stats
+
+    @given(_LINES)
+    @settings(max_examples=300, deadline=None)
+    def test_sanitize_wraps_matches(self, lines):
+        # the reference MUTATES its input list in place — give it a copy
+        ref_norm, ref_n = ref_step._sanitize_wraps(list(lines))
+        our_norm, our_n = sanitize_wraps(list(lines))
+        assert our_norm == ref_norm
+        assert our_n == ref_n
+
+    @given(_LINES)
+    @settings(max_examples=300, deadline=None)
+    def test_sanitize_chars_matches(self, lines):
+        assert sanitize_chars(list(lines)) == \
+            ref_step._sanitize_chars(list(lines))
+
+    @given(_LINES, st.integers(min_value=0, max_value=5))
+    @settings(max_examples=200, deadline=None)
+    def test_textlines2data_matches(self, lines, minlen):
+        class _FakeLine:
+            def __init__(self, text):
+                self._t = text
+
+            def get_textline_content(self):
+                return self._t
+
+        ref = ref_step.textlines2data(
+            [_FakeLine(t) for t in lines], minlen=minlen)
+        ours = textlines2data(list(lines), minlen=minlen)
+        assert ours == ref
+
+    def test_parse_dict_quirk_mirrored_divergence_pinned(self):
+        """The single-pair→{} quirk is mirrored; the quote handling
+        is a PINNED DELIBERATE DIVERGENCE: the reference keeps the
+        quote characters inside keys/values (so an INI-configured
+        ``{'ſ':'s'}`` yields the key ``'ſ'`` WITH quotes — which can
+        never match document text, silently no-op'ing the replace
+        step), while this engine strips them so config-driven
+        replacement actually fires. Found by this differential
+        suite; if the reference ever fixes it, this test will flag
+        the change."""
+        # mirrored behaviors
+        for case in ("{}", "{'a':'b'}"):   # empty + single-pair quirk
+            assert parse_dict(case) == ref_step.parse_dict(case) == {}
+        assert parse_dict({"a": "b"}) == \
+            ref_step.parse_dict({"a": "b"}) == {"a": "b"}
+        # pinned divergence: quotes kept (ref) vs stripped (ours)
+        case = "{'ſ':'s', 'aa':'a'}"
+        assert ref_step.parse_dict(case) == {"'ſ'": "'s'",
+                                             "'aa'": "'a'"}
+        assert parse_dict(case) == {"ſ": "s", "aa": "a"}

@@ -127,3 +127,47 @@ class TestStepDifferential:
         assert ref_step.parse_dict(case) == {"'ſ'": "'s'",
                                              "'aa'": "'a'"}
         assert parse_dict(case) == {"ſ": "s", "aa": "a"}
+
+
+class TestEstimateDifferential:
+    """StepEstimateOCR math vs functions/quality + functions/text."""
+
+    def test_hit_ratio_matches_reference_postprocess(self):
+        from ocr_pipeline_ray.functions.quality import score_ratio
+
+        step = ref_step.StepEstimateOCR.__new__(ref_step.StepEstimateOCR)
+        for n_words, n_errs in [(0, 0), (10, 0), (10, 3), (10, 10),
+                                (10, 15), (7, 2), (3, 1), (1000, 1),
+                                (16, 3), (12, 5)]:
+            step.n_words = n_words
+            step.postprocess_response(
+                {"matches": [None] * n_errs})
+            assert score_ratio(n_words, n_errs) == step.hit_ratio, (
+                n_words, n_errs)
+
+    def test_analyze_matches_reference_bins_and_mean(self):
+        """Our analyze returns per-bin COUNTS; the reference returns
+        per-bin result lists — counts and mean must agree. Ratio
+        values are reference-rounded (3 decimals), where half-up
+        round3 and Python's bankers round agree; exact .0005 ties
+        cannot arise from a 3-decimal input."""
+        from ocr_pipeline_ray.functions.text import analyze
+
+        cases = [
+            [],
+            [12.5],
+            [0.0, 14.999, 15.0, 29.9, 44.999, 45.0, 60.0, 74.9,
+             75.0, 99.9, 100.0],
+            [7.0, 7.0, 88.8, 91.2, 100.0, 3.3],
+        ]
+        for ratios in cases:
+            ref = ref_step.StepEstimateOCR.analyze(
+                [("p%d" % i, r) for i, r in enumerate(ratios)])
+            ours_mean, ours_bins = analyze(ratios)
+            if not ratios:
+                assert ref is None  # reference returns None on empty
+                assert (ours_mean, ours_bins) == (0.0, [0] * 5)
+                continue
+            ref_mean, ref_bins = ref
+            assert ours_mean == ref_mean, ratios
+            assert ours_bins == [len(b) for b in ref_bins], ratios

@@ -36,19 +36,27 @@ def count_errors(tokens: Sequence[str], lexicon: Optional[FrozenSet[str]] = None
     (case-folded) be a member — the LanguageTool GERMAN_SPELLER_RULE
     stand-in for tests that need exact known-error fixtures.
     """
+    # fast path, exact-equivalent to the regex: a non-alpha token can
+    # never match; an all-ASCII alpha token always matches; only
+    # non-ASCII alpha tokens (umlauts vs other scripts) need the
+    # regex to decide. The lexicon branch is hoisted out of the loop
+    # (it is None on the hot default path).
+    match = VALID_TOKEN_RE.match
     n_errs = 0
+    if lexicon is None:
+        for token in tokens:
+            if token.isalpha() and (token.isascii() or match(token)):
+                continue
+            n_errs += 1
+        return n_errs
     for token in tokens:
-        # fast path, exact-equivalent to the regex: a non-alpha token
-        # can never match; an all-ASCII alpha token always matches;
-        # only non-ASCII alpha tokens (umlauts vs other scripts) need
-        # the regex to decide
         if token.isalpha():
-            valid = token.isascii() or VALID_TOKEN_RE.match(token)
+            valid = token.isascii() or match(token)
         else:
             valid = False
         if not valid:
             n_errs += 1
-        elif lexicon is not None and token.lower() not in lexicon:
+        elif token.lower() not in lexicon:
             n_errs += 1
     return n_errs
 

@@ -63,7 +63,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
 
 
 def chunked_main(sf_dir: str) -> int:
-    """Full-surface mode: run the 266 queries in CHUNKS of fresh
+    """Full-surface mode: run all registered queries in CHUNKS of fresh
     subprocesses (ORACLE_CHUNK, default 40 per process).
 
     One long-lived local Ray driver accumulates ~1000s of finished

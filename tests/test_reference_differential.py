@@ -183,3 +183,46 @@ class TestReferenceDifferential:
                 [i for (i, _t, _g) in ours], min_len
             assert [l.get_textline_content() for l in ref] == \
                 [t for (_i, t, _g) in ours], min_len
+
+
+class TestScalarDifferential:
+    """§2.8 scalar functions vs the reference's own implementations."""
+
+    @staticmethod
+    def _ref_center(points_attr):
+        return ref_model.coords_center(points_attr.split())
+
+    def test_coords_center_matches(self):
+        from ocr_pipeline_ray.functions.xmlmodel import coords_center
+
+        cases = [
+            "10,10 90,10 90,30 10,30",
+            "0,0",
+            "1,2 3,4 5,6",
+            "100,200 300,400 500,600 700,800 900,1000",
+            "7,3 7,3 7,3",
+        ]
+        for attr in cases:
+            ours = coords_center(attr)
+            ref = self._ref_center(attr)
+            assert ours == ref, attr
+        # empty attr: ours returns None; the reference's raw helper
+        # on an empty token list divides by zero upstream — its
+        # caller (to_center_coords) guards with `len(tokens) > 0`
+        # and returns None, which is the behavior mirrored here
+        assert coords_center("") is None
+
+    def test_to_center_coords_matches_on_elements(self):
+        from ocr_pipeline_ray.functions.xmlmodel import coords_center
+
+        ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+        el = ET.fromstring(
+            f'<Word xmlns="{ns}" id="w1">'
+            '<Coords points="10,10 30,50 50,90"/></Word>'
+        )
+        ref = ref_model.to_center_coords(el, "page2019")
+        ours = coords_center("10,10 30,50 50,90")
+        assert ref == ours[0]                      # horizontal center
+        ref_v = ref_model.to_center_coords(el, "page2019",
+                                           vertical=True)
+        assert ref_v == ours[1]                    # vertical center

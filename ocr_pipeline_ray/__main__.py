@@ -159,6 +159,14 @@ def main(argv=None) -> int:
     parser.add_argument("--min-ratio", type=float, default=50.0,
                         help="quality gate for --training-data "
                              "(keep hit_ratio >= this; default 50)")
+    parser.add_argument("--embed", action="store_true",
+                        help="after extraction, run the actor-pool "
+                             "embedding-inference stage over the "
+                             "extracted text (stages/embedder.py "
+                             "stub linear model; swap model_loader "
+                             "for a real checkpoint) and write "
+                             "out/embeddings parquet (url, "
+                             "embedding list<int64>)")
     parser.add_argument("--audit", action="store_true",
                         help="after extraction, write out/audit.json: "
                              "data-quality expectation counts (null/"
@@ -272,7 +280,37 @@ def main(argv=None) -> int:
         _write_audit(args.out, log)
     if args.emit_wet:
         _write_wet(args.out, log)
+    if args.embed:
+        _write_embeddings(args.out, log)
     return 0
+
+
+def _write_embeddings(out_root: str, log) -> None:
+    """Embedding tail: pruned read of the published output (url +
+    extracted_text only), one actor-pool inference pass
+    (stages/embedder.EmbeddingInference — weights load once per
+    actor), embeddings parquet beside the extraction output. The
+    tail is deterministic; rerunning replaces ``out/embeddings``."""
+    import shutil
+
+    import ray.data
+
+    from ocr_pipeline_ray.stages.embedder import embedding_inference_stage
+
+    pattern = sorted(
+        globmod.glob(os.path.join(out_root, "pid=*", "*.parquet"))
+    )
+    if not pattern:
+        return
+    ds = ray.data.read_parquet(
+        pattern, columns=["url", "extracted_text"])
+    vecs = embedding_inference_stage(
+        ds, id_col="url", text_col="extracted_text")
+    dst = os.path.join(out_root, "embeddings")
+    shutil.rmtree(dst, ignore_errors=True)
+    vecs.write_parquet(dst)
+    log.info("embeddings → %s", dst)
+    print("embeddings →", dst)
 
 
 def _write_wet(out_root: str, log) -> None:

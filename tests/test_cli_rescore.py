@@ -439,3 +439,33 @@ class TestCliAudit:
         assert audit["unscored_rows"] >= audit["error_rows"]
         assert audit["n_hosts"] > 1
         assert 0.0 <= audit["host_gini"] <= 1.0
+
+
+class TestCliEmbed:
+    def test_embed_tail_writes_embeddings(self, ray_session,
+                                          small_corpus, tmp_path):
+        """--embed runs the actor-pool inference tail over the
+        published output and writes (url, 16-dim int64 embedding)
+        parquet; rerunning replaces the dir deterministically."""
+        import duckdb
+
+        from ocr_pipeline_ray.__main__ import main
+
+        out = str(tmp_path / "out")
+        rc = main([*small_corpus, "-o", out, "--embed"])
+        assert rc == 0
+        q = duckdb.sql(
+            f"SELECT count(*), min(len(embedding)), "
+            f"max(len(embedding)), count(DISTINCT url) "
+            f"FROM read_parquet('{out}/embeddings/*.parquet')"
+        ).fetchone()
+        n, lo, hi, nurl = q
+        # the fixture corpus plants duplicate urls, so distinct < n
+        assert n > 0 and lo == hi == 16 and 0 < nurl <= n
+        # deterministic replace on rerun
+        rc = main([*small_corpus, "-o", out, "--embed"])
+        assert rc == 0
+        q2 = duckdb.sql(
+            f"SELECT count(*) FROM "
+            f"read_parquet('{out}/embeddings/*.parquet')").fetchone()
+        assert q2[0] == n

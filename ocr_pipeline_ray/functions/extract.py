@@ -232,9 +232,11 @@ class _MainContentParser(HTMLParser):
 # path on VALID HTML (incl. quoted '>', comments, rawtext, misnesting
 # — see TestFastTokenizerDrift). On INVALID markup — a raw unescaped
 # '<' in text content — recovery is undefined and the two parsers may
-# segment differently; the fast path is the engine's authoritative
-# behavior there (it runs for every document; the stdlib fallback only
-# fires if the tokenizer raises).
+# segment differently. NOTE: since the split-walk scanner landed,
+# _scan_extract (below) is the PRODUCTION path and the engine's
+# authoritative behavior; _fast_feed remains as the drift-test
+# reference implementation, and the stdlib parser is the fallback
+# when the scanner raises.
 
 # element bodies consume quoted attribute values atomically so a '>'
 # inside quotes (href="x>y") does not terminate the tag early —

@@ -9,6 +9,7 @@ modules since only pure-Python text paths are exercised) and run
 side-by-side with `functions/text.py` on hypothesis-generated line
 sets. Byte-identical outputs AND identical statistics required.
 """
+import os
 import sys
 import types
 
@@ -171,3 +172,66 @@ class TestEstimateDifferential:
             ref_mean, ref_bins = ref
             assert ours_mean == ref_mean, ratios
             assert ours_bins == [len(b) for b in ref_bins], ratios
+
+
+class TestInputDiscoveryDifferential:
+    """S1 discovery order: the reference's OCRPipeline.input_sorted
+    vs __main__._collect_inputs on the same file tree — same ext
+    filtering, same dedup, same global sort (the deterministic
+    processing order both engines' resume logic keys on)."""
+
+    @staticmethod
+    def _ref_input_sorted(data_path, exts, recursive=False):
+        import configparser
+        import logging
+
+        sys.path.insert(0, "/root/reference")
+        import ocr_pipeline as ref_pipe
+
+        inst = ref_pipe.OCRPipeline.__new__(ref_pipe.OCRPipeline)
+        cfg = configparser.ConfigParser()
+        cfg.add_section("pipeline")
+        cfg.set("pipeline", "file_ext", ",".join(exts))
+        inst.cfg = cfg
+        inst.data_path = data_path
+        inst.logger = logging.getLogger("ref-diff")
+        return inst.input_sorted(recursive=recursive)
+
+    def _tree(self, tmp_path):
+        (tmp_path / "a").mkdir()
+        (tmp_path / "a" / "nested").mkdir()
+        for rel in ("x2.parquet", "x1.parquet", "skip.txt",
+                    "a/y1.parquet", "a/skip.json",
+                    "a/nested/z1.parquet"):
+            (tmp_path / rel).write_bytes(b"")
+        return str(tmp_path)
+
+    def test_flat_dir_matches(self, tmp_path):
+        from ocr_pipeline_ray.__main__ import _collect_inputs
+
+        root = self._tree(tmp_path)
+        ref = self._ref_input_sorted(root, ["parquet"])
+        ours = _collect_inputs([root], recursive=False, fmt="parquet")
+        assert ours == ref
+        assert ours == sorted(ours)            # deterministic order
+
+    def test_recursive_matches(self, tmp_path):
+        from ocr_pipeline_ray.__main__ import _collect_inputs
+
+        root = self._tree(tmp_path)
+        ref = self._ref_input_sorted(root, ["parquet"],
+                                     recursive=True)
+        ours = _collect_inputs([root], recursive=True, fmt="parquet")
+        assert ours == ref
+
+    def test_multi_dir_dedup_matches(self, tmp_path):
+        """Comma-list of dirs incl. a REPEAT: both engines dedup to
+        one path per file and sort globally."""
+        from ocr_pipeline_ray.__main__ import _collect_inputs
+
+        root = self._tree(tmp_path)
+        dirs = [root, os.path.join(root, "a"), root]
+        ref = self._ref_input_sorted(dirs, ["parquet"])
+        ours = _collect_inputs([",".join(dirs)], recursive=False,
+                               fmt="parquet")
+        assert ours == ref
